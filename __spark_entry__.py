@@ -1,38 +1,852 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Declared queries for the engine in `columnar_spark/` (see SURVEY.md §2 for
+the reference-parity map). Every oracle-bearing query is engineered for
+cross-engine hash equality with DuckDB:
+
+- money/quantity aggregates go through exact DECIMAL(18,2) arithmetic and
+  are cast to double at the end (identical IEEE value in both engines);
+- computed float metrics (distances, ratios) use fixed left-to-right
+  summation order on both sides and are rounded to 6 decimals identically;
+- counts are BIGINT on both sides (DuckDB integer SUM is cast);
+- every top-k query has a deterministic total order (tie-break on id).
+
+Queries whose Spark plan uses xxhash64 (MinHash/SimHash LSH) or
+approximate structures (IVF) have no SQL equivalent in DuckDB and are
+declared without an oracle (driver records rows-only).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from columnar_spark.session import tune
+from columnar_spark.filters import Filter, FilterType, MvaAggr, compile_filter, to_sql
+from columnar_spark.functions import text as CT
+from columnar_spark.operators import dedup as DD
+from columnar_spark.operators import knn as KNN
+
+SF0001 = "/root/testdata/sf0.001"
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            tune(spark)
+            return fn(spark, sf_dir)
+
+        _QUERIES[name] = wrapped
+        if sql is not None:
+            _ORACLES[name] = sql
+        return wrapped
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS); with nanosAsLong (set by
+    tune()) `ts` reads as long ns. DuckDB truncates the same column to
+    microseconds, so cross-engine queries use `ts_us` (bigint) on both
+    sides: spark `ts div 1000` == duckdb `epoch_us(ts)`."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.withColumn("ts_us", F.expr("ts div 1000"))
+
+
+def _dec(c: str, scale: int = 2):
+    return F.col(c).cast(f"decimal(18,{scale})")
+
+
+# --------------------------------------------------------------------------
+# TPC-H-style core: scans, aggregations, joins (reference host-side / §2.G)
+# --------------------------------------------------------------------------
+
+_Q1_SQL = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= '2001-06-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@_q("q1_pricing_summary", _Q1_SQL)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "2001-06-01")
+    disc_price = (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    charge = disc_price * (F.lit(1).cast("decimal(18,2)") + _dec("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+        F.sum(disc_price).cast("double").alias("sum_disc_price"),
+        F.sum(charge).cast("double").alias("sum_charge"),
+        (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+        (F.sum(_dec("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+        (F.sum(_dec("l_discount")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+_Q3_SQL = """
+SELECT
+  o_orderkey,
+  o_orderdate,
+  o_orderpriority,
+  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < '1998-01-01'
+  AND l_shipdate > '1997-06-30'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+@_q("q3_shipping_priority", _Q3_SQL)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-01-01")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1997-06-30")
+    disc_price = (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    joined = li.join(
+        F.broadcast(orders.join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    return (
+        joined.groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(disc_price).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+_Q5_SQL = """
+SELECT
+  n_name,
+  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_items
+FROM region
+JOIN nation ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1998-01-01'
+GROUP BY n_name
+"""
+
+
+@_q("q5_region_revenue", _Q5_SQL)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    dims = (
+        cust.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    joined = (
+        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("s_suppkey") == F.col("l_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+    )
+    return joined.groupBy("n_name").agg(
+        F.sum(disc_price).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Filter surface (reference §2.C: C1-C11) — model-compiled on both sides
+# --------------------------------------------------------------------------
+
+_SURFACE_FILTERS: list[tuple[str, Filter]] = [
+    # (5, 25] on a float column: int RANGE -> FLOATRANGE coercion (C11)
+    ("c_qty_open_closed", Filter("l_quantity", FilterType.RANGE, min_value=5, max_value=25,
+                                 left_closed=False, right_closed=True)),
+    # [10, 20) exclude (C2 x C6)
+    ("c_qty_excl_halfopen", Filter("l_quantity", FilterType.RANGE, min_value=10, max_value=20,
+                                   right_closed=False, exclude=True)),
+    # right-unbounded float range (C3)
+    ("c_price_lt", Filter("l_extendedprice", FilterType.FLOATRANGE, max_value=50000.0,
+                          right_closed=False)),
+    # IN-list on int col (C1)
+    ("c_linenum_in", Filter("l_linenumber", FilterType.VALUES, values=(1, 3, 5))),
+    # int VALUES on float col -> float equality (C11, filter.cpp:50-64)
+    ("c_qty_int_values", Filter("l_quantity", FilterType.VALUES, values=(24, 25))),
+    # string IN exclude (C4 x C6)
+    ("c_flag_excl", Filter("l_returnflag", FilterType.STRINGS, strings=("A", "R"), exclude=True)),
+    # NOTNULL and its exclude (C5)
+    ("c_rf_notnull", Filter("rf_nullable", FilterType.NOTNULL)),
+    ("c_rf_isnull", Filter("rf_nullable", FilterType.NOTNULL, exclude=True)),
+]
+
+
+def _surface_oracle() -> str:
+    cols = ",\n  ".join(
+        f"CAST(SUM(CASE WHEN {to_sql(f)} THEN 1 ELSE 0 END) AS BIGINT) AS {name}"
+        for name, f in _SURFACE_FILTERS
+    )
+    return (
+        "SELECT\n  " + cols +
+        "\nFROM (SELECT *, NULLIF(l_returnflag, 'N') AS rf_nullable FROM lineitem)"
+    )
+
+
+@_q("filter_surface_counts", _surface_oracle())
+def filter_surface_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "lineitem").withColumn(
+        "rf_nullable", F.expr("NULLIF(l_returnflag, 'N')")
+    )
+    aggs = [
+        F.sum(F.when(compile_filter(f, df.schema), 1).otherwise(0)).cast("long").alias(name)
+        for name, f in _SURFACE_FILTERS
+    ]
+    return df.agg(*aggs)
+
+
+# MVA quantifiers on array columns (reference C7/C8) over derived token sets
+_MVA_FILTERS: list[tuple[str, Filter]] = [
+    ("c_any_str", Filter("toks", FilterType.STRINGS, strings=("spark", "fast"), mva=MvaAggr.ANY)),
+    ("c_any_str_excl", Filter("toks", FilterType.STRINGS, strings=("spark",), mva=MvaAggr.ANY,
+                              exclude=True)),
+    ("c_any_len_ge8", Filter("tok_lens", FilterType.RANGE, min_value=8, mva=MvaAggr.ANY)),
+    ("c_all_len_1_6", Filter("tok_lens", FilterType.RANGE, min_value=1, max_value=6,
+                             mva=MvaAggr.ALL)),
+    ("c_any_len_eq2", Filter("tok_lens", FilterType.VALUES, values=(2,), mva=MvaAggr.ANY)),
+    ("c_all_len_excl", Filter("tok_lens", FilterType.RANGE, min_value=1, max_value=6,
+                              mva=MvaAggr.ALL, exclude=True)),
+]
+
+_MVA_DERIVE_SQL = """
+SELECT doc_id,
+  list_distinct(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS toks,
+  list_sort(list_transform(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''),
+            x -> length(x))) AS tok_lens
+FROM documents
+"""
+
+
+def _mva_oracle() -> str:
+    cols = ",\n  ".join(
+        f"CAST(SUM(CASE WHEN {to_sql(f)} THEN 1 ELSE 0 END) AS BIGINT) AS {name}"
+        for name, f in _MVA_FILTERS
+    )
+    return "SELECT\n  " + cols + f"\nFROM ({_MVA_DERIVE_SQL})"
+
+
+@_q("mva_filter_counts", _mva_oracle())
+def mva_filter_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.array_distinct(CT.tokens(F.col("text")))
+    # sorted-array MVA invariant (reference accessormva.cpp:32-69)
+    tok_lens = F.array_sort(F.transform(CT.tokens(F.col("text")), lambda t: F.length(t)))
+    df = docs.withColumn("toks", toks).withColumn("tok_lens", tok_lens)
+    aggs = [
+        F.sum(F.when(compile_filter(f, df.schema), 1).otherwise(0)).cast("long").alias(name)
+        for name, f in _MVA_FILTERS
+    ]
+    return df.agg(*aggs)
+
+
+# Large IN-list — the reference's bitmap-union regime (blockreader.cpp:556-585)
+_PARTKEYS = sorted({(i * 37) % 2000 for i in range(300)})
+
+_IN_LARGE_SQL = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+WHERE l_partkey IN ({", ".join(str(v) for v in _PARTKEYS)})
+"""
+
+
+@_q("filter_in_large_list", _IN_LARGE_SQL)
+def filter_in_large_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    flt = compile_filter(
+        Filter("l_partkey", FilterType.VALUES, values=tuple(_PARTKEYS)), li.schema
+    )
+    return li.filter(flt).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(F.col("l_partkey")).alias("n_parts"),
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+    )
+
+
+# Index-covered COUNT parity (reference E6 CalcCount): conjunctive count
+_COUNT_FILTERS = [
+    Filter("o_orderdate", FilterType.RANGE, min_value="1997-01-01", max_value="1998-01-01",
+           right_closed=False),
+    Filter("o_orderpriority", FilterType.STRINGS, strings=("1-URGENT", "2-HIGH")),
+    Filter("o_totalprice", FilterType.FLOATRANGE, min_value=50000.0),
+    Filter("o_orderstatus", FilterType.STRINGS, strings=("F",), exclude=True),
+]
+
+_COUNT_SQL = (
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders WHERE "
+    + " AND ".join(to_sql(f) for f in _COUNT_FILTERS)
+)
+
+
+@_q("count_filtered_conjunct", _COUNT_SQL)
+def count_filtered_conjunct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    from columnar_spark.filters import compile_filters
+
+    return orders.filter(compile_filters(_COUNT_FILTERS, orders.schema)).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+# COUNT DISTINCT parity (reference E7 m_uCountDistinct)
+_CD_SQL = """
+SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS ndv_partkey,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS ndv_suppkey,
+       CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS ndv_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+"""
+
+
+@_q("count_distinct_stats", _CD_SQL)
+def count_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count_distinct("l_partkey").alias("ndv_partkey"),
+        F.count_distinct("l_suppkey").alias("ndv_suppkey"),
+        F.count_distinct("l_returnflag").alias("ndv_returnflag"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# Zone-map / stats manifest surface (reference D1-D5, A10)
+_STATS_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(l_orderkey) AS min_orderkey, MAX(l_orderkey) AS max_orderkey,
+       MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+       MIN(l_shipdate) AS min_shipdate, MAX(l_shipdate) AS max_shipdate,
+       CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS ndv_returnflag
+FROM lineitem
+"""
+
+
+@_q("stats_minmax_manifest", _STATS_SQL)
+def stats_minmax_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("l_orderkey").alias("min_orderkey"),
+        F.max("l_orderkey").alias("max_orderkey"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.min("l_shipdate").alias("min_shipdate"),
+        F.max("l_shipdate").alias("max_shipdate"),
+        F.count_distinct("l_returnflag").alias("ndv_returnflag"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Windows, rollup, set ops, semi/anti joins, JSON, time buckets (§2.G)
+# --------------------------------------------------------------------------
+
+_TOPK_GROUP_SQL = """
+SELECT c_mktsegment, c_custkey, c_acctbal, rn FROM (
+  SELECT c_mktsegment, c_custkey, c_acctbal,
+         CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                 ORDER BY c_acctbal DESC, c_custkey ASC) AS INT) AS rn
+  FROM customer
+) WHERE rn <= 3
+"""
+
+
+@_q("group_topk_window", _TOPK_GROUP_SQL)
+def group_topk_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    return (
+        cust.select("c_mktsegment", "c_custkey", "c_acctbal", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+_RUNNING_SQL = """
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+FROM events
+"""
+
+
+@_q("window_running_sum", _RUNNING_SQL)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts_us").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id", "ts_us",
+        F.sum(_dec("value")).over(w).cast("double").alias("running_value"),
+    )
+
+
+_ROLLUP_SQL = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY ROLLUP (event_type)
+"""
+
+
+@_q("agg_rollup_events", _ROLLUP_SQL)
+def agg_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return ev.rollup("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec("value")).cast("double").alias("total_value"),
+    )
+
+
+_SETOPS_SQL = """
+(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+ INTERSECT
+ SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000)
+UNION
+(SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+ EXCEPT
+ SELECT o_custkey AS c_custkey FROM orders)
+"""
+
+
+@_q("set_ops_customers", _SETOPS_SQL)
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    big = orders.filter(F.col("o_totalprice") > 300000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    machinery = cust.filter(F.col("c_mktsegment") == "MACHINERY").select("c_custkey")
+    any_order = orders.select(F.col("o_custkey").alias("c_custkey"))
+    return building.intersect(big).union(machinery.exceptAll(any_order).distinct()).distinct()
+
+
+_SEMI_ANTI_SQL = """
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS n_with_orders,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS n_without_orders
+"""
+
+
+@_q("join_semi_anti", _SEMI_ANTI_SQL)
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    cond = F.col("c_custkey") == F.col("o_custkey")
+    semi = cust.join(orders, cond, "left_semi").agg(F.count(F.lit(1)).alias("n_with_orders"))
+    anti = cust.join(orders, cond, "left_anti").agg(F.count(F.lit(1)).alias("n_without_orders"))
+    return semi.crossJoin(anti)
+
+
+_JSON_SQL = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+       MIN(CAST(props->>'k' AS BIGINT)) AS min_k,
+       MAX(CAST(props->>'k' AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
+@_q("events_json_extract", _JSON_SQL)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+_BUCKET_SQL = """
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@_q("time_bucket_agg", _BUCKET_SQL)
+def time_bucket_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return ev.groupBy(
+        F.to_date(F.timestamp_micros(F.col("ts_us"))).alias("day"), F.col("event_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec("value")).cast("double").alias("total_value"),
+    )
+
+
+_TOPK_LATEST_SQL = """
+SELECT event_id, epoch_us(ts) AS ts_us, event_type, user_id
+FROM events
+ORDER BY ts_us DESC, event_id DESC
+LIMIT 20
+"""
+
+
+@_q("topk_latest_events", _TOPK_LATEST_SQL)
+def topk_latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # LIMIT-pushdown parity (reference D6 cutoff): TakeOrderedAndProject.
+    ev = _events(spark, sf_dir)
+    return (
+        ev.select("event_id", "ts_us", "event_type", "user_id")
+        .orderBy(F.col("ts_us").desc(), F.col("event_id").desc())
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# KNN / vector search (reference §2.F) — exact brute force, oracle-matched
+# --------------------------------------------------------------------------
+
+_KNN_QID = 7
+_KNN_K = 10
+
+
+def _knn_oracle(metric: str, where: str = "TRUE") -> str:
+    dp = ("(SELECT SUM(x.a * x.b) FROM (SELECT unnest(CAST(e.embedding AS DOUBLE[])) AS a, "
+          "unnest(q.qv) AS b) x)")
+    nrm = ("sqrt((SELECT SUM(x.a * x.a) FROM (SELECT unnest(CAST(e.embedding AS DOUBLE[])) AS a) x))")
+    qn = "sqrt((SELECT SUM(x.b * x.b) FROM (SELECT unnest(q.qv) AS b) x))"
+    l2 = ("(SELECT SUM((x.a - x.b) * (x.a - x.b)) FROM (SELECT unnest(CAST(e.embedding AS DOUBLE[])) AS a, "
+          "unnest(q.qv) AS b) x)")
+    dist = {
+        "cosine": f"1 - {dp} / ({nrm} * {qn})",
+        "ip": f"1 - {dp}",
+        "l2": l2,
+    }[metric]
+    # `+ 0.0` canonicalizes IEEE -0.0 to 0.0 (engines disagree after round)
+    return f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = {_KNN_QID})
+SELECT e.vec_id, e.label, round({dist}, 6) + 0.0 AS dist
+FROM embeddings e, q
+WHERE {where}
+ORDER BY dist ASC, e.vec_id ASC
+LIMIT {_KNN_K}
+"""
+
+
+def _knn_query(metric: str, pre_filter=None):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        emb = _t(spark, sf_dir, "embeddings")
+        qvec = [float(v) for v in emb.filter(F.col("vec_id") == _KNN_QID).first()["embedding"]]
+        flt = pre_filter() if pre_filter is not None else None
+        out = KNN.knn_topk(
+            emb, "embedding", qvec, _KNN_K, metric=metric, id_col="vec_id", pre_filter=flt
+        )
+        return out.select(
+            "vec_id", "label", (F.round(F.col("dist"), 6) + F.lit(0.0)).alias("dist")
+        )
+
+    return fn
+
+
+_q("knn_cosine_topk", _knn_oracle("cosine"))(_knn_query("cosine"))
+_q("knn_l2_topk", _knn_oracle("l2"))(_knn_query("l2"))
+_q("knn_ip_topk", _knn_oracle("ip"))(_knn_query("ip"))
+_q("knn_cosine_filtered", _knn_oracle("cosine", where="e.label = 3"))(
+    _knn_query("cosine", pre_filter=lambda: F.col("label") == 3)
+)
+
+
+@_q("knn_ivf_cosine")  # approximate — rows-only check (no SQL equivalent)
+def knn_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(v) for v in emb.filter(F.col("vec_id") == _KNN_QID).first()["embedding"]]
+    centroids = KNN.train_centroids(emb, "embedding", n_clusters=16, seed=42)
+    out = KNN.knn_topk_ivf(
+        emb, "embedding", qvec, _KNN_K, centroids, nprobe=4, metric="cosine", id_col="vec_id"
+    )
+    return out.select("vec_id", "label", F.round(F.col("dist"), 6).alias("dist"))
+
+
+# --------------------------------------------------------------------------
+# Dedup / similarity (north-star training-data ops)
+# --------------------------------------------------------------------------
+
+_TOKSETS_SQL = """
+SELECT doc_id,
+  list_distinct(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS sh
+FROM documents
+"""
+
+_NGRAM_PAIRS_SQL = f"""
+WITH t AS ({_TOKSETS_SQL})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+             greatest(len(list_distinct(a.sh || b.sh)), 1), 6) AS jaccard
+FROM t a, t b
+WHERE a.doc_id < b.doc_id
+  AND len(list_intersect(a.sh, b.sh)) * 1.0 /
+      greatest(len(list_distinct(a.sh || b.sh)), 1) >= 0.85
+"""
+
+
+@_q("ngram_jaccard_pairs", _NGRAM_PAIRS_SQL)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        F.col("doc_id").alias("__id"),
+        F.array_distinct(CT.tokens(F.col("text"))).alias("__sh"),
+    )
+    left, right = base.alias("l"), base.alias("r")
+    jac = DD.ngram_jaccard(F.col("l.__sh"), F.col("r.__sh"))
+    return (
+        left.join(right, F.col("l.__id") < F.col("r.__id"))
+        .select(
+            F.col("l.__id").alias("id_a"),
+            F.col("r.__id").alias("id_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.85)
+    )
+
+
+@_q("minhash_lsh_pairs")  # xxhash64-based — rows-only check
+def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return DD.minhash_lsh_pairs(
+        docs, "text", "doc_id", num_hashes=64, bands=16, shingle_k=1, jaccard_threshold=0.85
+    )
+
+
+@_q("simhash_pairs")  # xxhash64-based — rows-only check
+def simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return DD.simhash_pairs(docs, "text", "doc_id", shingle_k=1, max_hamming=6, n_chunks=4)
+
+
+_NEARDUP_SQL = """
+WITH n AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt((SELECT SUM(x.a * x.a)
+               FROM (SELECT unnest(CAST(embedding AS DOUBLE[])) AS a) x)) AS nrm
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round((SELECT SUM(x.a * x.b)
+              FROM (SELECT unnest(a.v) AS a, unnest(b.v) AS b) x) / (a.nrm * b.nrm), 6) AS cos_sim
+FROM n a, n b
+WHERE a.vec_id < b.vec_id
+  AND (SELECT SUM(x.a * x.b)
+       FROM (SELECT unnest(a.v) AS a, unnest(b.v) AS b) x) / (a.nrm * b.nrm) >= 0.4
+"""
+
+
+@_q("embedding_neardup_exact", _NEARDUP_SQL)
+def embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return DD.embedding_neardup_pairs(
+        emb, "embedding", "vec_id", threshold=0.4, method="exact"
+    )
+
+
+@_q("embedding_neardup_lsh")  # approximate candidate set — rows-only check
+def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return DD.embedding_neardup_pairs(
+        emb, "embedding", "vec_id", threshold=0.4, method="lsh", n_planes=8
+    )
+
+
+_PREFIX_SQL = """
+SELECT prefix2, CAST(COUNT(*) AS BIGINT) AS dup_count,
+       MIN(doc_id) AS keep_id,
+       list_sort(list(doc_id)) AS member_ids
+FROM (
+  SELECT doc_id, tk[1] || ' ' || tk[2] AS prefix2
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+        FROM documents)
+)
+GROUP BY prefix2
+HAVING COUNT(*) > 1
+"""
+
+
+@_q("dedup_exact_groups", _PREFIX_SQL)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    df = docs.withColumn("prefix2", F.concat_ws(" ", F.slice(CT.tokens(F.col("text")), 1, 2)))
+    return DD.duplicate_groups(df, ["prefix2"], "doc_id")
+
+
+_SURVIVORS_SQL = """
+SELECT CAST(COUNT(DISTINCT tk[1] || ' ' || tk[2]) AS BIGINT) AS n_survivors
+FROM (SELECT list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+      FROM documents)
+"""
+
+
+@_q("dedup_exact_survivors", _SURVIVORS_SQL)
+def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    df = docs.withColumn("prefix2", F.concat_ws(" ", F.slice(CT.tokens(F.col("text")), 1, 2)))
+    return DD.exact_dedup(df, ["prefix2"], "doc_id").agg(
+        F.count(F.lit(1)).alias("n_survivors")
+    )
+
+
+# --------------------------------------------------------------------------
+# Text analysis (north-star training-data ops)
+# --------------------------------------------------------------------------
+
+_TEXT_STATS_SQL = """
+WITH base AS (
+  SELECT doc_id, text,
+    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk,
+    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ltk
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(tk) AS BIGINT) AS n_tokens,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  round(list_aggregate(list_transform(tk, x -> length(x)), 'sum') * 1.0
+        / greatest(len(tk), 1), 6) AS mean_word_len,
+  round(length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) * 1.0
+        / greatest(length(text), 1), 6) AS alpha_ratio,
+  round(0.4 * least(len(tk) / 50.0, 1.0)
+      + 0.3 * least((len(list_filter(ltk, x -> x IN ('the','of','and','to','a','in','is','it','you','that'))) * 1.0
+                     / greatest(len(ltk), 1)) * 5.0, 1.0)
+      + 0.3 * (length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) * 1.0
+               / greatest(length(text), 1)), 6) AS quality
+FROM base
+"""
+
+
+@_q("doc_text_stats", _TEXT_STATS_SQL)
+def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        CT.token_count(t).cast("long").alias("n_tokens"),
+        CT.char_count(t).cast("long").alias("n_chars"),
+        F.round(CT.mean_word_length(t), 6).alias("mean_word_len"),
+        F.round(CT.alpha_ratio(t), 6).alias("alpha_ratio"),
+        CT.quality_score(t).alias("quality"),
+    )
+
+
+def _langid_oracle() -> str:
+    hit = {
+        code: ("len(list_filter(ltk, x -> x IN ("
+               + ", ".join("'" + w.replace("'", "''") + "'" for w in words)
+               + ")))")
+        for code, words in CT.LANG_STOPWORDS.items()
+    }
+    return f"""
+WITH base AS (
+  SELECT doc_id, text,
+    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ltk,
+    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+  FROM documents
+), scored AS (
+  SELECT doc_id, tk,
+    {hit['de']} AS h_de, {hit['en']} AS h_en, {hit['es']} AS h_es,
+    {hit['fr']} AS h_fr, {hit['zh']} AS h_zh
+  FROM base
+)
+SELECT doc_id,
+  CASE
+    WHEN greatest(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
+    WHEN h_zh >= greatest(h_de, h_en, h_es, h_fr) THEN 'zh'
+    WHEN h_fr >= greatest(h_de, h_en, h_es) THEN 'fr'
+    WHEN h_es >= greatest(h_de, h_en) THEN 'es'
+    WHEN h_en >= h_de THEN 'en'
+    ELSE 'de'
+  END AS lang,
+  CASE WHEN len(tk) >= 3
+       THEN list_aggregate([md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                            for i in range(1, len(tk) - 1)], 'min')
+       ELSE md5(array_to_string(tk, ' '))
+  END AS fingerprint
+FROM scored
+"""
+
+
+@_q("doc_lang_fingerprint", _langid_oracle())
+def doc_lang_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        CT.lang_id(t).alias("lang"),
+        CT.doc_fingerprint(t, shingle_k=3).alias("fingerprint"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Driver contract
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: the q5-style multi-join
+    revenue rollup (joins + broadcast dims + decimal-exact agg)."""
+    tune(spark)
+    return q5_region_revenue(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_ORACLES)

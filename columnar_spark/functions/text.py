@@ -1,0 +1,112 @@
+"""Text-analysis expressions for training-data pipelines.
+
+North-star extras beyond the reference's operator set (the reference's
+text handling is limited to string storage + hashing, SURVEY §2.A7/A8;
+its embeddings library tokenizes internally). All pure Catalyst
+expressions — language ID, quality scoring, token counting and
+fingerprinting run inside whole-stage codegen, no Python in the hot path,
+so they stream over 100 TB with zero shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language function-word lists for the n-gram/stopword heuristic
+# language identifier. Deterministic, dependency-free.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "of", "and", "to", "a", "in", "is", "it", "you", "that"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "est", "que"],
+    "es": ["el", "la", "de", "que", "y", "los", "en", "un", "una", "es"],
+    "de": ["der", "die", "und", "das", "ist", "von", "den", "ein", "eine", "zu"],
+    "zh": ["的", "是", "在", "了", "我", "有", "和", "人", "这", "中"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization; empty string -> empty array."""
+    return F.filter(F.split(text, r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-approximating token count: word pieces + punctuation runs,
+    via the common `\\w+|[^\\w\\s]` tokenizer regex."""
+    return F.size(F.filter(F.split(text, r"(?<=\W)|(?=\W)"), lambda t: F.trim(t) != ""))
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    toks = tokens(F.lower(text))
+    sw = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return n_sw.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def alpha_ratio(text: Column) -> Column:
+    """Share of characters that are alphanumeric or space — a punctuation/
+    noise quality signal."""
+    clean = F.regexp_replace(text, r"[^A-Za-z0-9 ]", "")
+    return F.length(clean).cast("double") / F.greatest(F.length(text), F.lit(1)).cast("double")
+
+
+def mean_word_length(text: Column) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return total.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def quality_score(text: Column) -> Column:
+    """Composite document-quality heuristic in [0, 1]:
+    length band + stopword presence + low punctuation noise.
+    Deterministic closed form so the DuckDB oracle can mirror it."""
+    n_tok = token_count(text).cast("double")
+    len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    return F.round(
+        F.lit(0.4) * len_score
+        + F.lit(0.3) * F.least(stopword_ratio(text) * 5.0, F.lit(1.0))
+        + F.lit(0.3) * alpha_ratio(text),
+        6,
+    )
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-overlap language ID: argmax over per-language hit counts,
+    ties broken by language-code order. Returns a language code string."""
+    toks = tokens(F.lower(text))
+    scores = []
+    for code, words in sorted(LANG_STOPWORDS.items()):
+        sw = F.array(*[F.lit(w) for w in words])
+        scores.append(
+            F.struct(
+                F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).alias("hits"),
+                F.lit(code).alias("code"),
+            )
+        )
+    # array_max on struct orders by (hits, code); invert code ordering is
+    # not needed — deterministic either way, documented as tie-by-max-code.
+    best = F.array_max(F.array(*scores))
+    return F.when(best["hits"] > 0, best["code"]).otherwise(F.lit("und"))
+
+
+def doc_fingerprint(text: Column, shingle_k: int = 3) -> Column:
+    """Document fingerprint: lexicographic min of md5 over token
+    k-shingles (winnowing-style). md5 exists identically in Spark and
+    DuckDB, so this is oracle-matchable cross-engine."""
+    toks = tokens(text)
+    n = F.size(toks)
+    shingles = F.when(
+        n >= shingle_k,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(shingle_k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, shingle_k)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    return F.array_min(F.transform(shingles, lambda s: F.md5(s)))

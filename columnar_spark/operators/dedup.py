@@ -1,0 +1,300 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+North-star extras beyond the reference inventory (the reference's closest
+machinery is the string-hash companion column, SURVEY §2.A8,
+columnar/builder/builderint.cpp:446-466 — its purpose is exactly fast
+equality/dedup on strings, which `exact_dedup` generalizes).
+
+Scale design notes (100 TB posture):
+
+- exact dedup: one hash-shuffle on a 64-bit digest; the window picks a
+  deterministic survivor per group. No driver state.
+- MinHash/LSH: signatures are computed per row with built-in higher-order
+  functions (no UDF, no explode of shingles), then candidate pairs come
+  from an equi-join on (band_id, band_hash) — a shuffle join on small keys
+  that AQE handles; the quadratic step only happens inside a bucket.
+- SimHash: 64-bit signature as a pure expression; near-dup = band join on
+  signature chunks, verified by hamming distance.
+- n-gram Jaccard / embedding-cosine: verify step over candidate pairs only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from columnar_spark.functions.text import tokens
+from columnar_spark.functions.vector import cosine_sim
+
+I64_MAX = 0x7FFFFFFFFFFFFFFF
+
+
+# ---------------------------------------------------------------- exact
+
+def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
+    """Keep one deterministic survivor (min id) per exact-duplicate group
+    of `cols`. Hash-groupBy semantics; single shuffle on the group key."""
+    w = Window.partitionBy(*cols).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def duplicate_groups(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
+    """Exact-duplicate clusters: one row per duplicated value with the
+    surviving id, duplicate count, and member ids."""
+    return (
+        df.groupBy(*cols)
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.min(id_col).alias("keep_id"),
+            F.sort_array(F.collect_list(id_col)).alias("member_ids"),
+        )
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+# ---------------------------------------------------------------- shingles
+
+def token_shingles(text: Column, k: int = 3) -> Column:
+    """Token k-shingles as strings; documents shorter than k tokens yield
+    one shingle (the whole text)."""
+    toks = tokens(text)
+    n = F.size(toks)
+    return F.when(
+        n >= k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - F.lit(k - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+            )
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def ngram_jaccard(a: Column, b: Column) -> Column:
+    """Jaccard similarity of two shingle arrays (exact)."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return inter.cast("double") / F.greatest(union, F.lit(1)).cast("double")
+
+
+# ---------------------------------------------------------------- minhash
+
+def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature: for seed i, min over shingles of xxhash64(s, i).
+    Pure nested higher-order expression — one pass over the shingle array
+    per row, no explode, no UDF."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda seed: F.aggregate(
+            shingles,
+            F.lit(I64_MAX),
+            lambda acc, s: F.least(acc, F.xxhash64(s, seed)),
+        ),
+    )
+
+
+def band_hashes(signature: Column, bands: int, rows_per_band: int) -> Column:
+    """LSH banding: hash each contiguous slice of the signature."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(F.slice(signature, b * rows_per_band + 1, rows_per_band), b),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + LSH banding, verified with exact
+    shingle Jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b.
+
+    Plan shape: project signatures -> posexplode bands -> self equi-join on
+    (band, band_hash) -> distinct candidate pairs -> verify join back to
+    shingles. All shuffles are on small hash keys; the verify step touches
+    candidates only.
+    """
+    rows_per_band = num_hashes // bands
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        token_shingles(F.col(text_col), shingle_k).alias("__sh"),
+    )
+    sig = base.withColumn("__sig", minhash_signature(F.col("__sh"), num_hashes))
+    banded = sig.select(
+        "__id",
+        F.posexplode(band_hashes(F.col("__sig"), bands, rows_per_band)).alias(
+            "__band", "__bh"
+        ),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.__band") == F.col("r.__band"))
+            & (F.col("l.__bh") == F.col("r.__bh"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        .distinct()
+    )
+    sh = base.select(F.col("__id"), F.col("__sh"))
+    verified = (
+        cand.join(sh.alias("sa"), F.col("id_a") == F.col("sa.__id"))
+        .join(sh.alias("sb"), F.col("id_b") == F.col("sb.__id"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(ngram_jaccard(F.col("sa.__sh"), F.col("sb.__sh")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )
+    return verified
+
+
+# ---------------------------------------------------------------- simhash
+
+def feature_hashes(shingles: Column) -> Column:
+    """xxhash64 per shingle — materialize this before simhash64 so the
+    64 per-bit votes fold over cheap longs, not re-hashed strings."""
+    return F.transform(shingles, lambda s: F.xxhash64(s))
+
+
+def simhash64(hashes_col: str) -> Column:
+    """64-bit SimHash over a named array<bigint> feature-hash column: for
+    each bit position, the sign of sum(+1/-1) votes, folded into one long.
+
+    Written as a SQL expression because the bit index is a lambda variable
+    (the Python shiftright wrapper only accepts literal shift amounts)."""
+    return F.expr(
+        f"""
+        aggregate(
+          transform(sequence(0, 63),
+            b -> CASE WHEN aggregate({hashes_col}, 0,
+                   (acc, h) -> acc + (CASE WHEN (shiftright(h, b) & 1) = 1
+                                      THEN 1 ELSE -1 END)) > 0
+                 THEN 1L ELSE 0L END),
+          0L, (acc, bit) -> shiftleft(acc, 1) + bit)
+        """
+    )
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 2,
+    max_hamming: int = 8,
+    n_chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: candidates share at least one of
+    `n_chunks` signature chunks (pigeonhole: any pair within
+    n_chunks-1 bit flips per chunk region is caught), verified by full
+    hamming distance."""
+    chunk_bits = 64 // n_chunks
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        feature_hashes(token_shingles(F.col(text_col), shingle_k)).alias("__h"),
+    ).select(F.col("__id"), simhash64("__h").alias("__sim"))
+    chunks = base.select(
+        "__id",
+        "__sim",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("__sim"), c * chunk_bits).bitwiseAND(
+                        F.lit((1 << chunk_bits) - 1)
+                    )
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("__chunk", "__ch"),
+    )
+    left = chunks.alias("l")
+    right = chunks.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.__chunk") == F.col("r.__chunk"))
+            & (F.col("l.__ch") == F.col("r.__ch"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(
+            F.col("l.__id").alias("id_a"),
+            F.col("r.__id").alias("id_b"),
+            hamming64(F.col("l.__sim"), F.col("r.__sim")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ------------------------------------------------------- embedding cosine
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    method: str = "lsh",
+    n_planes: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine similarity.
+
+    method="exact": full self-join (correctness oracle; quadratic).
+    method="lsh": random-hyperplane sign sketch; candidates share the full
+    sign signature (high-threshold regime), then exact cosine verify.
+    Hyperplanes are generated with a deterministic LCG so plans are
+    reproducible without numpy state.
+    """
+    dim_row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = dim_row["d"]
+
+    base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+
+    if method == "exact":
+        left, right = base.alias("l"), base.alias("r")
+        pairs = left.join(right, F.col("l.__id") < F.col("r.__id"))
+    else:
+        # Deterministic pseudo-random unit-free hyperplanes via LCG.
+        def lcg(n: int, s: int) -> list[float]:
+            out, x = [], (s * 2654435761 + 1013904223) % (1 << 32)
+            for _ in range(n):
+                x = (1103515245 * x + 12345) % (1 << 31)
+                out.append((x / float(1 << 31)) * 2.0 - 1.0)
+            return out
+
+        planes = [lcg(dim, seed + p) for p in range(n_planes)]
+        from columnar_spark.functions.vector import dot, vec_lit
+
+        sig = F.concat(
+            *[
+                F.when(dot(F.col("__v"), vec_lit(pl)) >= 0, F.lit("1")).otherwise(F.lit("0"))
+                for pl in planes
+            ]
+        )
+        sketched = base.withColumn("__sig", sig)
+        left, right = sketched.alias("l"), sketched.alias("r")
+        pairs = left.join(
+            right,
+            (F.col("l.__sig") == F.col("r.__sig")) & (F.col("l.__id") < F.col("r.__id")),
+        )
+
+    return pairs.select(
+        F.col("l.__id").alias("id_a"),
+        F.col("r.__id").alias("id_b"),
+        F.round(cosine_sim(F.col("l.__v"), F.col("r.__v")), 6).alias("cos_sim"),
+    ).filter(F.col("cos_sim") >= threshold)

@@ -1,0 +1,132 @@
+"""KNN / vector search — reference knn/ parity (SURVEY §2.F).
+
+The reference exposes `CreateIterator(attr, query, k, ef, filter, ...)`
+over a per-attribute HNSW graph (knn/knn.cpp:411-540) with L2/IP/COSINE
+metrics and a filtered-search mode that falls back to brute force when the
+filter is selective (`ShouldUseFullscan`, knn/knn.cpp:217).
+
+Spark-first re-expression:
+
+- `knn_topk` — exact brute force: distance expression + global top-k.
+  `orderBy(dist).limit(k)` compiles to TakeOrderedAndProject: each
+  partition keeps only its local top-k and the driver merges k*partitions
+  rows — no full shuffle, no driver-side materialization of the table.
+  This is the correctness path (deterministic, oracle-matchable) and the
+  selective-filter path (the reference's fullscan fallback).
+
+- `knn_topk_ivf` — scale path: IVF-style pruning. A small centroid table
+  (trained once, broadcast) assigns each row a cluster id at write time;
+  a query probes only the `nprobe` nearest clusters, turning top-k into a
+  partition-prunable scan of ~nprobe/n_clusters of the data. The analog of
+  the reference's HNSW graph restriction, but expressed as data layout +
+  predicate so Parquet/Catalyst pruning does the work at 100 TB.
+
+Distances follow hnswlib conventions (see functions/vector.py).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from columnar_spark.functions.vector import (
+    cosine_dist,
+    ip_dist,
+    l2_sq,
+    py_norm,
+    vec_lit,
+)
+
+METRICS = ("l2", "ip", "cosine")
+
+
+def distance_expr(vec_col: Column, query_vec: Sequence[float], metric: str) -> Column:
+    q = vec_lit(query_vec)
+    if metric == "l2":
+        return l2_sq(vec_col, q)
+    if metric == "ip":
+        return ip_dist(vec_col, q)
+    if metric == "cosine":
+        return cosine_dist(vec_col, q, b_norm=py_norm(query_vec))
+    raise ValueError(f"metric must be one of {METRICS}, got {metric!r}")
+
+
+def knn_topk(
+    df: DataFrame,
+    vec_col: str,
+    query_vec: Sequence[float],
+    k: int,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    pre_filter: Column | None = None,
+    dist_col: str = "dist",
+) -> DataFrame:
+    """Exact top-k nearest rows. Filter-then-rank, the natural Spark plan
+    for the reference's filtered-KNN (knn/knn.h:87-94): the predicate is
+    pushed to the scan, distances are only computed for survivors."""
+    out = df
+    if pre_filter is not None:
+        out = out.filter(pre_filter)
+    out = out.withColumn(dist_col, distance_expr(F.col(vec_col), query_vec, metric))
+    # Deterministic tie-break on id keeps results stable across engines.
+    return out.orderBy(F.col(dist_col).asc(), F.col(id_col).asc()).limit(k)
+
+
+def train_centroids(
+    df: DataFrame,
+    vec_col: str,
+    n_clusters: int = 64,
+    max_iter: int = 10,
+    seed: int = 42,
+):
+    """K-means centroids for IVF assignment. Uses MLlib (JVM, distributed);
+    returns a plain python list of centroid vectors (small — broadcastable)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = df.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    model = KMeans(k=n_clusters, maxIter=max_iter, seed=seed).fit(feat)
+    return [list(map(float, c)) for c in model.clusterCenters()]
+
+
+def assign_clusters(
+    df: DataFrame, vec_col: str, centroids: list[list[float]], cluster_col: str = "ivf_cluster"
+) -> DataFrame:
+    """Tag each row with its nearest centroid id — the IVF write-time step.
+    Pure expression: argmin over a small literal centroid array."""
+    dists = F.array(*[l2_sq(F.col(vec_col), vec_lit(c)) for c in centroids])
+    assigned = F.array_position(dists, F.array_min(dists)) - 1
+    return df.withColumn(cluster_col, assigned.cast("int"))
+
+
+def knn_topk_ivf(
+    df: DataFrame,
+    vec_col: str,
+    query_vec: Sequence[float],
+    k: int,
+    centroids: list[list[float]],
+    nprobe: int = 8,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    cluster_col: str = "ivf_cluster",
+    dist_col: str = "dist",
+) -> DataFrame:
+    """Approximate top-k: probe only the nprobe nearest clusters.
+
+    If `cluster_col` is absent it is computed on the fly (correct but no
+    pruning win); the intended deployment materializes it at write time and
+    partitions/sorts by it so the probe predicate prunes row groups.
+    """
+    import math
+
+    def _l2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    order = sorted(range(len(centroids)), key=lambda i: _l2(centroids[i], query_vec))
+    probe = order[: max(1, min(nprobe, len(centroids)))]
+    if cluster_col not in df.columns:
+        df = assign_clusters(df, vec_col, centroids, cluster_col)
+    pruned = df.filter(F.col(cluster_col).isin(probe))
+    return knn_topk(pruned, vec_col, query_vec, k, metric, id_col, None, dist_col)

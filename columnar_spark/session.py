@@ -1,0 +1,67 @@
+"""SparkSession construction and tuning.
+
+Scale posture: these confs are the local[32] analog of a 1000-executor
+cluster config — AQE for runtime re-planning (skew joins, partition
+coalescing), filter/aggregate pushdown to Parquet, Arrow for the few
+pandas-UDF paths. `tune()` applies the runtime-settable subset to an
+externally-owned session (the driver hands us one in __spark_entry__).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs that must be set before the session exists.
+_BUILD_CONFS = {
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.session.timeZone": "UTC",
+    # testdata events.parquet stores TIMESTAMP(NANOS) which Spark's reader
+    # rejects; read as long ns and convert explicitly (catalog helpers).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.driver.memory": "8g",
+    "spark.ui.enabled": "false",
+}
+
+# Runtime-settable subset, safe on a session we did not create.
+_RUNTIME_CONFS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def get_spark(app_name: str = "columnar-spark", cpus: str | int | None = None) -> SparkSession:
+    """Build (or reuse) a local SparkSession tuned for the engine."""
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS") or "*"
+    builder = SparkSession.builder.master(f"local[{cpus}]").appName(app_name)
+    for k, v in _BUILD_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    tune(spark)
+    return spark
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine confs to an existing session.
+
+    UTC session time zone keeps timestamp semantics identical to the
+    DuckDB oracle (parquet timestamps are naive micros; reference
+    TIMESTAMP is plain uint32 seconds — common/schema.h:31).
+    """
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-settable on this session build; fine
+    return spark
