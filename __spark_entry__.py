@@ -663,7 +663,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return DD.minhash_lsh_pairs(
-        docs, "text", "doc_id", num_hashes=64, bands=16, shingle_k=1, jaccard_threshold=0.85
+        docs, "text", "doc_id", num_hashes=64, bands=4, shingle_k=1, jaccard_threshold=0.9
     )
 
 
@@ -671,6 +671,20 @@ def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return DD.simhash_pairs(docs, "text", "doc_id", shingle_k=1, max_hamming=6, n_chunks=4)
+
+
+@_q("minhash_dedup_assign")  # xxhash64-based — rows-only check
+def minhash_dedup_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return DD.minhash_dedup(
+        docs, "text", "doc_id", num_hashes=64, bands=4, shingle_k=1, jaccard_threshold=0.9
+    )
+
+
+@_q("simhash_dedup_assign")  # xxhash64-based — rows-only check
+def simhash_dedup_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return DD.simhash_dedup(docs, "text", "doc_id", shingle_k=1, max_hamming=6, n_chunks=4)
 
 
 _NEARDUP_SQL = """
@@ -702,7 +716,7 @@ def embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return DD.embedding_neardup_pairs(
-        emb, "embedding", "vec_id", threshold=0.4, method="lsh", n_planes=8
+        emb, "embedding", "vec_id", threshold=0.4, method="lsh", n_planes=4
     )
 
 

@@ -1,0 +1,85 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": X}.
+
+Query selection: the oracle-checked core (scan/filter/join/agg/window/
+top-k/KNN) plus the scale-path variants of the similarity operators
+(MinHash-LSH, SimHash, IVF) — the exact all-pairs oracles are correctness
+tools, not headline operators, and are excluded by design.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from columnar_spark.session import get_spark
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "filter_surface_counts",
+    "filter_in_large_list",
+    "count_filtered_conjunct",
+    "count_distinct_stats",
+    "group_topk_window",
+    "window_running_sum",
+    "time_bucket_agg",
+    "events_json_extract",
+    "topk_latest_events",
+    "knn_cosine_topk",
+    "knn_cosine_filtered",
+    "minhash_dedup_assign",
+    "simhash_dedup_assign",
+    "doc_text_stats",
+    "doc_lang_fingerprint",
+    "dedup_exact_groups",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    spark = get_spark("columnar-spark-bench")
+    # JVM/codegen warmup outside the timed region.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    queries = entrymod.queries()
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        fn = queries[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": f"total wall-clock of {len(BENCH_QUERIES)} headline queries",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

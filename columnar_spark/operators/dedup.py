@@ -7,15 +7,17 @@ equality/dedup on strings, which `exact_dedup` generalizes).
 
 Scale design notes (100 TB posture):
 
-- exact dedup: one hash-shuffle on a 64-bit digest; the window picks a
+- exact dedup: one hash-shuffle on the key; the window picks a
   deterministic survivor per group. No driver state.
-- MinHash/LSH: signatures are computed per row with built-in higher-order
-  functions (no UDF, no explode of shingles), then candidate pairs come
-  from an equi-join on (band_id, band_hash) — a shuffle join on small keys
-  that AQE handles; the quadratic step only happens inside a bucket.
-- SimHash: 64-bit signature as a pure expression; near-dup = band join on
-  signature chunks, verified by hamming distance.
-- n-gram Jaccard / embedding-cosine: verify step over candidate pairs only.
+- MinHash/SimHash signatures: explode(shingles) + codegen'd aggregates
+  (one shuffle on id, each hash computed exactly once — see
+  minhash_signatures_agg for why the per-row HOF form is a trap).
+- candidate generation: equi-join on (band, band_hash) buckets. The
+  *_pairs operators enumerate all intra-bucket pairs (O(bucket^2) — fine
+  for genuinely rare duplicates); the *_dedup operators join members to a
+  per-bucket representative (O(n x bands) regardless of corpus
+  self-similarity — the form that survives 100 TB).
+- n-gram Jaccard / embedding-cosine: exact verify over candidates only.
 """
 
 from __future__ import annotations
@@ -84,9 +86,16 @@ def ngram_jaccard(a: Column, b: Column) -> Column:
 # ---------------------------------------------------------------- minhash
 
 def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
-    """MinHash signature: for seed i, min over shingles of xxhash64(s, i).
-    Pure nested higher-order expression — one pass over the shingle array
-    per row, no explode, no UDF."""
+    """MinHash signature as a per-row expression: for seed i, min over
+    shingles of xxhash64(s, i).
+
+    NOTE: only use this form when the result feeds exactly one consumer —
+    Catalyst's CollapseProject/CollapseRepartition freely inline projection
+    expressions into every downstream reference, turning the 64 aggregates
+    into 64xN re-evaluations. The dedup operators below use
+    `minhash_signatures_agg` (explode + groupBy), which evaluates each hash
+    exactly once inside whole-stage codegen and shuffles by id — the right
+    plan shape at scale."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda seed: F.aggregate(
@@ -94,6 +103,22 @@ def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
             F.lit(I64_MAX),
             lambda acc, s: F.least(acc, F.xxhash64(s, seed)),
         ),
+    )
+
+
+def minhash_signatures_agg(
+    df: DataFrame, id_col: str, shingles: Column, num_hashes: int
+) -> DataFrame:
+    """(id, __sig array<long>) via explode + codegen'd min-aggregates.
+    One shuffle on id; each shingle hashed num_hashes times, exactly once."""
+    ex = df.select(F.col(id_col).alias("__id"), F.explode(shingles).alias("__s"))
+    aggs = [
+        F.min(F.xxhash64(F.col("__s"), F.lit(seed))).alias(f"__h{seed}")
+        for seed in range(num_hashes)
+    ]
+    wide = ex.groupBy("__id").agg(*aggs)
+    return wide.select(
+        "__id", F.array(*[F.col(f"__h{i}") for i in range(num_hashes)]).alias("__sig")
     )
 
 
@@ -127,7 +152,7 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("__id"),
         token_shingles(F.col(text_col), shingle_k).alias("__sh"),
     )
-    sig = base.withColumn("__sig", minhash_signature(F.col("__sh"), num_hashes))
+    sig = minhash_signatures_agg(base, "__id", F.col("__sh"), num_hashes)
     banded = sig.select(
         "__id",
         F.posexplode(band_hashes(F.col("__sig"), bands, rows_per_band)).alias(
@@ -160,12 +185,90 @@ def minhash_lsh_pairs(
     return verified
 
 
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """Scalable near-duplicate *dedup* (vs. all-pairs enumeration): each
+    LSH band bucket elects a representative (min id); every other member
+    is verified only against its representative. Candidate volume is
+    O(n x bands) regardless of how self-similar the corpus is — the
+    all-pairs variant degenerates to O(n^2) when everything collides,
+    which is exactly the regime where you are deduping.
+
+    Returns (id, keep_id, jaccard): rows that near-duplicate an earlier
+    surviving row, with the earliest matched representative.
+    """
+    rows_per_band = num_hashes // bands
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        token_shingles(F.col(text_col), shingle_k).alias("__sh"),
+    )
+    sig = minhash_signatures_agg(base, "__id", F.col("__sh"), num_hashes)
+    banded = sig.select(
+        "__id",
+        F.posexplode(band_hashes(F.col("__sig"), bands, rows_per_band)).alias(
+            "__band", "__bh"
+        ),
+    )
+    rep = banded.groupBy("__band", "__bh").agg(F.min("__id").alias("__rep"))
+    cand = (
+        banded.join(rep, ["__band", "__bh"])
+        .filter(F.col("__id") > F.col("__rep"))
+        .select("__id", "__rep")
+        .distinct()
+    )
+    verified = (
+        cand.join(base.select(F.col("__id"), F.col("__sh")).alias("sa"), "__id")
+        .join(
+            base.select(F.col("__id").alias("__rep"), F.col("__sh").alias("__shr")).alias("sb"),
+            "__rep",
+        )
+        .select(
+            "__id",
+            "__rep",
+            F.round(ngram_jaccard(F.col("__sh"), F.col("__shr")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )
+    return (
+        verified.groupBy("__id")
+        .agg(F.min("__rep").alias("keep_id"), F.max("jaccard").alias("jaccard"))
+        .select(F.col("__id").alias("id"), "keep_id", "jaccard")
+    )
+
+
 # ---------------------------------------------------------------- simhash
 
 def feature_hashes(shingles: Column) -> Column:
     """xxhash64 per shingle — materialize this before simhash64 so the
     64 per-bit votes fold over cheap longs, not re-hashed strings."""
     return F.transform(shingles, lambda s: F.xxhash64(s))
+
+
+def simhash_signatures_agg(df: DataFrame, id_col: str, shingles: Column) -> DataFrame:
+    """(id, __sim long) via explode + 64 codegen'd vote-sum aggregates —
+    same exactly-once rationale as minhash_signatures_agg."""
+    ex = df.select(F.col(id_col).alias("__id"), F.explode(shingles).alias("__s")).select(
+        "__id", F.xxhash64(F.col("__s")).alias("__hh")
+    )
+    votes = ex.groupBy("__id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("__hh"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"__v{b}")
+            for b in range(64)
+        ]
+    )
+    sim = F.lit(0).cast("long")
+    for b in range(64):
+        sim = F.shiftleft(sim, 1) + F.when(F.col(f"__v{b}") > 0, 1).otherwise(0).cast("long")
+    return votes.select("__id", sim.alias("__sim"))
 
 
 def simhash64(hashes_col: str) -> Column:
@@ -204,10 +307,10 @@ def simhash_pairs(
     n_chunks-1 bit flips per chunk region is caught), verified by full
     hamming distance."""
     chunk_bits = 64 // n_chunks
-    base = df.select(
-        F.col(id_col).alias("__id"),
-        feature_hashes(token_shingles(F.col(text_col), shingle_k)).alias("__h"),
-    ).select(F.col("__id"), simhash64("__h").alias("__sim"))
+    # repartition = materialization barrier (see minhash_lsh_pairs): keeps
+    # the feature-hash array from being re-tokenized inside all 64 bit
+    # aggregates, and the signature from re-evaluating per join side.
+    base = simhash_signatures_agg(df, id_col, token_shingles(F.col(text_col), shingle_k))
     chunks = base.select(
         "__id",
         "__sim",
@@ -238,6 +341,53 @@ def simhash_pairs(
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 2,
+    max_hamming: int = 8,
+    n_chunks: int = 4,
+) -> DataFrame:
+    """Representative-based SimHash dedup (see minhash_dedup for the
+    O(n x chunks) candidate argument). Returns (id, keep_id, hamming)."""
+    chunk_bits = 64 // n_chunks
+    base = simhash_signatures_agg(df, id_col, token_shingles(F.col(text_col), shingle_k))
+    chunks = base.select(
+        "__id",
+        "__sim",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("__sim"), c * chunk_bits).bitwiseAND(
+                        F.lit((1 << chunk_bits) - 1)
+                    )
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("__chunk", "__ch"),
+    )
+    rep = chunks.groupBy("__chunk", "__ch").agg(
+        F.min("__id").alias("__rep"), F.min_by("__sim", "__id").alias("__repsim")
+    )
+    cand = (
+        chunks.join(rep, ["__chunk", "__ch"])
+        .filter(F.col("__id") > F.col("__rep"))
+        .select("__id", "__sim", "__rep", "__repsim")
+        .distinct()
+    )
+    verified = cand.select(
+        "__id",
+        "__rep",
+        hamming64(F.col("__sim"), F.col("__repsim")).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
+    return (
+        verified.groupBy("__id")
+        .agg(F.min("__rep").alias("keep_id"), F.min("hamming").alias("hamming"))
+        .select(F.col("__id").alias("id"), "keep_id", "hamming")
     )
 
 
@@ -286,7 +436,7 @@ def embedding_neardup_pairs(
                 for pl in planes
             ]
         )
-        sketched = base.withColumn("__sig", sig)
+        sketched = base.withColumn("__sig", sig).repartition("__id")
         left, right = sketched.alias("l"), sketched.alias("r")
         pairs = left.join(
             right,
