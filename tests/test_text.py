@@ -1,0 +1,49 @@
+"""Text-analysis expressions."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from columnar_spark.functions import text as CT
+
+
+def _one(spark, s, expr):
+    return spark.createDataFrame([(s,)], "t: string").select(expr.alias("v")).first()["v"]
+
+
+def test_token_counts(spark):
+    assert _one(spark, "a  b\tc", CT.token_count(F.col("t"))) == 3
+    assert _one(spark, "", CT.token_count(F.col("t"))) == 0
+    assert _one(spark, "hello, world!", CT.bpe_ish_token_count(F.col("t"))) == 4
+
+
+def test_alpha_ratio(spark):
+    assert _one(spark, "ab!!", CT.alpha_ratio(F.col("t"))) == 0.5
+    assert _one(spark, "", CT.alpha_ratio(F.col("t"))) == 0.0
+
+
+def test_mean_word_length(spark):
+    assert _one(spark, "ab abcd", CT.mean_word_length(F.col("t"))) == 3.0
+
+
+def test_lang_id(spark):
+    assert _one(spark, "the cat is in the house and it is happy",
+                CT.lang_id(F.col("t"))) == "en"
+    assert _one(spark, "le chat est dans la maison et les oiseaux",
+                CT.lang_id(F.col("t"))) == "fr"
+    assert _one(spark, "xyzzy qwerty", CT.lang_id(F.col("t"))) == "und"
+
+
+def test_fingerprint_deterministic_and_shift_sensitive(spark):
+    a = _one(spark, "one two three four five", CT.doc_fingerprint(F.col("t")))
+    b = _one(spark, "one two three four five", CT.doc_fingerprint(F.col("t")))
+    c = _one(spark, "five four three two one", CT.doc_fingerprint(F.col("t")))
+    assert a == b
+    assert a != c
+    assert len(a) == 32  # md5 hex
+
+
+def test_quality_score_bounds(spark):
+    good = _one(spark, "the cat is on the mat and it is a good cat " * 5,
+                CT.quality_score(F.col("t")))
+    bad = _one(spark, "@@@@ ####", CT.quality_score(F.col("t")))
+    assert 0.0 <= bad < good <= 1.0

@@ -1,0 +1,103 @@
+"""Vector distances and KNN operators vs a numpy oracle (reference §2.F)."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from columnar_spark.functions.vector import cosine_sim, dot, l2_sq, vec_lit
+from columnar_spark.operators.knn import (
+    assign_clusters,
+    knn_topk,
+    knn_topk_ivf,
+    train_centroids,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def np_data(emb):
+    rows = emb.select("vec_id", "embedding", "label").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    labels = np.array([r["label"] for r in rows])
+    return ids, mat, labels
+
+
+def test_dot_and_l2_expressions(spark):
+    df = spark.createDataFrame([([1.0, 2.0, 3.0], [4.0, 5.0, 6.0])], "a: array<double>, b: array<double>")
+    r = df.select(
+        dot(F.col("a"), F.col("b")).alias("d"),
+        l2_sq(F.col("a"), F.col("b")).alias("l2"),
+        cosine_sim(F.col("a"), F.col("b")).alias("c"),
+    ).first()
+    assert r["d"] == 32.0
+    assert r["l2"] == 27.0
+    assert abs(r["c"] - 32.0 / (math.sqrt(14) * math.sqrt(77))) < 1e-12
+
+
+@pytest.mark.parametrize("metric", ["l2", "ip", "cosine"])
+def test_knn_topk_matches_numpy(emb, np_data, metric):
+    ids, mat, _ = np_data
+    q = mat[ids == 7][0]
+    if metric == "l2":
+        dist = ((mat - q) ** 2).sum(axis=1)
+    elif metric == "ip":
+        dist = 1.0 - mat @ q
+    else:
+        dist = 1.0 - (mat @ q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = np.lexsort((ids, dist))
+    want = list(ids[order][:10])
+
+    got = [
+        r["vec_id"]
+        for r in knn_topk(emb, "embedding", [float(v) for v in q], 10, metric=metric).collect()
+    ]
+    assert got == want
+
+
+def test_knn_filtered(emb, np_data):
+    ids, mat, labels = np_data
+    q = mat[ids == 7][0]
+    mask = labels == 3
+    dist = 1.0 - (mat[mask] @ q) / (np.linalg.norm(mat[mask], axis=1) * np.linalg.norm(q))
+    order = np.lexsort((ids[mask], dist))
+    want = list(ids[mask][order][:5])
+    got = [
+        r["vec_id"]
+        for r in knn_topk(
+            emb, "embedding", [float(v) for v in q], 5, metric="cosine",
+            pre_filter=F.col("label") == 3,
+        ).collect()
+    ]
+    assert got == want
+
+
+def test_ivf_recall(emb, np_data):
+    ids, mat, _ = np_data
+    q = mat[ids == 7][0]
+    sim = (mat @ q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    exact = set(ids[np.lexsort((ids, 1.0 - sim))][:10])
+
+    cents = train_centroids(emb, "embedding", n_clusters=8, seed=42)
+    approx = {
+        r["vec_id"]
+        for r in knn_topk_ivf(
+            emb, "embedding", [float(v) for v in q], 10, cents, nprobe=4, metric="cosine"
+        ).collect()
+    }
+    assert len(exact & approx) >= 5  # recall >= 0.5 with half the clusters probed
+
+
+def test_assign_clusters_argmin(spark):
+    df = spark.createDataFrame([(0, [0.0, 0.0]), (1, [10.0, 10.0])], "id: long, v: array<double>")
+    cents = [[0.1, 0.1], [9.0, 9.0]]
+    got = {r["id"]: r["ivf_cluster"] for r in assign_clusters(df, "v", cents).collect()}
+    assert got == {0: 0, 1: 1}
