@@ -1,0 +1,138 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+North-star extra: treat media as opaque `binary` columns with typed
+metadata, and run decode / feature-extraction / frame-sampling as
+Arrow-batched pandas functions over `mapInPandas` — the reference's
+closest analog is its Rust embeddings sidecar (knn/knn.h:146-163,
+embeddings/src/ffi.rs), which likewise moves variable-length payloads
+through a narrow batch interface.
+
+The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this container, so
+the decode kernel is stubbed: `mode="fake"` produces a deterministic
+feature vector from the bytes (so the Spark-side plumbing — schema,
+partitioning, batch shape, Arrow transfer — is real and tested), and
+`mode="real"` raises NotImplementedError at the exact point a codec
+would be called.
+
+Scale posture: mapInPandas streams Arrow batches per partition; no
+driver-side collection; feature width is fixed so the output schema is
+static. Binary payloads stay columnar end-to-end.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+MEDIA_KINDS = ("image", "audio", "video")
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("data", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("sample_rate", T.IntegerType()),
+                    T.StructField("duration_ms", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_DIM = 8
+
+
+def _fake_features(payload: bytes) -> list[float]:
+    """Deterministic stand-in for a decoded-media feature vector: 8 floats
+    derived from a sha256 of the payload, in [0, 1)."""
+    digest = hashlib.sha256(payload or b"").digest()
+    return [
+        int.from_bytes(digest[i * 4 : i * 4 + 4], "big") / 2**32
+        for i in range(FEATURE_DIM)
+    ]
+
+
+def extract_media_features(
+    df: DataFrame,
+    data_col: str = "data",
+    id_col: str = "media_id",
+    mode: str = "fake",
+    batch_hint: int | None = None,
+) -> DataFrame:
+    """(id, features array<float>, n_bytes) via mapInPandas.
+
+    mode="real" is the integration point for PIL/ffmpeg decode — it raises
+    NotImplementedError because no codec library ships in this
+    environment; everything around it (Arrow batching, schema, partition
+    parallelism) is production-shaped.
+    """
+    if mode not in ("fake", "real"):
+        raise ValueError("mode must be 'fake' or 'real'")
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("features", T.ArrayType(T.FloatType())),
+            T.StructField("n_bytes", T.LongType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if mode == "real":
+                raise NotImplementedError(
+                    "media decode requires PIL/ffmpeg, not available in this "
+                    "container; use mode='fake' for plumbing tests"
+                )
+            payloads = pdf[data_col]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "features": [_fake_features(b) for b in payloads],
+                    "n_bytes": [len(b) if b is not None else 0 for b in payloads],
+                }
+            )
+
+    return df.select(id_col, data_col).mapInPandas(batches, out_schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    n_frames: int = 4,
+    data_col: str = "data",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Frame sampling plumbing: one output row per sampled frame with a
+    byte-offset slice of the payload standing in for a decoded frame.
+    Real decoders plug into the same (id, frame_idx, frame_bytes) shape."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame_bytes", T.BinaryType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[data_col]):
+                payload = payload or b""
+                step = max(len(payload) // max(n_frames, 1), 1)
+                for i in range(n_frames):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(payload[i * step : (i + 1) * step])
+            yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame_bytes": frames})
+
+    return df.select(id_col, data_col).mapInPandas(batches, out_schema)

@@ -1,0 +1,132 @@
+"""Stats manifest + index-equivalent fast paths — reference §2.D/E parity
+(SURVEY P3).
+
+The reference maintains, per column: a hierarchical min/max tree for
+block pruning and selectivity estimates (D1/D3, columnar.cpp:37-187,
+649-675), an exact per-filter count from the secondary index (E6
+CalcCount, secondary.cpp:531-551), and a precomputed count-distinct (E7,
+secondary.cpp:380-388).
+
+Spark-first equivalents:
+
+- `build_stats_manifest(df)` — one aggregate pass producing a tiny
+  per-column table: min / max / ndv / null_count / row_count. This is the
+  Delta-style file/table-stats surface; Parquet row-group stats cover the
+  intra-file hierarchy automatically.
+- `estimate_selectivity(manifest, filter)` — D3 analog: cheap range
+  overlap against manifest min/max (uniformity assumption), used by the
+  scan-vs-index planner heuristic.
+- `build_value_index(df, col)` — E6/E7 analog: a materialized
+  `value -> count` aggregate table for low-cardinality columns. A COUNT
+  with an index-covered predicate is answered from this table alone —
+  `covered_count` — no base-table scan. At 100 TB the value index is a
+  few KB per indexed column and the count query touches only it.
+
+All artifacts are plain DataFrames/parquet — rebuildable per batch
+(reference E9 maintenance ↔ overwrite on ingest).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from columnar_spark.filters import Filter, FilterType, compile_filter
+
+
+def build_stats_manifest(df: DataFrame) -> DataFrame:
+    """Per-column stats in ONE wide aggregate (single scan):
+    (column, min, max, ndv, null_count, row_count) with values as strings
+    for type uniformity."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in df.columns:
+        dt = dict(df.dtypes)[c]
+        if dt.startswith("array") or dt.startswith("map") or dt.startswith("struct"):
+            aggs += [
+                F.lit(None).cast("string").alias(f"__min__{c}"),
+                F.lit(None).cast("string").alias(f"__max__{c}"),
+                F.lit(None).cast("long").alias(f"__ndv__{c}"),
+                F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls__{c}"),
+            ]
+        else:
+            aggs += [
+                F.min(F.col(c)).cast("string").alias(f"__min__{c}"),
+                F.max(F.col(c)).cast("string").alias(f"__max__{c}"),
+                F.count_distinct(F.col(c)).alias(f"__ndv__{c}"),
+                F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls__{c}"),
+            ]
+    wide = df.agg(*aggs)
+    rows = []
+    for c in df.columns:
+        rows.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"__min__{c}").alias("min"),
+                F.col(f"__max__{c}").alias("max"),
+                F.col(f"__ndv__{c}").alias("ndv"),
+                F.col(f"__nulls__{c}").alias("null_count"),
+                F.col("__n").alias("row_count"),
+            )
+        )
+    return wide.select(F.explode(F.array(*rows)).alias("s")).select("s.*")
+
+
+def estimate_selectivity(manifest_rows: dict[str, dict], f: Filter) -> float:
+    """D3/D5 analog: selectivity in [0,1] from manifest stats under a
+    uniformity assumption. `manifest_rows` maps column -> stats dict."""
+    st = manifest_rows.get(f.name)
+    if st is None or st.get("min") is None:
+        return 1.0
+    n = max(int(st["row_count"]), 1)
+    ndv = max(int(st["ndv"] or 1), 1)
+    if f.type in (FilterType.VALUES, FilterType.STRINGS):
+        k = len(f.values) if f.type == FilterType.VALUES else len(f.strings)
+        sel = min(k / ndv, 1.0)
+    elif f.type in (FilterType.RANGE, FilterType.FLOATRANGE):
+        try:
+            lo_s, hi_s = float(st["min"]), float(st["max"])
+        except (TypeError, ValueError):
+            return 1.0
+        span = hi_s - lo_s
+        if span <= 0:
+            return 1.0
+        lo = float(f.min_value) if f.min_value is not None else lo_s
+        hi = float(f.max_value) if f.max_value is not None else hi_s
+        sel = max(0.0, min(hi, hi_s) - max(lo, lo_s)) / span
+    elif f.type == FilterType.NOTNULL:
+        sel = 1.0 - int(st["null_count"] or 0) / n
+    else:
+        sel = 1.0
+    return 1.0 - sel if f.exclude else sel
+
+
+def load_manifest(spark: SparkSession, path: str) -> dict[str, dict]:
+    return {r["column"]: r.asDict() for r in spark.read.parquet(path).collect()}
+
+
+# ------------------------------------------------------------ value index
+
+def build_value_index(df: DataFrame, col: str) -> DataFrame:
+    """Materialized value->count table — the reference secondary index's
+    E6/E7 surface re-expressed as an aggregate table. Intended for
+    low/medium-cardinality columns (the reference builds SIs per column
+    the same way, secondary/builder.cpp:849+)."""
+    return df.groupBy(F.col(col).alias("value")).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def covered_count(index_df: DataFrame, f: Filter) -> int | None:
+    """Exact COUNT(*) for a single-column filter answered from the value
+    index alone (E6 CalcCount parity). Returns None if the filter is not
+    covered (wrong column handled by caller; MVA not covered)."""
+    if f.mva.value != "none":
+        return None
+    schema = index_df.select(F.col("value").alias(f.name)).schema
+    pred = compile_filter(f, schema)
+    renamed = index_df.withColumnRenamed("value", f.name)
+    row = renamed.filter(pred).agg(F.sum("cnt").alias("n")).first()
+    return int(row["n"] or 0)
+
+
+def count_distinct_from_index(index_df: DataFrame) -> int:
+    """E7 parity: count-distinct in O(index size)."""
+    return index_df.count()

@@ -1,0 +1,89 @@
+"""Multimodal binary-column plumbing and streaming ingest/windows."""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from columnar_spark.multimodal import (
+    FEATURE_DIM,
+    MEDIA_SCHEMA,
+    extract_media_features,
+    sample_frames,
+)
+from columnar_spark.streaming.ingest import stream_ingest, windowed_counts
+from columnar_spark.writer import WriteSpec, stats_path
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (0, "image", b"\x89PNG-fake-payload-0" * 50, (64, 64, None, None)),
+        (1, "image", b"\x89PNG-fake-payload-1" * 50, (32, 32, None, None)),
+        (2, "audio", b"RIFF-fake-wav" * 100, (None, None, 16000, 2000)),
+        (3, "video", b"\x00\x00ftyp-fake-mp4" * 200, (640, 480, None, 5000)),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_extract_features_fake_deterministic(media):
+    a = {r["media_id"]: r["features"] for r in extract_media_features(media).collect()}
+    b = {r["media_id"]: r["features"] for r in extract_media_features(media).collect()}
+    assert a == b
+    assert all(len(v) == FEATURE_DIM for v in a.values())
+    assert a[0] != a[1]
+    nb = {r["media_id"]: r["n_bytes"] for r in extract_media_features(media).collect()}
+    assert nb[2] == 13 * 100
+
+
+def test_extract_features_real_raises(media):
+    with pytest.raises(Exception) as ei:
+        extract_media_features(media, mode="real").collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
+
+
+def test_sample_frames_shape(media):
+    out = sample_frames(media, n_frames=4)
+    rows = out.filter(F.col("media_id") == 3).orderBy("frame_idx").collect()
+    assert [r["frame_idx"] for r in rows] == [0, 1, 2, 3]
+    assert all(len(r["frame_bytes"]) > 0 for r in rows)
+
+
+def test_stream_ingest_and_stats(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("stream")
+    src, dst, ckpt = str(base / "src"), str(base / "dst"), str(base / "ckpt")
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev.limit(300).write.parquet(src)
+
+    q = stream_ingest(spark, src, dst, ckpt, ev.schema)
+    q.awaitTermination(60)
+    got = spark.read.parquet(dst)
+    assert got.count() == 300
+
+    man = spark.read.parquet(stats_path(dst))
+    assert {r["column"] for r in man.collect()} >= {"event_id", "event_type"}
+
+    # incremental: second batch of files picked up on next availableNow run
+    ev.limit(500).write.mode("overwrite").parquet(src + "_b2")
+    import shutil, os
+    for f in os.listdir(src + "_b2"):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(src + "_b2", f), os.path.join(src, "b2_" + f))
+    q2 = stream_ingest(spark, src, dst, ckpt, ev.schema)
+    q2.awaitTermination(60)
+    assert spark.read.parquet(dst).count() == 800
+
+
+def test_windowed_counts_static_parity(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    out = windowed_counts(ev, window="1 day", watermark="2 days")
+    total = out.agg(F.sum("n")).first()[0]
+    assert total == ev.count()
+    assert {c for c in out.columns} == {
+        "window_start", "window_end", "event_type", "n", "total_value",
+    }

@@ -1,0 +1,89 @@
+"""Writer / stats-manifest / value-index (reference §2.A, §2.D/E parity)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from columnar_spark.filters import Filter, FilterType
+from columnar_spark.stats import (
+    build_stats_manifest,
+    build_value_index,
+    count_distinct_from_index,
+    covered_count,
+    estimate_selectivity,
+    load_manifest,
+)
+from columnar_spark.writer import WriteSpec, check_table, stats_path, write_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def li(spark):
+    return spark.read.parquet(f"{SF}/lineitem.parquet")
+
+
+def test_write_cluster_and_check(spark, li, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("wt") / "lineitem")
+    spec = WriteSpec(cluster_by=["l_shipdate"], sort_within=["l_shipdate", "l_orderkey"],
+                     hash_cols=["l_returnflag"], num_partitions=4)
+    write_table(li, path, spec)
+
+    out = spark.read.parquet(path)
+    assert out.count() == li.count()
+    assert "l_returnflag__hash" in out.columns
+    assert check_table(spark, path, spec) == []
+
+    # clustering makes range predicates prune row groups: every file's
+    # shipdate span should be narrow (disjoint-ish ranges)
+    import os
+    files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(files) >= 2
+
+
+def test_write_mva_invariant(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("wt") / "mva")
+    df = spark.createDataFrame([(1, [3, 1, 2]), (2, [9, 5])], "id: long, tags: array<long>")
+    write_table(df, path, WriteSpec(mva_cols=["tags"]))
+    got = {r["id"]: r["tags"] for r in spark.read.parquet(path).collect()}
+    assert got == {1: [1, 2, 3], 2: [5, 9]}
+    assert check_table(spark, path, WriteSpec(mva_cols=["tags"])) == []
+
+
+def test_stats_manifest_values(spark, li, tmp_path_factory):
+    m = {r["column"]: r.asDict() for r in build_stats_manifest(li).collect()}
+    assert m["l_orderkey"]["row_count"] == li.count()
+    assert int(m["l_linenumber"]["ndv"]) == 7
+    assert float(m["l_quantity"]["min"]) == 1.0
+    assert m["l_returnflag"]["null_count"] == 0
+
+    path = str(tmp_path_factory.mktemp("st") / "t")
+    write_table(li, path, WriteSpec())
+    loaded = load_manifest(spark, stats_path(path))
+    assert loaded["l_orderkey"]["row_count"] == li.count()
+
+
+def test_estimate_selectivity(li):
+    m = {r["column"]: r.asDict() for r in build_stats_manifest(li).collect()}
+    f_half = Filter("l_quantity", FilterType.RANGE, min_value=1, max_value=25)
+    f_all = Filter("l_quantity", FilterType.RANGE)
+    sel = estimate_selectivity(m, f_half)
+    assert 0.3 < sel < 0.7
+    assert estimate_selectivity(m, f_all) == 1.0
+    f_in = Filter("l_returnflag", FilterType.STRINGS, strings=("A",))
+    assert 0.2 < estimate_selectivity(m, f_in) < 0.5
+
+
+def test_value_index_covered_count(li):
+    """E6 parity: COUNT from the index table == COUNT from a full scan."""
+    idx = build_value_index(li, "l_linenumber")
+    f = Filter("l_linenumber", FilterType.VALUES, values=(1, 3))
+    want = li.filter(F.col("l_linenumber").isin(1, 3)).count()
+    assert covered_count(idx, f) == want
+
+    f_range = Filter("l_linenumber", FilterType.RANGE, min_value=2, max_value=4,
+                     right_closed=False)
+    want = li.filter((F.col("l_linenumber") >= 2) & (F.col("l_linenumber") < 4)).count()
+    assert covered_count(idx, f_range) == want
+
+    # E7 parity: count-distinct in O(index size)
+    assert count_distinct_from_index(idx) == 7
