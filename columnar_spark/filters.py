@@ -132,7 +132,7 @@ def _range_pred(x: Column, f: Filter) -> Column:
     if not conds:
         # Degenerate fully-unbounded range: match-all
         # (IsFilterDegenerate, columnar/columnar.cpp:707-718).
-        return x.isNotNull() | x.isNull()
+        return F.lit(True)
     return reduce(lambda a, b: a & b, conds)
 
 
@@ -179,8 +179,14 @@ def compile_filter(f: Filter, schema: T.StructType) -> Column:
     else:
         pred = _scalar_pred(col, f)
 
-    matches = F.coalesce(pred, F.lit(False))
-    return ~matches if f.exclude else matches
+    if f.exclude:
+        # Null-is-match on exclude needs the explicit coalesce; the
+        # include form deliberately returns the bare predicate — in a
+        # WHERE/filter a null predicate already drops the row, and a bare
+        # comparison is translatable to a Parquet PushedFilter while
+        # coalesce(...) is not (verified via plans.explain).
+        return ~F.coalesce(pred, F.lit(False))
+    return pred
 
 
 def compile_filters(filters: Sequence[Filter], schema: T.StructType) -> Column:
@@ -227,8 +233,9 @@ def to_sql(f: Filter, dialect: str = "duckdb") -> str:
             base = f"{col} IN ({', '.join(lit(s) for s in f.strings)})"
         else:
             raise ValueError(f.type)
-        wrapped = f"COALESCE(({base}), FALSE)"
-        return f"NOT {wrapped}" if f.exclude else wrapped
+        if f.exclude:
+            return f"NOT COALESCE(({base}), FALSE)"
+        return f"({base})"
 
     # MVA quantifiers on list columns (DuckDB lambda syntax).
     if f.type == FilterType.VALUES:
@@ -246,5 +253,6 @@ def to_sql(f: Filter, dialect: str = "duckdb") -> str:
         base = f"len(list_filter({col}, x -> {inner})) > 0"
     else:
         base = f"len(list_filter({col}, x -> {inner})) = len({col})"
-    wrapped = f"COALESCE(({base}), FALSE)"
-    return f"NOT {wrapped}" if f.exclude else wrapped
+    if f.exclude:
+        return f"NOT COALESCE(({base}), FALSE)"
+    return f"({base})"
