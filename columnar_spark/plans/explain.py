@@ -43,13 +43,16 @@ class AccessPathReport:
 def access_path_report(df: DataFrame, execute: bool = False) -> AccessPathReport:
     if execute:
         # AQE plans only reveal the final shape (codegen stages, coalesced
-        # exchanges) after execution.
-        df.count()
+        # exchanges) after THIS plan executes (count() would spawn a
+        # different query execution). Only use on small results.
+        df.collect()
     qe = df._jdf.queryExecution()
     # executedPlan tree string: `*(n)` prefixes mark whole-stage-codegen
     # stages; node names appear exactly once per physical operator.
     tree = qe.executedPlan().toString()
-    text = tree
+    # executed AQE plans repeat the pre-execution plan under
+    # "== Initial Plan ==" — keep only the final shape
+    text = tree.split("== Initial Plan ==")[0]
 
     rep = AccessPathReport(plan=text)
     # long filter lists are truncated with "..." before the closing
