@@ -848,6 +848,214 @@ def doc_lang_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Extended coverage: complex joins, cube, pseudo-shards, streaming windows,
+# value-index counts, quality pipeline, vector stats
+# --------------------------------------------------------------------------
+
+_Q4_SQL = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+@_q("q4_order_priority", _Q4_SQL)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+_Q7_SQL = """
+SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+       CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM customer
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE n1.n_name <> n2.n_name
+GROUP BY 1, 2, 3
+"""
+
+
+@_q("q7_nation_volume", _Q7_SQL)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _t(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("cust_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    disc_price = (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    joined = (
+        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+    )
+    return joined.groupBy(
+        "cust_nation", "supp_nation", F.year("o_orderdate").cast("int").alias("o_year")
+    ).agg(F.sum(disc_price).cast("double").alias("revenue"))
+
+
+_CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+@_q("cube_orders", _CUBE_SQL)
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+    )
+
+
+# @rowid pseudo-shard parity (reference C10, columnar.cpp:599-636): the
+# host splits a table into k row-id ranges for intra-query parallelism.
+_SHARD_SQL = """
+SELECT CAST(floor(doc_id * 4.0 / n) AS BIGINT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+FROM (SELECT doc_id, COUNT(*) OVER () AS n FROM documents)
+GROUP BY 1
+"""
+
+
+@_q("rowid_pseudo_shards", _SHARD_SQL)
+def rowid_pseudo_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy()
+    shard = F.floor(F.col("doc_id") * 4.0 / F.count(F.lit(1)).over(w)).cast("long")
+    return (
+        docs.select(F.col("doc_id"), shard.alias("shard"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+    )
+
+
+_STREAM_WIN_SQL = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+       CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY AS window_end,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+@_q("streaming_window_day", _STREAM_WIN_SQL)
+def streaming_window_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming windowed-agg operator run on a static frame — the
+    transform is identical under readStream (see streaming/ingest.py)."""
+    from columnar_spark.streaming.ingest import windowed_counts
+
+    ev = _events(spark, sf_dir).withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+    return windowed_counts(ev, ts_col="ts", window="1 day", watermark="2 days")
+
+
+_VIDX_SQL = """
+SELECT l_linenumber AS value, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM lineitem GROUP BY 1
+"""
+
+
+@_q("value_index_counts", _VIDX_SQL)
+def value_index_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized value->count index (reference E6/E7 surface)."""
+    from columnar_spark.stats import build_value_index
+
+    return build_value_index(_t(spark, sf_dir, "lineitem"), "l_linenumber")
+
+
+_QUALITY_FILTER_SQL = """
+WITH base AS (
+  SELECT doc_id, text,
+    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk,
+    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ltk
+  FROM documents
+), scored AS (
+  SELECT doc_id,
+    round(0.4 * least(len(tk) / 50.0, 1.0)
+        + 0.3 * least((len(list_filter(ltk, x -> x IN ('the','of','and','to','a','in','is','it','you','that'))) * 1.0
+                       / greatest(len(ltk), 1)) * 5.0, 1.0)
+        + 0.3 * (length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) * 1.0
+                 / greatest(length(text), 1)), 6) AS quality
+  FROM base
+)
+SELECT doc_id, quality FROM scored WHERE quality >= 0.75
+"""
+
+
+@_q("doc_quality_filter", _QUALITY_FILTER_SQL)
+def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gate pipeline step: keep docs above a score threshold."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", CT.quality_score(F.col("text")).alias("quality"))
+    return scored.filter(F.col("quality") >= 0.75)
+
+
+_NORM_STATS_SQL = """
+WITH n AS (
+  SELECT vec_id, label,
+         sqrt((SELECT SUM(x.a * x.a)
+               FROM (SELECT unnest(CAST(embedding AS DOUBLE[])) AS a) x)) AS nrm
+  FROM embeddings
+)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+       round(MIN(nrm), 6) AS min_norm, round(MAX(nrm), 6) AS max_norm
+FROM n GROUP BY label
+"""
+
+
+@_q("embedding_label_norms", _NORM_STATS_SQL)
+def embedding_label_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from columnar_spark.functions.vector import norm
+
+    emb = _t(spark, sf_dir, "embeddings")
+    withn = emb.select("label", norm(F.col("embedding")).alias("nrm"))
+    return withn.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("nrm"), 6).alias("min_norm"),
+        F.round(F.max("nrm"), 6).alias("max_norm"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
 

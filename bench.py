@@ -27,6 +27,11 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
+    "q4_order_priority",
+    "q7_nation_volume",
+    "cube_orders",
+    "streaming_window_day",
+    "value_index_counts",
     "filter_surface_counts",
     "filter_in_large_list",
     "count_filtered_conjunct",
