@@ -1029,6 +1029,65 @@ def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.filter(F.col("quality") >= 0.75)
 
 
+_SESSIONIZE_SQL = """
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+flags AS (
+  SELECT user_id, event_id, ts_us,
+         CASE WHEN lag(ts_us) OVER w IS NULL
+                OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC)
+),
+sess AS (
+  SELECT user_id, ts_us,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flags
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM sess GROUP BY 1, 2
+"""
+
+
+@_q("sessionize_events", _SESSIONIZE_SQL)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) — the batch twin of the
+    applyInPandasWithState streaming operator (streaming/sessionize.py)."""
+    from columnar_spark.streaming.sessionize import sessionize_batch
+
+    return sessionize_batch(_events(spark, sf_dir))
+
+
+@_q("knn_q8_cosine")  # quantized (approximate) — rows-only check
+def knn_q8_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from columnar_spark.operators.quantize import (
+        knn_topk_q8,
+        quantize_vectors,
+        train_quantizer,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(v) for v in emb.filter(F.col("vec_id") == _KNN_QID).first()["embedding"]]
+    lo, hi = train_quantizer(emb, "embedding")
+    q8 = quantize_vectors(emb, "embedding", lo, hi)
+    out = knn_topk_q8(q8, "embedding_q8", qvec, _KNN_K, lo, hi, id_col="vec_id")
+    return out.select("vec_id", "label", (F.round(F.col("dist"), 6) + F.lit(0.0)).alias("dist"))
+
+
+@_q("embed_then_knn")  # stub-model pipeline — rows-only check
+def embed_then_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 -> F1 composition: embed the corpus, search with doc 0's vector."""
+    from columnar_spark.functions.embed import embed_text
+    from columnar_spark.operators.knn import knn_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    embedded = embed_text(docs, "text")
+    qvec = [float(v) for v in embedded.filter(F.col("doc_id") == 0).first()["embedding"]]
+    out = knn_topk(embedded, "embedding", qvec, 5, id_col="doc_id")
+    return out.select("doc_id", (F.round(F.col("dist"), 6) + F.lit(0.0)).alias("dist"))
+
+
 _NORM_STATS_SQL = """
 WITH n AS (
   SELECT vec_id, label,

@@ -1,0 +1,130 @@
+"""Engine facade — the MCL host contract as a user-facing API.
+
+The reference's consumer (the Manticore daemon) drives it through a
+narrow sequence (SURVEY §3.2): create reader -> estimate / early-reject
+-> build filter iterators -> fetch projected columns -> optional KNN
+iterator. `Engine` exposes the same contract Spark-first:
+
+    eng = Engine(spark, "/root/testdata/sf0.01")
+    df  = eng.scan("lineitem", filters=[...], select=[...], limit=100)
+    n   = eng.count("orders", filters=[...])          # E6 fast path aware
+    top = eng.knn("embeddings", "embedding", qvec, k=10)
+    rep = eng.explain(df)                             # access-path report
+
+Every method returns a lazy DataFrame (or a plain int for counts); the
+planner work — pushdown, pruning, broadcast, top-k — is Catalyst's, and
+`explain` surfaces what it chose (the AddDesc analog).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from columnar_spark.catalog import load_table
+from columnar_spark.filters import Filter, apply_filters, compile_filters
+from columnar_spark.operators.knn import knn_topk
+from columnar_spark.plans.explain import AccessPathReport, access_path_report
+from columnar_spark.session import tune
+from columnar_spark.stats import (
+    build_stats_manifest,
+    build_value_index,
+    covered_count,
+    estimate_selectivity,
+)
+
+
+class Engine:
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self.spark = tune(spark)
+        self.sf_dir = sf_dir
+        self._tables: dict[str, DataFrame] = {}
+        self._value_indexes: dict[tuple[str, str], DataFrame] = {}
+        self._manifests: dict[str, dict[str, dict]] = {}
+
+    # ------------------------------------------------------------ catalog
+
+    def table(self, name: str) -> DataFrame:
+        if name not in self._tables:
+            self._tables[name] = load_table(self.spark, self.sf_dir, name)
+        return self._tables[name]
+
+    # --------------------------------------------------------------- scan
+
+    def scan(
+        self,
+        name: str,
+        filters: Sequence[Filter] = (),
+        select: Sequence[str] | None = None,
+        limit: int | None = None,
+    ) -> DataFrame:
+        """Filtered projected scan with cutoff — B/C/D6 surface."""
+        df = self.table(name)
+        if filters:
+            df = apply_filters(df, filters)
+        if select:
+            df = df.select(*select)
+        if limit is not None:
+            df = df.limit(limit)
+        return df
+
+    # -------------------------------------------------------------- count
+
+    def build_value_index(self, name: str, col: str) -> None:
+        """Materialize the E6/E7 value->count index for (table, col)."""
+        self._value_indexes[(name, col)] = build_value_index(self.table(name), col).cache()
+
+    def count(self, name: str, filters: Sequence[Filter] = ()) -> int:
+        """COUNT(*) with filters; answered from a value index alone when a
+        single-column filter is covered (CalcCount parity, E6)."""
+        if len(filters) == 1:
+            idx = self._value_indexes.get((name, filters[0].name))
+            if idx is not None:
+                n = covered_count(idx, filters[0])
+                if n is not None:
+                    return n
+        return self.scan(name, filters).count()
+
+    # -------------------------------------------------------------- stats
+
+    def stats(self, name: str) -> dict[str, dict]:
+        """Per-column manifest (D1-D5/E7 surface), computed once."""
+        if name not in self._manifests:
+            self._manifests[name] = {
+                r["column"]: r.asDict()
+                for r in build_stats_manifest(self.table(name)).collect()
+            }
+        return self._manifests[name]
+
+    def estimate(self, name: str, f: Filter) -> float:
+        """Selectivity estimate from the manifest (EstimateMinMax parity)."""
+        return estimate_selectivity(self.stats(name), f)
+
+    def early_reject(self, name: str, filters: Sequence[Filter]) -> bool:
+        """True when table-level stats prove zero rows can match — the
+        whole-segment reject (reference EarlyReject, columnar.cpp:695-704)."""
+        return any(self.estimate(name, f) == 0.0 for f in filters)
+
+    # ---------------------------------------------------------------- knn
+
+    def knn(
+        self,
+        name: str,
+        vec_col: str,
+        query_vec: Sequence[float],
+        k: int = 10,
+        metric: str = "cosine",
+        id_col: str = "vec_id",
+        filters: Sequence[Filter] = (),
+    ) -> DataFrame:
+        df = self.table(name)
+        pre: Column | None = None
+        if filters:
+            pre = compile_filters(filters, df.schema)
+        return knn_topk(df, vec_col, query_vec, k, metric, id_col, pre)
+
+    # ------------------------------------------------------------ explain
+
+    def explain(self, df: DataFrame, execute: bool = False) -> AccessPathReport:
+        return access_path_report(df, execute=execute)
