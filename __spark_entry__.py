@@ -1114,6 +1114,128 @@ def embedding_label_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ASOF_SQL = """
+WITH o1 AS (
+  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (
+    SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                              ORDER BY o_orderkey DESC) AS rn
+    FROM orders
+  ) WHERE rn = 1
+)
+SELECT e.event_id, e.user_id,
+       o1.o_orderkey AS matched_o_orderkey,
+       o1.o_totalprice AS matched_o_totalprice
+FROM events e
+ASOF JOIN o1 ON e.user_id = o1.o_custkey AND e.ts >= o1.o_orderdate
+"""
+
+
+@_q("asof_join_events_orders", _ASOF_SQL)
+def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: each event gets the user's most recent order as
+    of the event time (union+window operator, operators/asof.py).
+    Right side deduped per (key, time) for determinism."""
+    from columnar_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir).withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(F.col("o_orderkey").desc())
+    o1 = (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        # parquet timestamps read as TIMESTAMP_NTZ; align with the
+        # TIMESTAMP produced by timestamp_micros (session tz is UTC)
+        .select(
+            "o_custkey",
+            F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+            "o_orderkey",
+            "o_totalprice",
+        )
+    )
+    out = asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        o1,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        payload=["o_orderkey", "o_totalprice"],
+    )
+    return out.select("event_id", "user_id", "matched_o_orderkey", "matched_o_totalprice")
+
+
+_PCT_SQL = """
+SELECT quantile_cont(l_quantity, [0.25, 0.5, 0.75, 0.9]) AS qty_quartiles,
+       quantile_cont(l_extendedprice, 0.5) AS median_price,
+       quantile_cont(l_discount, 0.99) AS p99_discount
+FROM lineitem
+"""
+
+
+@_q("percentile_stats", _PCT_SQL)
+def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles — Spark `percentile` and DuckDB
+    `quantile_cont` share the sort-based interpolation, verified
+    bit-exact cross-engine."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.expr("percentile(l_quantity, array(0.25, 0.5, 0.75, 0.9))").alias("qty_quartiles"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("median_price"),
+        F.expr("percentile(l_discount, 0.99)").alias("p99_discount"),
+    )
+
+
+_STRFN_SQL = """
+SELECT p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(length(p_name)) AS BIGINT) AS min_name_len,
+       CAST(MAX(length(p_name)) AS BIGINT) AS max_name_len,
+       CAST(SUM(CASE WHEN p_name LIKE '%a%' THEN 1 ELSE 0 END) AS BIGINT) AS n_with_a,
+       MIN(upper(substr(p_type, 1, 5))) AS min_type_prefix,
+       MAX(replace(p_type, ' ', '_')) AS max_type_snake
+FROM part
+GROUP BY p_brand
+"""
+
+
+@_q("string_funcs_parts", _STRFN_SQL)
+def string_funcs_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return part.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.length("p_name")).cast("long").alias("min_name_len"),
+        F.max(F.length("p_name")).cast("long").alias("max_name_len"),
+        F.sum(F.when(F.col("p_name").like("%a%"), 1).otherwise(0)).cast("long").alias("n_with_a"),
+        F.min(F.upper(F.substring("p_type", 1, 5))).alias("min_type_prefix"),
+        F.max(F.expr("replace(p_type, ' ', '_')")).alias("max_type_snake"),
+    )
+
+
+_DATEPART_SQL = """
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(quarter(o_orderdate) AS INT) AS o_quarter,
+       CAST(month(o_orderdate) AS INT) AS o_month,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY 1, 2, 3
+"""
+
+
+@_q("date_parts_orders", _DATEPART_SQL)
+def date_parts_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.year("o_orderdate").cast("int").alias("o_year"),
+        F.quarter("o_orderdate").cast("int").alias("o_quarter"),
+        F.month("o_orderdate").cast("int").alias("o_month"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
