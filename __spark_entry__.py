@@ -133,8 +133,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_price = (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))).cast(
         "decimal(18,4)"
     )
+    # orders/customer scale with the dataset — no forced broadcast; AQE
+    # picks broadcast vs shuffle join from runtime sizes (scale-safe).
     joined = li.join(
-        F.broadcast(orders.join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))),
+        orders.join(cust, F.col("c_custkey") == F.col("o_custkey")),
         F.col("l_orderkey") == F.col("o_orderkey"),
     )
     return (
@@ -174,15 +176,17 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_price = (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))).cast(
         "decimal(18,4)"
     )
+    # region/nation are fixed-size -> always broadcast; orders/customer/
+    # supplier scale with SF -> AQE chooses from runtime sizes.
     dims = (
         cust.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
     )
     joined = (
-        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(dims, F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(supp),
+            supp,
             (F.col("s_suppkey") == F.col("l_suppkey"))
             & (F.col("s_nationkey") == F.col("c_nationkey")),
         )
@@ -911,10 +915,10 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decimal(18,4)"
     )
     joined = (
-        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
         .filter(F.col("cust_nation") != F.col("supp_nation"))
     )
