@@ -1169,6 +1169,26 @@ def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "matched_o_orderkey", "matched_o_totalprice")
 
 
+_GSETS_SQL = """
+SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+@_q("grouping_sets_orders", _GSETS_SQL)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM __gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
 _PCT_SQL = """
 SELECT quantile_cont(l_quantity, [0.25, 0.5, 0.75, 0.9]) AS qty_quartiles,
        quantile_cont(l_extendedprice, 0.5) AS median_price,

@@ -106,6 +106,25 @@ class Engine:
         whole-segment reject (reference EarlyReject, columnar.cpp:695-704)."""
         return any(self.estimate(name, f) == 0.0 for f in filters)
 
+    def access_plan(self, name: str, filters: Sequence[Filter]) -> list[dict]:
+        """Scan-vs-index decision per conjunct — the reference host's
+        access-path choice (SURVEY §3.2 step 3: EstimateMinMax +
+        GetNumIterators + complexity). Returns one dict per filter:
+        {column, selectivity, path} where path is 'index-count' (a value
+        index covers it), 'pruned-scan' (selective -> rely on zone-map/
+        row-group pruning) or 'full-scan'."""
+        out = []
+        for f in filters:
+            sel = self.estimate(name, f)
+            if (name, f.name) in self._value_indexes and f.mva.value == "none":
+                path = "index-count"
+            elif sel < 0.3:
+                path = "pruned-scan"
+            else:
+                path = "full-scan"
+            out.append({"column": f.name, "selectivity": round(sel, 4), "path": path})
+        return out
+
     # ---------------------------------------------------------------- knn
 
     def knn(

@@ -1,0 +1,58 @@
+"""IVF write-path: cluster assignment materialized at write time makes the
+probe predicate prune at the scan — the engine's ANN scale story."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from columnar_spark.operators.knn import (
+    assign_clusters,
+    knn_topk,
+    knn_topk_ivf,
+    train_centroids,
+)
+from columnar_spark.plans.explain import access_path_report
+from columnar_spark.writer import WriteSpec, write_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_ivf_written_layout_prunes_and_matches(spark, tmp_path_factory):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = train_centroids(emb, "embedding", n_clusters=8, seed=42)
+    tagged = assign_clusters(emb, "embedding", cents)
+
+    path = str(tmp_path_factory.mktemp("ivf") / "embeddings_ivf")
+    write_table(tagged, path, WriteSpec(cluster_by=["ivf_cluster"], num_partitions=4))
+    stored = spark.read.parquet(path)
+
+    q = [float(v) for v in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
+
+    # probe through the stored layout: the cluster predicate must reach
+    # the parquet scan (row-group/file pruning at scale)
+    out = knn_topk_ivf(stored, "embedding", q, 10, cents, nprobe=4, metric="cosine")
+    rep = access_path_report(out)
+    assert any("ivf_cluster" in p for p in rep.pushed_filters), rep.plan
+
+    # and recall against exact search stays high with half the clusters
+    exact = {r["vec_id"] for r in knn_topk(emb, "embedding", q, 10).collect()}
+    approx = {r["vec_id"] for r in out.collect()}
+    assert len(exact & approx) >= 6
+
+
+def test_access_plan_paths(spark):
+    from columnar_spark.filters import Filter, FilterType
+    from columnar_spark.table import Engine
+
+    eng = Engine(spark, SF)
+    eng.build_value_index("lineitem", "l_linenumber")
+    plans = eng.access_plan(
+        "lineitem",
+        [
+            Filter("l_linenumber", FilterType.VALUES, values=(1,)),
+            Filter("l_quantity", FilterType.RANGE, min_value=1, max_value=3),
+            Filter("l_quantity", FilterType.RANGE),
+        ],
+    )
+    assert plans[0]["path"] == "index-count"
+    assert plans[1]["path"] == "pruned-scan"
+    assert plans[2]["path"] == "full-scan"
