@@ -30,6 +30,8 @@ from columnar_spark.filters import (
     compile_filter,
     compile_filters,
 )
+from columnar_spark.table import Engine
+from columnar_spark.writer import WriteSpec, check_table, write_table
 
 __all__ = [
     "get_spark",
@@ -41,6 +43,10 @@ __all__ = [
     "MvaAggr",
     "compile_filter",
     "compile_filters",
+    "Engine",
+    "WriteSpec",
+    "write_table",
+    "check_table",
 ]
 
 __version__ = "0.1.0"

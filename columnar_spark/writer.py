@@ -49,6 +49,9 @@ class WriteSpec:
     sort_within: Sequence[str] = field(default_factory=tuple)
     mva_cols: Sequence[str] = field(default_factory=tuple)
     hash_cols: Sequence[str] = field(default_factory=tuple)
+    # per-column Parquet Bloom filters — the secondary-index point-lookup
+    # knob (reference A11/E2 analog at the storage layer)
+    bloom_cols: Sequence[str] = field(default_factory=tuple)
     compression: str = "zstd"
     num_partitions: int | None = None
 
@@ -73,11 +76,10 @@ def write_table(df: DataFrame, path: str, spec: WriteSpec | None = None) -> None
         out = out.repartitionByRange(n, *[F.col(c) for c in spec.cluster_by])
         sort_cols = list(spec.sort_within) or list(spec.cluster_by)
         out = out.sortWithinPartitions(*sort_cols)
-    (
-        out.write.mode("overwrite")
-        .option("compression", spec.compression)
-        .parquet(path)
-    )
+    w = out.write.mode("overwrite").option("compression", spec.compression)
+    for c in spec.bloom_cols:
+        w = w.option(f"parquet.bloom.filter.enabled#{c}", "true")
+    w.parquet(path)
     # Stats manifest sidecar — the D1-D5/E7 surface for the planner.
     manifest = build_stats_manifest(df.sparkSession.read.parquet(path))
     manifest.write.mode("overwrite").parquet(stats_path(path))
