@@ -49,8 +49,17 @@ def _q(name: str, sql: str | None = None):
     return deco
 
 
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Memoize DataFrame handles per (session, path): avoids re-listing
+    files and re-reading parquet footers on every query invocation
+    (metadata caching only — no data is cached)."""
+    key = (id(spark), sf_dir, name)
+    if key not in _TABLE_CACHE:
+        _TABLE_CACHE[key] = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _TABLE_CACHE[key]
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -60,6 +60,11 @@ def main() -> None:
     sf = float(m.group(1).rstrip(".")) if m else -1.0
 
     spark = get_spark("columnar-spark-bench")
+    # Shuffle width sized to data volume (sub-GB testdata needs narrow
+    # shuffles; a real cluster sizes this to executors x cores). AQE
+    # stays on — it coalesces further at runtime.
+    if sf <= 0.1:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
     # JVM/codegen warmup outside the timed region.
     spark.range(1000).selectExpr("sum(id)").collect()
 
