@@ -1269,6 +1269,113 @@ def date_parts_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q6_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+@_q("q6_forecast_revenue", _Q6_SQL)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(_dec("l_extendedprice") * _dec("l_discount")).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_PIVOT_SQL = """
+SELECT user_id % 10 AS user_mod,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+FROM events
+GROUP BY 1
+"""
+
+
+@_q("pivot_event_counts", _PIVOT_SQL)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.withColumn("user_mod", F.col("user_id") % 10)
+        .groupBy("user_mod")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+
+
+_CENTROID_SQL = """
+WITH expl AS (
+  SELECT label, CAST(r.i AS INT) AS pos,
+         CAST(FLOOR(CAST(embedding[CAST(r.i AS INT)] AS DOUBLE) * 1e9) AS BIGINT) AS v
+  FROM embeddings, range(1, 9) r(i)
+)
+SELECT label, pos,
+       round(SUM(v) * 1.0 / COUNT(*) / 1e9, 6) AS centroid_val
+FROM expl
+GROUP BY label, pos
+"""
+
+
+@_q("label_centroids", _CENTROID_SQL)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid components (first 8 dims): element-wise mean
+    via posexplode + integer-scaled sums (float->decimal casts disagree
+    cross-engine; floor(x*1e9) is deterministic on both)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    expl = emb.select(
+        "label", F.posexplode("embedding").alias("pos0", "val")
+    ).select(
+        "label",
+        (F.col("pos0") + 1).cast("int").alias("pos"),
+        F.floor(F.col("val").cast("double") * 1e9).alias("v"),
+    ).filter(F.col("pos") <= 8)
+    return expl.groupBy("label", "pos").agg(
+        (F.sum("v") * 1.0 / F.count(F.lit(1)) / 1e9).alias("__raw")
+    ).select("label", "pos", F.round("__raw", 6).alias("centroid_val"))
+
+
+_HIST_SQL = """
+SELECT CAST(CASE WHEN l_quantity < 0 THEN 0
+            WHEN l_quantity >= 50 THEN 11
+            ELSE FLOOR(l_quantity / 5.0) + 1 END AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(l_quantity) AS lo, MAX(l_quantity) AS hi
+FROM lineitem
+GROUP BY 1
+"""
+
+
+@_q("histogram_quantity", _HIST_SQL)
+def histogram_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.withColumn(
+            "bucket", F.expr("width_bucket(l_quantity, 0.0, 50.0, 10)").cast("long")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_quantity").alias("lo"),
+            F.max("l_quantity").alias("hi"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
