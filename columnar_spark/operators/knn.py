@@ -101,6 +101,68 @@ def assign_clusters(
     return df.withColumn(cluster_col, assigned.cast("int"))
 
 
+def knn_topk_partitioned_ann(
+    df: DataFrame,
+    vec_col: str,
+    query_vec: Sequence[float],
+    k: int,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    ef: int = 64,
+    M: int = 16,
+) -> DataFrame:
+    """Per-partition HNSW ANN + global top-k merge — the reference's graph
+    search (knn/knn.cpp:411-540, hnswlib M=16/efConstruction=200 defaults
+    per knn/knn.h:48-55) re-expressed for a cluster: each partition builds
+    a transient hnswlib index over its rows inside mapInPandas, emits its
+    local top-k, and TakeOrderedAndProject merges k x partitions rows.
+
+    Requires the optional `hnswlib` wheel (NOT shipped in this
+    environment — raises ImportError with guidance; `knn_topk` is the
+    always-available exact path, `knn_topk_ivf` the pruning path)."""
+    try:
+        import hnswlib  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "knn_topk_partitioned_ann needs the optional 'hnswlib' package; "
+            "use knn_topk (exact) or knn_topk_ivf (cluster-pruned) instead"
+        ) from e
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    space = {"l2": "l2", "ip": "ip", "cosine": "cosine"}[metric]
+    q = np.asarray(query_vec, dtype=np.float32)
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("dist", T.DoubleType()),
+        ]
+    )
+
+    def batches(it):
+        import hnswlib
+
+        ids_all, vecs_all = [], []
+        for pdf in it:
+            ids_all.extend(int(v) for v in pdf[id_col])
+            vecs_all.extend(pdf[vec_col])
+        if not ids_all:
+            return
+        mat = np.asarray(list(vecs_all), dtype=np.float32)
+        index = hnswlib.Index(space=space, dim=mat.shape[1])
+        index.init_index(max_elements=len(ids_all), ef_construction=200, M=M)
+        index.add_items(mat, np.asarray(ids_all))
+        index.set_ef(max(ef, k))
+        labels, dists = index.knn_query(q, k=min(k, len(ids_all)))
+        yield pd.DataFrame({id_col: labels[0], "dist": dists[0].astype(float)})
+
+    local = df.select(id_col, vec_col).mapInPandas(batches, out_schema)
+    return local.orderBy(F.col("dist").asc(), F.col(id_col).asc()).limit(k)
+
+
 def knn_topk_ivf(
     df: DataFrame,
     vec_col: str,
