@@ -1376,6 +1376,29 @@ def histogram_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("media_feature_stats")  # mapInPandas plumbing — rows-only check
+def media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing through the driver surface: treat document
+    bytes as opaque media payloads, extract (fake-decoded) feature
+    vectors via Arrow-batched mapInPandas, aggregate per source."""
+    from columnar_spark.multimodal import extract_media_features
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("source"),
+        F.encode(F.col("text"), "utf-8").alias("data"),
+    )
+    feats = extract_media_features(media, data_col="data", id_col="media_id")
+    joined = feats.join(media.select("media_id", "source"), "media_id")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.round(F.min(F.element_at("features", 1)), 6).alias("min_f0"),
+        F.round(F.max(F.element_at("features", 1)), 6).alias("max_f0"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------

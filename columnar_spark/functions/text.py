@@ -96,6 +96,26 @@ def lang_id(text: Column) -> Column:
     return F.when(best["hits"] > 0, best["code"]).otherwise(F.lit("und"))
 
 
+EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?\d[\d\-() ]{7,}\d"
+URL_RE = r"https?://[^\s]+"
+
+
+def redact_pii(text: Column) -> Column:
+    """Training-data cleaning: mask emails, phone numbers, and URLs with
+    typed placeholders. Pure regexp_replace chain (codegen, streamable)."""
+    out = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, URL_RE, "<URL>")
+    out = F.regexp_replace(out, PHONE_RE, "<PHONE>")
+    return out
+
+
+def strip_markup(text: Column) -> Column:
+    """Remove HTML/XML tags and collapse the resulting whitespace."""
+    no_tags = F.regexp_replace(text, r"<[^>]+>", " ")
+    return F.trim(F.regexp_replace(no_tags, r"\s+", " "))
+
+
 def doc_fingerprint(text: Column, shingle_k: int = 3) -> Column:
     """Document fingerprint: lexicographic min of md5 over token
     k-shingles (winnowing-style). md5 exists identically in Spark and

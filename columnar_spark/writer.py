@@ -54,6 +54,7 @@ class WriteSpec:
     bloom_cols: Sequence[str] = field(default_factory=tuple)
     compression: str = "zstd"
     num_partitions: int | None = None
+    format: str = "parquet"  # parquet | orc
 
 
 def normalize(df: DataFrame, spec: WriteSpec) -> DataFrame:
@@ -76,12 +77,14 @@ def write_table(df: DataFrame, path: str, spec: WriteSpec | None = None) -> None
         out = out.repartitionByRange(n, *[F.col(c) for c in spec.cluster_by])
         sort_cols = list(spec.sort_within) or list(spec.cluster_by)
         out = out.sortWithinPartitions(*sort_cols)
+    if spec.format not in ("parquet", "orc"):
+        raise ValueError("format must be parquet or orc")
     w = out.write.mode("overwrite").option("compression", spec.compression)
     for c in spec.bloom_cols:
         w = w.option(f"parquet.bloom.filter.enabled#{c}", "true")
-    w.parquet(path)
+    getattr(w, spec.format)(path)
     # Stats manifest sidecar — the D1-D5/E7 surface for the planner.
-    manifest = build_stats_manifest(df.sparkSession.read.parquet(path))
+    manifest = build_stats_manifest(getattr(df.sparkSession.read, spec.format)(path))
     manifest.write.mode("overwrite").parquet(stats_path(path))
 
 
@@ -98,7 +101,7 @@ def check_table(
     stats-manifest row count agreement."""
     spec = spec or WriteSpec()
     errors: list[str] = []
-    df = spark.read.parquet(path)
+    df = getattr(spark.read, spec.format)(path)
 
     for c in spec.mva_cols:
         bad = df.filter(

@@ -47,3 +47,15 @@ def test_quality_score_bounds(spark):
                 CT.quality_score(F.col("t")))
     bad = _one(spark, "@@@@ ####", CT.quality_score(F.col("t")))
     assert 0.0 <= bad < good <= 1.0
+
+
+def test_redact_pii(spark):
+    s = "mail me@example.com or call +1 555-123-4567, see https://x.io/a"
+    out = _one(spark, s, CT.redact_pii(F.col("t")))
+    assert "<EMAIL>" in out and "<PHONE>" in out and "<URL>" in out
+    assert "example.com" not in out and "555" not in out
+
+
+def test_strip_markup(spark):
+    out = _one(spark, "<p>Hello <b>world</b></p>  extra", CT.strip_markup(F.col("t")))
+    assert out == "Hello world extra"

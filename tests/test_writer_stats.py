@@ -87,3 +87,12 @@ def test_value_index_covered_count(li):
 
     # E7 parity: count-distinct in O(index size)
     assert count_distinct_from_index(idx) == 7
+
+
+def test_write_orc_roundtrip(spark, li, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("orc") / "t")
+    spec = WriteSpec(format="orc", cluster_by=["l_shipdate"], num_partitions=2)
+    write_table(li, path, spec)
+    got = spark.read.orc(path)
+    assert got.count() == li.count()
+    assert check_table(spark, path, spec) == []
