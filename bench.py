@@ -51,6 +51,8 @@ BENCH_QUERIES = [
     "doc_text_stats",
     "doc_lang_fingerprint",
     "dedup_exact_groups",
+    "asof_join_events_orders",
+    "sessionize_events",
 ]
 
 

@@ -97,3 +97,18 @@ def test_filter_differential_vs_duckdb(frames, f):
     got = sorted(r["id"] for r in sdf.filter(compile_filter(f, sdf.schema)).select("id").collect())
     want = sorted(r[0] for r in con.execute(f"SELECT id FROM t WHERE {to_sql(f)}").fetchall())
     assert got == want, f
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(fs=st.lists(filters(), min_size=2, max_size=4))
+def test_conjunction_differential_vs_duckdb(frames, fs):
+    """AND-of-conjuncts parity — the reference host's zipper-intersection
+    of filter iterators (common/blockiterator.h:39) as one predicate."""
+    from columnar_spark.filters import compile_filters
+
+    sdf, con = frames
+    got = sorted(r["id"] for r in sdf.filter(compile_filters(fs, sdf.schema)).select("id").collect())
+    sql = " AND ".join(to_sql(f) for f in fs)
+    want = sorted(r[0] for r in con.execute(f"SELECT id FROM t WHERE {sql}").fetchall())
+    assert got == want, fs
