@@ -53,6 +53,8 @@ BENCH_QUERIES = [
     "dedup_exact_groups",
     "asof_join_events_orders",
     "sessionize_events",
+    "daily_counts_gapfill",
+    "q10_returned_items",
 ]
 
 
