@@ -1487,6 +1487,27 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MULTISET_SQL = """
+SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n FROM (
+  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+  EXCEPT ALL
+  SELECT l_partkey FROM lineitem WHERE l_linestatus = 'F' AND l_returnflag = 'R'
+) GROUP BY l_partkey
+"""
+
+
+@_q("set_ops_multiset", _MULTISET_SQL)
+def set_ops_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset semantics: EXCEPT ALL preserves duplicate counts
+    (exceptAll), distinct from the set-based set_ops_customers query."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "R").select("l_partkey")
+    b = li.filter((F.col("l_linestatus") == "F") & (F.col("l_returnflag") == "R")).select(
+        "l_partkey"
+    )
+    return a.exceptAll(b).groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
