@@ -654,11 +654,14 @@ WHERE a.doc_id < b.doc_id
 
 @_q("ngram_jaccard_pairs", _NGRAM_PAIRS_SQL)
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Quadratic correctness oracle for the LSH paths — guarded so it can
+    # never be pointed at a production-scale table (see dedup._guard_quadratic).
     docs = _t(spark, sf_dir, "documents")
     base = docs.select(
         F.col("doc_id").alias("__id"),
         F.array_distinct(CT.tokens(F.col("text"))).alias("__sh"),
     )
+    DD._guard_quadratic(base, "ngram_jaccard_pairs")
     left, right = base.alias("l"), base.alias("r")
     jac = DD.ngram_jaccard(F.col("l.__sh"), F.col("r.__sh"))
     return (
@@ -736,7 +739,7 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PREFIX_SQL = """
 SELECT prefix2, CAST(COUNT(*) AS BIGINT) AS dup_count,
        MIN(doc_id) AS keep_id,
-       list_sort(list(doc_id)) AS member_ids
+       array_to_string(list_sort(list(doc_id)), ',') AS member_ids
 FROM (
   SELECT doc_id, tk[1] || ' ' || tk[2] AS prefix2
   FROM (SELECT doc_id,
@@ -750,9 +753,13 @@ HAVING COUNT(*) > 1
 
 @_q("dedup_exact_groups", _PREFIX_SQL)
 def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # member_ids is joined to a ','-string: the driver's pandas canonicalizer
+    # cannot hash array cells (round-1 `unhashable type: 'list'` error).
     docs = _t(spark, sf_dir, "documents")
     df = docs.withColumn("prefix2", F.concat_ws(" ", F.slice(CT.tokens(F.col("text")), 1, 2)))
-    return DD.duplicate_groups(df, ["prefix2"], "doc_id")
+    return DD.duplicate_groups(df, ["prefix2"], "doc_id").withColumn(
+        "member_ids", F.array_join(F.col("member_ids"), ",")
+    )
 
 
 _SURVIVORS_SQL = """
@@ -966,11 +973,15 @@ GROUP BY 1
 
 @_q("rowid_pseudo_shards", _SHARD_SQL)
 def rowid_pseudo_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Total count arrives as a broadcast 1-row join, NOT an unpartitioned
+    # window (count().over(Window.partitionBy()) funnels the whole table
+    # through a single partition — a straggler/OOM at scale).
     docs = _t(spark, sf_dir, "documents")
-    w = Window.partitionBy()
-    shard = F.floor(F.col("doc_id") * 4.0 / F.count(F.lit(1)).over(w)).cast("long")
+    total = docs.agg(F.count(F.lit(1)).alias("__n"))
+    shard = F.floor(F.col("doc_id") * 4.0 / F.col("__n")).cast("long")
     return (
-        docs.select(F.col("doc_id"), shard.alias("shard"))
+        docs.crossJoin(F.broadcast(total))
+        .select(F.col("doc_id"), shard.alias("shard"))
         .groupBy("shard")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
@@ -1199,7 +1210,10 @@ def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PCT_SQL = """
-SELECT quantile_cont(l_quantity, [0.25, 0.5, 0.75, 0.9]) AS qty_quartiles,
+SELECT quantile_cont(l_quantity, 0.25) AS qty_p25,
+       quantile_cont(l_quantity, 0.5) AS qty_p50,
+       quantile_cont(l_quantity, 0.75) AS qty_p75,
+       quantile_cont(l_quantity, 0.9) AS qty_p90,
        quantile_cont(l_extendedprice, 0.5) AS median_price,
        quantile_cont(l_discount, 0.99) AS p99_discount
 FROM lineitem
@@ -1210,10 +1224,15 @@ FROM lineitem
 def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles — Spark `percentile` and DuckDB
     `quantile_cont` share the sort-based interpolation, verified
-    bit-exact cross-engine."""
+    bit-exact cross-engine. The quartile array is flattened to scalar
+    columns: the driver canonicalizer cannot hash array cells."""
     li = _t(spark, sf_dir, "lineitem")
+    q = F.expr("percentile(l_quantity, array(0.25, 0.5, 0.75, 0.9))")
     return li.agg(
-        F.expr("percentile(l_quantity, array(0.25, 0.5, 0.75, 0.9))").alias("qty_quartiles"),
+        q[0].alias("qty_p25"),
+        q[1].alias("qty_p50"),
+        q[2].alias("qty_p75"),
+        q[3].alias("qty_p90"),
         F.expr("percentile(l_extendedprice, 0.5)").alias("median_price"),
         F.expr("percentile(l_discount, 0.99)").alias("p99_discount"),
     )

@@ -315,9 +315,8 @@ def simhash_pairs(
     n_chunks-1 bit flips per chunk region is caught), verified by full
     hamming distance."""
     chunk_bits = 64 // n_chunks
-    # repartition = materialization barrier (see minhash_lsh_pairs): keeps
-    # the feature-hash array from being re-tokenized inside all 64 bit
-    # aggregates, and the signature from re-evaluating per join side.
+    # simhash_signatures_agg's groupBy is itself the materialization point:
+    # the signature arrives post-shuffle, so neither join side re-tokenizes.
     base = simhash_signatures_agg(df, id_col, token_shingles(F.col(text_col), shingle_k))
     chunks = base.select(
         "__id",
@@ -401,6 +400,23 @@ def simhash_dedup(
 
 # ------------------------------------------------------- embedding cosine
 
+# Hard ceiling for the quadratic correctness-oracle paths (method="exact",
+# all-pairs verify). These exist ONLY to validate the LSH/bucketed forms at
+# test scale; refusing large inputs keeps them from ever reaching a
+# production-sized table, where the O(n^2) join is a non-starter.
+QUADRATIC_ORACLE_MAX_ROWS = 100_000
+
+
+def _guard_quadratic(df: DataFrame, what: str) -> None:
+    n = df.count()
+    if n > QUADRATIC_ORACLE_MAX_ROWS:
+        raise ValueError(
+            f"{what} is a quadratic correctness oracle (O(n^2) self-join) and "
+            f"refuses inputs over {QUADRATIC_ORACLE_MAX_ROWS} rows (got {n}). "
+            "Use the LSH/bucketed variant for production scale."
+        )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     vec_col: str,
@@ -424,6 +440,7 @@ def embedding_neardup_pairs(
     base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
 
     if method == "exact":
+        _guard_quadratic(base, "embedding_neardup_pairs(method='exact')")
         left, right = base.alias("l"), base.alias("r")
         pairs = left.join(right, F.col("l.__id") < F.col("r.__id"))
     else:
@@ -444,7 +461,7 @@ def embedding_neardup_pairs(
                 for pl in planes
             ]
         )
-        sketched = base.withColumn("__sig", sig).repartition("__id")
+        sketched = base.withColumn("__sig", sig)
         left, right = sketched.alias("l"), sketched.alias("r")
         pairs = left.join(
             right,
