@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from columnar_spark.session import tune
 from columnar_spark.filters import Filter, FilterType, MvaAggr, compile_filter, to_sql
 from columnar_spark.functions import text as CT
+from columnar_spark.functions.layout import ensure_parallelism
 from columnar_spark.operators import dedup as DD
 from columnar_spark.operators import knn as KNN
 
@@ -807,7 +808,9 @@ FROM base
 
 @_q("doc_text_stats", _TEXT_STATS_SQL)
 def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    # CPU-heavy per-row text expressions: spread an under-partitioned scan
+    # across cores first (no-op on well-partitioned input).
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     t = F.col("text")
     return docs.select(
         "doc_id",
@@ -858,7 +861,9 @@ FROM scored
 
 @_q("doc_lang_fingerprint", _langid_oracle())
 def doc_lang_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    # md5-per-shingle fingerprinting is the most CPU-intense select in the
+    # suite — spread an under-partitioned scan across cores first.
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     t = F.col("text")
     return docs.select(
         "doc_id",
@@ -1048,7 +1053,7 @@ SELECT doc_id, quality FROM scored WHERE quality >= 0.75
 @_q("doc_quality_filter", _QUALITY_FILTER_SQL)
 def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-gate pipeline step: keep docs above a score threshold."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     scored = docs.select("doc_id", CT.quality_score(F.col("text")).alias("quality"))
     return scored.filter(F.col("quality") >= 0.75)
 
@@ -1227,14 +1232,20 @@ def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-exact cross-engine. The quartile array is flattened to scalar
     columns: the driver canonicalizer cannot hash array cells."""
     li = _t(spark, sf_dir, "lineitem")
-    q = F.expr("percentile(l_quantity, array(0.25, 0.5, 0.75, 0.9))")
+    # One percentile aggregate for all four quantity cut-points (projected
+    # to scalars AFTER the agg — four q[i] agg expressions would sort the
+    # column four times).
     return li.agg(
-        q[0].alias("qty_p25"),
-        q[1].alias("qty_p50"),
-        q[2].alias("qty_p75"),
-        q[3].alias("qty_p90"),
+        F.expr("percentile(l_quantity, array(0.25, 0.5, 0.75, 0.9))").alias("__q"),
         F.expr("percentile(l_extendedprice, 0.5)").alias("median_price"),
         F.expr("percentile(l_discount, 0.99)").alias("p99_discount"),
+    ).select(
+        F.col("__q")[0].alias("qty_p25"),
+        F.col("__q")[1].alias("qty_p50"),
+        F.col("__q")[2].alias("qty_p75"),
+        F.col("__q")[3].alias("qty_p90"),
+        "median_price",
+        "p99_discount",
     )
 
 

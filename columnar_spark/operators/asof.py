@@ -21,6 +21,7 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def asof_join(
@@ -44,19 +45,31 @@ def asof_join(
     lcols = left.columns
     if dict(left.dtypes)[left_time] != dict(right.dtypes)[right_time]:
         raise TypeError("left_time and right_time must share a comparable type")
+    # The whole payload rides in ONE struct per right row (never null for a
+    # right row, even when every payload VALUE is null), so a single
+    # last(ignorenulls=True) carries atomically: no stitching of payload
+    # columns from different right rows, and match detection is the struct's
+    # own nullness — a matched row whose payload values are all null still
+    # counts as matched.
     l_tagged = left.select(
         F.col(left_on).alias("__k"),
         F.col(left_time).alias("__t"),
         F.lit(0).alias("__isr"),
         F.struct(*[F.col(c) for c in lcols]).alias("__l"),
-        *[F.lit(None).cast(dict(right.dtypes)[p]).alias(f"__p_{p}") for p in payload],
+        F.lit(None)
+        .cast(
+            T.StructType(
+                [T.StructField(p, right.schema[p].dataType) for p in payload]
+            )
+        )
+        .alias("__p"),
     )
     r_tagged = right.select(
         F.col(right_on).alias("__k"),
         F.col(right_time).alias("__t"),
         F.lit(1).alias("__isr"),
         F.lit(None).cast(l_tagged.schema["__l"].dataType).alias("__l"),
-        *[F.col(p).alias(f"__p_{p}") for p in payload],
+        F.struct(*[F.col(p) for p in payload]).alias("__p"),
     )
     unioned = l_tagged.unionByName(r_tagged)
 
@@ -69,12 +82,12 @@ def asof_join(
     carried = unioned.select(
         "__isr",
         "__l",
-        *[F.last(F.col(f"__p_{p}"), ignorenulls=True).over(w).alias(f"__c_{p}") for p in payload],
+        F.last(F.col("__p"), ignorenulls=True).over(w).alias("__c"),
     )
-    out = carried.filter(F.col("__isr") == 0).select(
-        *[F.col("__l")[c].alias(c) for c in lcols],
-        *[F.col(f"__c_{p}").alias(f"matched_{p}") for p in payload],
-    )
+    out = carried.filter(F.col("__isr") == 0)
     if how == "inner":
-        out = out.filter(F.col(f"matched_{payload[0]}").isNotNull())
-    return out
+        out = out.filter(F.col("__c").isNotNull())
+    return out.select(
+        *[F.col("__l")[c].alias(c) for c in lcols],
+        *[F.col("__c")[p].alias(f"matched_{p}") for p in payload],
+    )

@@ -118,7 +118,10 @@ def minhash_signatures_agg(
     df: DataFrame, id_col: str, shingles: Column, num_hashes: int
 ) -> DataFrame:
     """(id, __sig array<long>) via explode + codegen'd min-aggregates.
-    One shuffle on id; each shingle hashed num_hashes times, exactly once."""
+    One shuffle on id; each shingle hashed num_hashes times, exactly once.
+    (Measured: an ensure_parallelism spread here is a net LOSS locally —
+    the hash work is cheap relative to the extra shuffle's stage overhead;
+    at scale the scan is already wide.)"""
     ex = df.select(F.col(id_col).alias("__id"), F.explode(shingles).alias("__s"))
     aggs = [
         F.min(F.xxhash64(F.col("__s"), F.lit(seed))).alias(f"__h{seed}")
@@ -261,7 +264,7 @@ def feature_hashes(shingles: Column) -> Column:
 
 def simhash_signatures_agg(df: DataFrame, id_col: str, shingles: Column) -> DataFrame:
     """(id, __sim long) via explode + 64 codegen'd vote-sum aggregates —
-    same exactly-once rationale as minhash_signatures_agg."""
+    same exactly-once (and no-spread) rationale as minhash_signatures_agg."""
     ex = df.select(F.col(id_col).alias("__id"), F.explode(shingles).alias("__s")).select(
         "__id", F.xxhash64(F.col("__s")).alias("__hh")
     )

@@ -49,10 +49,14 @@ def build_stats_manifest(df: DataFrame) -> DataFrame:
                 F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls__{c}"),
             ]
         else:
+            # approx_count_distinct (HLL++): the manifest ndv only feeds
+            # selectivity estimates, and a multi-column exact distinct is a
+            # giant aggregate at 100 TB. Exact ndv lives where exactness is
+            # needed — build_value_index on indexed columns (reference E7).
             aggs += [
                 F.min(F.col(c)).cast("string").alias(f"__min__{c}"),
                 F.max(F.col(c)).cast("string").alias(f"__max__{c}"),
-                F.count_distinct(F.col(c)).alias(f"__ndv__{c}"),
+                F.approx_count_distinct(F.col(c)).alias(f"__ndv__{c}"),
                 F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls__{c}"),
             ]
     wide = df.agg(*aggs)
@@ -98,6 +102,66 @@ def estimate_selectivity(manifest_rows: dict[str, dict], f: Filter) -> float:
     else:
         sel = 1.0
     return 1.0 - sel if f.exclude else sel
+
+
+def stats_can_match(manifest_rows: dict[str, dict], f: Filter) -> bool:
+    """Conservative EarlyReject test (reference columnar.cpp:695-704):
+    returns False ONLY when manifest stats *prove* no row can match the
+    filter; any uncertainty returns True. Unlike `estimate_selectivity`
+    (a measure under a uniformity assumption, where a point range on a
+    continuous span legitimately estimates ~0.0), this is an interval-
+    OVERLAP test honoring bound closedness — a degenerate [v, v] range
+    inside [min, max] can always match.
+
+    Null semantics mirror filters.py: a null never matches an inclusive
+    filter; it DOES match the exclude form."""
+    st = manifest_rows.get(f.name)
+    if st is None:
+        return True
+    n = int(st["row_count"] or 0)
+    nulls = int(st["null_count"] or 0)
+
+    if f.exclude:
+        # Exclude matches nulls, so any null row defeats a reject; proving
+        # "every non-null row matches the inner predicate" from min/max
+        # alone is only safe in degenerate cases not worth chasing.
+        if f.type == FilterType.NOTNULL:
+            return nulls > 0  # exclude(NOTNULL) == IS NULL
+        return True
+
+    if f.type == FilterType.NOTNULL:
+        return nulls < n
+
+    # Inclusive value/range filters need at least one non-null value.
+    if nulls >= n:
+        return False
+    if st.get("min") is None or st.get("max") is None:
+        return True  # no min/max stats (array/map column) — cannot prove
+
+    if f.type == FilterType.STRINGS:
+        lo_s, hi_s = str(st["min"]), str(st["max"])
+        return any(lo_s <= s <= hi_s for s in f.strings)
+
+    try:
+        lo_d, hi_d = float(st["min"]), float(st["max"])
+    except (TypeError, ValueError):
+        return True  # non-numeric column with a numeric filter — no proof
+
+    if f.type == FilterType.VALUES:
+        return any(lo_d <= float(v) <= hi_d for v in f.values)
+
+    if f.type in (FilterType.RANGE, FilterType.FLOATRANGE):
+        if f.max_value is not None:
+            hi = float(f.max_value)
+            if hi < lo_d or (hi == lo_d and not f.right_closed):
+                return False
+        if f.min_value is not None:
+            lo = float(f.min_value)
+            if lo > hi_d or (lo == hi_d and not f.left_closed):
+                return False
+        return True
+
+    return True
 
 
 def load_manifest(spark: SparkSession, path: str) -> dict[str, dict]:

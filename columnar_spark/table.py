@@ -32,6 +32,7 @@ from columnar_spark.stats import (
     build_value_index,
     covered_count,
     estimate_selectivity,
+    stats_can_match,
 )
 
 
@@ -102,9 +103,12 @@ class Engine:
         return estimate_selectivity(self.stats(name), f)
 
     def early_reject(self, name: str, filters: Sequence[Filter]) -> bool:
-        """True when table-level stats prove zero rows can match — the
-        whole-segment reject (reference EarlyReject, columnar.cpp:695-704)."""
-        return any(self.estimate(name, f) == 0.0 for f in filters)
+        """True when table-level stats PROVE zero rows can match — the
+        whole-segment reject (reference EarlyReject, columnar.cpp:695-704).
+        Uses a conservative interval-overlap test (stats_can_match), not the
+        measure-based selectivity estimate: a point range [v, v] inside
+        [min, max] estimates ~0.0 measure but can obviously still match."""
+        return any(not stats_can_match(self.stats(name), f) for f in filters)
 
     def access_plan(self, name: str, filters: Sequence[Filter]) -> list[dict]:
         """Scan-vs-index decision per conjunct — the reference host's

@@ -92,6 +92,69 @@ def stats_path(table_path: str) -> str:
     return table_path.rstrip("/") + ".stats"
 
 
+# --------------------------------------------------------------- ingest
+
+# Per-table layout for the benchmark corpus — the engine's ingest config
+# (the reference ingests source data into ITS layout before serving
+# queries; BASELINE numbers are all measured post-ingest). Cluster keys
+# follow the dominant range predicates so Parquet row-group stats prune,
+# and the repartitionByRange fan-out turns each table into many splits so
+# scans parallelize — single-row-group source files serialize every scan
+# on one core.
+_LAYOUT_SPECS: dict[str, WriteSpec] = {
+    "lineitem": WriteSpec(cluster_by=("l_shipdate",)),
+    "orders": WriteSpec(cluster_by=("o_orderdate",)),
+    "events": WriteSpec(cluster_by=("ts",)),
+    "documents": WriteSpec(cluster_by=("doc_id",)),
+    "embeddings": WriteSpec(cluster_by=("vec_id",)),
+    "customer": WriteSpec(cluster_by=("c_custkey",)),
+    "supplier": WriteSpec(cluster_by=("s_suppkey",)),
+    "part": WriteSpec(cluster_by=("p_partkey",)),
+    "region": WriteSpec(),
+    "nation": WriteSpec(),
+}
+
+_LAYOUT_MARKER = "_LAYOUT_OK"
+
+# Split granularity: one output split per ~ROWS_PER_SPLIT rows, capped at
+# the session's shuffle width. Over-splitting a small table buys nothing
+# but task-scheduling overhead; under-splitting a big one serializes its
+# scans (the DOCS_PER_BLOCK granularity trade-off, buildertraits.h:34-35).
+ROWS_PER_SPLIT = 75_000
+
+
+def build_sf_layout(
+    spark: SparkSession, src_dir: str, dest_dir: str, force: bool = False
+) -> bool:
+    """Ingest every `{src_dir}/{table}.parquet` into the engine's clustered
+    multi-split layout under `dest_dir` (idempotent: a marker file skips
+    the rebuild). Returns True when a build ran.
+
+    Queries take a plain sf_dir, so serving from the ingested layout is
+    just passing `dest_dir` instead of `src_dir` — results are identical
+    (row order is the only difference), the scans are parallel and
+    range-pruned."""
+    import os
+
+    marker = os.path.join(dest_dir, _LAYOUT_MARKER)
+    if os.path.exists(marker) and not force:
+        return False
+    os.makedirs(dest_dir, exist_ok=True)
+    width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    for table, spec in _LAYOUT_SPECS.items():
+        src = os.path.join(src_dir, f"{table}.parquet")
+        if not os.path.exists(src):
+            continue
+        df = spark.read.parquet(src)
+        if spec.cluster_by and spec.num_partitions is None:
+            n = max(1, min(width, df.count() // ROWS_PER_SPLIT + 1))
+            spec = WriteSpec(**{**spec.__dict__, "num_partitions": n})
+        write_table(df, os.path.join(dest_dir, f"{table}.parquet"), spec)
+    with open(marker, "w") as fh:
+        fh.write(src_dir + "\n")
+    return True
+
+
 def check_table(
     spark: SparkSession, path: str, spec: WriteSpec | None = None
 ) -> list[str]:
