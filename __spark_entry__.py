@@ -1104,6 +1104,24 @@ def knn_q8_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "label", (F.round(F.col("dist"), 6) + F.lit(0.0)).alias("dist"))
 
 
+@_q("knn_b1_cosine")  # 1-bit quantized (approximate) — rows-only check
+def knn_b1_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIT1 ladder: sign-bit pack (32x storage cut), hamming candidate
+    scan, exact cosine re-rank of k*16 candidates (64-dim corpus needs
+    the oversample — see test_b1_knn_recall_with_rerank)."""
+    from columnar_spark.operators.quantize import binarize_vectors, knn_topk_b1
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    qvec = [float(v) for v in emb.filter(F.col("vec_id") == _KNN_QID).first()["embedding"]]
+    b1 = binarize_vectors(emb, "embedding", dim)
+    out = knn_topk_b1(
+        b1, "embedding_b1", qvec, _KNN_K, id_col="vec_id", vec_col="embedding",
+        rerank_factor=16,
+    )
+    return out.select("vec_id", "label", (F.round(F.col("dist"), 6) + F.lit(0.0)).alias("dist"))
+
+
 @_q("embed_then_knn")  # stub-model pipeline — rows-only check
 def embed_then_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F7 -> F1 composition: embed the corpus, search with doc 0's vector."""

@@ -3,25 +3,41 @@
 The reference ships a Rust sidecar exposing `TextToEmbeddings_i::Convert`
 (knn/knn.h:146-163) with a model registry spanning API providers
 (OpenAI text-embedding-{ada-002,3-small,3-large} — openai.rs:17,87-89;
-Voyage — voyage.rs:17-18; Jina — jina.rs) and local candle models
-(local.rs:7-21), dispatched by model name (mod.rs:27-69).
+Voyage — voyage.rs:17-18; Jina — jina.rs) and local models
+(local.rs:7-21), dispatched by model name (mod.rs:27-69, `Model` enum).
 
 Spark-first re-expression: `embed_text` runs an Arrow-batched
 `mapInPandas` over the text column — the batch interface maps 1:1 onto
-provider batch APIs and local model forward passes. No model weights or
-network exist in this container, so every registry entry is backed by the
-same deterministic hash-projection stub (unit-norm, fixed dim per model);
-`provider="api"/"local"` models raise NotImplementedError at the exact
-call site a real client would occupy. The registry dims mirror the
-reference's real ones so downstream schemas are production-shaped.
+provider batch APIs and local model forward passes. Dispatch mirrors the
+reference (mod.rs:71-80 predict match):
+
+- provider="api": a real HTTP batch client (`ApiEmbedClient`, stdlib
+  urllib — openai.rs:96-122 request shape: POST {input, model} with a
+  Bearer key, read data[].embedding). Runs whenever an API key is
+  present (argument or the provider's conventional env var); without one
+  it raises at the same call site the reference raises its key error.
+  The client is covered by a mocked-transport unit test, the same
+  strategy as the reference's openai_test.rs.
+- provider="local": sentence-transformers forward pass, import-gated
+  like hnswlib (no weights/wheel in this container -> ImportError with
+  guidance; the code path is real).
+- provider="stub": deterministic sha256 hash-projection (unit-norm,
+  fixed dim) — the always-executable path tests and demos use.
+
+The per-partition client instantiation inside mapInPandas means workers
+never pickle sockets/models, and each partition batches its own requests
+— Convert(texts[], threads) ↔ one partition per worker.
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
 import math
+import os
+import urllib.request
 from dataclasses import dataclass
-from typing import Iterator
+from typing import Iterator, Sequence
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -33,23 +49,114 @@ class EmbedModel:
     name: str
     dim: int
     provider: str  # "stub" | "api" | "local"
+    api_url: str | None = None
+    key_env: str | None = None
+    model_id: str | None = None  # provider-side model name
 
 
 # Mirrors the shape of the reference registry (embeddings/src/model/mod.rs:27-69,
-# dims per openai.rs:87-89); only "stub" entries are executable here.
+# dims per openai.rs:87-89; endpoints/env conventions are the providers'
+# public ones, same as the reference's clients).
 MODEL_REGISTRY: dict[str, EmbedModel] = {
     m.name: m
     for m in [
         EmbedModel("stub-64", 64, "stub"),
         EmbedModel("stub-256", 256, "stub"),
-        EmbedModel("openai/text-embedding-ada-002", 1536, "api"),
-        EmbedModel("openai/text-embedding-3-small", 1536, "api"),
-        EmbedModel("openai/text-embedding-3-large", 3072, "api"),
-        EmbedModel("voyage/voyage-3", 1024, "api"),
-        EmbedModel("jina/jina-embeddings-v3", 1024, "api"),
-        EmbedModel("local/bert-base", 768, "local"),
+        EmbedModel(
+            "openai/text-embedding-ada-002", 1536, "api",
+            "https://api.openai.com/v1/embeddings", "OPENAI_API_KEY",
+            "text-embedding-ada-002",
+        ),
+        EmbedModel(
+            "openai/text-embedding-3-small", 1536, "api",
+            "https://api.openai.com/v1/embeddings", "OPENAI_API_KEY",
+            "text-embedding-3-small",
+        ),
+        EmbedModel(
+            "openai/text-embedding-3-large", 3072, "api",
+            "https://api.openai.com/v1/embeddings", "OPENAI_API_KEY",
+            "text-embedding-3-large",
+        ),
+        EmbedModel(
+            "voyage/voyage-3", 1024, "api",
+            "https://api.voyageai.com/v1/embeddings", "VOYAGE_API_KEY", "voyage-3",
+        ),
+        EmbedModel(
+            "jina/jina-embeddings-v3", 1024, "api",
+            "https://api.jina.ai/v1/embeddings", "JINA_API_KEY",
+            "jina-embeddings-v3",
+        ),
+        EmbedModel("local/bert-base", 768, "local", model_id="bert-base-uncased"),
     ]
 }
+
+API_BATCH_SIZE = 128  # texts per HTTP request (providers cap around 2048)
+
+
+class ApiEmbedClient:
+    """Minimal batch client for the OpenAI-compatible /v1/embeddings shape
+    all three reference providers speak (openai.rs:106-122: POST
+    {"input": [...], "model": id} + Authorization: Bearer; response
+    {"data": [{"embedding": [...]}, ...]} ordered by input index).
+
+    `transport` is injectable for tests (mocked like openai_test.rs);
+    the default posts with urllib (stdlib — no extra wheels)."""
+
+    def __init__(
+        self,
+        api_url: str,
+        api_key: str,
+        model_id: str,
+        timeout: float = 10.0,
+        transport=None,
+    ):
+        if not api_key or api_key != api_key.strip():
+            raise ValueError("API key must be non-empty with no surrounding whitespace")
+        self.api_url = api_url
+        self.api_key = api_key
+        self.model_id = model_id
+        self.timeout = timeout
+        self._transport = transport or self._http_post
+
+    def _http_post(self, body: dict) -> dict:
+        req = urllib.request.Request(
+            self.api_url,
+            data=json.dumps(body).encode(),
+            headers={
+                "Authorization": f"Bearer {self.api_key}",
+                "Content-Type": "application/json",
+            },
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+            return json.loads(resp.read())
+
+    def embed(self, texts: Sequence[str]) -> list[list[float]]:
+        out: list[list[float]] = []
+        for start in range(0, len(texts), API_BATCH_SIZE):
+            chunk = list(texts[start : start + API_BATCH_SIZE])
+            payload = self._transport({"input": chunk, "model": self.model_id})
+            rows = sorted(payload["data"], key=lambda d: d.get("index", 0))
+            if len(rows) != len(chunk):
+                raise ValueError(
+                    f"provider returned {len(rows)} embeddings for {len(chunk)} inputs"
+                )
+            out.extend([list(map(float, d["embedding"])) for d in rows])
+        return out
+
+
+def _local_embed(texts: Sequence[str], model_id: str) -> list[list[float]]:
+    """sentence-transformers forward pass — import-gated (local.rs:7-21
+    analog; the wheel/weights are not in this container)."""
+    try:
+        from sentence_transformers import SentenceTransformer
+    except ImportError as e:
+        raise ImportError(
+            f"model {model_id!r} needs the optional 'sentence-transformers' "
+            "package (plus downloaded weights); use a stub-* model here"
+        ) from e
+    model = SentenceTransformer(model_id)
+    return [list(map(float, v)) for v in model.encode(list(texts))]
 
 
 def _stub_embed(text: str, dim: int) -> list[float]:
@@ -68,34 +175,69 @@ def _stub_embed(text: str, dim: int) -> list[float]:
     return [v / n for v in out]
 
 
+def resolve_api_key(spec: EmbedModel, api_key: str | None = None) -> str | None:
+    """Explicit key wins; else the provider's conventional env var."""
+    if api_key:
+        return api_key
+    if spec.key_env:
+        return os.environ.get(spec.key_env) or None
+    return None
+
+
+def embed_batch(
+    texts: Sequence[str],
+    spec: EmbedModel,
+    api_key: str | None = None,
+    transport=None,
+) -> list[list[float]]:
+    """One batch through the dispatched backend — the TextModel::predict
+    match (mod.rs:71-80). Separated from the Spark plumbing so the mocked
+    unit tests exercise exactly what workers run."""
+    if spec.provider == "stub":
+        return [_stub_embed(t or "", spec.dim) for t in texts]
+    if spec.provider == "api":
+        key = resolve_api_key(spec, api_key)
+        if key is None and transport is None:
+            raise RuntimeError(
+                f"model {spec.name!r} needs an API key (pass api_key= or set "
+                f"{spec.key_env}); no network credentials in this environment"
+            )
+        client = ApiEmbedClient(spec.api_url, key or "mocked", spec.model_id, transport=transport)
+        return client.embed(texts)
+    if spec.provider == "local":
+        return _local_embed(texts, spec.model_id)
+    raise ValueError(f"unknown provider {spec.provider!r}")
+
+
 def embed_text(
     df: DataFrame,
     text_col: str,
     model: str = "stub-64",
     out_col: str = "embedding",
+    api_key: str | None = None,
 ) -> DataFrame:
     """Append an embedding column via Arrow-batched mapInPandas.
 
     Batch size follows spark.sql.execution.arrow.maxRecordsPerBatch; the
-    per-batch loop is where a provider client or local model would run
-    (Convert(texts[], threads) ↔ one partition per worker)."""
+    per-batch `embed_batch` call is where the provider client or local
+    model runs (Convert(texts[], threads) ↔ one partition per worker)."""
     if model not in MODEL_REGISTRY:
         raise KeyError(f"unknown model {model!r}; see MODEL_REGISTRY")
     spec = MODEL_REGISTRY[model]
+    # Fail fast on the driver for api models with no key — not per-task.
+    if spec.provider == "api" and resolve_api_key(spec, api_key) is None:
+        raise RuntimeError(
+            f"model {spec.name!r} needs an API key (pass api_key= or set "
+            f"{spec.key_env}); no network credentials in this environment"
+        )
 
     out_fields = [*df.schema.fields, T.StructField(out_col, T.ArrayType(T.FloatType()))]
     out_schema = T.StructType(out_fields)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if spec.provider != "stub":
-                raise NotImplementedError(
-                    f"model {spec.name!r} needs a {spec.provider} backend "
-                    "(network/model weights unavailable in this container); "
-                    "use a stub-* model"
-                )
             pdf = pdf.copy()
-            pdf[out_col] = [_stub_embed(t or "", spec.dim) for t in pdf[text_col]]
+            pdf[out_col] = embed_batch(list(pdf[text_col]), spec, api_key)
             yield pdf
 
     return df.mapInPandas(batches, out_schema)

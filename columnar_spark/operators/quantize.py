@@ -79,6 +79,125 @@ def quantize_vectors(
     return df.withColumn(out_col or f"{vec_col}_q8", quantize_expr(F.col(vec_col), lo, hi))
 
 
+# ----------------------------------------------------------- 1-bit (BIT1)
+#
+# Reference ladder (knn/quantizer.cpp:182-641): BIT1SIMPLE packs raw sign
+# bits (ScalarQuantizer1Bit_c::Encode, quantizer.cpp:191-214); BIT1 packs
+# sign bits of (vector - centroid) with correction factors (RaBitQ-style
+# BinaryQuantizer_c). Search is hamming distance via popcount(xor)
+# (PopCnt, quantizer.cpp:256-270), optionally re-ranked exactly.
+#
+# Spark-first: bits pack into array<bigint> (64 dims/word — a 32x storage
+# cut vs float32), hamming is bit_count(xor) folded over the words, and
+# re-rank reuses exact knn_topk on a k*factor candidate set. Everything
+# stays in codegen'd JVM expressions.
+
+
+def train_binary_centroid(df: DataFrame, vec_col: str) -> list[float]:
+    """Per-dimension mean — the BIT1 centroid (BinaryQuantizer_c quantizes
+    vector-minus-centroid, quantizer.cpp:274+). One posexplode aggregate;
+    the result is dim floats, trivially broadcastable."""
+    rows = (
+        df.select(F.posexplode(F.col(vec_col)).alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("m"))
+        .orderBy("pos")
+        .collect()
+    )
+    return [float(r["m"]) for r in rows]
+
+
+def binarize_expr(vec: Column, dim: int, centroid: Sequence[float] | None = None) -> Column:
+    """Sign-bit pack: array<float>[dim] -> array<bigint>[ceil(dim/64)].
+    Bit b of word w is set when component (w*64 + b) > 0 (or > centroid
+    component when a centroid is given — the BIT1 form)."""
+    n_words = (dim + 63) // 64
+    words = []
+    for w in range(n_words):
+        acc = F.lit(0).cast("long")
+        for b in range(min(64, dim - w * 64)):
+            comp = F.element_at(vec, w * 64 + b + 1).cast("double")
+            thresh = float(centroid[w * 64 + b]) if centroid is not None else 0.0
+            acc = acc.bitwiseOR(
+                F.when(
+                    comp > thresh, F.shiftleft(F.lit(1).cast("long"), b)
+                ).otherwise(F.lit(0).cast("long"))
+            )
+        words.append(acc)
+    return F.array(*words)
+
+
+def binarize_py(vec: Sequence[float], centroid: Sequence[float] | None = None) -> list[int]:
+    """Driver-side query binarization, bit-identical to binarize_expr
+    (signed-long word values)."""
+    words = []
+    for w in range((len(vec) + 63) // 64):
+        acc = 0
+        for b in range(min(64, len(vec) - w * 64)):
+            thresh = centroid[w * 64 + b] if centroid is not None else 0.0
+            if float(vec[w * 64 + b]) > thresh:
+                acc |= 1 << b
+        if acc >= 1 << 63:
+            acc -= 1 << 64
+        words.append(acc)
+    return words
+
+
+def hamming_words(a: Column, b: Column) -> Column:
+    """Hamming distance between two packed sign-bit arrays — the PopCnt
+    search kernel (quantizer.cpp:256-270) as bit_count(xor) folded over
+    the words."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+
+
+def binarize_vectors(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    centroid: Sequence[float] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Write-path step: add the packed sign-bit column."""
+    return df.withColumn(
+        out_col or f"{vec_col}_b1", binarize_expr(F.col(vec_col), dim, centroid)
+    )
+
+
+def knn_topk_b1(
+    df: DataFrame,
+    b1_col: str,
+    query_vec: Sequence[float],
+    k: int,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str | None = None,
+    rerank_factor: int = 4,
+    centroid: Sequence[float] | None = None,
+) -> DataFrame:
+    """Top-k over the packed sign-bit column by hamming distance.
+
+    With `vec_col` given, the hamming scan selects k*rerank_factor
+    candidates (TakeOrdered — no full shuffle) and exact knn_topk
+    re-ranks them on the float vectors, the reference's rescoring step;
+    without it, raw hamming order is returned with the distance in
+    `dist` (BIT1SIMPLE behavior)."""
+    q = binarize_py(query_vec, centroid)
+    qlit = F.array(*[F.lit(w).cast("long") for w in q])
+    cand = df.withColumn("__ham", hamming_words(F.col(b1_col), qlit))
+    if vec_col is None:
+        return (
+            cand.orderBy(F.col("__ham").asc(), F.col(id_col).asc())
+            .limit(k)
+            .withColumnRenamed("__ham", "dist")
+        )
+    cand = cand.orderBy(F.col("__ham").asc(), F.col(id_col).asc()).limit(k * rerank_factor)
+    return knn_topk(cand, vec_col, query_vec, k, metric=metric, id_col=id_col).drop("__ham")
+
+
 def knn_topk_q8(
     df: DataFrame,
     qvec_col: str,

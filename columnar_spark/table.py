@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 
 from columnar_spark.catalog import load_table
 from columnar_spark.filters import Filter, apply_filters, compile_filters
-from columnar_spark.operators.knn import knn_topk
+from columnar_spark.operators.knn import knn_topk, knn_topk_ivf, train_centroids
 from columnar_spark.plans.explain import AccessPathReport, access_path_report
 from columnar_spark.session import tune
 from columnar_spark.stats import (
@@ -43,6 +43,7 @@ class Engine:
         self._tables: dict[str, DataFrame] = {}
         self._value_indexes: dict[tuple[str, str], DataFrame] = {}
         self._manifests: dict[str, dict[str, dict]] = {}
+        self._knn_indexes: dict[tuple[str, str], list[list[float]]] = {}
 
     # ------------------------------------------------------------ catalog
 
@@ -131,6 +132,48 @@ class Engine:
 
     # ---------------------------------------------------------------- knn
 
+    def train_knn_index(
+        self, name: str, vec_col: str, n_clusters: int = 16, max_iter: int = 10
+    ) -> None:
+        """Build the IVF centroid index for (table, vec_col) — the A12
+        index-build step. Centroids are a few KB: kept driver-side and
+        broadcast into probe plans."""
+        self._knn_indexes[(name, vec_col)] = train_centroids(
+            self.table(name), vec_col, n_clusters=n_clusters, max_iter=max_iter
+        )
+
+    def knn_access_path(
+        self,
+        name: str,
+        vec_col: str,
+        filters: Sequence[Filter] = (),
+        k: int = 10,
+        ef: int = 64,
+    ) -> str:
+        """'fullscan' (exact filter-then-rank) vs 'ivf' (approximate probe)
+        — ShouldUseFullscan parity (knn/knn.cpp:216-217, which defers to
+        the graph's bypass-for-filtered-search heuristic).
+
+        Cost model: an approximate search inspects ~max(ef, k)·log2(N)
+        candidates; an exact scan inspects the filter's expected survivors
+        (selectivity × N, from the stats manifest). When the filter is so
+        selective that brute-forcing its survivors is cheaper, use the
+        exact path — it is also better-quality (no recall loss)."""
+        import math
+
+        if (name, vec_col) not in self._knn_indexes:
+            return "fullscan"
+        if not filters:
+            return "ivf"
+        stats = self.stats(name)
+        n = max(int(next(iter(stats.values()))["row_count"]), 1)
+        sel = 1.0
+        for f in filters:
+            sel *= self.estimate(name, f)
+        survivors = sel * n
+        graph_cost = max(ef, k) * max(1.0, math.log2(max(n, 2)))
+        return "fullscan" if survivors <= graph_cost else "ivf"
+
     def knn(
         self,
         name: str,
@@ -140,11 +183,27 @@ class Engine:
         metric: str = "cosine",
         id_col: str = "vec_id",
         filters: Sequence[Filter] = (),
+        mode: str = "auto",
+        nprobe: int = 8,
     ) -> DataFrame:
+        """KNN with automatic access-path choice: mode='auto' consults
+        knn_access_path; 'exact'/'ivf' force a path."""
         df = self.table(name)
         pre: Column | None = None
         if filters:
             pre = compile_filters(filters, df.schema)
+        if mode == "auto":
+            mode = "exact" if self.knn_access_path(name, vec_col, filters, k) == "fullscan" else "ivf"
+        if mode == "ivf":
+            centroids = self._knn_indexes.get((name, vec_col))
+            if centroids is None:
+                raise ValueError(
+                    f"no IVF index for ({name}, {vec_col}); call train_knn_index first"
+                )
+            probe_df = df.filter(pre) if pre is not None else df
+            return knn_topk_ivf(
+                probe_df, vec_col, query_vec, k, centroids, nprobe, metric, id_col
+            )
         return knn_topk(df, vec_col, query_vec, k, metric, id_col, pre)
 
     # ------------------------------------------------------------ explain

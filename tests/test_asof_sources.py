@@ -71,3 +71,23 @@ def test_read_csv_json_with_declared_schema(spark, tmp_path_factory):
         assert df.schema == declare_schema(attrs)
         rows = {r["id"]: (r["name"], r["score"]) for r in df.collect()}
         assert rows == {1: ("alpha", 1.5), 2: ("beta", 2.5)}
+
+
+def test_asof_null_payload_value_still_matches(spark):
+    """A matched right row whose payload VALUES are null must survive an
+    inner as-of join (the payload struct is non-null for any right row),
+    and payload columns must never stitch across different right rows."""
+    from columnar_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10), (1, 20)], "k int, t int")
+    right = spark.createDataFrame(
+        [(1, 5, None, "a"), (1, 15, 7, None)],
+        "k int, t int, x int, y string",
+    )
+    out = asof_join(left, right, "k", "k", "t", "t", ["x", "y"], how="inner")
+    rows = {r["t"]: (r["matched_x"], r["matched_y"]) for r in out.collect()}
+    # t=10 matches the t=5 right row: x null, y='a' — survives inner, and
+    # x must NOT be stitched from any other row.
+    assert rows[10] == (None, "a")
+    # t=20 matches t=15 atomically: (7, None), never (7, 'a').
+    assert rows[20] == (7, None)

@@ -60,3 +60,46 @@ def test_engine_explain(eng):
     fs = [Filter("l_shipdate", FilterType.RANGE, min_value="1997-01-01")]
     rep = eng.explain(eng.scan("lineitem", fs, select=["l_orderkey"]))
     assert any("l_shipdate" in p for p in rep.pushed_filters)
+
+
+def test_early_reject_is_conservative_overlap(eng):
+    # A point range inside [min, max] estimates ~0 measure but CAN match:
+    # the reject must be an overlap proof, not a selectivity estimate.
+    f_point = Filter("l_quantity", FilterType.RANGE, min_value=25, max_value=25)
+    assert not eng.early_reject("lineitem", [f_point])
+    # Bound exactly at the column max, inclusive: can match.
+    mx = float(eng.stats("lineitem")["l_quantity"]["max"])
+    f_at_max = Filter("l_quantity", FilterType.RANGE, min_value=mx)
+    assert not eng.early_reject("lineitem", [f_at_max])
+    # Same bound exclusive: provably empty.
+    f_above_max = Filter("l_quantity", FilterType.RANGE, min_value=mx, left_closed=False)
+    assert eng.early_reject("lineitem", [f_above_max])
+    # Exclude forms match nulls — never rejected from min/max alone.
+    f_excl = Filter(
+        "l_quantity", FilterType.RANGE, min_value=1000, max_value=2000, exclude=True
+    )
+    assert not eng.early_reject("lineitem", [f_excl])
+    # VALUES entirely outside the domain: provably empty.
+    f_vals = Filter("l_quantity", FilterType.VALUES, values=(100000, 200000))
+    assert eng.early_reject("lineitem", [f_vals])
+
+
+def test_knn_access_path_flips_with_selectivity(eng):
+    # No IVF index trained -> always fullscan.
+    assert eng.knn_access_path("embeddings", "embedding") == "fullscan"
+    eng.train_knn_index("embeddings", "embedding", n_clusters=4)
+    # Unfiltered -> approximate probe.
+    assert eng.knn_access_path("embeddings", "embedding") == "ivf"
+    # At sf0.001 (tiny N) the cost model rightly brute-forces everything
+    # under default k/ef; pass a small ef so the flip itself is exercised.
+    # Highly selective filter -> brute-forcing survivors is cheaper (and
+    # exact): fullscan, the ShouldUseFullscan bypass.
+    selective = [Filter("vec_id", FilterType.RANGE, min_value=0, max_value=3)]
+    assert eng.knn_access_path("embeddings", "embedding", selective, k=2, ef=2) == "fullscan"
+    # Broad filter -> stay approximate.
+    broad = [Filter("vec_id", FilterType.RANGE)]
+    assert eng.knn_access_path("embeddings", "embedding", broad, k=2, ef=2) == "ivf"
+    # mode='auto' executes the chosen path end-to-end.
+    q = [0.1] * 64
+    rows = eng.knn("embeddings", "embedding", q, k=3, filters=selective, mode="auto").collect()
+    assert len(rows) == 3 and all(0 <= r["vec_id"] <= 3 for r in rows)

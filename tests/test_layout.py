@@ -58,3 +58,24 @@ def test_bloom_filter_write_option(spark, tmp_path_factory):
     write_table(df, path, WriteSpec(bloom_cols=["k"]))
     got = spark.read.parquet(path)
     assert got.count() == 1000 and "k" in got.columns
+
+
+def test_salted_join_rejects_outer_modes(spark):
+    from columnar_spark.functions.layout import salted_join
+
+    df = spark.range(10).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError, match="salted_join supports"):
+        salted_join(df, df, "k", how="right")
+    with pytest.raises(ValueError, match="salted_join supports"):
+        salted_join(df, df, "k", how="full_outer")
+
+
+def test_ensure_parallelism_adaptive(spark):
+    from columnar_spark.functions.layout import ensure_parallelism
+
+    narrow = spark.range(100).coalesce(1)
+    spread = ensure_parallelism(narrow)
+    assert spread.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    assert spread.count() == 100
+    wide = spark.range(100).repartition(spark.sparkContext.defaultParallelism)
+    assert ensure_parallelism(wide) is wide  # no-op on well-partitioned input
