@@ -1,0 +1,176 @@
+"""Index-covered COUNT rewrite — SURVEY §4 custom-rule shortlist #1.
+
+Reference behavior: a COUNT(*) whose predicate is covered by a secondary
+index is answered from the index alone (CalcCount,
+secondary/secondary.cpp:531-551) — no base-table scan.
+
+Spark-first placement: a true Catalyst rule needs a JVM extension jar
+(`spark.sql.extensions` + an injected `Rule[LogicalPlan]` — the public
+production route, not expressible from Python). The engine therefore
+applies the rewrite at its SQL entry point: `Engine.sql(q)` parses the
+COUNT pattern, and when every WHERE conjunct targets ONE column with a
+built value index, returns a plan over the few-KB index table — the base
+scan disappears (assertable via explain). Anything it cannot prove
+eligible falls through to `spark.sql(q)` untouched, so the rewrite is
+strictly an optimization, never a semantics change.
+
+Covered grammar (single table, conjuncts on one column):
+
+    SELECT COUNT(*) [AS alias] FROM t
+    WHERE col (= | <> | != | < | <= | > | >=) lit
+        | col IN (lit, ...)
+        | col BETWEEN lit AND lit
+        | col IS NOT NULL
+        [AND ...same column...]
+
+Null semantics match the engine's filter model (filters.py): the value
+index materializes every (value, count) pair including NULL, inclusive
+predicates never match NULL, excludes do.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from columnar_spark.filters import Filter, FilterType, compile_filter
+
+_COUNT_RE = re.compile(
+    r"^\s*SELECT\s+COUNT\s*\(\s*\*\s*\)(?:\s+AS\s+(?P<alias>\w+))?\s+"
+    r"FROM\s+(?P<table>\w+)\s+WHERE\s+(?P<pred>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_LIT = r"(?:'(?:[^']*)'|-?\d+(?:\.\d+)?)"
+_TERM_RES = {
+    "cmp": re.compile(
+        rf"^(?P<col>\w+)\s*(?P<op><=|>=|<>|!=|=|<|>)\s*(?P<lit>{_LIT})$", re.IGNORECASE
+    ),
+    "in": re.compile(
+        rf"^(?P<col>\w+)\s+IN\s*\(\s*(?P<items>{_LIT}(?:\s*,\s*{_LIT})*)\s*\)$",
+        re.IGNORECASE,
+    ),
+    "between": re.compile(
+        rf"^(?P<col>\w+)\s+BETWEEN\s+(?P<lo>{_LIT})\s+AND\s+(?P<hi>{_LIT})$",
+        re.IGNORECASE,
+    ),
+    "notnull": re.compile(r"^(?P<col>\w+)\s+IS\s+NOT\s+NULL$", re.IGNORECASE),
+}
+
+
+@dataclass
+class CountRewrite:
+    table: str
+    column: str
+    filters: list[Filter]
+    alias: str
+
+
+def _parse_lit(s: str):
+    if s.startswith("'"):
+        return s[1:-1]
+    return float(s) if "." in s else int(s)
+
+
+def _split_conjuncts(pred: str) -> list[str] | None:
+    """Split on top-level AND (outside parens). BETWEEN's inner AND is
+    protected by consuming BETWEEN terms before splitting."""
+    # Mask BETWEEN ... AND ... spans so the split doesn't break them.
+    masked = re.sub(
+        rf"BETWEEN\s+({_LIT})\s+AND\s+({_LIT})",
+        lambda m: f"BETWEEN {m.group(1)} \x00 {m.group(2)}",
+        pred,
+        flags=re.IGNORECASE,
+    )
+    if "(" in masked and " IN" not in masked.upper():
+        return None
+    parts = re.split(r"\s+AND\s+", masked, flags=re.IGNORECASE)
+    return [p.replace("\x00", "AND").strip() for p in parts]
+
+
+def _term_to_filter(term: str) -> Filter | None:
+    m = _TERM_RES["notnull"].match(term)
+    if m:
+        return Filter(m.group("col"), FilterType.NOTNULL)
+    m = _TERM_RES["between"].match(term)
+    if m:
+        lo, hi = _parse_lit(m.group("lo")), _parse_lit(m.group("hi"))
+        if isinstance(lo, str) or isinstance(hi, str):
+            return None  # string ranges: fall through to Spark
+        return Filter(m.group("col"), FilterType.RANGE, min_value=lo, max_value=hi)
+    m = _TERM_RES["in"].match(term)
+    if m:
+        items = [_parse_lit(x.strip()) for x in m.group("items").split(",")]
+        if all(isinstance(v, str) for v in items):
+            return Filter(m.group("col"), FilterType.STRINGS, strings=items)
+        if any(isinstance(v, str) for v in items):
+            return None
+        return Filter(m.group("col"), FilterType.VALUES, values=items)
+    m = _TERM_RES["cmp"].match(term)
+    if m:
+        col, op, lit = m.group("col"), m.group("op"), _parse_lit(m.group("lit"))
+        if op == "=":
+            if isinstance(lit, str):
+                return Filter(col, FilterType.STRINGS, strings=[lit])
+            return Filter(col, FilterType.VALUES, values=[lit])
+        if op in ("<>", "!="):
+            if isinstance(lit, str):
+                return Filter(col, FilterType.STRINGS, strings=[lit], exclude=True)
+            return Filter(col, FilterType.VALUES, values=[lit], exclude=True)
+        if isinstance(lit, str):
+            return None
+        if op == "<":
+            return Filter(col, FilterType.RANGE, max_value=lit, right_closed=False)
+        if op == "<=":
+            return Filter(col, FilterType.RANGE, max_value=lit)
+        if op == ">":
+            return Filter(col, FilterType.RANGE, min_value=lit, left_closed=False)
+        if op == ">=":
+            return Filter(col, FilterType.RANGE, min_value=lit)
+    return None
+
+
+def parse_covered_count(sql: str) -> CountRewrite | None:
+    """Return the rewrite description when `sql` matches the covered
+    grammar with all conjuncts on one column; else None."""
+    m = _COUNT_RE.match(sql)
+    if not m:
+        return None
+    terms = _split_conjuncts(m.group("pred"))
+    if not terms:
+        return None
+    filters = []
+    for t in terms:
+        f = _term_to_filter(t)
+        if f is None:
+            return None
+        filters.append(f)
+    cols = {f.name for f in filters}
+    if len(cols) != 1:
+        return None
+    return CountRewrite(
+        table=m.group("table"),
+        column=cols.pop(),
+        filters=filters,
+        alias=m.group("alias") or "count(1)",
+    )
+
+
+def covered_count_df(index_df: DataFrame, filters: list[Filter], alias: str) -> DataFrame:
+    """COUNT(*) answered from the value->count index: filter the index
+    rows by every conjunct, sum the counts. The plan touches ONLY the
+    index relation."""
+    col_name = filters[0].name
+    renamed = index_df.withColumnRenamed("value", col_name)
+    pred = None
+    for f in filters:
+        if f.mva.value != "none":
+            raise ValueError("MVA filters are not index-covered")
+        c = compile_filter(f, renamed.select(col_name).schema)
+        pred = c if pred is None else (pred & c)
+    return renamed.filter(pred).agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias(alias)
+    )

@@ -73,9 +73,23 @@ class Engine:
 
     # -------------------------------------------------------------- count
 
-    def build_value_index(self, name: str, col: str) -> None:
-        """Materialize the E6/E7 value->count index for (table, col)."""
-        self._value_indexes[(name, col)] = build_value_index(self.table(name), col).cache()
+    def build_value_index(self, name: str, col: str, max_local_rows: int = 100_000) -> None:
+        """Build the E6/E7 value->count index for (table, col) — EAGER,
+        like the reference's index build (secondary/builder.cpp:849+).
+
+        A low/medium-cardinality index (the intended use; a few KB) is
+        collected into a driver-local relation, so plans over it contain
+        NO base-table reference at all — the analog of CalcCount reading
+        the index artifact instead of the table. Indexes too big to hold
+        driver-side stay as a cached distributed DataFrame (still
+        index-only at execution; its printed lineage keeps the build
+        scan)."""
+        idx = build_value_index(self.table(name), col)
+        if idx.count() <= max_local_rows:
+            idx = self.spark.createDataFrame(idx.collect(), idx.schema)
+        else:
+            idx = idx.cache()
+        self._value_indexes[(name, col)] = idx
 
     def count(self, name: str, filters: Sequence[Filter] = ()) -> int:
         """COUNT(*) with filters; answered from a value index alone when a
@@ -87,6 +101,37 @@ class Engine:
                 if n is not None:
                     return n
         return self.scan(name, filters).count()
+
+    # ---------------------------------------------------------------- sql
+
+    def register_views(self, names: Sequence[str] = ()) -> None:
+        """Expose tables as temp views for Engine.sql / spark.sql."""
+        for n in names:
+            self.table(n).createOrReplaceTempView(n)
+
+    def sql(self, query: str) -> DataFrame:
+        """SQL entry point with the index-covered COUNT rewrite (SURVEY §4
+        shortlist #1; reference CalcCount, secondary.cpp:531-551): a
+        COUNT(*) whose WHERE conjuncts all target one column with a built
+        value index is answered from the few-KB index table — the base
+        scan disappears from the plan. Everything else runs unchanged
+        through spark.sql. (A JVM `spark.sql.extensions` rule is the
+        production placement; Python cannot inject Catalyst rules, so the
+        engine's SQL surface hosts the rewrite.)"""
+        from columnar_spark.plans.count_rewrite import (
+            covered_count_df,
+            parse_covered_count,
+        )
+
+        rw = parse_covered_count(query)
+        if rw is not None:
+            idx = self._value_indexes.get((rw.table, rw.column))
+            if idx is not None:
+                try:
+                    return covered_count_df(idx, rw.filters, rw.alias)
+                except Exception:
+                    pass  # conservative: any doubt -> run the plain plan
+        return self.spark.sql(query)
 
     # -------------------------------------------------------------- stats
 

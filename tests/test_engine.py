@@ -103,3 +103,40 @@ def test_knn_access_path_flips_with_selectivity(eng):
     q = [0.1] * 64
     rows = eng.knn("embeddings", "embedding", q, k=3, filters=selective, mode="auto").collect()
     assert len(rows) == 3 and all(0 <= r["vec_id"] <= 3 for r in rows)
+
+
+def test_sql_count_rewrite_drops_base_scan(eng):
+    """Engine.sql answers an index-covered COUNT(*) from the value index
+    alone: the parquet base relation disappears from the physical plan."""
+    eng.register_views(["lineitem"])
+    eng.build_value_index("lineitem", "l_returnflag")
+
+    q = "SELECT COUNT(*) AS n FROM lineitem WHERE l_returnflag = 'R'"
+    rewritten = eng.sql(q)
+    plain = eng.spark.sql(q)
+    assert rewritten.first()["n"] == plain.first()["n"]
+    plan = rewritten._jdf.queryExecution().executedPlan().toString()
+    assert "lineitem.parquet" not in plan, plan  # base scan gone
+
+    # Conjuncts on one column still rewrite (range + exclude forms).
+    q2 = "SELECT COUNT(*) AS n FROM lineitem WHERE l_returnflag <> 'R' AND l_returnflag IS NOT NULL"
+    r2 = eng.sql(q2)
+    assert r2.first()["n"] == eng.spark.sql(q2).first()["n"]
+    assert "lineitem.parquet" not in r2._jdf.queryExecution().executedPlan().toString()
+
+    # Non-covered column: falls through, base scan present, same answer.
+    q3 = "SELECT COUNT(*) AS n FROM lineitem WHERE l_quantity BETWEEN 10 AND 20"
+    r3 = eng.sql(q3)
+    assert "lineitem" in r3._jdf.queryExecution().executedPlan().toString()
+    assert r3.first()["n"] == eng.spark.sql(q3).first()["n"]
+
+    # Multi-column predicate: not covered, falls through.
+    q4 = "SELECT COUNT(*) AS n FROM lineitem WHERE l_returnflag = 'R' AND l_quantity < 10"
+    assert eng.sql(q4).first()["n"] == eng.spark.sql(q4).first()["n"]
+
+    # Numeric-column coverage: build, rewrite, compare.
+    eng.build_value_index("lineitem", "l_linenumber")
+    q5 = "SELECT COUNT(*) AS n FROM lineitem WHERE l_linenumber BETWEEN 2 AND 4"
+    r5 = eng.sql(q5)
+    assert r5.first()["n"] == eng.spark.sql(q5).first()["n"]
+    assert "lineitem.parquet" not in r5._jdf.queryExecution().executedPlan().toString()
