@@ -62,14 +62,27 @@ def knn_topk(
     id_col: str = "vec_id",
     pre_filter: Column | None = None,
     dist_col: str = "dist",
+    observation=None,
 ) -> DataFrame:
     """Exact top-k nearest rows. Filter-then-rank, the natural Spark plan
     for the reference's filtered-KNN (knn/knn.h:87-94): the predicate is
-    pushed to the scan, distances are only computed for survivors."""
+    pushed to the scan, distances are only computed for survivors.
+
+    `observation` (a pyspark Observation) collects search stats on the
+    ranked set — rows_ranked (= distance computations, the reference's
+    pDistanceComputations counter, knn/knn.h:117) and the min/max
+    distance seen — available via observation.get after an action."""
     out = df
     if pre_filter is not None:
         out = out.filter(pre_filter)
     out = out.withColumn(dist_col, distance_expr(F.col(vec_col), query_vec, metric))
+    if observation is not None:
+        out = out.observe(
+            observation,
+            F.count(F.lit(1)).alias("rows_ranked"),
+            F.min(dist_col).alias("min_dist"),
+            F.max(dist_col).alias("max_dist"),
+        )
     # Deterministic tie-break on id keeps results stable across engines.
     return out.orderBy(F.col(dist_col).asc(), F.col(id_col).asc()).limit(k)
 
@@ -110,30 +123,42 @@ def knn_topk_partitioned_ann(
     id_col: str = "vec_id",
     ef: int = 64,
     M: int = 16,
+    backend: str = "auto",
 ) -> DataFrame:
     """Per-partition HNSW ANN + global top-k merge — the reference's graph
     search (knn/knn.cpp:411-540, hnswlib M=16/efConstruction=200 defaults
     per knn/knn.h:48-55) re-expressed for a cluster: each partition builds
-    a transient hnswlib index over its rows inside mapInPandas, emits its
+    a transient HNSW index over its rows inside mapInPandas, emits its
     local top-k, and TakeOrderedAndProject merges k x partitions rows.
 
-    Requires the optional `hnswlib` wheel (NOT shipped in this
-    environment — raises ImportError with guidance; `knn_topk` is the
-    always-available exact path, `knn_topk_ivf` the pruning path)."""
-    try:
-        import hnswlib  # noqa: F401
-    except ImportError as e:
-        raise ImportError(
-            "knn_topk_partitioned_ann needs the optional 'hnswlib' package; "
-            "use knn_topk (exact) or knn_topk_ivf (cluster-pruned) instead"
-        ) from e
-
+    backend: 'hnswlib' (C++ wheel), 'python' (operators.hnsw_py — the
+    same published algorithm, numpy-backed, partition-size-guarded), or
+    'auto' (hnswlib when importable, python otherwise) — so the graph-ANN
+    path is executable and recall-tested even without the optional
+    wheel."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
+    if backend not in ("auto", "hnswlib", "python"):
+        raise ValueError(f"backend must be auto|hnswlib|python, got {backend!r}")
+    if backend in ("auto", "hnswlib"):
+        try:
+            import hnswlib  # noqa: F401
+
+            backend = "hnswlib"
+        except ImportError:
+            if backend == "hnswlib":
+                raise ImportError(
+                    "backend='hnswlib' needs the optional 'hnswlib' package; "
+                    "use backend='auto'/'python', knn_topk (exact) or "
+                    "knn_topk_ivf (cluster-pruned)"
+                ) from None
+            backend = "python"
+
     space = {"l2": "l2", "ip": "ip", "cosine": "cosine"}[metric]
     q = np.asarray(query_vec, dtype=np.float32)
+    use_hnswlib = backend == "hnswlib"
 
     out_schema = T.StructType(
         [
@@ -143,8 +168,6 @@ def knn_topk_partitioned_ann(
     )
 
     def batches(it):
-        import hnswlib
-
         ids_all, vecs_all = [], []
         for pdf in it:
             ids_all.extend(int(v) for v in pdf[id_col])
@@ -152,12 +175,23 @@ def knn_topk_partitioned_ann(
         if not ids_all:
             return
         mat = np.asarray(list(vecs_all), dtype=np.float32)
-        index = hnswlib.Index(space=space, dim=mat.shape[1])
-        index.init_index(max_elements=len(ids_all), ef_construction=200, M=M)
-        index.add_items(mat, np.asarray(ids_all))
-        index.set_ef(max(ef, k))
-        labels, dists = index.knn_query(q, k=min(k, len(ids_all)))
-        yield pd.DataFrame({id_col: labels[0], "dist": dists[0].astype(float)})
+        if use_hnswlib:
+            import hnswlib
+
+            index = hnswlib.Index(space=space, dim=mat.shape[1])
+            index.init_index(max_elements=len(ids_all), ef_construction=200, M=M)
+            index.add_items(mat, np.asarray(ids_all))
+            index.set_ef(max(ef, k))
+            labels, dists = index.knn_query(q, k=min(k, len(ids_all)))
+            yield pd.DataFrame({id_col: labels[0], "dist": dists[0].astype(float)})
+        else:
+            from columnar_spark.operators.hnsw_py import build_index
+
+            index = build_index(ids_all, mat, metric=space, M=M)
+            hits = index.search(q, k=min(k, len(ids_all)), ef=max(ef, k))
+            yield pd.DataFrame(
+                {id_col: [h[0] for h in hits], "dist": [float(h[1]) for h in hits]}
+            )
 
     local = df.select(id_col, vec_col).mapInPandas(batches, out_schema)
     return local.orderBy(F.col("dist").asc(), F.col(id_col).asc()).limit(k)

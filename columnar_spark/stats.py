@@ -194,3 +194,27 @@ def covered_count(index_df: DataFrame, f: Filter) -> int | None:
 def count_distinct_from_index(index_df: DataFrame) -> int:
     """E7 parity: count-distinct in O(index size)."""
     return index_df.count()
+
+
+# --------------------------------------------------------- posting lists
+
+def build_posting_index(df: DataFrame, col: str, id_col: str) -> DataFrame:
+    """A11 secondary-index artifact: value -> sorted row-id postings
+    (+ count). The reference's SI stores per-value compressed row-id
+    blocks (secondary/builder.cpp:849+); here each posting list is a
+    sorted array column, written/partitioned like any table. Intended for
+    low/medium-cardinality columns — a pathologically hot value
+    concentrates its postings in one row (document the skew; the
+    reference has the same hot-posting block chains)."""
+    return df.groupBy(F.col(col).alias("value")).agg(
+        F.sort_array(F.collect_list(id_col)).alias("postings"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+def point_lookup(index_df: DataFrame, value) -> DataFrame:
+    """E2 VALUES lookup answered from the posting index alone: one index
+    row explodes to the matching row ids — no base-table scan."""
+    return index_df.filter(F.col("value") == value).select(
+        F.explode("postings").alias("row_id")
+    )

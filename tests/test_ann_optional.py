@@ -1,7 +1,10 @@
-"""Optional-dependency ANN path: gated cleanly, exact under the lib."""
+"""Graph-ANN path: hnswlib backend when the wheel exists, pure-python
+HNSW (operators.hnsw_py) everywhere — the graph search is executed and
+recall-tested in every environment."""
 
 import importlib.util
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -12,17 +15,62 @@ HAS_HNSWLIB = importlib.util.find_spec("hnswlib") is not None
 
 
 @pytest.mark.skipif(HAS_HNSWLIB, reason="hnswlib present: gate test n/a")
-def test_ann_gate_raises_with_guidance(spark):
+def test_ann_hnswlib_backend_raises_with_guidance(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     with pytest.raises(ImportError, match="hnswlib"):
-        knn_topk_partitioned_ann(emb, "embedding", [0.0] * 64, 5)
+        knn_topk_partitioned_ann(emb, "embedding", [0.0] * 64, 5, backend="hnswlib")
 
 
 @pytest.mark.skipif(not HAS_HNSWLIB, reason="hnswlib not installed")
-def test_ann_recall_vs_exact(spark):
+def test_ann_recall_vs_exact_hnswlib(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     q = [float(v) for v in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
     exact = {r["vec_id"] for r in knn_topk(emb, "embedding", q, 10).collect()}
     ann = {r["vec_id"] for r in
-           knn_topk_partitioned_ann(emb, "embedding", q, 10).collect()}
+           knn_topk_partitioned_ann(emb, "embedding", q, 10, backend="hnswlib").collect()}
     assert len(exact & ann) >= 9
+
+
+def test_py_hnsw_index_recall_vs_bruteforce():
+    """Always-run recall gate for the pure-python HNSW itself, on a
+    deterministic synthetic corpus."""
+    from columnar_spark.operators.hnsw_py import HnswIndex
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(800, 32).astype(np.float32)
+    index = HnswIndex(32, metric="l2", M=16, ef_construction=100, seed=1)
+    for i in range(len(vecs)):
+        index.add(vecs[i], i)
+
+    hits = total = 0
+    for qi in (3, 77, 501):
+        q = vecs[qi] + rng.randn(32).astype(np.float32) * 0.05
+        d2 = np.sum((vecs - q) ** 2, axis=1)
+        exact = set(np.argsort(d2)[:10].tolist())
+        got = {label for label, _ in index.search(q, 10, ef=80)}
+        hits += len(exact & got)
+        total += 10
+    assert hits / total >= 0.9, f"py-HNSW recall@10 = {hits/total:.2f} < 0.9"
+
+
+def test_py_hnsw_partition_guard():
+    from columnar_spark.operators.hnsw_py import build_index
+
+    with pytest.raises(ValueError, match="refuses partitions"):
+        build_index(list(range(200_001)), np.zeros((200_001, 2), dtype=np.float32))
+
+
+def test_ann_recall_vs_exact_python_backend(spark):
+    """End-to-end per-partition graph search through mapInPandas with the
+    python backend — the executed coverage for the reference's core
+    search structure (knn/knn.cpp:411-540) in wheel-less environments."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = [float(v) for v in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
+    exact = {r["vec_id"] for r in knn_topk(emb, "embedding", q, 10).collect()}
+    ann = {
+        r["vec_id"]
+        for r in knn_topk_partitioned_ann(
+            emb, "embedding", q, 10, ef=128, backend="python"
+        ).collect()
+    }
+    assert len(exact & ann) >= 8, f"python-HNSW e2e recall {len(exact & ann)}/10"

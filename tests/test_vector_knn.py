@@ -101,3 +101,24 @@ def test_assign_clusters_argmin(spark):
     cents = [[0.1, 0.1], [9.0, 9.0]]
     got = {r["id"]: r["ivf_cluster"] for r in assign_clusters(df, "v", cents).collect()}
     assert got == {0: 0, 1: 1}
+
+
+def test_knn_search_stats_observation(spark):
+    """F6 search stats: the Observation on the ranked set reports
+    rows_ranked (distance computations) and the distance envelope."""
+    from pyspark.sql import Observation
+
+    from columnar_spark.operators.knn import knn_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    obs = Observation("knn_stats")
+    out = knn_topk(
+        emb, "embedding", [0.1] * 64, 5,
+        pre_filter=F.col("label") == 2, observation=obs,
+    )
+    rows = out.collect()
+    assert len(rows) == 5
+    stats = obs.get
+    want = emb.filter(F.col("label") == 2).count()
+    assert stats["rows_ranked"] == want  # distances computed only for survivors
+    assert stats["min_dist"] <= rows[0]["dist"] <= stats["max_dist"]

@@ -96,3 +96,21 @@ def test_write_orc_roundtrip(spark, li, tmp_path_factory):
     got = spark.read.orc(path)
     assert got.count() == li.count()
     assert check_table(spark, path, spec) == []
+
+
+def test_posting_index_point_lookup(spark):
+    """A11/E2: value -> sorted postings artifact answers point lookups
+    with no base-table scan."""
+    from columnar_spark.stats import build_posting_index, point_lookup
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    idx = build_posting_index(orders, "o_orderstatus", "o_orderkey")
+    want = sorted(
+        r["o_orderkey"] for r in orders.filter(F.col("o_orderstatus") == "F").collect()
+    )
+    got = [r["row_id"] for r in point_lookup(idx, "F").orderBy("row_id").collect()]
+    assert got == want
+    # postings arrive pre-sorted inside each list
+    row = idx.filter(F.col("value") == "F").first()
+    assert list(row["postings"]) == sorted(row["postings"])
+    assert row["cnt"] == len(want)
