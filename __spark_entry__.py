@@ -1557,6 +1557,418 @@ def set_ops_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# TPC-H-adapted deep-join / subquery coverage (no partsupp in testdata, so
+# q2/q9/q11/q16/q20 are out of reach; these are the reachable shapes)
+# --------------------------------------------------------------------------
+
+_Q8_SQL = """
+WITH vol AS (
+  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+              * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS volume,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN part     ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON n1.n_nationkey = c_nationkey
+  JOIN region   ON r_regionkey = n1.n_regionkey
+  JOIN nation n2 ON n2.n_nationkey = s_nationkey
+  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+)
+SELECT o_year,
+       round(CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE), 6) + 0.0 AS mkt_share,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM vol
+GROUP BY o_year
+"""
+
+
+@_q("q8_market_share", _Q8_SQL)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 adapted (NATION_5 share of AMERICA ECONOMY volume): the
+    deepest join in the suite — 7 joins, 5 of them broadcast dims."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n1 = nat.select(F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region"))
+    n2 = nat.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation"))
+    volume = (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    joined = (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("n1_key") == F.col("c_nationkey"))
+        .join(F.broadcast(reg), F.col("r_regionkey") == F.col("n1_region"))
+        .join(F.broadcast(n2), F.col("n2_key") == F.col("s_nationkey"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            volume.alias("volume"),
+            "supp_nation",
+        )
+    )
+    zero = F.lit(0).cast("decimal(18,4)")
+    return joined.groupBy("o_year").agg(
+        (
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_5", F.col("volume")).otherwise(zero)).cast("double")
+                / F.sum("volume").cast("double"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("mkt_share"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_Q13_SQL = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+"""
+
+
+@_q("q13_order_distribution", _Q13_SQL)
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: orders-per-customer histogram via outer join (customers
+    with zero orders land in the c_count=0 bucket)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+_Q14_SQL = """
+SELECT round(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+               THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+               ELSE CAST(0 AS DECIMAL(37,4)) END) AS DOUBLE)
+         / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 6) + 0.0 AS promo_revenue,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= '1997-09-01' AND l_shipdate < '1997-10-01'
+"""
+
+
+@_q("q14_promo_revenue", _Q14_SQL)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-09-01") & (F.col("l_shipdate") < "1997-10-01")
+    )
+    part = _t(spark, sf_dir, "part")
+    disc = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    zero = F.lit(0).cast("decimal(37,4)")
+    j = li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+    return j.agg(
+        (
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(zero)).cast("double")
+                / F.sum(disc).cast("double"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("promo_revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_Q17_SQL = """
+WITH pa AS (
+  SELECT l_partkey AS pk,
+         0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)) AS qlim
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN pa   ON pk = l_partkey
+WHERE p_brand = 'Brand#3' AND l_quantity < qlim
+"""
+
+
+@_q("q17_small_qty_revenue", _Q17_SQL)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: correlated avg-quantity subquery expressed as an
+    aggregate-then-join (the scalable decorrelated form)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    pa = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.lit(0.2) * (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1)))).alias("qlim")
+    )
+    j = (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(pa, F.col("pk") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.col("qlim"))
+    )
+    return j.agg(
+        (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_Q18_SQL = """
+SELECT c_custkey, o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+       CAST(total_qty AS DOUBLE) AS total_qty
+FROM (
+  SELECT l_orderkey AS big_okey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+)
+JOIN orders   ON o_orderkey = big_okey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+@_q("q18_large_orders", _Q18_SQL)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: large-volume orders — HAVING on a grouped sum feeding a
+    join, deterministic top-100."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy(F.col("l_orderkey").alias("big_okey"))
+        .agg(F.sum(_dec("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    j = (
+        big.join(orders, F.col("o_orderkey") == F.col("big_okey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+    )
+    return j.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc()).limit(100)
+
+
+_Q19_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+              * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@_q("q19_disjunctive_revenue", _Q19_SQL)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of brand/size/quantity conjunct
+    groups across the join — the OR-of-ANDs predicate Catalyst splits
+    into join-key + residual."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+    arm = lambda b, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == b)
+        & F.col("p_size").between(1, smax)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    pred = arm("Brand#1", 15, 1, 11) | arm("Brand#2", 25, 10, 20) | arm("Brand#3", 35, 20, 30)
+    disc = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    return j.filter(pred).agg(
+        F.sum(disc).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_Q22_SQL = """
+WITH ab AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_bal
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer, ab
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderdate >= '2001-01-01')
+GROUP BY c_nationkey
+"""
+
+
+@_q("q22_idle_customers", _Q22_SQL)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-aggregate threshold (broadcast 1-row
+    crossJoin, not a window) + anti join for above-average-balance
+    customers with no recent (2001+) orders — every customer in this
+    corpus has SOME order, so the unrestricted form is degenerate."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "2001-01-01")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("avg_bal")
+    )
+    rich = cust.crossJoin(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("avg_bal"))
+    idle = rich.join(orders, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+    return idle.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Analytic-function coverage: RANGE frames, rank family, statistical aggs
+# --------------------------------------------------------------------------
+
+_MAVG_SQL = """
+SELECT event_id, user_id, ts_us,
+       round(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+             / COUNT(*) OVER w, 6) + 0.0 AS mavg_1h
+FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
+@_q("window_moving_avg_range", _MAVG_SQL)
+def window_moving_avg_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (time-interval window): 1-hour trailing mean per user.
+    Decimal sum over the frame is order-free, so ties in ts_us (peer rows)
+    hash-match cross-engine."""
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        (
+            F.round(F.sum(_dec("value")).over(w).cast("double") / F.count(F.lit(1)).over(w), 6)
+            + F.lit(0.0)
+        ).alias("mavg_1h"),
+    )
+
+
+_RANKFAM_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       round(percent_rank() OVER w, 6) + 0.0 AS pr,
+       round(cume_dist() OVER w, 6) + 0.0 AS cd,
+       CAST(ntile(4) OVER w AS INT) AS quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+@_q("window_rank_family", _RANKFAM_SQL)
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist / ntile over a deterministic total order
+    (tie-break on o_orderkey keeps ntile stable cross-engine)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.round(F.percent_rank().over(w), 6) + F.lit(0.0)).alias("pr"),
+        (F.round(F.cume_dist().over(w), 6) + F.lit(0.0)).alias("cd"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )
+
+
+# Statistical aggregates from exact decimal moments: corr/stddev computed
+# from SUM/SUM-of-squares/SUM-of-products (order-free decimal arithmetic)
+# so both engines do the identical double math at the end — the builtin
+# streaming corr/stddev kernels are NOT bit-stable across engines.
+_CORR_SQL = """
+WITH m AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+  FROM lineitem
+)
+SELECT round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) + 0.0 AS corr_qty_price,
+       round(sqrt((sxx - sx * sx / n) / n), 6) + 0.0 AS stddev_pop_qty,
+       round(sqrt((syy - sy * sy / n) / (n - 1)), 6) + 0.0 AS stddev_samp_price,
+       round((sxy - sx * sy / n) / n, 6) + 0.0 AS covar_pop
+FROM m
+"""
+
+
+@_q("corr_stddev_stats", _CORR_SQL)
+def corr_stddev_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    m = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(_dec("l_quantity")).cast("double").alias("sx"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("sy"),
+        F.sum(_dec("l_quantity") * _dec("l_quantity")).cast("double").alias("sxx"),
+        F.sum(_dec("l_extendedprice") * _dec("l_extendedprice")).cast("double").alias("syy"),
+        F.sum(_dec("l_quantity") * _dec("l_extendedprice")).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return m.select(
+        (
+            F.round(
+                (n * sxy - sx * sy) / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)), 6
+            )
+            + F.lit(0.0)
+        ).alias("corr_qty_price"),
+        (F.round(F.sqrt((sxx - sx * sx / n) / n), 6) + F.lit(0.0)).alias("stddev_pop_qty"),
+        (F.round(F.sqrt((syy - sy * sy / n) / (n - F.lit(1.0))), 6) + F.lit(0.0)).alias(
+            "stddev_samp_price"
+        ),
+        (F.round((sxy - sx * sy / n) / n, 6) + F.lit(0.0)).alias("covar_pop"),
+    )
+
+
+_LEADLAG_SQL = """
+SELECT user_id, event_id, ts_us,
+       CAST(ts_us - lag(ts_us, 1, CAST(NULL AS BIGINT)) OVER w AS BIGINT) AS gap_us,
+       CAST(lead(event_id, 1, -1) OVER w AS BIGINT) AS next_event,
+       CAST(first_value(event_id) OVER w AS BIGINT) AS first_event
+FROM (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+"""
+
+
+@_q("window_lead_lag", _LEADLAG_SQL)
+def window_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead/lag with defaults + first_value over a deterministic total
+    order (ties on ts_us broken by event_id)."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        (F.col("ts_us") - F.lag("ts_us", 1).over(w)).cast("long").alias("gap_us"),
+        F.lead("event_id", 1, -1).over(w).cast("long").alias("next_event"),
+        F.first("event_id").over(w).cast("long").alias("first_event"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
 
