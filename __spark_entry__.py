@@ -1831,6 +1831,32 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STRATSAMPLE_SQL = """
+SELECT doc_id, lang
+FROM documents
+WHERE (lang = 'en' AND substr(md5(CAST(doc_id AS VARCHAR) || 'mix-v1'), 1, 4) < '8000')
+   OR (lang = 'zh' AND substr(md5(CAST(doc_id AS VARCHAR) || 'mix-v1'), 1, 4) < '4000')
+   OR (lang NOT IN ('en', 'zh')
+       AND substr(md5(CAST(doc_id AS VARCHAR) || 'mix-v1'), 1, 4) < '1999')
+"""
+
+
+@_q("stratified_sample_docs", _STRATSAMPLE_SQL)
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-gate stratified sampling (training-mix step):
+    50% en, 25% zh, ~10% everything else — byte-reproducible on any
+    engine, auditable by salt."""
+    from columnar_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs, "doc_id", "lang",
+        {"en": 0.5, "zh": 0.25},
+        default_fraction=0.1, salt="mix-v1",
+    )
+    return out.select("doc_id", "lang")
+
+
 # --------------------------------------------------------------------------
 # Analytic-function coverage: RANGE frames, rank family, statistical aggs
 # --------------------------------------------------------------------------

@@ -56,6 +56,19 @@ BENCH_QUERIES = [
     "sessionize_events",
     "daily_counts_gapfill",
     "q10_returned_items",
+    "q8_market_share",
+    "q13_order_distribution",
+    "q14_promo_revenue",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q22_idle_customers",
+    "window_moving_avg_range",
+    "window_rank_family",
+    "window_lead_lag",
+    "corr_stddev_stats",
+    "stratified_sample_docs",
+    "knn_b1_cosine",
 ]
 
 

@@ -61,10 +61,14 @@ class HnswIndex:
         self._graph: list[list[list[int]]] = []
         self._entry: int | None = None
         self._max_level = -1
+        # Distance-computation counter — pDistanceComputations parity
+        # (knn/knn.h:117); counts build + search evaluations.
+        self.n_dist_calcs = 0
 
     # ------------------------------------------------------------ distance
 
     def _dist(self, q: np.ndarray, qn: float, node: int) -> float:
+        self.n_dist_calcs += 1
         v = self._vecs[node]
         if self.metric == "l2":
             d = q - v
@@ -132,9 +136,22 @@ class HnswIndex:
         return curr
 
     def _search_layer(
-        self, q: np.ndarray, qn: float, entry_points: list[int], ef: int, level: int
+        self,
+        q: np.ndarray,
+        qn: float,
+        entry_points: list[int],
+        ef: int,
+        level: int,
+        budget: int | None = None,
+        stagnation: int | None = None,
     ) -> list[tuple[float, int]]:
-        """Best-first beam search; returns [(dist, node)] of <= ef nodes."""
+        """Best-first beam search; returns [(dist, node)] of <= ef nodes.
+
+        `budget` caps distance computations for this call; `stagnation`
+        stops after that many consecutive beam pops with no improvement
+        to the result set (the adaptive-termination analog — reference
+        HNSWTerminationPolicy_e::QUANTILE, knn/knn.cpp:481, lives in its
+        hnswlib fork's search loop the same way)."""
         visited = set(entry_points)
         cand: list[tuple[float, int]] = []  # min-heap
         best: list[tuple[float, int]] = []  # max-heap via negated dist
@@ -142,13 +159,19 @@ class HnswIndex:
             d = self._dist(q, qn, ep)
             heapq.heappush(cand, (d, ep))
             heapq.heappush(best, (-d, ep))
+        pops_since_improve = 0
         while cand:
             d, node = heapq.heappop(cand)
             if d > -best[0][0] and len(best) >= ef:
                 break
+            if stagnation is not None and pops_since_improve >= stagnation:
+                break
+            improved = False
             for nb in self._graph[node][level] if level < len(self._graph[node]) else []:
                 if nb in visited:
                     continue
+                if budget is not None and self.n_dist_calcs >= budget:
+                    return [(-nd, n) for nd, n in best]
                 visited.add(nb)
                 dn = self._dist(q, qn, nb)
                 if len(best) < ef or dn < -best[0][0]:
@@ -156,12 +179,31 @@ class HnswIndex:
                     heapq.heappush(best, (-dn, nb))
                     if len(best) > ef:
                         heapq.heappop(best)
+                    improved = True
+            pops_since_improve = 0 if improved else pops_since_improve + 1
         return [(-nd, n) for nd, n in best]
 
     # ------------------------------------------------------------- search
 
-    def search(self, vec: Sequence[float], k: int, ef: int = 64) -> list[tuple[int, float]]:
-        """Top-k (label, dist), ascending by distance."""
+    def search(
+        self,
+        vec: Sequence[float],
+        k: int,
+        ef: int = 64,
+        policy: str = "none",
+        budget: int | None = None,
+    ) -> list[tuple[int, float]]:
+        """Top-k (label, dist), ascending by distance.
+
+        policy: 'none' = full ef beam; 'adaptive' = stagnation-based
+        early termination (disabled for k <= 10, mirroring the
+        reference's `iResults > 10` gate, knn/knn.cpp:481); 'budget'
+        = hard cap of `budget` distance computations. `n_dist_calcs`
+        accumulates across searches — the pDistanceComputations counter
+        (knn/knn.h:117); read/reset it around a call for per-query
+        stats."""
+        if policy not in ("none", "adaptive", "budget"):
+            raise ValueError(f"policy must be none|adaptive|budget, got {policy!r}")
         if self._entry is None:
             return []
         q = np.asarray(vec, dtype=np.float32)
@@ -169,7 +211,18 @@ class HnswIndex:
         curr = self._entry
         for lev in range(self._max_level, 0, -1):
             curr = self._greedy_closest(q, qn, curr, lev)
-        found = self._search_layer(q, qn, [curr], max(ef, k), 0)
+        stagnation = None
+        if policy == "adaptive" and k > 10:
+            stagnation = max(ef // 4, 8)
+        found = self._search_layer(
+            q,
+            qn,
+            [curr],
+            max(ef, k),
+            0,
+            budget=budget if policy == "budget" else None,
+            stagnation=stagnation,
+        )
         top = heapq.nsmallest(k, found)
         return [(self._labels[n], d) for d, n in top]
 

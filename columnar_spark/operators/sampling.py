@@ -1,0 +1,57 @@
+"""Deterministic sampling for training-data pipelines.
+
+A 100 TB corpus is down-sampled per stratum (language, source, quality
+band) when building training mixes. `rand()`-based sampling is neither
+reproducible across runs nor auditable; hash-gate sampling is both: a row
+is kept iff a salted hash of its key falls under the stratum's threshold.
+Same salt -> same sample, forever, on any engine (md5 is engine-portable,
+so the DuckDB oracle reproduces the exact row set).
+
+No reference counterpart (the reference is a search engine, not a
+training pipeline); this belongs to the north-star LLM-data operator set
+alongside dedup/quality/embedding ops.
+
+Scale posture: a pure codegen'd predicate on the scan — no shuffle, no
+state, prunes with the scan like any filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_BUCKETS = 65536  # 4 hex chars of md5
+
+
+def sample_gate(key: Column, fraction: float, salt: str = "") -> Column:
+    """True for ~`fraction` of keys, deterministically: the first 4 hex
+    chars of md5(key || salt) compared lexicographically against the
+    fraction's hex threshold (fixed-width lowercase hex sorts like its
+    numeric value, so plain string `<` is the numeric test on any
+    engine)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    thresh = format(min(int(fraction * _BUCKETS), _BUCKETS), "04x")
+    if fraction >= 1.0:
+        return F.lit(True)
+    return F.substring(F.md5(F.concat(key.cast("string"), F.lit(salt))), 1, 4) < F.lit(thresh)
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Keep each row with its stratum's fraction (deterministic per key):
+    the training-mix builder's reweighting step."""
+    gate = None
+    for stratum, frac in sorted(fractions.items()):
+        cond = (F.col(strata_col) == stratum) & sample_gate(F.col(key_col), frac, salt)
+        gate = cond if gate is None else (gate | cond)
+    others = ~F.col(strata_col).isin(list(fractions)) & sample_gate(
+        F.col(key_col), default_fraction, salt
+    )
+    return df.filter(gate | others if gate is not None else others)

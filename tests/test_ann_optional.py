@@ -74,3 +74,37 @@ def test_ann_recall_vs_exact_python_backend(spark):
         ).collect()
     }
     assert len(exact & ann) >= 8, f"python-HNSW e2e recall {len(exact & ann)}/10"
+
+
+def test_py_hnsw_termination_policies():
+    """F5 parity: budget caps distance computations hard; adaptive
+    (stagnation) terminates earlier than the full beam at k>10 while
+    keeping most of the recall; counter = pDistanceComputations."""
+    from columnar_spark.operators.hnsw_py import HnswIndex
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(1000, 24).astype(np.float32)
+    index = HnswIndex(24, metric="l2", M=12, ef_construction=80, seed=5)
+    for i in range(len(vecs)):
+        index.add(vecs[i], i)
+
+    q = vecs[11] + 0.01
+    d2 = np.sum((vecs - q) ** 2, axis=1)
+    exact = set(np.argsort(d2)[:20].tolist())
+
+    index.n_dist_calcs = 0
+    full = index.search(q, 20, ef=128)
+    full_calcs = index.n_dist_calcs
+
+    index.n_dist_calcs = 0
+    adaptive = index.search(q, 20, ef=128, policy="adaptive")
+    adaptive_calcs = index.n_dist_calcs
+    assert adaptive_calcs <= full_calcs
+    assert len(exact & {l for l, _ in adaptive}) >= 14  # most recall kept
+
+    index.n_dist_calcs = 0
+    index.search(q, 20, ef=128, policy="budget", budget=200)
+    assert index.n_dist_calcs <= 200 + 1  # hard cap honored
+
+    with pytest.raises(ValueError, match="policy"):
+        index.search(q, 5, policy="bogus")

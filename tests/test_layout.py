@@ -79,3 +79,27 @@ def test_ensure_parallelism_adaptive(spark):
     assert spread.count() == 100
     wide = spark.range(100).repartition(spark.sparkContext.defaultParallelism)
     assert ensure_parallelism(wide) is wide  # no-op on well-partitioned input
+
+
+def test_stratified_sample_deterministic_and_proportional(spark):
+    from columnar_spark.operators.sampling import sample_gate, stratified_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    a = stratified_sample(docs, "doc_id", "lang", {"en": 0.5}, 0.1, salt="s1")
+    b = stratified_sample(docs, "doc_id", "lang", {"en": 0.5}, 0.1, salt="s1")
+    ids_a = sorted(r["doc_id"] for r in a.collect())
+    assert ids_a == sorted(r["doc_id"] for r in b.collect())  # reproducible
+    # different salt -> different sample
+    c = stratified_sample(docs, "doc_id", "lang", {"en": 0.5}, 0.1, salt="s2")
+    assert ids_a != sorted(r["doc_id"] for r in c.collect())
+    # per-stratum rates near targets (binomial tolerance on ~200/280 rows)
+    en_total = docs.filter(F.col("lang") == "en").count()
+    en_kept = a.filter(F.col("lang") == "en").count()
+    assert abs(en_kept / en_total - 0.5) < 0.15
+    other_total = docs.filter(F.col("lang") != "en").count()
+    other_kept = a.filter(F.col("lang") != "en").count()
+    assert abs(other_kept / other_total - 0.1) < 0.08
+    # the gate is a pure scan predicate (no shuffle)
+    assert "Exchange" not in a._jdf.queryExecution().executedPlan().toString()
+    with pytest.raises(ValueError, match="fraction"):
+        sample_gate(F.col("doc_id"), 1.5)

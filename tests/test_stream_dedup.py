@@ -35,3 +35,34 @@ def test_stream_dedup_drops_duplicates(spark, tmp_path_factory):
 
     # batch path shares the operator
     assert stream_dedup(df, ["k"]).count() == 3
+
+
+def test_stream_static_broadcast_join(spark, tmp_path_factory):
+    """Stream-static join: each micro-batch joins against a broadcast
+    dimension — the streaming-enrichment shape (no state, no watermark
+    needed on the static side)."""
+    from pyspark.sql import functions as F
+
+    base = tmp_path_factory.mktemp("sjoin")
+    src = str(base / "src")
+    events = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (2, 5.0), (3, 7.0), (9, 1.0)], "uid: long, v: double"
+    )
+    events.coalesce(1).write.parquet(src)
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver"), (3, "bronze")], "uid: long, tier: string"
+    )
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    joined = stream.join(F.broadcast(dim), "uid")  # uid=9 has no dim row
+    q = (
+        joined.writeStream.format("memory").queryName("sjoin_out")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["uid"], r["tier"], r["v"])
+        for r in spark.sql("SELECT uid, tier, v FROM sjoin_out").collect()
+    }
+    want = {(1, "gold", 10.0), (2, "silver", 20.0), (2, "silver", 5.0), (3, "bronze", 7.0)}
+    assert got == want
