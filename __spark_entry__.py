@@ -1995,6 +1995,111 @@ def window_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Event analytics: funnel, retention cohorts, latest-state compaction
+# --------------------------------------------------------------------------
+
+_FUNNEL_SQL = """
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+v AS (SELECT user_id, MIN(ts_us) AS t_view FROM e WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, MIN(e.ts_us) AS t_click
+      FROM e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts_us >= v.t_view GROUP BY e.user_id),
+p AS (SELECT e.user_id, MIN(e.ts_us) AS t_purchase
+      FROM e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts_us >= c.t_click GROUP BY e.user_id)
+SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+       CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_click_after_view,
+       CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchase_after_click
+"""
+
+
+@_q("funnel_conversion", _FUNNEL_SQL)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view -> click -> purchase: each stage's first
+    event must be at-or-after the previous stage's first event. Three
+    co-partitioned groupBys on user_id — no window over the full log."""
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "ts_us")
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts_us").alias("t_view")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts_us") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts_us") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_purchase"))
+    )
+    nv = v.agg(F.count(F.lit(1)).alias("n_view"))
+    nc = c.agg(F.count(F.lit(1)).alias("n_click_after_view"))
+    np_ = p.agg(F.count(F.lit(1)).alias("n_purchase_after_click"))
+    return nv.crossJoin(F.broadcast(nc)).crossJoin(F.broadcast(np_))
+
+
+_RETENTION_SQL = """
+WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+f AS (SELECT user_id, MIN(day) AS day0 FROM e GROUP BY user_id)
+SELECT f.day0 AS cohort_day,
+       CAST(e.day - f.day0 AS BIGINT) AS offset_days,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS active_users
+FROM e JOIN f ON e.user_id = f.user_id
+GROUP BY 1, 2
+"""
+
+
+@_q("retention_cohorts", _RETENTION_SQL)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-seen day,
+    activity counted per day offset. Day arithmetic on integer
+    microsecond-days is engine-portable."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", F.expr("ts_us div 86400000000").alias("day")
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("day0"))
+    return (
+        ev.join(first, "user_id")
+        .groupBy(
+            F.col("day0").alias("cohort_day"),
+            (F.col("day") - F.col("day0")).cast("long").alias("offset_days"),
+        )
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )
+
+
+_LATEST_SQL = """
+SELECT user_id, event_id, event_type, CAST(value AS DOUBLE) AS value, ts_us
+FROM (
+  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+"""
+
+
+@_q("latest_event_per_user", _LATEST_SQL)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style latest-state compaction (operators/upsert.latest_by_key):
+    one row per user, deterministic tie-break on event_id."""
+    from columnar_spark.operators.upsert import latest_by_key
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_id", "event_type", "value", "ts_us"
+    )
+    out = latest_by_key(ev, ["user_id"], ["ts_us", "event_id"])
+    return out.select(
+        "user_id", "event_id", "event_type", F.col("value").cast("double").alias("value"), "ts_us"
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
 

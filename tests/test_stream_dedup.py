@@ -66,3 +66,51 @@ def test_stream_static_broadcast_join(spark, tmp_path_factory):
     }
     want = {(1, "gold", 10.0), (2, "silver", 20.0), (2, "silver", 5.0), (3, "bronze", 7.0)}
     assert got == want
+
+
+def test_stream_stream_interval_join(spark, tmp_path_factory):
+    """Watermarked stream-stream join with an event-time interval
+    condition — Spark buffers both sides in state bounded by the
+    watermark; results must equal the batch join."""
+    from pyspark.sql import functions as F
+
+    base = tmp_path_factory.mktemp("ssjoin")
+    imps_rows = [
+        (1, "2024-01-01 00:00:00"),
+        (2, "2024-01-01 00:05:00"),
+        (3, "2024-01-01 00:30:00"),
+    ]
+    clicks_rows = [
+        (1, "2024-01-01 00:02:00"),   # within 10 min of imp 1 -> joins
+        (2, "2024-01-01 00:20:00"),   # 15 min after imp 2 -> outside window
+        (3, "2024-01-01 00:31:00"),   # joins
+    ]
+    imps = spark.createDataFrame(imps_rows, "ad: long, ts_s: string").withColumn(
+        "imp_ts", F.to_timestamp("ts_s")
+    ).drop("ts_s")
+    clicks = spark.createDataFrame(clicks_rows, "ad: long, ts_s: string").withColumn(
+        "click_ts", F.to_timestamp("ts_s")
+    ).drop("ts_s")
+    imps.coalesce(1).write.parquet(str(base / "imps"))
+    clicks.coalesce(1).write.parquet(str(base / "clicks"))
+
+    s_imps = spark.readStream.schema(imps.schema).parquet(str(base / "imps")).withWatermark(
+        "imp_ts", "1 hour"
+    )
+    s_clicks = spark.readStream.schema(clicks.schema).parquet(str(base / "clicks")).withWatermark(
+        "click_ts", "1 hour"
+    )
+    cond = (
+        (s_imps["ad"] == s_clicks["ad"])
+        & (s_clicks["click_ts"] >= s_imps["imp_ts"])
+        & (s_clicks["click_ts"] <= s_imps["imp_ts"] + F.expr("INTERVAL 10 MINUTES"))
+    )
+    q = (
+        s_imps.join(s_clicks, cond)
+        .select(s_imps["ad"], "imp_ts", "click_ts")
+        .writeStream.format("memory").queryName("ssjoin_out")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["ad"] for r in spark.sql("SELECT ad FROM ssjoin_out").collect())
+    assert got == [1, 3]
