@@ -106,6 +106,64 @@ def extract_media_features(
     return df.select(id_col, data_col).mapInPandas(batches, out_schema)
 
 
+def resize_images(
+    df: DataFrame,
+    target_width: int,
+    target_height: int,
+    data_col: str = "data",
+    id_col: str = "media_id",
+    meta_col: str = "meta",
+    mode: str = "fake",
+) -> DataFrame:
+    """Image resize plumbing: output rows carry the resized payload plus
+    updated (width, height) metadata. Geometry (aspect-preserving fit
+    into the target box) is REAL and computed from the input metadata;
+    only the pixel resampling is stubbed — mode="fake" emits a
+    deterministic payload of the correct byte budget (3 bytes/pixel),
+    mode="real" raises at the exact PIL/ffmpeg call site."""
+    if mode not in ("fake", "real"):
+        raise ValueError("mode must be 'fake' or 'real'")
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("data", T.BinaryType()),
+            T.StructField("out_width", T.IntegerType()),
+            T.StructField("out_height", T.IntegerType()),
+        ]
+    )
+
+    def _fit(w: int, h: int) -> tuple[int, int]:
+        if not w or not h:
+            return target_width, target_height
+        scale = min(target_width / w, target_height / h)
+        return max(int(w * scale), 1), max(int(h * scale), 1)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if mode == "real":
+                raise NotImplementedError(
+                    "image resampling requires PIL, not available in this "
+                    "container; use mode='fake' for plumbing tests"
+                )
+            ids, datas, ws, hs = [], [], [], []
+            for mid, payload, meta in zip(pdf[id_col], pdf[data_col], pdf[meta_col]):
+                w_in = int(meta["width"]) if meta is not None and meta["width"] is not None else 0
+                h_in = int(meta["height"]) if meta is not None and meta["height"] is not None else 0
+                w, h = _fit(w_in, h_in)
+                seed = hashlib.sha256(payload or b"").digest()
+                budget = w * h * 3
+                datas.append((seed * (budget // len(seed) + 1))[:budget])
+                ids.append(mid)
+                ws.append(w)
+                hs.append(h)
+            yield pd.DataFrame(
+                {id_col: ids, "data": datas, "out_width": ws, "out_height": hs}
+            )
+
+    return df.select(id_col, data_col, meta_col).mapInPandas(batches, out_schema)
+
+
 def sample_frames(
     df: DataFrame,
     n_frames: int = 4,

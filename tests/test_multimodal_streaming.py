@@ -87,3 +87,51 @@ def test_windowed_counts_static_parity(spark):
     assert {c for c in out.columns} == {
         "window_start", "window_end", "event_type", "n", "total_value",
     }
+
+
+def test_resize_images_geometry_and_budget(media):
+    from columnar_spark.multimodal import resize_images
+
+    out = {r["media_id"]: r for r in resize_images(media, 16, 16).collect()}
+    # 64x64 -> fits exactly to 16x16; 640x480 -> aspect-preserved 16x12
+    assert (out[0]["out_width"], out[0]["out_height"]) == (16, 16)
+    assert (out[3]["out_width"], out[3]["out_height"]) == (16, 12)
+    for r in out.values():
+        assert len(r["data"]) == r["out_width"] * r["out_height"] * 3  # 3 B/px
+    # deterministic
+    again = {r["media_id"]: bytes(r["data"]) for r in resize_images(media, 16, 16).collect()}
+    assert {k: bytes(v["data"]) for k, v in out.items()} == again
+
+    with pytest.raises(Exception, match="PIL"):
+        resize_images(media, 16, 16, mode="real").collect()
+
+
+def test_media_features_to_neardup_pipeline(media):
+    """Composition: media -> feature vectors -> embedding near-dup (the
+    image-dedup pipeline shape, exact verify on the tiny corpus)."""
+    from columnar_spark.operators.dedup import embedding_neardup_pairs
+    from pyspark.sql import functions as F
+
+    feats = extract_media_features(media).withColumn(
+        "features", F.col("features").cast("array<double>")
+    )
+    pairs = embedding_neardup_pairs(
+        feats, "features", "media_id", threshold=0.8, method="exact"
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+
+    # numpy oracle over the same feature vectors
+    import numpy as np
+
+    vecs = {r["media_id"]: np.array(r["features"]) for r in feats.collect()}
+    want = set()
+    ids = sorted(vecs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            cos = float(
+                np.dot(vecs[a], vecs[b])
+                / (np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[b]))
+            )
+            if round(cos, 6) >= 0.8:
+                want.add((a, b))
+    assert got == want and len(want) >= 1
