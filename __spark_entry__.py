@@ -1994,6 +1994,23 @@ def window_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_POSTING_SQL = """
+SELECT o_orderkey AS row_id FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+@_q("posting_index_lookup", _POSTING_SQL)
+def posting_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11/E2 driver-gate proof: a VALUES point lookup answered by
+    building the posting-list artifact and exploding ONE index row —
+    must equal the base-table filter the oracle runs."""
+    from columnar_spark.stats import build_posting_index, point_lookup
+
+    orders = _t(spark, sf_dir, "orders")
+    idx = build_posting_index(orders, "o_orderstatus", "o_orderkey")
+    return point_lookup(idx, "F")
+
+
 # --------------------------------------------------------------------------
 # Event analytics: funnel, retention cohorts, latest-state compaction
 # --------------------------------------------------------------------------

@@ -114,3 +114,19 @@ def test_posting_index_point_lookup(spark):
     row = idx.filter(F.col("value") == "F").first()
     assert list(row["postings"]) == sorted(row["postings"])
     assert row["cnt"] == len(want)
+
+
+def test_exact_percentiles_bit_equal_builtin(spark):
+    """Index-based exact percentiles are bit-identical to the builtin
+    `percentile` aggregate on low- AND high-cardinality columns."""
+    from columnar_spark.stats import exact_percentiles
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    probs = [0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
+    for col in ("l_quantity", "l_extendedprice"):
+        mine = exact_percentiles(li, col, probs).first()
+        ref = li.agg(
+            F.expr(f"percentile({col}, array({', '.join(map(str, probs))}))")
+        ).first()[0]
+        for i in range(len(probs)):
+            assert mine[f"p{i}"] == ref[i], (col, probs[i], mine[f"p{i}"], ref[i])
