@@ -729,6 +729,46 @@ def embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NEARDUP_CC_SQL = """
+WITH RECURSIVE
+e AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               sqrt((SELECT SUM(x.a * x.a)
+                     FROM (SELECT unnest(CAST(embedding AS DOUBLE[])) AS a) x)) AS nrm
+        FROM embeddings) a,
+       (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               sqrt((SELECT SUM(x.a * x.a)
+                     FROM (SELECT unnest(CAST(embedding AS DOUBLE[])) AS a) x)) AS nrm
+        FROM embeddings) b
+  WHERE a.vec_id < b.vec_id
+    AND (SELECT SUM(x.a * x.b)
+         FROM (SELECT unnest(a.v) AS a, unnest(b.v) AS b) x) / (a.nrm * b.nrm) >= 0.4
+),
+edges AS (SELECT id_a AS src, id_b AS dst FROM e
+          UNION SELECT id_b, id_a FROM e),
+reach(id, r) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+)
+SELECT id, MIN(r) AS comp FROM reach GROUP BY id
+"""
+
+
+@_q("embedding_neardup_components", _NEARDUP_CC_SQL)
+def embedding_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: exact cosine pairs (the guarded
+    quadratic oracle) closed under reachability by distributed min-label
+    propagation (dedup.connected_components) — checked against DuckDB's
+    recursive-CTE reachability."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = DD.embedding_neardup_pairs(
+        emb, "embedding", "vec_id", threshold=0.4, method="exact"
+    )
+    return DD.connected_components(pairs.select("id_a", "id_b"))
+
+
 @_q("embedding_neardup_lsh")  # approximate candidate set — rows-only check
 def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")

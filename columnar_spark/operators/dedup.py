@@ -401,6 +401,67 @@ def simhash_dedup(
     )
 
 
+# ------------------------------------------------- transitive clustering
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Transitive duplicate clusters from a pair list: (id, component)
+    where component is the MIN id reachable through any chain of pairs.
+
+    The representative-assignment *_dedup operators attach each doc to
+    one bucket representative — A~B and B~C may land in different
+    groups. This closes the transitivity gap with the standard
+    distributed min-label propagation: every iteration joins each node's
+    current label against the edge list and keeps the minimum seen;
+    converges in O(diameter) rounds (near-dup cluster diameters are tiny
+    — chains longer than ~5 are rare), each round one shuffle-join on
+    id. `localCheckpoint` truncates the growing lineage so Catalyst
+    doesn't re-expand the whole iteration per round (the same
+    re-evaluation trap the signature aggs document).
+
+    Raises after max_iter rounds without convergence rather than
+    returning silently-wrong clusters."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+    )
+    for _ in range(max_iter):
+        # label each node with min(own, min over neighbors' labels)
+        neighbor = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .select(F.col("src").alias("id"), F.col("comp"))
+        )
+        new_labels = (
+            labels.unionByName(neighbor)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} iterations"
+    )
+
+
 # ------------------------------------------------------- embedding cosine
 
 # Hard ceiling for the quadratic correctness-oracle paths (method="exact",

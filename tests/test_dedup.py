@@ -97,3 +97,54 @@ def test_embedding_neardup_exact_and_lsh(spark):
            DD.embedding_neardup_pairs(df, "v", "vec_id", threshold=0.95,
                                       method="lsh", n_planes=4).collect()}
     assert lsh <= exact  # LSH candidates are verified, never false-positive
+
+
+def test_connected_components_matches_union_find(spark):
+    """Transitive clustering vs a python union-find oracle, on chains,
+    cycles, stars, and singletons-with-self... (edges only)."""
+    from columnar_spark.operators.dedup import connected_components
+
+    edges = [
+        (1, 2), (2, 3), (3, 4),          # chain -> comp 1
+        (10, 11), (11, 10),              # cycle/dup edge -> comp 10
+        (20, 21), (20, 22), (20, 23),    # star -> comp 20
+        (30, 31), (32, 31),              # V shape -> comp 30
+        (5, 40),                         # bridges nothing else
+    ]
+    pairs = spark.createDataFrame(edges, "id_a: long, id_b: long")
+    got = {
+        r["id"]: r["comp"]
+        for r in connected_components(pairs, max_iter=10).collect()
+    }
+
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in edges:
+        union(a, b)
+    want = {x: find(x) for x in parent}
+    assert got == want
+
+
+def test_connected_components_on_minhash_pairs(spark):
+    """End-to-end: LSH pair candidates -> transitive clusters; every
+    pair's endpoints must share a component."""
+    from columnar_spark.operators.dedup import connected_components, minhash_lsh_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pairs = minhash_lsh_pairs(
+        docs, "text", "doc_id", num_hashes=32, bands=4, shingle_k=1,
+        jaccard_threshold=0.9,
+    ).select("id_a", "id_b")
+    comp = connected_components(pairs)
+    lookup = {r["id"]: r["comp"] for r in comp.collect()}
+    for r in pairs.collect():
+        assert lookup[r["id_a"]] == lookup[r["id_b"]]

@@ -112,3 +112,30 @@ def test_conjunction_differential_vs_duckdb(frames, fs):
     sql = " AND ".join(to_sql(f) for f in fs)
     want = sorted(r[0] for r in con.execute(f"SELECT id FROM t WHERE {sql}").fetchall())
     assert got == want, fs
+
+
+@pytest.fixture(scope="module")
+def manifest(frames):
+    from columnar_spark.stats import build_stats_manifest
+
+    sdf, _ = frames
+    return {r["column"]: r.asDict() for r in build_stats_manifest(sdf).collect()}
+
+
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(f=filters())
+def test_early_reject_is_sound(frames, manifest, f):
+    """Soundness property of the EarlyReject overlap test: whenever
+    stats_can_match says no row can match, the compiled filter must
+    really select zero rows. (The reverse — completeness — is not
+    required: returning True when zero rows match is allowed.)"""
+    from columnar_spark.stats import stats_can_match
+
+    sdf, _ = frames
+    if not stats_can_match(manifest, f):
+        n = sdf.filter(compile_filter(f, sdf.schema)).count()
+        assert n == 0, f"falsely rejected {n} matching rows for {f}"
