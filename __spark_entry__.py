@@ -1871,6 +1871,341 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q2_SQL = """
+WITH ps AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+sr AS (
+  SELECT s_suppkey, s_name, CAST(s_acctbal AS DECIMAL(18,2)) AS bal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON r_regionkey = n_regionkey
+  WHERE r_name = 'EUROPE'
+),
+cand AS (
+  SELECT p_partkey, p_type, s_name, n_name, bal
+  FROM part JOIN ps ON pk = p_partkey JOIN sr ON s_suppkey = sk
+  WHERE p_size = 15 AND p_type = 'PROMO'
+),
+mn AS (SELECT p_partkey AS mpk, MIN(bal) AS min_bal FROM cand GROUP BY p_partkey)
+SELECT CAST(bal AS DOUBLE) AS s_acctbal, s_name, n_name, p_partkey, p_type
+FROM cand JOIN mn ON mpk = p_partkey AND bal = min_bal
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+@_q("q2_min_balance_supplier", _Q2_SQL)
+def q2_min_balance_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted: no partsupp table — the part↔supplier
+    bridge is the distinct (l_partkey, l_suppkey) pairs; min supply-cost
+    becomes min supplier balance): correlated-MIN subquery decorrelated
+    into aggregate-then-join, region-restricted dims broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter((F.col("p_size") == 15) & (F.col("p_type") == "PROMO"))
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nat = _t(spark, sf_dir, "nation")
+    sup = _t(spark, sf_dir, "supplier")
+    ps = li.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")).distinct()
+    sr = (
+        sup.join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("r_regionkey") == F.col("n_regionkey"))
+        .select("s_suppkey", "s_name", _dec("s_acctbal").alias("bal"), "n_name")
+    )
+    cand = (
+        ps.join(F.broadcast(part), F.col("pk") == F.col("p_partkey"))
+        .join(F.broadcast(sr), F.col("s_suppkey") == F.col("sk"))
+        .select("p_partkey", "p_type", "s_name", "n_name", "bal")
+    )
+    mn = cand.groupBy(F.col("p_partkey").alias("mpk")).agg(F.min("bal").alias("min_bal"))
+    out = cand.join(
+        mn, (F.col("mpk") == F.col("p_partkey")) & (F.col("bal") == F.col("min_bal"))
+    ).select(
+        F.col("bal").cast("double").alias("s_acctbal"), "s_name", "n_name", "p_partkey", "p_type"
+    )
+    return out.orderBy(
+        F.col("s_acctbal").desc(), F.col("n_name").asc(), F.col("s_name").asc(), F.col("p_partkey").asc()
+    ).limit(100)
+
+
+_Q9_SQL = """
+SELECT n_name AS supp_nation, CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS profit,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+JOIN orders ON o_orderkey = l_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY supp_nation, o_year
+"""
+
+
+@_q("q9_nation_profit", _Q9_SQL)
+def q9_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (adapted: profit = discounted revenue, no
+    ps_supplycost): 5-way join fanning out from lineitem, substring
+    part-name predicate pushed into the broadcast dim, group by
+    (supplier nation, order year)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    disc = (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    j = (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+    )
+    return (
+        j.select(F.col("n_name").alias("supp_nation"), F.year("o_orderdate").cast("int").alias("o_year"), disc.alias("amount"))
+        .groupBy("supp_nation", "o_year")
+        .agg(F.sum("amount").cast("double").alias("profit"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+_Q11_SQL = """
+WITH pv AS (
+  SELECT l_partkey AS pk,
+         SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS val
+  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+                JOIN nation ON n_nationkey = s_nationkey
+  WHERE n_name = 'NATION_3'
+  GROUP BY l_partkey
+),
+tot AS (SELECT SUM(val) AS total_val FROM pv)
+SELECT pk AS l_partkey, CAST(val AS DOUBLE) AS part_value
+FROM pv, tot
+WHERE CAST(val AS DOUBLE) > 0.001 * CAST(total_val AS DOUBLE)
+"""
+
+
+@_q("q11_important_parts", _Q11_SQL)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (adapted: part value = extendedprice*quantity
+    shipped by one nation's suppliers, no partsupp): grouped value per
+    part HAVING value above a fraction of the grand total — the scalar
+    subquery is a 1-row broadcast crossJoin, not a window, so no
+    single-partition exchange at scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    val = (_dec("l_extendedprice") * _dec("l_quantity")).cast("decimal(18,4)")
+    pv = (
+        li.join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(F.col("l_partkey").alias("pk"))
+        .agg(F.sum(val).alias("val"))
+    )
+    tot = pv.agg(F.sum("val").alias("total_val"))
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(F.col("val").cast("double") > F.lit(0.001) * F.col("total_val").cast("double"))
+        .select(F.col("pk").alias("l_partkey"), F.col("val").cast("double").alias("part_value"))
+    )
+
+
+_Q12_SQL = """
+SELECT CASE WHEN dd > 60 THEN 'late' WHEN dd > 21 THEN 'slow' ELSE 'fast' END AS delay_bucket,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM (
+  SELECT o_orderpriority,
+         date_diff('day', o_orderdate, l_shipdate) AS dd
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+)
+GROUP BY delay_bucket
+"""
+
+
+@_q("q12_ship_delay_priority", _Q12_SQL)
+def q12_ship_delay_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted: no l_shipmode/commitdate/receiptdate —
+    the mode dimension becomes ship-delay buckets computed as calendar-day
+    differences, identical on both engines for the date-aligned corpus):
+    priority CASE-sums grouped by a derived category."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    j = orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+    dd = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = F.when(dd > 60, "late").when(dd > 21, "slow").otherwise("fast")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        j.select(bucket.alias("delay_bucket"), high.alias("high"))
+        .groupBy("delay_bucket")
+        .agg(
+            F.sum(F.when(F.col("high"), 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(F.col("high"), 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+_Q15_SQL = """
+WITH rev AS (
+  SELECT l_suppkey AS sk,
+         SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+FROM supplier JOIN rev ON sk = s_suppkey, (SELECT MAX(total_rev) AS mx FROM rev) m
+WHERE total_rev = mx
+ORDER BY s_suppkey
+"""
+
+
+@_q("q15_top_supplier", _Q15_SQL)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: top supplier by quarterly revenue — the view + scalar
+    MAX subquery, decimal-exact equality against the 1-row broadcast
+    max (ties all surface, like the spec)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    disc = (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("sk")).agg(F.sum(disc).alias("total_rev"))
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    return (
+        sup.join(rev, F.col("sk") == F.col("s_suppkey"))
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("mx"))
+        .select("s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+_Q16_SQL = """
+WITH ps AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem)
+SELECT p_brand, p_type, p_size, CAST(COUNT(DISTINCT sk) AS BIGINT) AS supplier_cnt
+FROM ps JOIN part ON p_partkey = pk
+WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND sk NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+@_q("q16_supplier_part_cnt", _Q16_SQL)
+def q16_supplier_part_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (adapted: part↔supplier bridge from lineitem;
+    'complaint' suppliers become negative-balance ones): NOT-IN
+    anti-join + count-distinct suppliers per part attribute group."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    ps = li.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")).distinct()
+    kept = ps.join(F.broadcast(bad), F.col("sk") == F.col("s_suppkey"), "left_anti")
+    return (
+        kept.join(F.broadcast(part), F.col("p_partkey") == F.col("pk"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("sk")).alias("supplier_cnt"))
+    )
+
+
+_Q20_SQL = """
+WITH tp AS (SELECT p_partkey FROM part WHERE p_name LIKE 'blue%'),
+heavy AS (
+  SELECT l_suppkey AS sk
+  FROM lineitem JOIN tp ON p_partkey = l_partkey
+  WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+  GROUP BY l_suppkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250
+)
+SELECT s_name, n_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+FROM supplier JOIN nation ON n_nationkey = s_nationkey
+WHERE n_name = 'NATION_7' AND s_suppkey IN (SELECT sk FROM heavy)
+ORDER BY s_name
+"""
+
+
+@_q("q20_heavy_shippers", _Q20_SQL)
+def q20_heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted: 'excess availqty' becomes 'shipped more
+    than 250 units of blue parts in 1997'): nested semi-join chain —
+    part-name filter feeds a grouped HAVING which feeds an IN, executed
+    as broadcast + left-semi joins."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    tp = _t(spark, sf_dir, "part").filter(F.col("p_name").like("blue%")).select("p_partkey")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    heavy = (
+        li.join(F.broadcast(tp), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(F.col("l_suppkey").alias("sk"))
+        .agg(F.sum(_dec("l_quantity")).alias("qty"))
+        .filter(F.col("qty") > 250)
+        .select("sk")
+    )
+    return (
+        sup.join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(heavy, F.col("sk") == F.col("s_suppkey"), "left_semi")
+        .select("s_name", "n_name", F.col("s_acctbal").cast("double").alias("s_acctbal"))
+        .orderBy("s_name")
+    )
+
+
+_Q21_SQL = """
+WITH late AS (
+  SELECT l_orderkey AS lo, l_suppkey AS ls
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F' AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+)
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM late l1 JOIN supplier ON s_suppkey = l1.ls
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.lo AND l2.l_suppkey <> l1.ls)
+  AND NOT EXISTS (SELECT 1 FROM late l3 WHERE l3.lo = l1.lo AND l3.ls <> l1.ls)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
+@_q("q21_sole_late_supplier", _Q21_SQL)
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted: 'late' = shipped >90 days after the
+    order date; no receipt/commit dates in this corpus). The
+    EXISTS/NOT-EXISTS double correlation is decorrelated into per-order
+    aggregates: EXISTS(other supplier) == order has >1 distinct
+    supplier; NOT EXISTS(other late supplier) == exactly 1 distinct
+    late supplier. Both aggregates shuffle on l_orderkey — the same key,
+    one exchange reused — instead of two correlated re-scans."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    sup = _t(spark, sf_dir, "supplier")
+    late = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 90 DAYS"))
+        .select(F.col("l_orderkey").alias("lo"), F.col("l_suppkey").alias("ls"))
+    )
+    n_supp = li.groupBy(F.col("l_orderkey").alias("ko")).agg(
+        F.count_distinct("l_suppkey").alias("n_supp")
+    )
+    n_late = late.groupBy(F.col("lo").alias("klo")).agg(F.count_distinct("ls").alias("n_late"))
+    qual = (
+        late.join(n_supp.filter(F.col("n_supp") > 1), F.col("ko") == F.col("lo"), "left_semi")
+        .join(n_late.filter(F.col("n_late") == 1), F.col("klo") == F.col("lo"), "left_semi")
+    )
+    return (
+        qual.join(F.broadcast(sup), F.col("s_suppkey") == F.col("ls"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(100)
+    )
+
+
 _STRATSAMPLE_SQL = """
 SELECT doc_id, lang
 FROM documents
