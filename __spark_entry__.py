@@ -631,6 +631,22 @@ def knn_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "label", F.round(F.col("dist"), 6).alias("dist"))
 
 
+@_q("knn_self_join_ivf")  # approximate — rows-only check (no SQL equivalent)
+def knn_self_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity self-join: top-5 approximate neighbors for EVERY vector
+    via IVF bucketing (operators/knn.similarity_self_join) — the
+    all-pairs-free scale path a 100 TB near-dup / retrieval pipeline
+    needs. Recall floor pytest-gated vs the exact join (test_vector_knn)."""
+    from columnar_spark.functions.vector import unit_vector
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", unit_vector(F.col("embedding"))
+    )
+    centroids = KNN.train_centroids(emb, "embedding", n_clusters=16, seed=42)
+    out = KNN.similarity_self_join(emb, "embedding", k=5, centroids=centroids, nprobe=4)
+    return out.orderBy("vec_id", F.col("sim").desc(), "neighbor_id")
+
+
 # --------------------------------------------------------------------------
 # Dedup / similarity (north-star training-data ops)
 # --------------------------------------------------------------------------
@@ -860,6 +876,50 @@ def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(CT.alpha_ratio(t), 6).alias("alpha_ratio"),
         CT.quality_score(t).alias("quality"),
     )
+
+
+_REPETITION_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(t) < 2 THEN CAST([] AS VARCHAR[])
+                ELSE list_transform(generate_series(1, len(t) - 1),
+                                    i -> t[i] || ' ' || t[i + 1]) END) AS g
+  FROM toks
+),
+gc AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g),
+gsig AS (
+  SELECT doc_id,
+         round(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS top2gram_cover,
+         round(CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+               / CAST(SUM(c) AS DOUBLE), 6) AS dup2gram_frac
+  FROM gc GROUP BY doc_id
+),
+tc AS (
+  SELECT doc_id, tok, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY doc_id, tok
+),
+tsig AS (
+  SELECT doc_id,
+         round(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS uniq_tok_ratio
+  FROM tc GROUP BY doc_id
+)
+SELECT gsig.doc_id AS doc_id, top2gram_cover, dup2gram_frac, uniq_tok_ratio
+FROM gsig JOIN tsig ON gsig.doc_id = tsig.doc_id
+"""
+
+
+@_q("doc_repetition_signals", _REPETITION_SQL)
+def doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (top-2-gram coverage, duplicated
+    2-gram fraction, distinct-token ratio) — the quality gate a training
+    corpus runs before dedup. Explode + two-level groupBy, oracle-matched
+    exactly."""
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    return CT.repetition_signals(docs, "doc_id", "text", n=2)
 
 
 def _langid_oracle() -> str:

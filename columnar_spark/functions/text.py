@@ -116,6 +116,60 @@ def strip_markup(text: Column) -> Column:
     return F.trim(F.regexp_replace(no_tags, r"\s+", " "))
 
 
+def word_ngrams(text: Column, n: int = 2) -> Column:
+    """Word n-gram array (space-joined) from single-space tokenization.
+
+    Uses F.split(text, " ") — NOT the whitespace-collapsing tokens() —
+    so the gram universe matches an engine-agnostic string_split oracle
+    exactly. Guarded for size < n (sequence() would otherwise generate a
+    DESCENDING range and fabricate grams)."""
+    t = F.split(text, " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - F.lit(n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(n)]),
+    )
+    return F.when(F.size(t) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_signals(df, id_col: str, text_col: str, n: int = 2):
+    """Gopher-style repetition quality signals per document (Rae et al.
+    2021 §A1.1 repetition filters, public methodology):
+
+    - top{n}gram_cover: fraction of all word n-grams taken by the single
+      most frequent n-gram (boilerplate / template detector);
+    - dup{n}gram_frac: fraction of n-gram occurrences whose gram appears
+      more than once (loops, keyword stuffing);
+    - uniq_tok_ratio: distinct tokens / total tokens.
+
+    Plan: explode -> two-level groupBy, both keyed on (id, gram) then
+    (id) — partial aggregation map-side, no window, no driver state;
+    ratios are int/int double divisions rounded to 6 (cross-engine
+    exact)."""
+    grams = df.select(F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("g"))
+    gc = grams.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
+    gsig = gc.groupBy(id_col).agg(
+        F.round(F.max("c").cast("double") / F.sum("c").cast("double"), 6).alias(
+            f"top{n}gram_cover"
+        ),
+        F.round(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).cast("double")
+            / F.sum("c").cast("double"),
+            6,
+        ).alias(f"dup{n}gram_frac"),
+    )
+    tc = (
+        df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tsig = tc.groupBy(id_col).agg(
+        F.round(F.count(F.lit(1)).cast("double") / F.sum("c").cast("double"), 6).alias(
+            "uniq_tok_ratio"
+        )
+    )
+    return gsig.join(tsig, id_col)
+
+
 def doc_fingerprint(text: Column, shingle_k: int = 3) -> Column:
     """Document fingerprint: lexicographic min of md5 over token
     k-shingles (winnowing-style). md5 exists identically in Spark and

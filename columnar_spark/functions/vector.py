@@ -39,6 +39,17 @@ def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
 
+def unit_vector(a: Column) -> Column:
+    """L2-normalize to a unit array<double> (zero vectors pass through).
+    The reference normalizes at build time for COSINE (knn.cpp:128-143);
+    normalizing before IVF clustering makes L2 bucketing equivalent to
+    cosine bucketing."""
+    n = norm(a)
+    return F.when(n == 0.0, a.cast("array<double>")).otherwise(
+        F.transform(a, lambda x: x.cast("double") / n)
+    )
+
+
 def l2_sq(a: Column, b: Column) -> Column:
     """Squared L2 distance (hnswlib L2 space convention, knn/space.cpp)."""
     return F.aggregate(

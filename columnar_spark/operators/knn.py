@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from columnar_spark.functions.vector import (
     cosine_dist,
+    cosine_sim,
     ip_dist,
     l2_sq,
     py_norm,
@@ -195,6 +196,65 @@ def knn_topk_partitioned_ann(
 
     local = df.select(id_col, vec_col).mapInPandas(batches, out_schema)
     return local.orderBy(F.col("dist").asc(), F.col(id_col).asc()).limit(k)
+
+
+def similarity_self_join(
+    df: DataFrame,
+    vec_col: str,
+    k: int,
+    centroids: list[list[float]],
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    sim_col: str = "sim",
+) -> DataFrame:
+    """Approximate k-nearest-neighbors for EVERY row (similarity self-join)
+    without the O(n²) cross join: the all-docs analog of knn_topk_ivf.
+
+    Each left row probes its `nprobe` nearest centroids' buckets; right
+    rows live in exactly one bucket (their nearest centroid). The join is
+    a plain equi-join on the bucket id — one shuffle keyed on cluster,
+    candidate volume ~ n * nprobe * (n / n_clusters) instead of n². Per-id
+    top-k is a bucket-local window (partitioned by left id — no global
+    sort). Recall < 1 by construction (neighbors in unprobed buckets are
+    missed); recall floor is pytest-gated against the exact join at small
+    SF. Bucket-size skew is AQE's problem (skew-join split), same as any
+    grouped key.
+
+    Cosine-geometry bucketing: pass vectors (and centroids trained) in
+    unit-normalized form — functions.vector.unit_vector — so nearest-
+    centroid L2 assignment is equivalent to cosine assignment; cosine
+    similarity itself is scale-invariant, so outputs are unchanged.
+
+    Returns (id_col, neighbor_id, sim_col) with cosine similarity rounded
+    to 6 decimals, deterministic tie-break on neighbor id.
+    """
+    from pyspark.sql import Window
+
+    cdists = F.array(*[l2_sq(F.col(vec_col), vec_lit(c)) for c in centroids])
+    ranked = F.array_sort(
+        F.transform(cdists, lambda d, i: F.struct(d.alias("d"), i.alias("cid")))
+    )
+    probes = F.transform(F.slice(ranked, 1, max(1, nprobe)), lambda s: s["cid"])
+    left = df.select(
+        F.col(id_col).alias("__lid"),
+        F.col(vec_col).alias("__lvec"),
+        F.explode(probes).alias("__bucket"),
+    )
+    right = assign_clusters(df, vec_col, centroids, "__bucket").select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__rvec"), "__bucket"
+    )
+    cand = left.join(right, "__bucket").filter(F.col("__lid") != F.col("neighbor_id"))
+    scored = cand.select(
+        "__lid",
+        "neighbor_id",
+        F.round(cosine_sim(F.col("__lvec"), F.col("__rvec")), 6).alias(sim_col),
+    )
+    w = Window.partitionBy("__lid").orderBy(F.col(sim_col).desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(F.col("__lid").alias(id_col), "neighbor_id", sim_col)
+    )
 
 
 def knn_topk_ivf(

@@ -59,3 +59,30 @@ def test_redact_pii(spark):
 def test_strip_markup(spark):
     out = _one(spark, "<p>Hello <b>world</b></p>  extra", CT.strip_markup(F.col("t")))
     assert out == "Hello world extra"
+
+
+def test_word_ngrams_and_guard(spark):
+    from columnar_spark.functions.text import word_ngrams
+
+    df = spark.createDataFrame([("a b c",), ("solo",), ("",)], "text: string")
+    got = [r["g"] for r in df.select(word_ngrams(F.col("text")).alias("g")).collect()]
+    assert got[0] == ["a b", "b c"]
+    assert got[1] == []  # size < n must not hit sequence()'s descending range
+    assert got[2] == []
+
+
+def test_repetition_signals_small(spark):
+    from columnar_spark.functions.text import repetition_signals
+
+    df = spark.createDataFrame(
+        [(1, "x y x y x y"), (2, "a b c d e f")], "id: long, text: string"
+    )
+    got = {r["id"]: r for r in repetition_signals(df, "id", "text").collect()}
+    # doc 1: grams = [x y, y x, x y, y x, x y] -> top 'x y' 3/5, all dup
+    assert got[1]["top2gram_cover"] == round(3 / 5, 6)
+    assert got[1]["dup2gram_frac"] == 1.0
+    assert got[1]["uniq_tok_ratio"] == round(2 / 6, 6)
+    # doc 2: all grams unique
+    assert got[2]["top2gram_cover"] == round(1 / 5, 6)
+    assert got[2]["dup2gram_frac"] == 0.0
+    assert got[2]["uniq_tok_ratio"] == 1.0

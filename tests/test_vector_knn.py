@@ -122,3 +122,30 @@ def test_knn_search_stats_observation(spark):
     want = emb.filter(F.col("label") == 2).count()
     assert stats["rows_ranked"] == want  # distances computed only for survivors
     assert stats["min_dist"] <= rows[0]["dist"] <= stats["max_dist"]
+
+
+def test_similarity_self_join_recall(emb, np_data):
+    """IVF-bucketed similarity self-join vs the exact all-pairs top-k:
+    mean recall@5 over all vectors must clear a floor with a narrow probe
+    (nprobe=3 of 8 clusters; measured 0.81, deterministic via kmeans seed)."""
+    from columnar_spark.operators.knn import similarity_self_join
+
+    ids, mat, _ = np_data
+    norms = np.linalg.norm(mat, axis=1)
+    sims = (mat @ mat.T) / np.outer(norms, norms)
+    np.fill_diagonal(sims, -np.inf)
+    order = np.argsort(-np.round(sims, 6), axis=1, kind="stable")
+    exact = {int(ids[i]): {int(ids[j]) for j in order[i][:5]} for i in range(len(ids))}
+
+    from columnar_spark.functions.vector import unit_vector
+
+    emb_n = emb.withColumn("embedding", unit_vector(F.col("embedding")))
+    cents = train_centroids(emb_n, "embedding", n_clusters=8, seed=42)
+    got = similarity_self_join(emb_n, "embedding", k=5, centroids=cents, nprobe=3).collect()
+    approx: dict[int, set[int]] = {}
+    for r in got:
+        approx.setdefault(r["vec_id"], set()).add(r["neighbor_id"])
+    assert set(approx) == set(exact)  # every vector got neighbors
+    assert all(len(v) == 5 for v in approx.values())
+    recall = sum(len(exact[i] & approx[i]) for i in exact) / (5.0 * len(exact))
+    assert recall >= 0.7, f"mean recall@5 {recall:.3f} below floor"
