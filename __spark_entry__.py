@@ -1345,25 +1345,29 @@ FROM lineitem
 
 @_q("percentile_stats", _PCT_SQL)
 def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles — Spark `percentile` and DuckDB
-    `quantile_cont` share the sort-based interpolation, verified
-    bit-exact cross-engine. The quartile array is flattened to scalar
-    columns: the driver canonicalizer cannot hash array cells."""
+    """Exact interpolated percentiles with an access-path switch
+    (operators/percentiles.py): Spark's builtin exact `percentile` when
+    the column's estimated ndv keeps the single-node map merge bounded,
+    else a distributed CDF pipeline (l_extendedprice is ~583k distinct
+    at sf0.1 but billions at 100 TB, where the builtin's final merge is
+    an OOM). Interpolation semantics match DuckDB quantile_cont
+    bit-exactly on both paths (pytest + oracle). Scalar columns only:
+    the driver canonicalizer cannot hash arrays."""
+    from columnar_spark.operators.percentiles import percentiles_auto
+
     li = _t(spark, sf_dir, "lineitem")
-    # One percentile aggregate for all four quantity cut-points (projected
-    # to scalars AFTER the agg — four q[i] agg expressions would sort the
-    # column four times).
-    return li.agg(
-        F.expr("percentile(l_quantity, array(0.25, 0.5, 0.75, 0.9))").alias("__q"),
-        F.expr("percentile(l_extendedprice, 0.5)").alias("median_price"),
-        F.expr("percentile(l_discount, 0.99)").alias("p99_discount"),
-    ).select(
-        F.col("__q")[0].alias("qty_p25"),
-        F.col("__q")[1].alias("qty_p50"),
-        F.col("__q")[2].alias("qty_p75"),
-        F.col("__q")[3].alias("qty_p90"),
-        "median_price",
-        "p99_discount",
+    return percentiles_auto(
+        li,
+        {
+            "l_quantity": [
+                (0.25, "qty_p25"),
+                (0.5, "qty_p50"),
+                (0.75, "qty_p75"),
+                (0.9, "qty_p90"),
+            ],
+            "l_extendedprice": [(0.5, "median_price")],
+            "l_discount": [(0.99, "p99_discount")],
+        },
     )
 
 

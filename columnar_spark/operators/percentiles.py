@@ -1,0 +1,186 @@
+"""Distributed exact interpolated percentiles.
+
+Spark's builtin exact `percentile` aggregate accumulates a value->count
+map per partition and MERGES THE FULL MAP single-threaded at the final
+reduce — fine for low-cardinality columns, but on a high-cardinality
+column (e.g. 583k distinct doubles at sf0.1, billions at 100 TB) the
+final map is the whole column: unbounded single-node memory and the
+dominant cost. The reference never faces this (its host daemon computes
+percentiles; MCL only stores), so this operator is pure engine-side
+scale work.
+
+Plan shape (every step bounded, no driver materialization, fully lazy):
+
+1. value counts        — groupBy(col).count(): map-side combine shuffle.
+2. range partition     — repartitionByRange(value) + sortWithinPartitions:
+                         global sort order across partitions, local order
+                         within; tag rows with spark_partition_id().
+3. per-partition sums  — tiny (#partitions rows); a single-partition
+                         window over THAT (not the data) turns them into
+                         partition-start offsets.
+4. global cumulative   — broadcast-join offsets back, partitioned window
+                         cumsum within each partition + offset.
+5. rank brackets       — for each quantile q the 0-based positions
+                         lo=floor((n-1)q), hi=ceil((n-1)q) with linear
+                         interpolation weights (1-f, f); a broadcast
+                         nested-loop join of the TINY rank table against
+                         the cumulative table selects the bracketing
+                         values; groupBy(q) sums weight*value.
+
+Matches SQL percentile_cont / DuckDB quantile_cont semantics exactly
+(verified in tests/test_percentiles.py against Spark's own percentile).
+NULLs are excluded, like the builtins.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def percentile_cont(
+    df: DataFrame,
+    col: str,
+    qs: Sequence[float],
+    names: Sequence[str] | None = None,
+    num_range_partitions: int | None = None,
+) -> DataFrame:
+    """1-row DataFrame of exact interpolated percentiles of `col`.
+
+    names[i] is the output column for qs[i] (default p<q-without-dot>).
+    num_range_partitions defaults to the session shuffle parallelism.
+    """
+    if names is None:
+        names = [f"p{str(q).replace('.', '')}" for q in qs]
+    if len(names) != len(qs):
+        raise ValueError("names and qs must align")
+
+    sess = df.sparkSession
+    nparts = num_range_partitions or int(sess.conf.get("spark.sql.shuffle.partitions"))
+
+    v = F.col(col).cast("double")
+    counts = df.filter(v.isNotNull()).groupBy(v.alias("__v")).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    ranged = (
+        counts.repartitionByRange(nparts, F.col("__v"))
+        .sortWithinPartitions("__v")
+        .withColumn("__pid", F.spark_partition_id())
+    )
+
+    # Partition-start offsets: #partitions rows — the single-partition
+    # window here is over a partition-count-sized table, not the data.
+    psums = ranged.groupBy("__pid").agg(F.sum("__c").alias("__ps"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = psums.select(
+        "__pid", F.coalesce(F.sum("__ps").over(w_off), F.lit(0)).alias("__off")
+    )
+
+    w_cum = Window.partitionBy("__pid").orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = ranged.join(F.broadcast(offsets), "__pid").select(
+        "__v",
+        "__c",
+        (F.sum("__c").over(w_cum) + F.col("__off")).alias("__cum"),
+    )
+
+    total = cum.agg(F.max("__cum").alias("__n"))
+    qdf = sess.createDataFrame([(float(q), n) for q, n in zip(qs, names)], "__q double, __name string")
+    pos = F.col("__q") * (F.col("__n") - 1).cast("double")
+    frac = pos - F.floor(pos)
+    ranks = (
+        qdf.crossJoin(F.broadcast(total))
+        .select(
+            "__name",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.floor(pos).cast("long").alias("__r"),
+                        (F.lit(1.0) - frac).alias("__w"),
+                    ),
+                    F.struct(F.ceil(pos).cast("long").alias("__r"), frac.alias("__w")),
+                )
+            ).alias("__rw"),
+        )
+        .select("__name", F.col("__rw.__r").alias("__r"), F.col("__rw.__w").alias("__w"))
+        .filter(F.col("__w") > 0)
+    )
+
+    # Bracket join: tiny rank table broadcast against the cumulative CDF;
+    # value at 0-based position r satisfies cum - c <= r < cum.
+    hits = cum.join(
+        F.broadcast(ranks),
+        (F.col("__cum") - F.col("__c") <= F.col("__r")) & (F.col("__r") < F.col("__cum")),
+    )
+    per_q = hits.groupBy("__name").agg(F.sum(F.col("__w") * F.col("__v")).alias("__val"))
+
+    out = None
+    for name in names:
+        one = per_q.filter(F.col("__name") == name).select(F.col("__val").alias(name))
+        out = one if out is None else out.crossJoin(one)
+    return out
+
+
+def percentiles_multi(
+    df: DataFrame, spec: dict[str, list[tuple[float, str]]]
+) -> DataFrame:
+    """Exact percentiles for several columns in one 1-row result:
+    spec = {column: [(q, out_name), ...]}. Independent pipelines
+    crossJoined (each side is 1 row)."""
+    out = None
+    for col, pairs in spec.items():
+        part = percentile_cont(df, col, [q for q, _ in pairs], [n for _, n in pairs])
+        out = part if out is None else out.crossJoin(part)
+    return out
+
+
+# Below this many distinct values the builtin's single-node map merge is
+# both safe (two doubles/entry -> tens of MB) and much cheaper than the
+# multi-stage CDF plan; above it the builtin's final merge is unbounded.
+DEFAULT_NDV_THRESHOLD = 2_000_000
+
+
+def percentiles_auto(
+    df: DataFrame,
+    spec: dict[str, list[tuple[float, str]]],
+    ndv: dict[str, int] | None = None,
+    ndv_threshold: int = DEFAULT_NDV_THRESHOLD,
+) -> DataFrame:
+    """Access-path switch for exact percentiles — the same estimate-then-
+    choose contract as the reference's scan-vs-index decisions
+    (ShouldUseFullscan, knn/knn.cpp:217; EstimateMinMax,
+    columnar/columnar.cpp:649-675):
+
+    per column, if the (estimated) distinct count is below ndv_threshold
+    use Spark's builtin exact percentile (single small map merge, 2-stage
+    plan); otherwise use the distributed CDF pipeline whose memory is
+    bounded per task regardless of cardinality.
+
+    `ndv` supplies estimates (e.g. from the stats manifest); missing
+    columns are probed with one approx_count_distinct job — the D3-style
+    stats probe a planner runs before committing to a physical plan.
+    """
+    missing = [c for c in spec if ndv is None or c not in ndv]
+    ndv = dict(ndv or {})
+    if missing:
+        row = df.agg(
+            *[F.approx_count_distinct(c).alias(c) for c in missing]
+        ).first()
+        for c in missing:
+            ndv[c] = int(row[c])
+
+    out = None
+    for col, pairs in spec.items():
+        if ndv[col] <= ndv_threshold:
+            arr = ", ".join(repr(float(q)) for q, _ in pairs)
+            agged = df.agg(F.expr(f"percentile({col}, array({arr}))").alias("__p"))
+            part = agged.select(
+                *[F.col("__p")[i].alias(n) for i, (_, n) in enumerate(pairs)]
+            )
+        else:
+            part = percentile_cont(df, col, [q for q, _ in pairs], [n for _, n in pairs])
+        out = part if out is None else out.crossJoin(part)
+    return out
