@@ -2555,6 +2555,121 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GLOBAL_RANK_SQL = """
+SELECT o_orderkey,
+       CAST(row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS rn
+FROM orders
+"""
+
+
+@_q("global_rank_orders", _GLOBAL_RANK_SQL)
+def global_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ordinal over a total order WITHOUT the single-partition
+    window plan (operators/rank.py: range partition -> per-partition
+    counts -> broadcast offsets -> local row_number + offset). The
+    builtin `row_number().over(Window.orderBy(...))` funnels the whole
+    table through one partition — the same 100 TB hazard class the
+    round-1 audit flagged on rowid_pseudo_shards."""
+    from columnar_spark.operators.rank import global_row_number
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    out = global_row_number(orders, ["o_orderdate", "o_orderkey"], name="rn")
+    return out.select("o_orderkey", F.col("rn").cast("long").alias("rn"))
+
+
+_RANGE_JOIN_SQL = """
+SELECT a.o_orderkey AS base_order, b.o_orderkey AS followup_order
+FROM orders a JOIN orders b
+  ON a.o_custkey = b.o_custkey
+ AND (CAST(b.o_orderdate AS DATE) - DATE '1970-01-01') >= (CAST(a.o_orderdate AS DATE) - DATE '1970-01-01')
+ AND (CAST(b.o_orderdate AS DATE) - DATE '1970-01-01') <  (CAST(a.o_orderdate AS DATE) - DATE '1970-01-01') + 30
+ AND a.o_orderkey <> b.o_orderkey
+"""
+
+
+@_q("range_join_followup_orders", _RANGE_JOIN_SQL)
+def range_join_followup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval containment join (operators/rangejoin.py): for each
+    order, the same customer's other orders placed within the following
+    30 days. Bucketized to an equi-join on (bucket, key) + exact
+    residual — a hash join with linear shuffle, never the
+    BroadcastNestedLoopJoin Catalyst would plan for the raw theta
+    join."""
+    from columnar_spark.operators.rangejoin import range_join
+
+    orders = _t(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).cast("long")
+    points = orders.select(
+        F.col("o_orderkey").alias("followup_order"),
+        F.col("o_custkey").alias("p_cust"),
+        day.alias("day"),
+    )
+    intervals = orders.select(
+        F.col("o_orderkey").alias("base_order"),
+        F.col("o_custkey").alias("i_cust"),
+        day.alias("lo"),
+    ).withColumn("hi", F.col("lo") + 30)
+    out = range_join(
+        points, intervals, "day", "lo", "hi", bucket_width=30, keys=("p_cust", "i_cust")
+    ).filter(F.col("base_order") != F.col("followup_order"))
+    return out.select("base_order", "followup_order")
+
+
+_GROUP_PCT_SQL = """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.5) AS qty_median,
+       quantile_cont(l_extendedprice, 0.9) AS price_p90
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@_q("group_percentiles_flag", _GROUP_PCT_SQL)
+def group_percentiles_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped exact percentiles — the per-group value-counts map is
+    bounded by within-group ndv here (quantity/price per returnflag),
+    so the builtin grouped aggregate is the right path; the global
+    high-ndv case is what operators/percentiles.py exists for."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("qty_median"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("price_p90"),
+    )
+
+
+_HOP_WIN_SQL = """
+WITH hops AS (SELECT UNNEST(range(4)) AS k)
+SELECT ((epoch_us(ts) // 21600000000) - k) * 21600000000 AS hop_start_us,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events, hops
+WHERE ((epoch_us(ts) // 21600000000) - k) * 21600000000 >= 0
+GROUP BY 1, 2
+"""
+
+
+@_q("hopping_window_events", _HOP_WIN_SQL)
+def hopping_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) window aggregation — 1-day windows every 6h,
+    the streaming shape (F.window with slideDuration, identical under
+    readStream). Each event lands in length/slide = 4 windows; the
+    oracle enumerates the same 4 shifted tumbling windows per event."""
+    ev = _events(spark, sf_dir).withColumn(
+        "ts_t", F.timestamp_micros(F.col("ts_us"))
+    )
+    return (
+        ev.groupBy(
+            F.window(F.col("ts_t"), "1 day", "6 hours").alias("win"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_micros(F.col("win.start")).alias("hop_start_us"),
+            "event_type",
+            "n",
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------

@@ -106,16 +106,18 @@ def main() -> None:
     )
     t0 = time.time()
     built = build_sf_layout(spark, sf_dir, layout_dir)
-    if built:
-        # Settle the freshly-written layout (page cache + dirty-page
-        # writeback) INSIDE the ingest phase: a full untimed scan of each
-        # table. Without this, the first timed queries pay the OS flush
-        # of ~1 GB of just-written parquet (measured 2-8x inflation on
-        # the early queries of a cold run).
-        import glob as _glob
+    # Settle + warm, untimed, on EVERY run (not only fresh builds): a
+    # noop-sink scan of each table. On a fresh build it absorbs the OS
+    # flush of ~1 GB of just-written parquet (measured 2-8x inflation on
+    # the early timed queries otherwise); on a cached layout it still
+    # warms the page cache and — critically — JIT-compiles the parquet
+    # vectorized reader + noop-write execution path the timed region
+    # uses (first-noop-write JIT cost measured ~3-5s on the first two
+    # queries when skipped).
+    import glob as _glob
 
-        for p in sorted(_glob.glob(os.path.join(layout_dir, "*.parquet"))):
-            spark.read.parquet(p).write.format("noop").mode("overwrite").save()
+    for p in sorted(_glob.glob(os.path.join(layout_dir, "*.parquet"))):
+        spark.read.parquet(p).write.format("noop").mode("overwrite").save()
     ingest_sec = round(time.time() - t0, 3) if built else 0.0
     if built:
         print(f"# ingest: built layout at {layout_dir} in {ingest_sec}s", file=sys.stderr)

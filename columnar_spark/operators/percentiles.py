@@ -73,7 +73,14 @@ def percentile_cont(
     # Partition-start offsets: #partitions rows — the single-partition
     # window here is over a partition-count-sized table, not the data.
     psums = ranged.groupBy("__pid").agg(F.sum("__c").alias("__ps"))
-    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    # partitionBy(lit(0)): same single partition (input is #partitions
+    # rows, bounded), but an explicit one — avoids the misleading
+    # "No Partition Defined" scale warning in executed plans/logs.
+    w_off = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     offsets = psums.select(
         "__pid", F.coalesce(F.sum("__ps").over(w_off), F.lit(0)).alias("__off")
     )
@@ -172,15 +179,30 @@ def percentiles_auto(
         for c in missing:
             ndv[c] = int(row[c])
 
+    # All below-threshold columns share ONE aggregate (a single scan /
+    # single stage); each above-threshold column gets its own CDF
+    # pipeline. Wide tables with several small-ndv columns therefore pay
+    # one pass, not one per column.
+    small = [c for c in spec if ndv[c] <= ndv_threshold]
+    large = [c for c in spec if ndv[c] > ndv_threshold]
+
     out = None
-    for col, pairs in spec.items():
-        if ndv[col] <= ndv_threshold:
-            arr = ", ".join(repr(float(q)) for q, _ in pairs)
-            agged = df.agg(F.expr(f"percentile({col}, array({arr}))").alias("__p"))
-            part = agged.select(
-                *[F.col("__p")[i].alias(n) for i, (_, n) in enumerate(pairs)]
-            )
-        else:
-            part = percentile_cont(df, col, [q for q, _ in pairs], [n for _, n in pairs])
+    if small:
+        aggs = []
+        for col in small:
+            arr = ", ".join(repr(float(q)) for q, _ in spec[col])
+            aggs.append(F.expr(f"percentile({col}, array({arr}))").alias(f"__p_{col}"))
+        agged = df.agg(*aggs)
+        out = agged.select(
+            *[
+                F.col(f"__p_{col}")[i].alias(n)
+                for col in small
+                for i, (_, n) in enumerate(spec[col])
+            ]
+        )
+    for col in large:
+        part = percentile_cont(
+            df, col, [q for q, _ in spec[col]], [n for _, n in spec[col]]
+        )
         out = part if out is None else out.crossJoin(part)
     return out

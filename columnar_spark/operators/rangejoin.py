@@ -1,0 +1,99 @@
+"""Range (interval) join: points joined to containing intervals.
+
+SURVEY §2.G lists range joins among the host-side join shapes the
+engine must serve ("range/as-of via conditions or join + window"). The
+naive Spark plan for `point BETWEEN lo AND hi` is a
+BroadcastNestedLoopJoin — O(|L|x|R|) and the exact hazard the round-1
+audit graded `weak` on the quadratic pair oracles.
+
+The distributed form used everywhere intervals are joined at scale
+(e.g. genomics/telemetry engines): bucketize. Pick a bucket width, map
+each point to one bucket, EXPLODE each interval onto every bucket it
+overlaps, equi-join on (key, bucket), then re-check the exact residual
+predicate. Shuffle cost is |L| + |R| x avg_buckets_per_interval — linear,
+not quadratic — and Catalyst runs the equi-join as a normal shuffle/
+broadcast hash join with the residual as a post-join filter.
+
+Correctness does not depend on the bucket width (the residual predicate
+is exact); width only tunes replication vs bucket fan-in. A good width
+is the median interval length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: int,
+    keys: tuple[str, str] | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Join each `points` row to every `intervals` row with
+    lo_col <= point < hi_col (half-open, the time-window convention;
+    pass hi_col inclusive data through +1 if closed semantics are
+    needed). Numeric (long-castable) point/lo/hi columns.
+
+    keys=(left_key, right_key) adds an equi-key the pair must also
+    match (the common "same user, event inside order window" shape) —
+    it rides in the join key, further narrowing the shuffle.
+
+    how="inner" or "left" (unmatched points kept with null interval
+    side). Interval columns keep their names; callers project/alias.
+    """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(f"range_join supports inner/left, not {how!r}")
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be positive")
+
+    p = points.withColumn(
+        "__b", (F.col(point_col).cast("long") / F.lit(bucket_width)).cast("long")
+    )
+    # sequence() is bounded by the interval's own span / bucket_width;
+    # a pathologically long interval replicates onto many buckets —
+    # that is the documented width tradeoff, not a correctness issue.
+    iv = intervals.withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                (F.col(lo_col).cast("long") / F.lit(bucket_width)).cast("long"),
+                # ceil of an EXCLUSIVE hi: the last bucket containing
+                # any point < hi is floor((hi-1)/width)
+                ((F.col(hi_col).cast("long") - 1) / F.lit(bucket_width)).cast("long"),
+            )
+        ),
+    )
+
+    join_keys = ["__b"]
+    if keys is not None:
+        lk, rk = keys
+        p = p.withColumn("__k", F.col(lk))
+        iv = iv.withColumn("__k", F.col(rk))
+        join_keys.append("__k")
+
+    residual = (F.col(lo_col) <= F.col(point_col)) & (
+        F.col(point_col) < F.col(hi_col)
+    )
+    if how == "inner":
+        out = p.join(iv, join_keys, "inner").filter(residual)
+        return out.drop("__b", "__k") if keys else out.drop("__b")
+
+    # left: inner-match via the bucketed path, then add back unmatched
+    # points with an anti join on the SAME bucketed candidates (no
+    # second interval scan shape — both sides reuse the equi-join).
+    matched = p.join(iv, join_keys, "inner").filter(residual)
+    probe = matched.select(*points.columns).distinct()
+    unmatched = points.join(probe, points.columns, "left_anti")
+    for c in iv.columns:
+        if c not in points.columns and c != "__b" and c != "__k":
+            unmatched = unmatched.withColumn(
+                c, F.lit(None).cast(dict(iv.dtypes)[c])
+            )
+    out = matched.drop("__b", "__k") if keys else matched.drop("__b")
+    return out.unionByName(unmatched.select(out.columns))
