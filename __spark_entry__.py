@@ -2555,6 +2555,33 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PCT_DISC_SQL = """
+SELECT o_orderpriority,
+       CAST(quantile_disc(o_totalprice, 0.5) AS DOUBLE) AS med_price,
+       CAST(quantile_disc(o_totalprice, 0.9) AS DOUBLE) AS p90_price
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@_q("percentile_disc_priority", _PCT_DISC_SQL)
+def percentile_disc_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI PERCENTILE_DISC per group (no interpolation — the answer is
+    always an actual value). Spark's builtin and DuckDB quantile_disc
+    share the smallest-value-with-cum_dist>=q semantics, verified
+    bit-exact; the distributed global form is
+    operators/percentiles.percentile_disc."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).cast("double").alias("med_price"),
+        F.expr(
+            "percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).cast("double").alias("p90_price"),
+    )
+
+
 _GLOBAL_RANK_SQL = """
 SELECT o_orderkey,
        CAST(row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS rn

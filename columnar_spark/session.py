@@ -29,6 +29,11 @@ _BUILD_CONFS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.driver.memory": "8g",
     "spark.ui.enabled": "false",
+    # No data-locality delay: in local mode every task is process-local
+    # (the 3s default only postpones scheduling), and on a modern
+    # cluster network reading a non-local shuffle block is cheaper than
+    # idling an executor slot. Measured ~50ms/job off the local floor.
+    "spark.locality.wait": "0",
 }
 
 # Runtime-settable subset, safe on a session we did not create.

@@ -75,3 +75,47 @@ def test_auto_path_flips_on_ndv(spark):
     assert "percentile(" in lo_plan and "__pid" not in lo_plan
     assert "__pid" in hi_plan.replace(" ", "")
     assert math.isclose(lo.first()["m"], hi.first()["m"], rel_tol=1e-12)
+
+
+def test_auto_medium_tier_value_counts_path(spark):
+    """Between small_ndv and ndv_threshold the value-counts cumsum path
+    runs (no raw-map builtin, no __pid CDF pipeline) and matches the
+    builtin's value exactly."""
+    from columnar_spark.operators.percentiles import percentiles_auto
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    spec = {"l_extendedprice": [(0.5, "m")]}
+    mid = percentiles_auto(
+        li, spec, ndv={"l_extendedprice": 500}, small_ndv=100, ndv_threshold=1000
+    )
+    plan = mid._jdf.queryExecution().optimizedPlan().toString()
+    assert "__pid" not in plan.replace(" ", "")  # not the CDF pipeline
+    assert "percentile(l_extendedprice" not in plan  # not the raw builtin
+    ref = li.selectExpr("percentile(l_extendedprice, 0.5) AS m").first()["m"]
+    assert mid.first()["m"] == ref
+
+
+def test_auto_tiers_are_exclusive(spark):
+    """A lowered ndv_threshold alone must not double-assign a column
+    (regression: small+large both matched, duplicating output cols)."""
+    from columnar_spark.operators.percentiles import percentiles_auto
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    spec = {"l_extendedprice": [(0.5, "m")]}
+    out = percentiles_auto(li, spec, ndv={"l_extendedprice": 10_000}, ndv_threshold=100)
+    assert out.columns == ["m"]
+
+
+def test_percentile_disc_matches_builtin(spark):
+    from columnar_spark.operators.percentiles import percentile_disc
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    got = percentile_disc(li, "l_extendedprice", [0.25, 0.5, 0.9], ["a", "b", "c"]).first()
+    ref = spark.sql(
+        "SELECT "
+        "percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice) a, "
+        "percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice) b, "
+        "percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice) c "
+        "FROM {li}", li=li
+    ).first()
+    assert (got["a"], got["b"], got["c"]) == (float(ref["a"]), float(ref["b"]), float(ref["c"]))
