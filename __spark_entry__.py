@@ -2555,6 +2555,82 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pipeline_oracle() -> str:
+    hit = {
+        code: ("len(list_filter(ltk, x -> x IN ("
+               + ", ".join("'" + w.replace("'", "''") + "'" for w in words)
+               + ")))")
+        for code, words in CT.LANG_STOPWORDS.items()
+    }
+    return f"""
+WITH base AS (
+  SELECT doc_id, text,
+    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk,
+    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ltk
+  FROM documents
+), scored AS (
+  SELECT doc_id, tk,
+    round(0.4 * least(len(tk) / 50.0, 1.0)
+        + 0.3 * least((len(list_filter(ltk, x -> x IN ('the','of','and','to','a','in','is','it','you','that'))) * 1.0
+                       / greatest(len(ltk), 1)) * 5.0, 1.0)
+        + 0.3 * (length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) * 1.0
+                 / greatest(length(text), 1)), 6) AS quality,
+    {hit['de']} AS h_de, {hit['en']} AS h_en, {hit['es']} AS h_es,
+    {hit['fr']} AS h_fr, {hit['zh']} AS h_zh
+  FROM base
+), qual AS (
+  SELECT doc_id, tk, quality,
+    CASE
+      WHEN greatest(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
+      WHEN h_zh >= greatest(h_de, h_en, h_es, h_fr) THEN 'zh'
+      WHEN h_fr >= greatest(h_de, h_en, h_es) THEN 'fr'
+      WHEN h_es >= greatest(h_de, h_en) THEN 'es'
+      WHEN h_en >= h_de THEN 'en'
+      ELSE 'de'
+    END AS lang,
+    tk[1] || ' ' || tk[2] AS prefix2
+  FROM scored
+  WHERE quality >= 0.6
+), surv AS (
+  SELECT *, row_number() OVER (PARTITION BY prefix2 ORDER BY doc_id) AS rn
+  FROM qual
+)
+SELECT doc_id, lang, quality, CAST(len(tk) AS BIGINT) AS n_tokens
+FROM surv
+WHERE rn = 1
+  AND substring(md5(CAST(doc_id AS VARCHAR) || 'pipe'), 1, 4) < '8000'
+"""
+
+
+@_q("training_pipeline_docs", _pipeline_oracle())
+def training_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed LLM training-data pipeline in one declarative plan:
+    quality-score -> language-ID -> exact-dedup survivors (first-2-token
+    prefix, min-id winner) -> deterministic 50% hash-gate sample.
+    Every stage is an operator proven independently (doc_quality_filter,
+    doc_lang_fingerprint, dedup_exact_*, stratified_sample_docs); this
+    query proves they COMPOSE — one pipeline, one shuffle (the dedup
+    key), everything else map-side, and the whole thing hash-matches
+    the DuckDB oracle end to end."""
+    from columnar_spark.operators.dedup import exact_dedup
+    from columnar_spark.operators.sampling import sample_gate
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    t = F.col("text")
+    toks = CT.tokens(t)
+    scored = docs.select(
+        "doc_id",
+        CT.quality_score(t).alias("quality"),
+        CT.lang_id(t).alias("lang"),
+        F.concat_ws(" ", F.slice(toks, 1, 2)).alias("prefix2"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    )
+    qual = scored.filter(F.col("quality") >= 0.6)
+    surv = exact_dedup(qual, ["prefix2"], "doc_id")
+    sampled = surv.filter(sample_gate(F.col("doc_id"), 0.5, salt="pipe"))
+    return sampled.select("doc_id", "lang", "quality", "n_tokens")
+
+
 _PCT_DISC_SQL = """
 SELECT o_orderpriority,
        CAST(quantile_disc(o_totalprice, 0.5) AS DOUBLE) AS med_price,

@@ -52,6 +52,11 @@ class WriteSpec:
     # per-column Parquet Bloom filters — the secondary-index point-lookup
     # knob (reference A11/E2 analog at the storage layer)
     bloom_cols: Sequence[str] = field(default_factory=tuple)
+    # hive-style directory partitioning: a filter on these columns prunes
+    # whole directories BEFORE any file is opened (coarser + cheaper than
+    # row-group zone maps; the two compose). Use for low-cardinality
+    # columns that dominate predicates (date buckets, tenant, lang).
+    partition_by: Sequence[str] = field(default_factory=tuple)
     compression: str = "zstd"
     num_partitions: int | None = None
     format: str = "parquet"  # parquet | orc
@@ -82,6 +87,8 @@ def write_table(df: DataFrame, path: str, spec: WriteSpec | None = None) -> None
     w = out.write.mode("overwrite").option("compression", spec.compression)
     for c in spec.bloom_cols:
         w = w.option(f"parquet.bloom.filter.enabled#{c}", "true")
+    if spec.partition_by:
+        w = w.partitionBy(*spec.partition_by)
     getattr(w, spec.format)(path)
     # Stats manifest sidecar — the D1-D5/E7 surface for the planner.
     manifest = build_stats_manifest(getattr(df.sparkSession.read, spec.format)(path))
@@ -193,3 +200,60 @@ def check_table(
     except Exception:
         errors.append("stats manifest missing or unreadable")
     return errors
+
+
+# ----------------------------------------------------------- maintenance
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    spec: WriteSpec | None = None,
+    rows_per_split: int = ROWS_PER_SPLIT,
+) -> tuple[int, int]:
+    """Small-file compaction — the maintenance pass every long-lived
+    table needs at scale: streaming ingest (streaming/ingest.py appends
+    a file per micro-batch) and incremental loads fragment a table into
+    thousands of tiny files, and scan cost becomes file-open-bound
+    instead of byte-bound. The reference's analog is merging disk
+    chunks into its clustered layout at ingest; here compaction re-runs
+    the same write_table path (re-cluster, sorted-MVA/hash invariants,
+    fresh stats manifest) at the ROWS_PER_SPLIT granularity.
+
+    Rewrite-then-swap: the new layout is written beside the table and
+    moved into place, so a concurrent reader sees either the old or the
+    new complete layout, never a half-written one (the object-store
+    pattern; local rename is atomic enough for tests).
+
+    Returns (files_before, files_after). No-op (and no rewrite) when
+    the table is already at or below the target file count.
+    """
+    import os
+    import shutil
+
+    spec = spec or WriteSpec()
+    df = getattr(spark.read, spec.format)(path)
+    files_before = len(
+        [f for f in os.listdir(path) if f.endswith((".parquet", ".orc"))]
+    )
+    n_rows = df.count()
+    target_files = max(1, n_rows // rows_per_split + (1 if n_rows % rows_per_split else 0))
+    if files_before <= target_files:
+        return files_before, files_before
+
+    tmp = path.rstrip("/") + ".compact.tmp"
+    compact_spec = WriteSpec(**{**spec.__dict__, "num_partitions": target_files})
+    if not compact_spec.cluster_by:
+        df = df.repartition(target_files)
+    write_table(df, tmp, compact_spec)
+
+    old = path.rstrip("/") + ".compact.old"
+    shutil.move(path, old)
+    shutil.move(tmp, path)
+    if os.path.exists(stats_path(tmp)):
+        shutil.rmtree(stats_path(path), ignore_errors=True)
+        shutil.move(stats_path(tmp), stats_path(path))
+    shutil.rmtree(old)
+    files_after = len(
+        [f for f in os.listdir(path) if f.endswith((".parquet", ".orc"))]
+    )
+    return files_before, files_after

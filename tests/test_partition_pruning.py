@@ -1,0 +1,41 @@
+"""Hive-partitioned layout: a filter on the partition column must prune
+whole directories at plan time (PartitionFilters in the scan, partition
+count in the executed plan lower than the total)."""
+
+from pyspark.sql import functions as F
+
+from columnar_spark.writer import WriteSpec, write_table
+
+
+def test_partition_filter_prunes_directories(spark, tmp_path):
+    path = str(tmp_path / "orders_by_year.parquet")
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    write_table(orders, path, WriteSpec(partition_by=("o_year",)))
+
+    df = spark.read.parquet(path)
+    n_years = df.select("o_year").distinct().count()
+    assert n_years >= 3
+
+    q = df.filter(F.col("o_year") == 1996)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # the predicate lands in PartitionFilters (directory pruning), not in
+    # the data filters — no file under another year is even opened
+    assert "PartitionFilters" in plan
+    assert "o_year" in plan.split("PartitionFilters")[1][:200]
+    ref = (
+        spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .filter(F.year("o_orderdate") == 1996)
+        .count()
+    )
+    assert q.count() == ref
+
+
+def test_partition_values_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "p.parquet")
+    df = spark.range(100).withColumn("b", (F.col("id") % 4).cast("int"))
+    write_table(df, path, WriteSpec(partition_by=("b",)))
+    back = spark.read.parquet(path)
+    assert back.count() == 100
+    assert back.filter(F.col("b") == 2).count() == 25
