@@ -31,3 +31,49 @@ def latest_by_key(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def merge_into(
+    spark,
+    path: str,
+    updates: DataFrame,
+    keys: Sequence[str],
+    fmt: str = "parquet",
+) -> tuple[int, int, int]:
+    """Copy-on-write MERGE: upsert `updates` into the table at `path`
+    (matched keys replaced by their update row, unmatched inserted,
+    other target rows untouched). Plain Parquet has no ACID layer, so
+    this is the object-store copy-on-write pattern: rewrite the table
+    beside itself, swap directories — a reader sees the old or the new
+    complete table, never a mix (same swap discipline as
+    writer.compact_table).
+
+    Updates may add columns (schema widening): the union aligns by name
+    and fills missing target columns with NULL.
+
+    At 100 TB the rewrite cost is the whole table, which is exactly how
+    Delta/Iceberg COW mode behaves without deletion vectors; partition
+    the table (WriteSpec.partition_by) and merge per partition to bound
+    the rewrite. Updates must have at most one row per key (enforce with
+    latest_by_key first) — this keeps the plan a deterministic
+    anti-join + union instead of a window, one shuffle each.
+
+    Returns (n_target_before, n_updates, n_after).
+    """
+    import shutil
+
+    target = getattr(spark.read, fmt)(path)
+    n_before = target.count()
+    n_updates = updates.count()
+
+    # align schemas by name, widening with nulls on either side
+    kept = target.join(updates.select(*keys), list(keys), "left_anti")
+    merged = kept.unionByName(updates, allowMissingColumns=True)
+
+    tmp = path.rstrip("/") + ".merge.tmp"
+    merged.write.mode("overwrite").format(fmt).save(tmp)
+    old = path.rstrip("/") + ".merge.old"
+    shutil.move(path, old)
+    shutil.move(tmp, path)
+    shutil.rmtree(old)
+    return n_before, n_updates, getattr(spark.read, fmt)(path).count()
