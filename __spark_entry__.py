@@ -2773,6 +2773,68 @@ def hopping_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WIN_DIST_SQL = """
+SELECT event_id,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       percent_rank() OVER w AS pr,
+       cume_dist() OVER w AS cd
+FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC)
+"""
+
+
+@_q("window_distribution_family", _WIN_DIST_SQL)
+def window_distribution_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — ntile / percent_rank / cume_dist
+    per user over event time (deterministic total order via the
+    event_id tiebreaker). Keyed windows: no single-partition hazard."""
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "ts_us")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts_us").asc(), F.col("event_id").asc())
+    return ev.select(
+        "event_id",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+_FUZZY_SQL = """
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 6
+"""
+
+
+@_q("fuzzy_name_pairs_parts", _FUZZY_SQL)
+def fuzzy_name_pairs_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked string-similarity join: candidate pairs come from an
+    EQUI-join on the blocking key (brand) — a hash join whose cost is
+    sum over blocks of |block|^2, not |table|^2 — then exact levenshtein
+    (identical in Spark and DuckDB) verifies. The fuzzy-dedup shape for
+    entity resolution; pick blocking keys so blocks stay small (here
+    ~1/25 of the table each)."""
+    part = _t(spark, sf_dir, "part")
+    a = part.select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+        F.col("p_brand").alias("b"),
+    )
+    bb = part.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+        F.col("p_brand").alias("b"),
+    )
+    return (
+        a.join(bb, "b")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("long"))
+        .filter(F.col("dist") <= 6)
+        .select("key_a", "key_b", "dist")
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------

@@ -1,0 +1,128 @@
+"""Empirical scaling evidence: run representative operators at 1x and
+Nx the sf0.1 corpus and report the time ratio.
+
+The 100 TB claim in this repo is an argument about plan shapes (bounded
+per-task memory, no single-partition data paths, linear shuffles). This
+tool adds the measurement: replicate lineitem/orders N times WITH
+SHIFTED KEYS (so join fan-out and group counts scale like real data
+growth, not duplicated keys), and time an aggregation, a join, a
+grouped window, the global-rank operator, and the medium-tier exact
+percentile at both scales. A scale-safe plan should grow ~linearly
+(ratio ~N on fixed cores, minus amortized fixed costs); a quadratic or
+single-partition plan blows past it.
+
+Usage: python tools/bench_scaling.py [N] [sf_dir]   (default N=10)
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from columnar_spark.session import get_spark
+
+
+def _replicate(df: DataFrame, n: int, key_cols: list[str]) -> DataFrame:
+    """n copies; every key column shifted per copy so keys stay unique
+    across copies (joins/groups scale like real growth)."""
+    offsets = {c: df.agg(F.max(c)).first()[0] + 1 for c in key_cols}
+    rep = df.crossJoin(df.sparkSession.range(n).toDF("__copy"))
+    for c, off in offsets.items():
+        rep = rep.withColumn(c, F.col(c) + F.col("__copy") * F.lit(off))
+    return rep.drop("__copy")
+
+
+def _time(mk, runs: int = 2) -> float:
+    mk().write.format("noop").mode("overwrite").save()
+    best = None
+    for _ in range(runs):
+        t0 = time.time()
+        mk().write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 3)
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.cache/layout_sf0.1"
+
+    spark = get_spark("bench-scaling")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+
+    cache = os.path.join(os.path.dirname(sf_dir.rstrip("/")), f"scale{n}")
+    li_p, od_p = os.path.join(cache, "lineitem.parquet"), os.path.join(cache, "orders.parquet")
+    if not os.path.exists(li_p):
+        os.makedirs(cache, exist_ok=True)
+        li0 = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        od0 = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        _replicate(li0, n, ["l_orderkey"]).repartition(32).write.mode("overwrite").parquet(li_p)
+        _replicate(od0, n, ["o_orderkey", "o_custkey"]).repartition(32).write.mode(
+            "overwrite"
+        ).parquet(od_p)
+    # settle/warm both scales, untimed
+    for p in (os.path.join(sf_dir, "lineitem.parquet"), os.path.join(sf_dir, "orders.parquet"), li_p, od_p):
+        spark.read.parquet(p).write.format("noop").mode("overwrite").save()
+
+    def suite(li: DataFrame, od: DataFrame) -> dict[str, float]:
+        from columnar_spark.operators.rank import global_row_number
+        from columnar_spark.stats import exact_percentiles
+
+        dec = lambda c: F.col(c).cast("decimal(18,2)")
+        out = {}
+        out["agg_q1_shape"] = _time(
+            lambda: li.groupBy("l_returnflag", "l_linestatus").agg(
+                F.sum(dec("l_quantity")),
+                F.sum(dec("l_extendedprice")),
+                F.avg("l_discount"),
+                F.count(F.lit(1)),
+            )
+        )
+        out["join_q3_shape"] = _time(
+            lambda: li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderdate")
+            .agg(F.sum(dec("l_extendedprice")))
+        )
+        out["window_grouped"] = _time(
+            lambda: od.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+                ),
+            ).filter(F.col("rn") <= 3)
+        )
+        out["global_rank"] = _time(
+            lambda: global_row_number(
+                od.select("o_orderkey", "o_orderdate"),
+                ["o_orderdate", "o_orderkey"],
+                name="rn",
+            )
+        )
+        out["exact_percentile_ndv"] = _time(
+            lambda: exact_percentiles(li, "l_extendedprice", [0.5])
+        )
+        return out
+
+    li1 = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    od1 = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    t1 = suite(li1, od1)
+    tn = suite(spark.read.parquet(li_p), spark.read.parquet(od_p))
+
+    ratios = {k: round(tn[k] / t1[k], 2) if t1[k] else None for k in t1}
+    print(
+        json.dumps(
+            {"replication": n, "t_1x": t1, "t_Nx": tn, "ratio": ratios}
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
