@@ -2835,6 +2835,82 @@ def fuzzy_name_pairs_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_AUDIT_SQL = """
+SELECT
+  CAST((SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT) AS orphan_lineitems,
+  CAST((SELECT COUNT(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS BIGINT) AS orphan_orders,
+  CAST((SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0 OR l_extendedprice < 0) AS BIGINT) AS bad_lineitem_values,
+  CAST((SELECT COUNT(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 1) AS BIGINT) AS bad_discounts,
+  CAST((SELECT COUNT(*) FROM orders WHERE o_orderdate IS NULL) AS BIGINT) AS null_orderdates
+"""
+
+
+@_q("integrity_audit_counts", _AUDIT_SQL)
+def integrity_audit_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit — the validation pass a pipeline runs before
+    training consumes a drop: FK orphans via ANTI joins (one shuffle
+    each, no row explosion) and range/null violations as filter counts
+    folded into single-row aggregates."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+
+    orphan_li = li.join(
+        orders, F.col("l_orderkey") == F.col("o_orderkey"), "left_anti"
+    ).agg(F.count(F.lit(1)).alias("orphan_lineitems"))
+    orphan_od = orders.join(
+        cust, F.col("o_custkey") == F.col("c_custkey"), "left_anti"
+    ).agg(F.count(F.lit(1)).alias("orphan_orders"))
+    bad_vals = li.agg(
+        F.sum(
+            F.when((F.col("l_quantity") <= 0) | (F.col("l_extendedprice") < 0), 1).otherwise(0)
+        ).cast("long").alias("bad_lineitem_values"),
+        F.sum(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1).otherwise(0)
+        ).cast("long").alias("bad_discounts"),
+    )
+    null_dates = orders.agg(
+        F.sum(F.when(F.col("o_orderdate").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("null_orderdates")
+    )
+    return (
+        orphan_li.crossJoin(F.broadcast(orphan_od))
+        .crossJoin(F.broadcast(bad_vals))
+        .crossJoin(F.broadcast(null_dates))
+    )
+
+
+_GROUP_SAMPLE_SQL = """
+SELECT doc_id, lang
+FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+)
+WHERE rn <= 20
+"""
+
+
+@_q("group_sample_docs", _GROUP_SAMPLE_SQL)
+def group_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-stratum deterministic sample: rank by a hash of the
+    id within each group and keep the first k — reproducible on any
+    engine (unlike reservoir sampling), one keyed shuffle, and the
+    hash order is unbiased w.r.t. any data column."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "lang")
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
