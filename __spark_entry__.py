@@ -2835,6 +2835,26 @@ def fuzzy_name_pairs_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("knn_pq_l2")  # approximate — rows-only check (no SQL equivalent)
+def knn_pq_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN (operators/pq.py): m=8 codebooks of 64
+    centroids cut vector storage 32x (64 float32 -> 8 bytes of codes);
+    search is an ADC lookup-table gather in codegen'd expressions with
+    an exact re-rank of the 4k-candidate shortlist (recall >= 0.8 vs
+    exact, tests/test_pq.py)."""
+    from columnar_spark.operators.pq import encode_vectors, knn_topk_pq, train_pq
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(v) for v in emb.filter(F.col("vec_id") == _KNN_QID).first()["embedding"]]
+    books = train_pq(emb, "embedding", dim=64, m=8, k=64, max_iter=8)
+    coded = encode_vectors(emb, "embedding", books)
+    out = knn_topk_pq(
+        coded, "embedding_pq", qvec, books, _KNN_K,
+        metric="l2", vec_col="embedding", rerank_factor=4,
+    )
+    return out.select("vec_id", "label", F.round(F.col("dist"), 6).alias("dist"))
+
+
 _AUDIT_SQL = """
 SELECT
   CAST((SELECT COUNT(*) FROM lineitem l

@@ -1,0 +1,103 @@
+"""Product quantization: encoding shape, ADC score sanity vs numpy, and
+a recall gate vs exact search (the approximate path's quantitative
+floor, like the IVF and BIT1 gates)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from columnar_spark.operators.knn import knn_topk
+from columnar_spark.operators.pq import (
+    _adc_lut,
+    encode_vectors,
+    knn_topk_pq,
+    train_pq,
+)
+
+DIM, M, K = 64, 8, 64
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def books(emb):
+    return train_pq(emb, "embedding", dim=DIM, m=M, k=K, max_iter=8)
+
+
+def test_codebook_and_code_shapes(emb, books):
+    assert len(books) == M and all(len(b) == K for b in books)
+    assert all(len(c) == DIM // M for b in books for c in b)
+    coded = encode_vectors(emb, "embedding", books)
+    row = coded.select("embedding_pq").first()
+    codes = row["embedding_pq"]
+    assert len(codes) == M and all(0 <= c < K for c in codes)
+
+
+def test_adc_matches_numpy(emb, books):
+    q = [float(x) for x in emb.select("embedding").first()["embedding"]]
+    lut = _adc_lut(q, books, "l2")
+    coded = encode_vectors(emb, "embedding", books)
+    rows = coded.select("vec_id", "embedding", "embedding_pq").limit(100).collect()
+    from columnar_spark.operators.pq import adc_score_expr
+
+    got = {
+        r["vec_id"]: s["pq_dist"]
+        for r, s in zip(
+            rows,
+            coded.limit(100)
+            .withColumn("pq_dist", adc_score_expr(F.col("embedding_pq"), lut))
+            .select("vec_id", "pq_dist")
+            .collect(),
+        )
+    }
+    for r in rows:
+        expect = sum(lut[j][r["embedding_pq"][j]] for j in range(M))
+        assert abs(got[r["vec_id"]] - expect) < 1e-6
+    # ADC of a vector against its own quantization must be near the
+    # true distance scale (reconstruction error bounded by training)
+    qnp = np.array(q)
+    true_d = {
+        r["vec_id"]: float(((np.array(r["embedding"]) - qnp) ** 2).sum())
+        for r in rows
+    }
+    approx = np.array([got[v] for v in true_d])
+    truth = np.array(list(true_d.values()))
+    # correlation between ADC and true distance (m=8,k=16 keeps
+    # quantization error visible; 0.8 over 100 points is the floor)
+    corr = np.corrcoef(approx, truth)[0, 1]
+    assert corr > 0.8
+
+
+def test_pq_recall_gate(emb, books):
+    # average recall over 5 query points (single-query recall is noisy)
+    coded = encode_vectors(emb, "embedding", books).cache()
+    queries = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.select("embedding").limit(5).collect()
+    ]
+    rr_rec, adc_rec = [], []
+    for q in queries:
+        exact = {
+            r["vec_id"]
+            for r in knn_topk(emb, "embedding", q, 10, metric="l2").collect()
+        }
+        with_rr = {
+            r["vec_id"]
+            for r in knn_topk_pq(
+                coded, "embedding_pq", q, books, 10, metric="l2",
+                vec_col="embedding", rerank_factor=4,
+            ).collect()
+        }
+        adc_only = {
+            r["vec_id"]
+            for r in knn_topk_pq(
+                coded, "embedding_pq", q, books, 10, metric="l2"
+            ).collect()
+        }
+        rr_rec.append(len(exact & with_rr) / 10)
+        adc_rec.append(len(exact & adc_only) / 10)
+    assert sum(rr_rec) / len(rr_rec) >= 0.8  # re-ranked recall floor
+    assert sum(adc_rec) / len(adc_rec) >= 0.4  # raw ADC floor
