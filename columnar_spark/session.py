@@ -24,8 +24,10 @@ _BUILD_CONFS = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.session.timeZone": "UTC",
-    # testdata events.parquet stores TIMESTAMP(NANOS) which Spark's reader
-    # rejects; read as long ns and convert explicitly (catalog helpers).
+    # Older testdata vintages store events.ts as TIMESTAMP(NANOS), which
+    # Spark's reader rejects without this conf (reads as long ns instead;
+    # __spark_entry__._events type-dispatches). Harmless no-op on the
+    # current vintage's TIMESTAMP(MICROS) data.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.driver.memory": "8g",
     "spark.ui.enabled": "false",

@@ -140,12 +140,27 @@ def build_sf_layout(
     Queries take a plain sf_dir, so serving from the ingested layout is
     just passing `dest_dir` instead of `src_dir` — results are identical
     (row order is the only difference), the scans are parallel and
-    range-pruned."""
+    range-pruned.
+
+    The marker records a (path, size, mtime) signature of the source
+    files; a regenerated source corpus (new testdata vintage, possibly a
+    new schema) invalidates the cached layout instead of silently
+    serving stale data."""
     import os
+
+    sig_parts = []
+    for table in sorted(_LAYOUT_SPECS):
+        src = os.path.join(src_dir, f"{table}.parquet")
+        if os.path.exists(src):
+            st = os.stat(src)
+            sig_parts.append(f"{table}:{st.st_size}:{int(st.st_mtime)}")
+    signature = src_dir + "\n" + "\n".join(sig_parts) + "\n"
 
     marker = os.path.join(dest_dir, _LAYOUT_MARKER)
     if os.path.exists(marker) and not force:
-        return False
+        with open(marker) as fh:
+            if fh.read() == signature:
+                return False
     os.makedirs(dest_dir, exist_ok=True)
     width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     for table, spec in _LAYOUT_SPECS.items():
@@ -158,7 +173,7 @@ def build_sf_layout(
             spec = WriteSpec(**{**spec.__dict__, "num_partitions": n})
         write_table(df, os.path.join(dest_dir, f"{table}.parquet"), spec)
     with open(marker, "w") as fh:
-        fh.write(src_dir + "\n")
+        fh.write(signature)
     return True
 
 

@@ -78,9 +78,9 @@ def test_stream_ingest_and_stats(spark, tmp_path_factory):
 
 
 def test_windowed_counts_static_parity(spark):
-    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    if ev.schema["ts"].dataType.simpleString() in ("bigint", "long"):
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     out = windowed_counts(ev, window="1 day", watermark="2 days")
     total = out.agg(F.sum("n")).first()[0]
     assert total == ev.count()

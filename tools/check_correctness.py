@@ -45,8 +45,13 @@ def _rows_to_multiset(cols, rows):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if not a.startswith("--json")]
+    json_out = None
+    for a in sys.argv[1:]:
+        if a.startswith("--json="):
+            json_out = a.split("=", 1)[1]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     spark = get_spark("check-correctness")
     con = duckdb.connect()
@@ -57,6 +62,7 @@ def main():
     oracles = entrymod.oracle_sql()
     n_pass = n_fail = n_rowsonly = 0
     failures = []
+    report = {}
 
     for name, fn in queries.items():
         if only and name not in only:
@@ -69,11 +75,13 @@ def main():
         except Exception as e:
             n_fail += 1
             failures.append(name)
+            report[name] = {"status": "err", "err": f"spark {type(e).__name__}: {e}"[:400]}
             print(f"FAIL  {name}: spark error: {type(e).__name__}: {e}")
             continue
 
         if name not in oracles:
             n_rowsonly += 1
+            report[name] = {"status": "rows_only", "spark_rows": len(srows)}
             print(f"rows  {name}: {len(srows)} rows ({time.time()-t0:.1f}s) [no oracle]")
             continue
 
@@ -84,6 +92,7 @@ def main():
         except Exception as e:
             n_fail += 1
             failures.append(name)
+            report[name] = {"status": "err", "err": f"duckdb {type(e).__name__}: {e}"[:400]}
             print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {e}")
             continue
 
@@ -100,12 +109,36 @@ def main():
         if problems:
             n_fail += 1
             failures.append(name)
+            report[name] = {
+                "status": "fail",
+                "spark_rows": len(srows),
+                "oracle_rows": len(orows),
+                "err": "; ".join(problems)[:400],
+            }
             print(f"FAIL  {name}: {'; '.join(problems)}")
         else:
             n_pass += 1
+            report[name] = {
+                "status": "pass",
+                "rows_match": True,
+                "schema_match": True,
+                "hash_match": True,
+                "spark_rows": len(srows),
+                "oracle_rows": len(orows),
+            }
             print(f"PASS  {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
 
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as fh:
+            json.dump(
+                {"sf_dir": sf_dir, "pass": n_pass, "fail": n_fail,
+                 "rows_only": n_rowsonly, "queries": report},
+                fh, indent=1,
+            )
+        print(f"wrote {json_out}")
     if failures:
         print("failing:", " ".join(failures))
         sys.exit(1)
