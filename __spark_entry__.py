@@ -2863,6 +2863,31 @@ def knn_pq_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "label", F.round(F.col("dist"), 6).alias("dist"))
 
 
+@_q("knn_ivfpq_cosine")  # approximate — rows-only check (no SQL equivalent)
+def knn_ivfpq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite IVF-PQ (operators/pq.py train_ivfpq/encode_ivfpq/
+    knn_topk_ivfpq): coarse centroids prune to nprobe inverted lists,
+    residual PQ codes score by per-list ADC lookup tables in one
+    codegen'd scan, exact re-rank restores cosine semantics. The 100 TB
+    serving shape: cluster-partitioned parquet + 8-byte codes, the float
+    column touched only for the k*rerank shortlist (recall gate in
+    tests/test_pq.py). Reference ladder analog: knn/quantizer.cpp +
+    knn.cpp IVF — composed, not separate."""
+    from columnar_spark.functions.vector import unit_vector
+    from columnar_spark.operators.pq import encode_ivfpq, knn_topk_ivfpq, train_ivfpq
+
+    emb = _t(spark, sf_dir, "embeddings")
+    unit = emb.withColumn("embedding", unit_vector(F.col("embedding")).cast("array<float>"))
+    qvec = [float(v) for v in unit.filter(F.col("vec_id") == _KNN_QID).first()["embedding"]]
+    cents, books = train_ivfpq(unit, "embedding", dim=64, nlist=16, m=8, k=16, max_iter=6)
+    coded = encode_ivfpq(unit, "embedding", cents, books)
+    out = knn_topk_ivfpq(
+        coded, "pq_code", qvec, cents, books, _KNN_K, nprobe=4,
+        vec_col="embedding", metric="cosine", rerank_factor=4,
+    )
+    return out.select("vec_id", "label", F.round(F.col("dist"), 6).alias("dist"))
+
+
 _AUDIT_SQL = """
 SELECT
   CAST((SELECT COUNT(*) FROM lineitem l
@@ -2992,8 +3017,8 @@ _DRIVER_PRIORITY = [
     # ---- slot 50+: no-oracle flagships (rows-only check), then the rest
     "knn_ivf_cosine", "minhash_dedup_assign", "simhash_dedup_assign",
     "embedding_neardup_lsh", "knn_b1_cosine", "knn_q8_cosine", "knn_pq_l2",
-    "embed_then_knn", "knn_self_join_ivf", "minhash_lsh_pairs",
-    "simhash_pairs", "media_feature_stats",
+    "knn_ivfpq_cosine", "embed_then_knn", "knn_self_join_ivf",
+    "minhash_lsh_pairs", "simhash_pairs", "media_feature_stats",
 ]
 
 

@@ -229,3 +229,137 @@ def knn_topk_pq(
         return cands.select(id_col, "pq_dist")
     exact_metric = "ip" if metric == "ip" else "l2"
     return knn_topk(cands, vec_col, query_vec, k, metric=exact_metric, id_col=id_col)
+
+
+# ----------------------------------------------------------------- IVF-PQ
+
+def train_ivfpq(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    nlist: int = 16,
+    m: int = 8,
+    k: int = 16,
+    max_iter: int = 10,
+    seed: int = 42,
+    train_sample: int = 25_000,
+):
+    """Train the composite IVF-PQ index: coarse k-means centroids for the
+    inverted lists, then PQ codebooks on the RESIDUALS (vec - centroid) —
+    the standard composition (FAISS IVFPQ; residual PQ roughly halves
+    quantization error vs raw-vector PQ because each list's residual
+    cloud is centered at the origin). Returns (centroids, codebooks)."""
+    from columnar_spark.operators.knn import assign_clusters, train_centroids
+
+    centroids = train_centroids(df, vec_col, n_clusters=nlist, max_iter=max_iter, seed=seed)
+    with_res = residual_col(
+        assign_clusters(df, vec_col, centroids, "__ivfpq_c"), vec_col, centroids, "__ivfpq_c"
+    )
+    books = train_pq(
+        with_res, "__ivfpq_res", dim, m=m, k=k, max_iter=max_iter, seed=seed,
+        train_sample=train_sample,
+    )
+    return centroids, books
+
+
+def residual_col(
+    df: DataFrame,
+    vec_col: str,
+    centroids: Sequence[Sequence[float]],
+    cluster_col: str,
+    out_col: str = "__ivfpq_res",
+) -> DataFrame:
+    """vec - centroid[cluster], as a pure zip_with expression (the
+    centroid table is a tiny literal array — no join, no shuffle)."""
+    cent_lit = F.array(*[vec_lit(c) for c in centroids])
+    cent = F.element_at(cent_lit, F.col(cluster_col) + 1)
+    res = F.zip_with(F.col(vec_col).cast("array<double>"), cent, lambda a, b: a - b)
+    return df.withColumn(out_col, res.cast("array<float>"))
+
+
+def encode_ivfpq(
+    df: DataFrame,
+    vec_col: str,
+    centroids: Sequence[Sequence[float]],
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    cluster_col: str = "ivf_cluster",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Write-path step: tag each vector with its inverted list and the PQ
+    code of its residual. At scale the output is partitioned/sorted by
+    `cluster_col` (writer.WriteSpec) so a probe's cluster filter prunes
+    whole files; the float column may then be dropped or kept only for
+    re-ranking."""
+    from columnar_spark.operators.knn import assign_clusters
+
+    out = assign_clusters(df, vec_col, list(centroids), cluster_col)
+    out = residual_col(out, vec_col, centroids, cluster_col)
+    out = encode_vectors(out, "__ivfpq_res", codebooks, code_col)
+    return out.drop("__ivfpq_res")
+
+
+def knn_topk_ivfpq(
+    df: DataFrame,
+    code_col: str,
+    query_vec: Sequence[float],
+    centroids: Sequence[Sequence[float]],
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    k: int,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    cluster_col: str = "ivf_cluster",
+    vec_col: str | None = None,
+    metric: str = "l2",
+    rerank_factor: int = 4,
+) -> DataFrame:
+    """IVF-PQ search: probe the nprobe nearest inverted lists, score by
+    ADC against a per-list residual lookup table, exact re-rank on top.
+
+    ONE scan, no union-of-branches: the nprobe lookup tables are shipped
+    as a single [nprobe][m][k] literal and each row gathers from its
+    list's table via a tiny CASE over the probed cluster ids — fully
+    codegen'd, zero Python in the scan. ||q - (c + r)||^2 decomposes as
+    ||(q - c) - r||^2, so ADC on the residual code with table built from
+    (q - c) is the exact PQ-space l2. For cosine, encode normalized
+    vectors and pass metric="cosine" — the re-rank restores exact
+    semantics (l2 order == cosine order on the unit sphere)."""
+    import math
+
+    q = list(map(float, query_vec))
+    if metric == "cosine":
+        nrm = math.sqrt(sum(x * x for x in q)) or 1.0
+        q = [x / nrm for x in q]
+    elif metric != "l2":
+        raise ValueError("metric must be l2 or cosine")
+
+    def _l2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    order = sorted(range(len(centroids)), key=lambda i: _l2(centroids[i], q))
+    probe = order[: max(1, min(nprobe, len(centroids)))]
+
+    luts = [
+        _adc_lut([qi - ci for qi, ci in zip(q, centroids[c])], codebooks, "l2")
+        for c in probe
+    ]
+    lut3 = F.array(*[F.array(*[vec_lit(row) for row in lut]) for lut in luts])
+
+    pidx = F.when(F.col(cluster_col) == probe[0], 0)
+    for i, c in enumerate(probe[1:], start=1):
+        pidx = pidx.when(F.col(cluster_col) == c, i)
+    my_lut = F.element_at(lut3, pidx + 1)
+
+    code = F.col(code_col)
+    score = F.lit(0.0)
+    for j in range(len(codebooks)):
+        score = score + F.element_at(F.element_at(my_lut, j + 1), code[j].cast("int") + 1)
+
+    cands = (
+        df.filter(F.col(cluster_col).isin([int(c) for c in probe]))
+        .withColumn("pq_dist", score)
+        .orderBy(F.col("pq_dist").asc())
+        .limit(k * rerank_factor if vec_col else k)
+    )
+    if vec_col is None:
+        return cands.select(id_col, "pq_dist")
+    return knn_topk(cands, vec_col, query_vec, k, metric=metric, id_col=id_col)

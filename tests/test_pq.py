@@ -101,3 +101,54 @@ def test_pq_recall_gate(emb, books):
         adc_rec.append(len(exact & adc_only) / 10)
     assert sum(rr_rec) / len(rr_rec) >= 0.8  # re-ranked recall floor
     assert sum(adc_rec) / len(adc_rec) >= 0.4  # raw ADC floor
+
+
+# ----------------------------------------------------------------- IVF-PQ
+
+def test_ivfpq_encode_and_recall(spark, emb):
+    from columnar_spark.operators.pq import encode_ivfpq, knn_topk_ivfpq, train_ivfpq
+
+    cents, books = train_ivfpq(emb, "embedding", dim=DIM, nlist=8, m=M, k=16, max_iter=6)
+    assert len(cents) == 8 and len(books) == M
+    coded = encode_ivfpq(emb, "embedding", cents, books).cache()
+    row = coded.select("ivf_cluster", "pq_code").first()
+    assert 0 <= row["ivf_cluster"] < 8 and len(row["pq_code"]) == M
+
+    queries = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.select("embedding").limit(5).collect()
+    ]
+    recalls = []
+    for q in queries:
+        exact = {
+            r["vec_id"]
+            for r in knn_topk(emb, "embedding", q, 10, metric="l2").collect()
+        }
+        approx = {
+            r["vec_id"]
+            for r in knn_topk_ivfpq(
+                coded, "pq_code", q, cents, books, 10, nprobe=4,
+                vec_col="embedding", rerank_factor=4,
+            ).collect()
+        }
+        recalls.append(len(exact & approx) / 10)
+    # nprobe=4 of nlist=8 + residual codes + exact re-rank: >=0.6 mean
+    # recall@10 (IVF pruning loses neighbors in unprobed lists; the PQ
+    # stage itself is recall-neutral after re-rank)
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
+    coded.unpersist()
+
+
+def test_ivfpq_residual_adc_is_exact_in_pq_space(spark, emb):
+    # With nprobe = nlist (all lists probed) and the query equal to a DB
+    # vector, its own row must score near the residual reconstruction
+    # error — sanity that the per-list LUT CASE picks the right table.
+    from columnar_spark.operators.pq import encode_ivfpq, knn_topk_ivfpq, train_ivfpq
+
+    cents, books = train_ivfpq(emb, "embedding", dim=DIM, nlist=4, m=M, k=16, max_iter=6)
+    coded = encode_ivfpq(emb, "embedding", cents, books)
+    first = emb.select("vec_id", "embedding").first()
+    q = [float(x) for x in first["embedding"]]
+    got = knn_topk_ivfpq(coded, "pq_code", q, cents, books, 5, nprobe=4).collect()
+    ids = [r["vec_id"] for r in got]
+    assert first["vec_id"] in ids
