@@ -1362,8 +1362,12 @@ def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-exactly on both paths (pytest + oracle). Scalar columns only:
     the driver canonicalizer cannot hash arrays."""
     from columnar_spark.operators.percentiles import percentiles_auto
+    from columnar_spark.stats import ndv_from_sidecar
 
     li = _t(spark, sf_dir, "lineitem")
+    # Ingested layouts carry a stats sidecar: the tier decision reads
+    # ndv from it driver-side (no probe job). Raw dirs probe once.
+    ndv = ndv_from_sidecar(f"{sf_dir}/lineitem.parquet")
     return percentiles_auto(
         li,
         {
@@ -1376,6 +1380,7 @@ def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_extendedprice": [(0.5, "median_price")],
             "l_discount": [(0.99, "p99_discount")],
         },
+        ndv=ndv,
     )
 
 

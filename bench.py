@@ -88,10 +88,27 @@ def main() -> None:
     # plan floor) — production sessions keep it on (session.tune()); a
     # real cluster's per-query data volume makes it a clear win there.
     if sf <= 0.1:
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        # 16 measured best on local[32] at sf0.1 (8 under-uses the 32
+        # cores, 32 pays scheduling for near-empty tasks; 16 won on
+        # every probed query shape — windows, joins, dedup, percentiles)
+        spark.conf.set("spark.sql.shuffle.partitions", "16")
         spark.conf.set("spark.sql.adaptive.enabled", "false")
     # JVM/codegen warmup outside the timed region.
     spark.range(1000).selectExpr("sum(id)").collect()
+
+    # Measure the local scheduling floor INSIDE this run: a 1-row noop
+    # write pays plan->physical translation, job/stage/task scheduling
+    # and the py4j round-trip but ~zero compute. This is the per-query
+    # fixed cost a long-running cluster amortizes; published in the JSON
+    # so the vs-DuckDB gap decomposition is measured, not asserted.
+    floor_df = spark.range(1)
+    floor_df.write.format("noop").mode("overwrite").save()  # warm the path
+    floor_best = None
+    for _ in range(5):
+        t0 = time.time()
+        floor_df.write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        floor_best = dt if floor_best is None else min(floor_best, dt)
 
     # Ingest-then-query, the reference's own serving model (its BASELINE
     # numbers are measured against ITS storage post-ingest, not raw input
@@ -161,6 +178,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "ingest_sec": ingest_sec,
+                "sched_floor_sec_per_query": round(floor_best, 3),
             }
         )
     )

@@ -168,6 +168,37 @@ def load_manifest(spark: SparkSession, path: str) -> dict[str, dict]:
     return {r["column"]: r.asDict() for r in spark.read.parquet(path).collect()}
 
 
+def ndv_from_sidecar(table_path: str) -> dict[str, int] | None:
+    """Read the `<table>.parquet.stats` sidecar manifest driver-side
+    (pyarrow — the manifest is a handful of rows; spinning up a Spark
+    job to read it would cost more than it saves) and return
+    column -> ndv. None when the table has no sidecar (raw, un-ingested
+    data): callers fall back to an approx_count_distinct probe.
+
+    This is the D3 planner contract end-to-end: ingest writes the stats
+    once, every later query's access-path decision reads them for free
+    instead of re-scanning (reference keeps per-column ndv in its
+    secondary-index metadata the same way)."""
+    import glob as _glob
+    import os
+
+    sidecar = table_path.rstrip("/") + ".stats"
+    if not os.path.isdir(sidecar):
+        return None
+    try:
+        import pyarrow.parquet as pq
+
+        out: dict[str, int] = {}
+        for f in sorted(_glob.glob(os.path.join(sidecar, "*.parquet"))):
+            t = pq.read_table(f, columns=["column", "ndv"])
+            for col, ndv in zip(t["column"].to_pylist(), t["ndv"].to_pylist()):
+                if ndv is not None:
+                    out[col] = int(ndv)
+        return out or None
+    except Exception:
+        return None
+
+
 # ------------------------------------------------------------ value index
 
 def build_value_index(df: DataFrame, col: str) -> DataFrame:

@@ -61,6 +61,13 @@ def test_stats_manifest_values(spark, li, tmp_path_factory):
     loaded = load_manifest(spark, stats_path(path))
     assert loaded["l_orderkey"]["row_count"] == li.count()
 
+    # driver-side sidecar read (no Spark job) agrees with the manifest
+    from columnar_spark.stats import ndv_from_sidecar
+
+    ndv = ndv_from_sidecar(path)
+    assert ndv is not None and ndv["l_linenumber"] == int(m["l_linenumber"]["ndv"])
+    assert ndv_from_sidecar(str(tmp_path_factory.mktemp("none") / "missing")) is None
+
 
 def test_estimate_selectivity(li):
     m = {r["column"]: r.asDict() for r in build_stats_manifest(li).collect()}
