@@ -2879,17 +2879,27 @@ def knn_ivfpq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_pq.py). Reference ladder analog: knn/quantizer.cpp +
     knn.cpp IVF — composed, not separate."""
     from columnar_spark.functions.vector import unit_vector
+    from columnar_spark.operators.knn_index import knn_query_indexed, load_vector_index
     from columnar_spark.operators.pq import encode_ivfpq, knn_topk_ivfpq, train_ivfpq
 
     emb = _t(spark, sf_dir, "embeddings")
     unit = emb.withColumn("embedding", unit_vector(F.col("embedding")).cast("array<float>"))
     qvec = [float(v) for v in unit.filter(F.col("vec_id") == _KNN_QID).first()["embedding"]]
-    cents, books = train_ivfpq(unit, "embedding", dim=64, nlist=16, m=8, k=16, max_iter=6)
-    coded = encode_ivfpq(unit, "embedding", cents, books)
-    out = knn_topk_ivfpq(
-        coded, "pq_code", qvec, cents, books, _KNN_K, nprobe=4,
-        vec_col="embedding", metric="cosine", rerank_factor=4,
-    )
+
+    idx = load_vector_index(f"{sf_dir}/embeddings.parquet")
+    if idx is not None:
+        # Ingested layout: the persisted A12 artifact serves the probe —
+        # nothing is trained at query time; only nprobe/nlist partitions
+        # of the code dataset are read (PartitionFilters, test_knn_index).
+        hits = knn_query_indexed(spark, idx, qvec, _KNN_K, nprobe=4)
+        out = hits.join(emb.select("vec_id", "label"), hits["id"] == F.col("vec_id"))
+    else:
+        cents, books = train_ivfpq(unit, "embedding", dim=64, nlist=16, m=8, k=16, max_iter=6)
+        coded = encode_ivfpq(unit, "embedding", cents, books)
+        out = knn_topk_ivfpq(
+            coded, "pq_code", qvec, cents, books, _KNN_K, nprobe=4,
+            vec_col="embedding", metric="cosine", rerank_factor=4,
+        )
     return out.select("vec_id", "label", F.round(F.col("dist"), 6).alias("dist"))
 
 

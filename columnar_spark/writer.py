@@ -171,7 +171,16 @@ def build_sf_layout(
         if spec.cluster_by and spec.num_partitions is None:
             n = max(1, min(width, df.count() // ROWS_PER_SPLIT + 1))
             spec = WriteSpec(**{**spec.__dict__, "num_partitions": n})
-        write_table(df, os.path.join(dest_dir, f"{table}.parquet"), spec)
+        dest = os.path.join(dest_dir, f"{table}.parquet")
+        write_table(df, dest, spec)
+        if table == "embeddings":
+            # A12 write path: the KNN index is an ingest-time artifact
+            # (centroids + PQ codebooks + cluster-partitioned codes)
+            # beside the table, like the reference's .spknn — queries
+            # load it instead of retraining.
+            from columnar_spark.operators.knn_index import build_vector_index
+
+            build_vector_index(spark, df, dest)
     with open(marker, "w") as fh:
         fh.write(signature)
     return True

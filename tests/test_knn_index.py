@@ -1,0 +1,76 @@
+"""Persisted vector index (A12 write-path parity): build-once artifact,
+driver-side load, partition-pruned probe scan, recall floor, fallback
+contract when no index exists."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from columnar_spark.operators.knn import knn_topk
+from columnar_spark.operators.knn_index import (
+    build_vector_index,
+    knn_index_path,
+    load_vector_index,
+    knn_query_indexed,
+)
+
+SRC = "/root/testdata/sf0.01/embeddings.parquet"
+
+
+@pytest.fixture(scope="module")
+def indexed(spark, tmp_path_factory):
+    emb = spark.read.parquet(SRC)
+    table = str(tmp_path_factory.mktemp("vidx") / "embeddings.parquet")
+    emb.write.parquet(table)
+    build_vector_index(spark, emb, table, nlist=8, m=8, k=16)
+    return table, emb
+
+
+def test_artifact_shape_and_load(spark, indexed):
+    table, emb = indexed
+    idx = load_vector_index(table)
+    assert idx is not None
+    assert idx.nlist == 8 and len(idx.centroids) == 8
+    assert len(idx.codebooks) == 8 and all(len(b) == 16 for b in idx.codebooks)
+    assert idx.normalized and idx.metric == "cosine"
+    # vectors dataset is hive-partitioned by cluster
+    import glob, os
+
+    parts = glob.glob(os.path.join(idx.vectors_path, "ivf_cluster=*"))
+    assert len(parts) == 8
+
+
+def test_probe_scan_is_partition_pruned(spark, indexed):
+    table, emb = indexed
+    idx = load_vector_index(table)
+    q = [float(x) for x in emb.select("embedding").first()["embedding"]]
+    out = knn_query_indexed(spark, idx, q, 10, nprobe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the probe filter must reach the scan as a partition filter — only
+    # nprobe of nlist directories are read
+    assert "PartitionFilters" in plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "ivf_cluster" in m.group(1), plan[:1500]
+
+
+def test_indexed_recall_vs_exact(spark, indexed):
+    table, emb = indexed
+    idx = load_vector_index(table)
+    queries = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.select("embedding").limit(5).collect()
+    ]
+    recalls = []
+    for q in queries:
+        exact = {
+            r["vec_id"]
+            for r in knn_topk(emb, "embedding", q, 10, metric="cosine").collect()
+        }
+        approx = {r["id"] for r in knn_query_indexed(spark, idx, q, 10, nprobe=4).collect()}
+        recalls.append(len(exact & approx) / 10)
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
+
+
+def test_missing_index_returns_none(tmp_path_factory):
+    assert load_vector_index(str(tmp_path_factory.mktemp("noidx") / "t.parquet")) is None
