@@ -303,3 +303,103 @@ def point_lookup(index_df: DataFrame, value) -> DataFrame:
     return index_df.filter(F.col("value") == value).select(
         F.explode("postings").alias("row_id")
     )
+
+
+# ------------------------------------------------- incremental stats (E9)
+
+# The manifest above is a one-shot full-scan aggregate. Streaming ingest
+# must NOT pay O(table) per micro-batch, so the incremental form keeps a
+# MERGEABLE sketch sidecar: exact min/max/null/row counters (associative)
+# plus a Datasketches HLL per column (hll_sketch_agg / hll_union_agg —
+# union-able, unlike a finalized approx_count_distinct number). Per batch:
+# sketch the BATCH, union with the prior sketch (n_columns rows), derive
+# the manifest. Cost is O(batch) + O(columns), independent of table size.
+
+_NUMERIC_PREFIXES = ("tinyint", "smallint", "int", "bigint", "float", "double", "decimal")
+
+
+def sketch_path(table_path: str) -> str:
+    return table_path.rstrip("/") + ".stats_sketch"
+
+
+def build_stats_sketch(df: DataFrame) -> DataFrame:
+    """Per-column mergeable stats in one wide aggregate:
+    (column, dtype, is_numeric, min_s, max_s, null_count, row_count,
+    sketch). hll_sketch_agg accepts int/long/string/binary, so other
+    types are sketched via a canonical string cast (consistent across
+    batches, which is all a union needs)."""
+    dtypes = dict(df.dtypes)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in df.columns:
+        dt = dtypes[c]
+        complex_t = dt.startswith(("array", "map", "struct"))
+        if complex_t:
+            aggs += [
+                F.lit(None).cast("string").alias(f"__min__{c}"),
+                F.lit(None).cast("string").alias(f"__max__{c}"),
+                F.lit(None).cast("binary").alias(f"__hll__{c}"),
+                F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls__{c}"),
+            ]
+        else:
+            hll_in = F.col(c) if dt in ("int", "bigint", "string", "binary") else F.col(c).cast("string")
+            aggs += [
+                F.min(F.col(c)).cast("string").alias(f"__min__{c}"),
+                F.max(F.col(c)).cast("string").alias(f"__max__{c}"),
+                F.hll_sketch_agg(hll_in).alias(f"__hll__{c}"),
+                F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls__{c}"),
+            ]
+    wide = df.agg(*aggs)
+    rows = []
+    for c in df.columns:
+        dt = dtypes[c]
+        rows.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.lit(dt).alias("dtype"),
+                F.lit(dt.startswith(_NUMERIC_PREFIXES)).alias("is_numeric"),
+                F.col(f"__min__{c}").alias("min_s"),
+                F.col(f"__max__{c}").alias("max_s"),
+                F.col(f"__nulls__{c}").alias("null_count"),
+                F.col("__n").alias("row_count"),
+                F.col(f"__hll__{c}").alias("sketch"),
+            )
+        )
+    return wide.select(F.explode(F.array(*rows)).alias("s")).select("s.*")
+
+
+def merge_sketches(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union two sketch tables (e.g. prior sidecar + current batch) into
+    one. Numeric min/max compare as doubles (string compare would say
+    '9' > '10'); strings/timestamps/dates compare lexicographically,
+    which is order-correct for their canonical casts. HLLs union."""
+    u = a.unionByName(b)
+    merged = u.groupBy("column", "dtype", "is_numeric").agg(
+        F.min(F.when(F.col("is_numeric"), F.col("min_s").cast("double"))).alias("_min_n"),
+        F.max(F.when(F.col("is_numeric"), F.col("max_s").cast("double"))).alias("_max_n"),
+        F.min(F.when(~F.col("is_numeric"), F.col("min_s"))).alias("_min_s"),
+        F.max(F.when(~F.col("is_numeric"), F.col("max_s"))).alias("_max_s"),
+        F.sum("null_count").alias("null_count"),
+        F.sum("row_count").alias("row_count"),
+        F.hll_union_agg(F.col("sketch"), True).alias("sketch"),
+    )
+    return merged.select(
+        "column", "dtype", "is_numeric",
+        F.coalesce(F.col("_min_n").cast("string"), F.col("_min_s")).alias("min_s"),
+        F.coalesce(F.col("_max_n").cast("string"), F.col("_max_s")).alias("max_s"),
+        "null_count", "row_count", "sketch",
+    )
+
+
+def manifest_from_sketch(sk: DataFrame) -> DataFrame:
+    """Derive the (column, min, max, ndv, null_count, row_count) manifest
+    the rest of the engine consumes from a sketch table."""
+    return sk.select(
+        "column",
+        F.col("min_s").alias("min"),
+        F.col("max_s").alias("max"),
+        F.when(
+            F.col("sketch").isNotNull(), F.hll_sketch_estimate(F.col("sketch"))
+        ).cast("long").alias("ndv"),
+        "null_count",
+        "row_count",
+    )

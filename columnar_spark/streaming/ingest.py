@@ -20,7 +20,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from columnar_spark.stats import build_stats_manifest
+from columnar_spark.stats import (
+    build_stats_sketch,
+    manifest_from_sketch,
+    merge_sketches,
+    sketch_path,
+)
 from columnar_spark.writer import WriteSpec, normalize, stats_path
 
 
@@ -42,11 +47,29 @@ def stream_ingest(
     stream = spark.readStream.schema(schema).parquet(src_dir)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
         out = normalize(batch_df, spec)
         out.write.mode("append").option("compression", spec.compression).parquet(dst_path)
-        # E9 analog: sidecar stats rebuilt in the same maintenance step.
-        manifest = build_stats_manifest(batch_df.sparkSession.read.parquet(dst_path))
-        manifest.write.mode("overwrite").parquet(stats_path(dst_path))
+        # E9 analog, INCREMENTAL: sketch the batch only (O(batch)), union
+        # with the prior sketch sidecar (mergeable HLL + associative
+        # min/max/counts), derive the manifest from the merged sketch.
+        # The old form re-scanned the whole table per micro-batch —
+        # O(table) maintenance that a 100 TB stream cannot pay.
+        ss = batch_df.sparkSession
+        batch_sk = build_stats_sketch(out)
+        sp = sketch_path(dst_path)
+        if os.path.isdir(sp):
+            merged = merge_sketches(ss.read.parquet(sp), batch_sk)
+        else:
+            merged = batch_sk
+        # materialize before overwriting the path the plan reads from
+        rows = merged.collect()  # n_columns tiny rows
+        merged_df = ss.createDataFrame(rows, merged.schema)
+        merged_df.coalesce(1).write.mode("overwrite").parquet(sp)
+        manifest_from_sketch(merged_df).coalesce(1).write.mode("overwrite").parquet(
+            stats_path(dst_path)
+        )
 
     writer = stream.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir
