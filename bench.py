@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "corr_stddev_stats",
     "stratified_sample_docs",
     "knn_b1_cosine",
+    "knn_ivfpq_cosine",
     "funnel_conversion",
     "retention_cohorts",
     "latest_event_per_user",

@@ -1,0 +1,155 @@
+"""Operational CLI — the engine's host-daemon surface in one command:
+
+    python -m columnar_spark ingest  SRC_DIR DEST_DIR [--force]
+    python -m columnar_spark check   TABLE_PATH
+    python -m columnar_spark stats   TABLE_PATH
+    python -m columnar_spark compact TABLE_PATH [--target-rows N]
+    python -m columnar_spark knn-build TABLE_PATH [--vec-col C] [--id-col C]
+                                       [--metric cosine|l2] [--nlist N]
+    python -m columnar_spark knn-query TABLE_PATH --id QID [--k K] [--nprobe N]
+    python -m columnar_spark sql "SELECT ..." --sf-dir DIR
+
+`ingest` builds the clustered multi-split layout + stats sidecars (+ the
+persisted KNN index for the embeddings table); `check` runs the storage
+integrity checker; `stats` prints the manifest; `sql` registers the
+star-schema views and runs a query through Engine.sql (which applies the
+index-covered COUNT rewrite). Exit code is non-zero on any failure —
+scriptable like the reference's indexer/indextool pair.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="python -m columnar_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("ingest")
+    sp.add_argument("src_dir")
+    sp.add_argument("dest_dir")
+    sp.add_argument("--force", action="store_true")
+
+    sp = sub.add_parser("check")
+    sp.add_argument("table_path")
+
+    sp = sub.add_parser("stats")
+    sp.add_argument("table_path")
+
+    sp = sub.add_parser("compact")
+    sp.add_argument("table_path")
+    sp.add_argument("--target-rows", type=int, default=75_000)
+
+    sp = sub.add_parser("knn-build")
+    sp.add_argument("table_path")
+    sp.add_argument("--vec-col", default="embedding")
+    sp.add_argument("--id-col", default="vec_id")
+    sp.add_argument("--metric", default="cosine", choices=["cosine", "l2"])
+    sp.add_argument("--nlist", type=int, default=16)
+
+    sp = sub.add_parser("knn-query")
+    sp.add_argument("table_path")
+    sp.add_argument("--id", type=int, required=True, help="query vector's id in the table")
+    sp.add_argument("--k", type=int, default=10)
+    sp.add_argument("--nprobe", type=int, default=4)
+
+    sp = sub.add_parser("sql")
+    sp.add_argument("query")
+    sp.add_argument("--sf-dir", required=True)
+
+    args = p.parse_args(argv)
+
+    from columnar_spark.session import get_spark
+
+    spark = get_spark("columnar-spark-cli")
+
+    if args.cmd == "ingest":
+        from columnar_spark.writer import build_sf_layout
+
+        built = build_sf_layout(spark, args.src_dir, args.dest_dir, force=args.force)
+        print(json.dumps({"built": built, "dest": args.dest_dir}))
+        return 0
+
+    if args.cmd == "check":
+        from columnar_spark.writer import check_table
+
+        errors = check_table(spark, args.table_path)
+        print(json.dumps({"ok": not errors, "errors": errors}))
+        return 1 if errors else 0
+
+    if args.cmd == "stats":
+        from columnar_spark.stats import load_manifest
+        from columnar_spark.writer import stats_path
+
+        man = load_manifest(spark, stats_path(args.table_path))
+        print(json.dumps(man, default=str, indent=1))
+        return 0
+
+    if args.cmd == "compact":
+        from columnar_spark.writer import compact_table
+
+        result = compact_table(spark, args.table_path, rows_per_split=args.target_rows)
+        print(json.dumps({"compacted": True, "result": str(result)}))
+        return 0
+
+    if args.cmd == "knn-build":
+        from columnar_spark.operators.knn_index import build_vector_index
+
+        df = spark.read.parquet(args.table_path)
+        out = build_vector_index(
+            spark, df, args.table_path, vec_col=args.vec_col,
+            id_col=args.id_col, metric=args.metric, nlist=args.nlist,
+        )
+        print(json.dumps({"index": out}))
+        return 0
+
+    if args.cmd == "knn-query":
+        from pyspark.sql import functions as F
+
+        from columnar_spark.operators.knn_index import (
+            knn_query_indexed,
+            load_vector_index,
+        )
+
+        idx = load_vector_index(args.table_path)
+        if idx is None:
+            print(json.dumps({"error": "no index; run knn-build first"}))
+            return 1
+        df = spark.read.parquet(args.table_path)
+        row = df.filter(F.col(idx.id_col) == args.id).select(idx.vec_col).first()
+        if row is None:
+            print(json.dumps({"error": f"id {args.id} not found"}))
+            return 1
+        hits = knn_query_indexed(
+            spark, idx, [float(x) for x in row[0]], args.k, nprobe=args.nprobe
+        )
+        dist_col = "dist" if "dist" in hits.columns else "pq_dist"
+        out = [
+            {"id": r["id"], "dist": r[dist_col]}
+            for r in hits.select("id", dist_col).collect()
+        ]
+        print(json.dumps(out))
+        return 0
+
+    if args.cmd == "sql":
+        from columnar_spark.table import Engine
+
+        from columnar_spark.catalog import TABLES
+
+        eng = Engine(spark, args.sf_dir)
+        eng.register_views(TABLES)
+        rows = eng.sql(args.query).collect()
+        for r in rows[:100]:
+            print(json.dumps(r.asDict(), default=str))
+        if len(rows) > 100:
+            print(f"... {len(rows) - 100} more rows", file=sys.stderr)
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())
