@@ -1541,11 +1541,33 @@ def histogram_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("media_feature_stats")  # mapInPandas plumbing — rows-only check
+_MEDIA_SQL = """
+WITH f AS (
+  SELECT source,
+         octet_length(CAST(text AS BLOB)) AS n_bytes,
+         ('0x' || substr(sha256(text), 1, 8))::UBIGINT / 4294967296.0 AS f0
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       ROUND(MIN(f0), 6) AS min_f0,
+       ROUND(MAX(f0), 6) AS max_f0
+FROM f
+GROUP BY source
+"""
+
+
+@_q("media_feature_stats", _MEDIA_SQL)
 def media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing through the driver surface: treat document
     bytes as opaque media payloads, extract (fake-decoded) feature
-    vectors via Arrow-batched mapInPandas, aggregate per source."""
+    vectors via Arrow-batched mapInPandas, aggregate per source.
+
+    Oracle-bearing: the deterministic fake decode (sha256 word 0 /
+    2^32, exact in a double) is recomputed in DuckDB SQL, so the whole
+    mapInPandas -> join -> aggregate pipeline hash-matches — the
+    plumbing is verified end-to-end, not just rows-counted."""
     from columnar_spark.multimodal import extract_media_features
 
     docs = _t(spark, sf_dir, "documents")
@@ -3007,6 +3029,9 @@ _DRIVER_PRIORITY = [
     "q4_order_priority", "q7_nation_volume", "q9_nation_profit",
     "q13_order_distribution", "q17_small_qty_revenue",
     "q19_disjunctive_revenue", "q21_sole_late_supplier", "q22_idle_customers",
+    # Arrow/mapInPandas path, oracle-verified end-to-end (fake decode is
+    # recomputed in DuckDB SQL)
+    "media_feature_stats",
     # filter surface + secondary index + stats
     "filter_surface_counts", "mva_filter_counts", "filter_in_large_list",
     "count_filtered_conjunct", "count_distinct_stats", "stats_minmax_manifest",
@@ -3027,13 +3052,13 @@ _DRIVER_PRIORITY = [
     # documents: text analysis, dedup, sampling, composed pipeline
     "doc_text_stats", "doc_quality_filter", "stratified_sample_docs",
     "dedup_exact_survivors", "training_pipeline_docs",
-    # exact KNN
-    "knn_cosine_topk", "knn_cosine_filtered",
+    # exact KNN (the l2/ip variants stay post-50, locally verified)
+    "knn_cosine_topk",
     # ---- slot 50+: no-oracle flagships (rows-only check), then the rest
     "knn_ivf_cosine", "minhash_dedup_assign", "simhash_dedup_assign",
     "embedding_neardup_lsh", "knn_b1_cosine", "knn_q8_cosine", "knn_pq_l2",
     "knn_ivfpq_cosine", "embed_then_knn", "knn_self_join_ivf",
-    "minhash_lsh_pairs", "simhash_pairs", "media_feature_stats",
+    "minhash_lsh_pairs", "simhash_pairs", "knn_cosine_filtered",
 ]
 
 

@@ -82,7 +82,10 @@ def extract_media_features(
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
-            T.StructField("features", T.ArrayType(T.FloatType())),
+            # doubles, not float32: uint32/2^32 is exact in a double, so
+            # the fake-decode path is cross-engine reproducible (the
+            # media_feature_stats oracle recomputes it in DuckDB SQL)
+            T.StructField("features", T.ArrayType(T.DoubleType())),
             T.StructField("n_bytes", T.LongType()),
         ]
     )
