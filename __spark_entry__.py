@@ -1230,9 +1230,42 @@ def knn_b1_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "label", (F.round(F.col("dist"), 6) + F.lit(0.0)).alias("dist"))
 
 
-@_q("embed_then_knn")  # stub-model pipeline — rows-only check
+_EMBED_KNN_SQL = """
+WITH e AS (
+  SELECT doc_id,
+    flatten(list_transform([0,1,2,3,4,5,6,7], i ->
+      list_transform([0,1,2,3,4,5,6,7], k ->
+        ('0x' || substr(sha256(text || chr(0) || CAST(i AS VARCHAR)), 1 + 8*k, 8))::UBIGINT
+          / 2147483648.0 - 1.0))) AS raw
+  FROM documents
+),
+n AS (
+  SELECT doc_id,
+         list_transform(raw, v -> v / sqrt(list_dot_product(raw, raw))) AS emb
+  FROM e
+),
+q AS (
+  SELECT emb AS qemb, sqrt(list_dot_product(emb, emb)) AS qn FROM n WHERE doc_id = 0
+)
+SELECT doc_id,
+       round(1.0 - list_dot_product(emb, qemb)
+                   / (sqrt(list_dot_product(emb, emb)) * qn), 6) + 0.0 AS dist
+FROM n, q
+ORDER BY 1.0 - list_dot_product(emb, qemb)
+           / (sqrt(list_dot_product(emb, emb)) * qn) ASC, doc_id ASC
+LIMIT 5
+"""
+
+
+@_q("embed_then_knn", _EMBED_KNN_SQL)
 def embed_then_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F7 -> F1 composition: embed the corpus, search with doc 0's vector."""
+    """F7 -> F1 composition: embed the corpus, search with doc 0's vector.
+
+    Oracle-bearing: the stub embedder (sha256-seeded doubles,
+    unit-normalized — functions/embed._stub_embed) is recomputed in
+    DuckDB SQL (flattened list comprehension over 8 digests), so the
+    embed -> exact-cosine-top-k pipeline hash-matches end to end —
+    including the sequential-fold dot/norm order both engines share."""
     from columnar_spark.functions.embed import embed_text
     from columnar_spark.operators.knn import knn_topk
 
@@ -3041,7 +3074,7 @@ _DRIVER_PRIORITY = [
     "window_rank_family", "window_lead_lag", "global_rank_orders",
     # aggregation variants
     "agg_rollup_events", "cube_orders", "grouping_sets_orders",
-    "pivot_event_counts", "histogram_quantity", "percentile_stats",
+    "pivot_event_counts", "percentile_stats",
     "percentile_disc_priority", "corr_stddev_stats",
     # join / set-op family
     "join_semi_anti", "asof_join_events_orders", "range_join_followup_orders",
@@ -3052,12 +3085,12 @@ _DRIVER_PRIORITY = [
     # documents: text analysis, dedup, sampling, composed pipeline
     "doc_text_stats", "doc_quality_filter", "stratified_sample_docs",
     "dedup_exact_survivors", "training_pipeline_docs",
-    # exact KNN (the l2/ip variants stay post-50, locally verified)
-    "knn_cosine_topk",
+    # exact KNN + embed pipeline (l2/ip variants post-50, locally verified)
+    "knn_cosine_topk", "embed_then_knn",
     # ---- slot 50+: no-oracle flagships (rows-only check), then the rest
     "knn_ivf_cosine", "minhash_dedup_assign", "simhash_dedup_assign",
     "embedding_neardup_lsh", "knn_b1_cosine", "knn_q8_cosine", "knn_pq_l2",
-    "knn_ivfpq_cosine", "embed_then_knn", "knn_self_join_ivf",
+    "knn_ivfpq_cosine", "histogram_quantity", "knn_self_join_ivf",
     "minhash_lsh_pairs", "simhash_pairs", "knn_cosine_filtered",
 ]
 
