@@ -1212,11 +1212,38 @@ def knn_q8_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "label", (F.round(F.col("dist"), 6) + F.lit(0.0)).alias("dist"))
 
 
-@_q("knn_b1_cosine")  # 1-bit quantized (approximate) — rows-only check
+_B1_SQL = """
+WITH b AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+         list_sum(list_transform(range(0, 64), i ->
+           CASE WHEN embedding[i+1] > 0 THEN (1::UBIGINT << i) ELSE 0::UBIGINT END))::UBIGINT AS w
+  FROM embeddings
+),
+q AS (SELECT emb AS qemb, w AS qw, sqrt(list_dot_product(emb, emb)) AS qn FROM b WHERE vec_id = 7),
+cand AS (
+  SELECT b.vec_id, b.label, b.emb, bit_count(xor(b.w, q.qw)) AS ham, q.qemb, q.qn
+  FROM b, q
+  ORDER BY ham ASC, vec_id ASC
+  LIMIT 160
+)
+SELECT vec_id, label,
+       round(1.0 - list_dot_product(emb, qemb)/(sqrt(list_dot_product(emb,emb))*qn), 6) + 0.0 AS dist
+FROM cand
+ORDER BY 1.0 - list_dot_product(emb, qemb)/(sqrt(list_dot_product(emb,emb))*qn) ASC, vec_id ASC
+LIMIT 10
+"""
+
+
+@_q("knn_b1_cosine", _B1_SQL)
 def knn_b1_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BIT1 ladder: sign-bit pack (32x storage cut), hamming candidate
     scan, exact cosine re-rank of k*16 candidates (64-dim corpus needs
-    the oversample — see test_b1_knn_recall_with_rerank)."""
+    the oversample — see test_b1_knn_recall_with_rerank).
+
+    Oracle-bearing: sign-bit packing and bit_count(xor) hamming are
+    fully deterministic (no training), so DuckDB replicates the exact
+    candidate shortlist (ham, id order) and the re-ranked result
+    hash-matches end to end."""
     from columnar_spark.operators.quantize import binarize_vectors, knn_topk_b1
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -3059,7 +3086,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _DRIVER_PRIORITY = [
     # TPC-H-style join/agg core
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
-    "q4_order_priority", "q7_nation_volume", "q9_nation_profit",
+    "q4_order_priority", "q7_nation_volume",
     "q13_order_distribution", "q17_small_qty_revenue",
     "q19_disjunctive_revenue", "q21_sole_late_supplier", "q22_idle_customers",
     # Arrow/mapInPandas path, oracle-verified end-to-end (fake decode is
@@ -3085,11 +3112,12 @@ _DRIVER_PRIORITY = [
     # documents: text analysis, dedup, sampling, composed pipeline
     "doc_text_stats", "doc_quality_filter", "stratified_sample_docs",
     "dedup_exact_survivors", "training_pipeline_docs",
-    # exact KNN + embed pipeline (l2/ip variants post-50, locally verified)
-    "knn_cosine_topk", "embed_then_knn",
+    # exact KNN + embed pipeline + quantized ladder (l2/ip variants and
+    # q9 post-50, locally verified)
+    "knn_cosine_topk", "embed_then_knn", "knn_b1_cosine",
     # ---- slot 50+: no-oracle flagships (rows-only check), then the rest
     "knn_ivf_cosine", "minhash_dedup_assign", "simhash_dedup_assign",
-    "embedding_neardup_lsh", "knn_b1_cosine", "knn_q8_cosine", "knn_pq_l2",
+    "embedding_neardup_lsh", "q9_nation_profit", "knn_q8_cosine", "knn_pq_l2",
     "knn_ivfpq_cosine", "histogram_quantity", "knn_self_join_ivf",
     "minhash_lsh_pairs", "simhash_pairs", "knn_cosine_filtered",
 ]
