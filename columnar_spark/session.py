@@ -49,9 +49,21 @@ _RUNTIME_CONFS = {
 
 
 def get_spark(app_name: str = "columnar-spark", cpus: str | int | None = None) -> SparkSession:
-    """Build (or reuse) a local SparkSession tuned for the engine."""
-    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS") or "*"
-    builder = SparkSession.builder.master(f"local[{cpus}]").appName(app_name)
+    """Build (or reuse) a SparkSession tuned for the engine.
+
+    Cluster-friendly: when a master is already configured (spark-submit
+    --master, spark-defaults, or SPARK_MASTER env) it is respected; the
+    local[N] master is only a fallback for bare `python` invocations
+    (tests, bench, CLI on a laptop)."""
+    from pyspark import SparkConf
+
+    configured = SparkConf().get("spark.master", None) or os.environ.get("SPARK_MASTER")
+    builder = SparkSession.builder.appName(app_name)
+    if configured:
+        builder = builder.master(configured)
+    else:
+        cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS") or "*"
+        builder = builder.master(f"local[{cpus}]")
     for k, v in _BUILD_CONFS.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
