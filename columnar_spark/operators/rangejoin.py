@@ -52,8 +52,14 @@ def range_join(
     if bucket_width <= 0:
         raise ValueError("bucket_width must be positive")
 
+    # Integer `div`, NOT double `/` + cast: double division is inexact
+    # beyond 2^53, so two adjacent huge timestamps could land in
+    # different buckets than their covering interval — a silent miss.
+    # `div` truncates toward zero exactly, and truncation is monotonic,
+    # so every point in [lo, hi-1] stays within the interval's bucket
+    # span regardless of sign.
     p = points.withColumn(
-        "__b", (F.col(point_col).cast("long") / F.lit(bucket_width)).cast("long")
+        "__b", F.expr(f"CAST(`{point_col}` AS BIGINT) div {int(bucket_width)}")
     )
     # sequence() is bounded by the interval's own span / bucket_width;
     # a pathologically long interval replicates onto many buckets —
@@ -62,10 +68,9 @@ def range_join(
         "__b",
         F.explode(
             F.sequence(
-                (F.col(lo_col).cast("long") / F.lit(bucket_width)).cast("long"),
-                # ceil of an EXCLUSIVE hi: the last bucket containing
-                # any point < hi is floor((hi-1)/width)
-                ((F.col(hi_col).cast("long") - 1) / F.lit(bucket_width)).cast("long"),
+                F.expr(f"CAST(`{lo_col}` AS BIGINT) div {int(bucket_width)}"),
+                # last bucket containing any point < hi (exclusive hi)
+                F.expr(f"(CAST(`{hi_col}` AS BIGINT) - 1) div {int(bucket_width)}"),
             )
         ),
     )
