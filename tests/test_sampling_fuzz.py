@@ -1,0 +1,47 @@
+"""Property fuzz of deterministic hash-gate sampling: per-key
+determinism across invocations and salts, engine-portability (the md5
+gate recomputed in python picks exactly the same keys), and the
+monotone-threshold property (a key kept at fraction f stays kept at any
+f' > f — the invariant that lets a sampled dataset be EXTENDED without
+resampling)."""
+
+import hashlib
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from columnar_spark.operators.sampling import sample_gate
+
+keys_s = st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=60)
+frac_s = st.sampled_from([0.0, 0.1, 0.25, 0.5, 0.9, 1.0])
+
+
+def _py_gate(key: int, fraction: float, salt: str) -> bool:
+    if fraction >= 1.0:
+        return True
+    thresh = format(int(fraction * 65536), "04x")
+    return hashlib.md5(f"{key}{salt}".encode()).hexdigest()[:4] < thresh
+
+
+@given(keys=keys_s, frac=frac_s)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_gate_portable_and_monotone(spark, keys, frac):
+    df = spark.createDataFrame([(k,) for k in set(keys)], "k: long")
+    kept = {
+        r["k"] for r in df.filter(sample_gate(F.col("k"), frac, salt="s")).collect()
+    }
+    want = {k for k in set(keys) if _py_gate(k, frac, "s")}
+    assert kept == want
+
+    # monotone: everything kept at frac stays kept at a larger fraction
+    bigger = min(1.0, frac + 0.3)
+    kept_bigger = {
+        r["k"] for r in df.filter(sample_gate(F.col("k"), bigger, salt="s")).collect()
+    }
+    assert kept <= kept_bigger
