@@ -123,7 +123,12 @@ def main() -> None:
         f"layout_{os.path.basename(sf_dir.rstrip('/'))}",
     )
     t0 = time.time()
-    built = build_sf_layout(spark, sf_dir, layout_dir)
+    try:
+        built = build_sf_layout(spark, sf_dir, layout_dir)
+    except Exception as e:  # noqa: BLE001 — degrade to the raw layout
+        print(f"# ingest FAILED ({type(e).__name__}: {e}); serving raw files", file=sys.stderr)
+        layout_dir = sf_dir
+        built = False
     # Settle + warm, untimed, on EVERY run (not only fresh builds): a
     # noop-sink scan of each table. On a fresh build it absorbs the OS
     # flush of ~1 GB of just-written parquet (measured 2-8x inflation on
@@ -143,6 +148,7 @@ def main() -> None:
 
     queries = entrymod.queries()
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     total = 0.0
     for name in BENCH_QUERIES:
         fn = queries[name]
@@ -154,18 +160,26 @@ def main() -> None:
         # materializes EVERY output column — df.count() lets Catalyst
         # prune unreferenced projections, so projection-heavy queries
         # would time the row count, not the work.
-        df = fn(spark, sf_dir)
-        n = df.count()
-        best = None
-        # best of 3 timed runs: steady-state, matching the warm
-        # long-running-server conditions of the baseline numbers; this
-        # box shows +-50% per-query noise under background load, and
-        # best-of-3 cuts most of it
-        for _ in range(3):
-            t0 = time.time()
-            df.write.format("noop").mode("overwrite").save()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
+        # Fault-isolated per query: one broken query must degrade the
+        # bench to n-1 results, never kill the whole run (a schema-drift
+        # failure in a single query once zeroed an entire round's bench).
+        try:
+            df = fn(spark, sf_dir)
+            n = df.count()
+            best = None
+            # best of 3 timed runs: steady-state, matching the warm
+            # long-running-server conditions of the baseline numbers; this
+            # box shows +-50% per-query noise under background load, and
+            # best-of-3 cuts most of it
+            for _ in range(3):
+                t0 = time.time()
+                df.write.format("noop").mode("overwrite").save()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+        except Exception as e:  # noqa: BLE001 — record and continue
+            errors[name] = f"{type(e).__name__}: {e}"[:500]
+            print(f"# {name}: ERROR {errors[name][:120]}", file=sys.stderr)
+            continue
         timings[name] = round(best, 3)
         total += best
         print(f"# {name}: {best:.2f}s ({n} rows)", file=sys.stderr)
@@ -180,6 +194,7 @@ def main() -> None:
                 "sf": sf,
                 "ingest_sec": ingest_sec,
                 "sched_floor_sec_per_query": round(floor_best, 3),
+                **({"errors": errors} if errors else {}),
             }
         )
     )

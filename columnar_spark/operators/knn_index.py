@@ -126,6 +126,27 @@ def build_vector_index(
         os.path.join(out, "codebooks.parquet")
     )
 
+    _write_codes(
+        base, centroids, codebooks, vec_col, id_col, store_vectors,
+        os.path.join(out, "vectors"), mode="overwrite",
+    )
+    return out
+
+
+def _write_codes(
+    base: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    vec_col: str,
+    id_col: str,
+    store_vectors: bool,
+    vectors_path: str,
+    mode: str,
+) -> None:
+    """Assign coarse clusters, residual-PQ-encode, and write the code
+    dataset hive-partitioned by cluster. Shared by the initial build and
+    incremental appends so both produce byte-identical codes for the
+    same (centroids, codebooks, vectors)."""
     tagged = assign_clusters(base, vec_col, centroids, "ivf_cluster")
     tagged = residual_col(tagged, vec_col, centroids, "ivf_cluster")
     tagged = encode_vectors(tagged, "__ivfpq_res", codebooks, "pq_code").drop(
@@ -137,11 +158,43 @@ def build_vector_index(
     (
         tagged.select(*cols)
         .repartition("ivf_cluster")
-        .write.mode("overwrite")
+        .write.mode(mode)
         .partitionBy("ivf_cluster")
-        .parquet(os.path.join(out, "vectors"))
+        .parquet(vectors_path)
     )
-    return out
+
+
+def append_to_vector_index(
+    spark: SparkSession,
+    df_new: DataFrame,
+    table_path: str,
+) -> VectorIndex:
+    """Incremental index maintenance (E9 for vectors): encode a NEW batch
+    with the index's EXISTING centroids/codebooks and append its codes to
+    the partitioned dataset — no retrain, no rewrite of prior codes.
+    O(batch) work per ingest batch, the same contract as the incremental
+    stats sketches; the reference's KNN builder likewise adds documents
+    to a trained index one at a time (knn/knn.cpp Train-then-Add flow).
+
+    Quantization drift is the documented trade: centroids/codebooks stay
+    those of the original training sample, so recall on appended data
+    degrades only if its distribution shifts; rebuild via
+    `build_vector_index` on compaction, exactly like the reference's
+    segment-rebuild story."""
+    index = load_vector_index(table_path)
+    if index is None:
+        raise ValueError(f"no vector index at {knn_index_path(table_path)}")
+    base = df_new
+    if index.normalized:
+        base = df_new.withColumn(
+            index.vec_col, unit_vector(F.col(index.vec_col)).cast("array<float>")
+        )
+    store_vectors = "vec" in spark.read.parquet(index.vectors_path).columns
+    _write_codes(
+        base, index.centroids, index.codebooks, index.vec_col, index.id_col,
+        store_vectors, index.vectors_path, mode="append",
+    )
+    return index
 
 
 def load_vector_index(table_path: str) -> VectorIndex | None:

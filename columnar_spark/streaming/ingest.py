@@ -70,6 +70,19 @@ def stream_ingest(
         manifest_from_sketch(merged_df).coalesce(1).write.mode("overwrite").parquet(
             stats_path(dst_path)
         )
+        # Same contract for the vector sidecar: if the table carries a
+        # persisted IVF-PQ index, encode the batch with the EXISTING
+        # centroids/codebooks and append its codes — O(batch), no
+        # retrain (rebuild happens at compaction, like the reference's
+        # segment rebuilds).
+        from columnar_spark.operators.knn_index import (
+            append_to_vector_index,
+            load_vector_index,
+        )
+
+        vidx = load_vector_index(dst_path)
+        if vidx is not None and vidx.vec_col in out.columns:
+            append_to_vector_index(ss, out, dst_path)
 
     writer = stream.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir

@@ -74,3 +74,55 @@ def test_indexed_recall_vs_exact(spark, indexed):
 
 def test_missing_index_returns_none(tmp_path_factory):
     assert load_vector_index(str(tmp_path_factory.mktemp("noidx") / "t.parquet")) is None
+
+def test_incremental_append_equals_full_build(spark, tmp_path_factory):
+    """E9 for vectors: half-build + append-half must produce the SAME
+    code dataset as encoding everything with the half-trained index —
+    same centroids/codebooks => identical cluster assignment and codes,
+    so indexed query results are row-identical."""
+    from columnar_spark.operators.knn_index import append_to_vector_index
+
+    emb = spark.read.parquet(SRC)
+    first = emb.where(F.col("vec_id") % 2 == 0)
+    rest = emb.where(F.col("vec_id") % 2 == 1)
+
+    root = tmp_path_factory.mktemp("vidx_inc")
+    t_inc = str(root / "inc.parquet")
+    first.write.parquet(t_inc)
+    build_vector_index(spark, first, t_inc, nlist=4, m=8, k=16)
+    idx_half = load_vector_index(t_inc)
+
+    append_to_vector_index(spark, rest, t_inc)
+    idx = load_vector_index(t_inc)
+    # append never retrains: artifacts unchanged
+    assert idx.centroids == idx_half.centroids
+    assert idx.codebooks == idx_half.codebooks
+
+    inc_rows = {
+        r["id"]: (r["ivf_cluster"], tuple(r["pq_code"]))
+        for r in spark.read.parquet(idx.vectors_path).collect()
+    }
+    assert len(inc_rows) == emb.count()
+
+    # oracle: encode the full set in one shot with the SAME trained index
+    from columnar_spark.operators.knn_index import _write_codes
+    from columnar_spark.functions.vector import unit_vector
+
+    oracle_path = str(root / "oracle_codes")
+    base = emb.withColumn(
+        "embedding", unit_vector(F.col("embedding")).cast("array<float>")
+    )
+    _write_codes(
+        base, idx.centroids, idx.codebooks, "embedding", "vec_id",
+        True, oracle_path, mode="overwrite",
+    )
+    oracle_rows = {
+        r["id"]: (r["ivf_cluster"], tuple(r["pq_code"]))
+        for r in spark.read.parquet(oracle_path).collect()
+    }
+    assert inc_rows == oracle_rows
+
+    # and the appended rows are actually queryable through the index
+    q = [float(x) for x in rest.select("embedding").first()["embedding"]]
+    hits = {r["id"] for r in knn_query_indexed(spark, idx, q, 10, nprobe=4).collect()}
+    assert hits & {r["vec_id"] for r in rest.collect()}

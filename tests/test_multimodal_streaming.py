@@ -135,3 +135,43 @@ def test_media_features_to_neardup_pipeline(media):
             if round(cos, 6) >= 0.8:
                 want.add((a, b))
     assert got == want and len(want) >= 1
+
+
+def test_stream_ingest_maintains_vector_index(spark, tmp_path_factory):
+    """Per-batch vector-index maintenance: a table with a persisted
+    IVF-PQ index gains appended codes for every streamed batch, with
+    centroids/codebooks untouched (no retrain)."""
+    from pyspark.sql import functions as F
+
+    from columnar_spark.operators.knn_index import (
+        build_vector_index,
+        knn_query_indexed,
+        load_vector_index,
+    )
+    from columnar_spark.streaming.ingest import stream_ingest
+
+    base = tmp_path_factory.mktemp("vstream")
+    src, ckpt = str(base / "src"), str(base / "ckpt")
+    dst = str(base / "embeddings.parquet")
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    first = emb.where(F.col("vec_id") % 2 == 0)
+    rest = emb.where(F.col("vec_id") % 2 == 1)
+
+    first.write.parquet(dst)
+    build_vector_index(spark, first, dst, nlist=4, m=8, k=16)
+    idx0 = load_vector_index(dst)
+    n0 = spark.read.parquet(idx0.vectors_path).count()
+
+    rest.write.parquet(src)
+    q = stream_ingest(spark, src, dst, ckpt, emb.schema)
+    q.awaitTermination(60)
+
+    idx1 = load_vector_index(dst)
+    assert idx1.centroids == idx0.centroids and idx1.codebooks == idx0.codebooks
+    codes = spark.read.parquet(idx1.vectors_path)
+    assert codes.count() == n0 + rest.count()
+
+    qv = [float(x) for x in rest.select("embedding").first()["embedding"]]
+    hits = {r["id"] for r in knn_query_indexed(spark, idx1, qv, 10, nprobe=4).collect()}
+    assert hits & {r["vec_id"] for r in rest.collect()}
