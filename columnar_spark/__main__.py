@@ -1,6 +1,8 @@
 """Operational CLI — the engine's host-daemon surface in one command:
 
     python -m columnar_spark ingest  SRC_DIR DEST_DIR [--force]
+    python -m columnar_spark append  SRC TABLE_PATH [--format parquet|csv|json]
+                                     [--cluster-by C1,C2]
     python -m columnar_spark check   TABLE_PATH
     python -m columnar_spark stats   TABLE_PATH
     python -m columnar_spark compact TABLE_PATH [--target-rows N]
@@ -32,6 +34,12 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("src_dir")
     sp.add_argument("dest_dir")
     sp.add_argument("--force", action="store_true")
+
+    sp = sub.add_parser("append")
+    sp.add_argument("src")
+    sp.add_argument("table_path")
+    sp.add_argument("--format", default="parquet", choices=["parquet", "csv", "json"])
+    sp.add_argument("--cluster-by", default=None, help="comma-separated sort columns")
 
     sp = sub.add_parser("check")
     sp.add_argument("table_path")
@@ -71,6 +79,29 @@ def main(argv: list[str] | None = None) -> int:
 
         built = build_sf_layout(spark, args.src_dir, args.dest_dir, force=args.force)
         print(json.dumps({"built": built, "dest": args.dest_dir}))
+        return 0
+
+    if args.cmd == "append":
+        from columnar_spark.streaming.ingest import append_batch
+        from columnar_spark.writer import WriteSpec
+
+        reader = spark.read
+        if args.format == "csv":
+            # schema inferred against the existing table when present —
+            # CSV has no types of its own
+            import os
+
+            if os.path.isdir(args.table_path):
+                reader = reader.schema(spark.read.parquet(args.table_path).schema)
+            else:
+                reader = reader.option("inferSchema", "true")
+            reader = reader.option("header", "true")
+        batch = getattr(reader, args.format)(args.src)
+        spec = WriteSpec(
+            cluster_by=tuple(args.cluster_by.split(",")) if args.cluster_by else ()
+        )
+        append_batch(batch, args.table_path, spec)
+        print(json.dumps({"appended": batch.count(), "dest": args.table_path}))
         return 0
 
     if args.cmd == "check":

@@ -29,6 +29,54 @@ from columnar_spark.stats import (
 from columnar_spark.writer import WriteSpec, normalize, stats_path
 
 
+def append_batch(batch_df: DataFrame, dst_path: str, spec: WriteSpec | None = None) -> None:
+    """Append one batch to a table with full sidecar maintenance: the
+    normalized rows land in the table, the stats sketch/manifest merge
+    in the batch's contribution (O(batch), mergeable HLL + associative
+    min/max/counts), and — if the table carries a persisted IVF-PQ
+    index — the batch's codes append with the existing centroids/
+    codebooks (no retrain). One contract shared by batch CLI appends and
+    the streaming foreachBatch sink, mirroring the reference's
+    storage-plus-sidecars rebuild unit (secondary.cpp:391-434, E9)."""
+    import os
+
+    spec = spec or WriteSpec()
+    out = normalize(batch_df, spec)
+    # Align column order with the existing table: JSON/CSV readers order
+    # columns alphabetically/by header, and while Spark merges parquet
+    # schemas by name, stricter readers expect one field order per table.
+    if os.path.isdir(dst_path):
+        existing = batch_df.sparkSession.read.parquet(dst_path).columns
+        if set(existing) <= set(out.columns):
+            out = out.select(*existing, *[c for c in out.columns if c not in existing])
+    out.write.mode("append").option("compression", spec.compression).parquet(dst_path)
+    ss = batch_df.sparkSession
+    batch_sk = build_stats_sketch(out)
+    sp = sketch_path(dst_path)
+    if os.path.isdir(sp):
+        merged = merge_sketches(ss.read.parquet(sp), batch_sk)
+    else:
+        merged = batch_sk
+    # materialize before overwriting the path the plan reads from
+    rows = merged.collect()  # n_columns tiny rows
+    merged_df = ss.createDataFrame(rows, merged.schema)
+    merged_df.coalesce(1).write.mode("overwrite").parquet(sp)
+    manifest_from_sketch(merged_df).coalesce(1).write.mode("overwrite").parquet(
+        stats_path(dst_path)
+    )
+    # Same contract for the vector sidecar: encode the batch with the
+    # EXISTING centroids/codebooks and append its codes — rebuild
+    # happens at compaction, like the reference's segment rebuilds.
+    from columnar_spark.operators.knn_index import (
+        append_to_vector_index,
+        load_vector_index,
+    )
+
+    vidx = load_vector_index(dst_path)
+    if vidx is not None and vidx.vec_col in out.columns:
+        append_to_vector_index(ss, out, dst_path)
+
+
 def stream_ingest(
     spark: SparkSession,
     src_dir: str,
@@ -47,42 +95,7 @@ def stream_ingest(
     stream = spark.readStream.schema(schema).parquet(src_dir)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        import os
-
-        out = normalize(batch_df, spec)
-        out.write.mode("append").option("compression", spec.compression).parquet(dst_path)
-        # E9 analog, INCREMENTAL: sketch the batch only (O(batch)), union
-        # with the prior sketch sidecar (mergeable HLL + associative
-        # min/max/counts), derive the manifest from the merged sketch.
-        # The old form re-scanned the whole table per micro-batch —
-        # O(table) maintenance that a 100 TB stream cannot pay.
-        ss = batch_df.sparkSession
-        batch_sk = build_stats_sketch(out)
-        sp = sketch_path(dst_path)
-        if os.path.isdir(sp):
-            merged = merge_sketches(ss.read.parquet(sp), batch_sk)
-        else:
-            merged = batch_sk
-        # materialize before overwriting the path the plan reads from
-        rows = merged.collect()  # n_columns tiny rows
-        merged_df = ss.createDataFrame(rows, merged.schema)
-        merged_df.coalesce(1).write.mode("overwrite").parquet(sp)
-        manifest_from_sketch(merged_df).coalesce(1).write.mode("overwrite").parquet(
-            stats_path(dst_path)
-        )
-        # Same contract for the vector sidecar: if the table carries a
-        # persisted IVF-PQ index, encode the batch with the EXISTING
-        # centroids/codebooks and append its codes — O(batch), no
-        # retrain (rebuild happens at compaction, like the reference's
-        # segment rebuilds).
-        from columnar_spark.operators.knn_index import (
-            append_to_vector_index,
-            load_vector_index,
-        )
-
-        vidx = load_vector_index(dst_path)
-        if vidx is not None and vidx.vec_col in out.columns:
-            append_to_vector_index(ss, out, dst_path)
+        append_batch(batch_df, dst_path, spec)
 
     writer = stream.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir
