@@ -231,6 +231,52 @@ def load_vector_index(table_path: str) -> VectorIndex | None:
         return None
 
 
+def check_vector_index(spark: SparkSession, table_path: str) -> list[str]:
+    """Integrity checker for the vector sidecar — the A13
+    CheckColumnarStorage contract extended to the index artifacts
+    (the reference's checker walks every companion structure too,
+    columnar/accessor/check.cpp:316-322). Returns violations (empty =
+    clean): meta/codebook shape agreement, code-width per row, and
+    id-set equality between the table and the code dataset (appends and
+    merges must keep them in lockstep)."""
+    index = load_vector_index(table_path)
+    if index is None:
+        return []  # no sidecar, nothing to check
+    errors: list[str] = []
+    if len(index.centroids) != index.nlist:
+        errors.append(
+            f"centroids: {len(index.centroids)} rows != nlist {index.nlist}"
+        )
+    if len(index.codebooks) != index.m or any(
+        len(b) != index.k for b in index.codebooks
+    ):
+        errors.append("codebooks: shape != (m, k)")
+    if any(len(c) != index.dim for c in index.centroids):
+        errors.append(f"centroids: dim != {index.dim}")
+
+    codes = spark.read.parquet(index.vectors_path)
+    bad_width = codes.filter(F.size("pq_code") != index.m).count()
+    if bad_width:
+        errors.append(f"pq_code: {bad_width} rows have width != m={index.m}")
+    bad_cluster = codes.filter(
+        (F.col("ivf_cluster") < 0) | (F.col("ivf_cluster") >= index.nlist)
+    ).count()
+    if bad_cluster:
+        errors.append(f"ivf_cluster: {bad_cluster} rows out of [0, nlist)")
+
+    table = spark.read.parquet(table_path).select(
+        F.col(index.id_col).alias("id")
+    )
+    ids = codes.select("id")
+    missing = table.join(ids, "id", "left_anti").count()
+    orphans = ids.join(table, "id", "left_anti").count()
+    if missing:
+        errors.append(f"index missing {missing} table ids")
+    if orphans:
+        errors.append(f"index has {orphans} orphan ids not in table")
+    return errors
+
+
 def knn_query_indexed(
     spark: SparkSession,
     index: VectorIndex,

@@ -223,6 +223,12 @@ def check_table(
                 )
     except Exception:
         errors.append("stats manifest missing or unreadable")
+
+    # Vector sidecar, when present: same one-call contract as the
+    # reference's checker walking every companion structure.
+    from columnar_spark.operators.knn_index import check_vector_index
+
+    errors.extend(check_vector_index(spark, path))
     return errors
 
 

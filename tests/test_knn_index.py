@@ -126,3 +126,34 @@ def test_incremental_append_equals_full_build(spark, tmp_path_factory):
     q = [float(x) for x in rest.select("embedding").first()["embedding"]]
     hits = {r["id"] for r in knn_query_indexed(spark, idx, q, 10, nprobe=4).collect()}
     assert hits & {r["vec_id"] for r in rest.collect()}
+
+
+def test_check_vector_index_detects_drift(spark, tmp_path_factory):
+    """A13 for the vector sidecar: clean on a fresh build, clean after
+    an append, and flags id drift when the table gains rows the index
+    never saw."""
+    from columnar_spark.operators.knn_index import (
+        append_to_vector_index,
+        check_vector_index,
+    )
+    from columnar_spark.writer import check_table
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    first = emb.where(F.col("vec_id") % 2 == 0)
+    rest = emb.where(F.col("vec_id") % 2 == 1)
+
+    root = tmp_path_factory.mktemp("vchk")
+    t = str(root / "emb.parquet")
+    first.write.parquet(t)
+    build_vector_index(spark, first, t, nlist=4, m=8, k=16)
+    assert check_vector_index(spark, t) == []
+    assert check_table(spark, t) == ["stats manifest missing or unreadable"]
+
+    # append rows to the TABLE without maintaining the index -> drift
+    rest.write.mode("append").parquet(t)
+    errs = check_vector_index(spark, t)
+    assert any("missing" in e for e in errs), errs
+
+    # maintaining the index clears it
+    append_to_vector_index(spark, rest, t)
+    assert check_vector_index(spark, t) == []
