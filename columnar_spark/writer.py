@@ -286,4 +286,39 @@ def compact_table(
     files_after = len(
         [f for f in os.listdir(path) if f.endswith((".parquet", ".orc"))]
     )
+    compact_vector_index(spark, path)
     return files_before, files_after
+
+
+def compact_vector_index(spark: SparkSession, path: str) -> bool:
+    """Compact the vector sidecar's code dataset: per-batch appends
+    leave one file per (batch, cluster); rewrite to one file per cluster
+    partition, same rewrite-then-swap pattern. Codes are NOT retrained —
+    ids, clusters, and pq codes are byte-identical, only the file layout
+    changes. Returns True when a rewrite happened."""
+    import glob
+    import os
+    import shutil
+
+    from columnar_spark.operators.knn_index import load_vector_index
+
+    index = load_vector_index(path)
+    if index is None:
+        return False
+    vp = index.vectors_path
+    n_files = len(glob.glob(os.path.join(vp, "ivf_cluster=*", "*.parquet")))
+    if n_files <= index.nlist:
+        return False
+    codes = spark.read.parquet(vp)
+    tmp = vp.rstrip("/") + ".compact.tmp"
+    (
+        codes.repartition("ivf_cluster")
+        .write.mode("overwrite")
+        .partitionBy("ivf_cluster")
+        .parquet(tmp)
+    )
+    old = vp.rstrip("/") + ".compact.old"
+    shutil.move(vp, old)
+    shutil.move(tmp, vp)
+    shutil.rmtree(old)
+    return True

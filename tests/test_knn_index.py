@@ -157,3 +157,49 @@ def test_check_vector_index_detects_drift(spark, tmp_path_factory):
     # maintaining the index clears it
     append_to_vector_index(spark, rest, t)
     assert check_vector_index(spark, t) == []
+
+
+def test_compact_vector_index_preserves_codes(spark, tmp_path_factory):
+    """Compacting the code dataset changes file layout only: same ids,
+    clusters, and pq codes, fewer files."""
+    import glob as g
+    import os
+
+    from columnar_spark.operators.knn_index import (
+        append_to_vector_index,
+        check_vector_index,
+        load_vector_index,
+    )
+    from columnar_spark.writer import compact_vector_index
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    thirds = [emb.where(F.col("vec_id") % 3 == i) for i in range(3)]
+
+    root = tmp_path_factory.mktemp("vcomp")
+    t = str(root / "emb.parquet")
+    thirds[0].write.parquet(t)
+    build_vector_index(spark, thirds[0], t, nlist=4, m=8, k=16)
+    for part in thirds[1:]:
+        part.write.mode("append").parquet(t)
+        append_to_vector_index(spark, part, t)
+
+    idx = load_vector_index(t)
+    pat = os.path.join(idx.vectors_path, "ivf_cluster=*", "*.parquet")
+    before_files = len(g.glob(pat))
+    assert before_files > idx.nlist  # 3 batches fragmented the dataset
+    before = {
+        r["id"]: (r["ivf_cluster"], tuple(r["pq_code"]))
+        for r in spark.read.parquet(idx.vectors_path).collect()
+    }
+
+    assert compact_vector_index(spark, t) is True
+    after_files = len(g.glob(pat))
+    assert after_files < before_files
+    after = {
+        r["id"]: (r["ivf_cluster"], tuple(r["pq_code"]))
+        for r in spark.read.parquet(idx.vectors_path).collect()
+    }
+    assert before == after
+    assert check_vector_index(spark, t) == []
+    # idempotent: already compact -> no-op
+    assert compact_vector_index(spark, t) is False
