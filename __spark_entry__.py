@@ -3061,6 +3061,47 @@ def group_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DECONTAM_SQL = """
+WITH bench AS (
+  SELECT string_split(lower(text), ' ') AS t FROM documents WHERE doc_id % 20 = 0
+),
+bgrams AS (
+  SELECT DISTINCT unnest(CASE WHEN len(t) < 8 THEN CAST([] AS VARCHAR[])
+         ELSE list_transform(generate_series(1, len(t) - 7),
+              i -> array_to_string(t[i:i+7], ' ')) END) AS gram
+  FROM bench
+),
+corp AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents WHERE doc_id % 20 <> 0
+),
+cgrams AS (
+  SELECT DISTINCT doc_id,
+         unnest(CASE WHEN len(t) < 8 THEN CAST([] AS VARCHAR[])
+         ELSE list_transform(generate_series(1, len(t) - 7),
+              i -> array_to_string(t[i:i+7], ' ')) END) AS gram
+  FROM corp
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM cgrams JOIN bgrams USING (gram)
+GROUP BY doc_id
+"""
+
+
+@_q("benchmark_decontaminate", _DECONTAM_SQL)
+def benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-data hygiene: every 20th document plays the benchmark/eval
+    set; corpus documents sharing any distinct word 8-gram with it are
+    flagged with their overlap count (operators/decontaminate.py — the
+    GPT-3-style n-gram decontamination pass). Benchmark grams broadcast;
+    the only shuffle is the per-doc hit aggregation."""
+    docs = _t(spark, sf_dir, "documents")
+    from columnar_spark.operators.decontaminate import contamination_report
+
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    return contamination_report(corpus, bench, "doc_id", "text", n=8)
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------

@@ -1,0 +1,80 @@
+"""Benchmark decontamination — flag training documents that share a
+word n-gram with an evaluation/benchmark set.
+
+The standard LLM-training-data hygiene pass (the 13-gram overlap check
+popularized by GPT-3/PaLM dataset reports): any document containing an
+n-gram that also appears in a benchmark/eval corpus is contaminated and
+must be dropped or audited before training. The reference engine has no
+counterpart (it stores and searches; corpus hygiene is host-side) — this
+is one of the training-pipeline operators this engine adds as
+first-class.
+
+Scale posture (100 TB corpus vs ~MB-GB benchmark set):
+
+- The benchmark n-gram set is DISTINCT-deduped then broadcast — eval
+  suites are tiny next to the corpus, so the corpus side never
+  shuffles its exploded grams for the join.
+- The corpus side explodes per-document DISTINCT grams (array_distinct
+  before explode keeps the explode width = unique grams per doc),
+  broadcast-hash-joins, and partially aggregates per doc_id — the only
+  shuffle is the final groupBy keyed on doc_id, whose width is bounded
+  by the number of CONTAMINATED (doc, gram) pairs, a tiny fraction of
+  the corpus.
+- Everything is Catalyst expressions (split/transform/explode) — no
+  Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from columnar_spark.functions.text import word_ngrams
+
+
+def _gram_col(text: Column, n: int) -> Column:
+    # lower() before splitting so casing differences never mask overlap;
+    # single-space split matches an engine-agnostic string_split oracle.
+    return F.array_distinct(word_ngrams(F.lower(text), n))
+
+
+def contamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Per-document contamination counts: (id_col, n_hits) for every
+    corpus document sharing >= 1 distinct word n-gram with any benchmark
+    document. Documents with zero overlap are absent (filter-join
+    semantics — the common case at scale, where almost nothing hits)."""
+    bench_grams = (
+        benchmark.select(F.explode(_gram_col(F.col(text_col), n)).alias("gram"))
+        .distinct()
+    )
+    corpus_grams = corpus.select(
+        F.col(id_col), F.explode(_gram_col(F.col(text_col), n)).alias("gram")
+    )
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    max_hits: int = 0,
+) -> DataFrame:
+    """Return the clean corpus: drop documents with more than `max_hits`
+    overlapping benchmark n-grams (default 0 = any overlap drops).
+    Implemented as a left-anti join against the report, so the corpus
+    rows themselves stream through unshuffled."""
+    hits = contamination_report(corpus, benchmark, id_col, text_col, n)
+    flagged = hits.filter(F.col("n_hits") > max_hits).select(id_col)
+    return corpus.join(F.broadcast(flagged), id_col, "left_anti")
