@@ -3102,6 +3102,21 @@ def benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_report(corpus, bench, "doc_id", "text", n=8)
 
 
+@_q("pack_training_sequences")  # sequential next-fit — rows-only check
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-batch construction: pack documents into 512-token bins
+    (operators/pack.py, next-fit within range partitions, Arrow-batched
+    carry state). Rows-only: bin assignment depends on a sequential scan
+    order no SQL aggregate can express; parity vs a python next-fit
+    reference + invariants are pytest-gated (test_pack.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    from columnar_spark.functions.text import bpe_ish_token_count
+    from columnar_spark.operators.pack import pack_sequences
+
+    sized = docs.select("doc_id", bpe_ish_token_count(F.col("text")).alias("n_tok"))
+    return pack_sequences(sized, "doc_id", "n_tok", budget=512)
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
