@@ -73,8 +73,11 @@ def decontaminate(
 ) -> DataFrame:
     """Return the clean corpus: drop documents with more than `max_hits`
     overlapping benchmark n-grams (default 0 = any overlap drops).
-    Implemented as a left-anti join against the report, so the corpus
-    rows themselves stream through unshuffled."""
+    Implemented as a left-anti join against the report. The flagged set
+    is NOT broadcast-hinted: contamination is usually rare (AQE will
+    broadcast a small set at runtime), but it is data-dependent and
+    unbounded — a pathological overlap at 100 TB could flag millions of
+    ids, where a forced broadcast would OOM the executors."""
     hits = contamination_report(corpus, benchmark, id_col, text_col, n)
     flagged = hits.filter(F.col("n_hits") > max_hits).select(id_col)
-    return corpus.join(F.broadcast(flagged), id_col, "left_anti")
+    return corpus.join(flagged, id_col, "left_anti")
