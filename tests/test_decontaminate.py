@@ -51,3 +51,46 @@ def test_join_is_broadcast(spark):
     plan = contamination_report(corpus, bench)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+
+
+def _ref_report(corpus, bench, n):
+    """Python reference: distinct word n-gram overlap counts."""
+    def grams(text):
+        t = text.lower().split(" ")
+        return {" ".join(t[i : i + n]) for i in range(len(t) - n + 1)}
+
+    bgrams = set().union(*(grams(t) for t in bench)) if bench else set()
+    out = {}
+    for i, t in enumerate(corpus):
+        hits = len(grams(t) & bgrams)
+        if hits:
+            out[i] = hits
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.lists(st.sampled_from(_WORDS), min_size=1, max_size=12)
+             .map(" ".join), min_size=1, max_size=12),
+    st.lists(st.lists(st.sampled_from(_WORDS), min_size=1, max_size=12)
+             .map(" ".join), min_size=1, max_size=4),
+    st.integers(min_value=2, max_value=4),
+)
+def test_fuzz_report_vs_reference(spark, corpus, bench, n):
+    from columnar_spark.operators.decontaminate import contamination_report
+
+    cdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id: long, text: string"
+    )
+    bdf = spark.createDataFrame([(t,) for t in bench], "text: string")
+    got = {
+        r["doc_id"]: r["n_hits"]
+        for r in contamination_report(cdf, bdf, n=n).collect()
+    }
+    assert got == _ref_report(corpus, bench, n)
