@@ -3098,7 +3098,9 @@ def benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from columnar_spark.operators.decontaminate import contamination_report
 
     bench = docs.filter(F.col("doc_id") % 20 == 0)
-    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    # n-gram explode is CPU-heavy per row — spread an under-partitioned
+    # scan before it (same guard as doc_lang_fingerprint)
+    corpus = ensure_parallelism(docs.filter(F.col("doc_id") % 20 != 0))
     return contamination_report(corpus, bench, "doc_id", "text", n=8)
 
 

@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "window_lead_lag",
     "corr_stddev_stats",
     "stratified_sample_docs",
+    "benchmark_decontaminate",
     "knn_b1_cosine",
     "knn_ivfpq_cosine",
     "funnel_conversion",
