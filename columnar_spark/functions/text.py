@@ -180,15 +180,13 @@ def doc_fingerprint(text: Column, shingle_k: int = 3) -> Column:
     DuckDB, so this is oracle-matchable cross-engine."""
     toks = tokens(text)
     n = F.size(toks)
-    # element_at per offset, not slice(): no per-shingle array allocation
-    # (same rationale as dedup.token_shingles).
+    # slice+array_join, same rationale (and measurement) as
+    # dedup.token_shingles: ~2x faster than element_at per offset.
     shingles = F.when(
         n >= shingle_k,
         F.transform(
             F.sequence(F.lit(1), n - F.lit(shingle_k - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j) for j in range(shingle_k)]
-            ),
+            lambda i: F.array_join(F.slice(toks, i, shingle_k), " "),
         ),
     ).otherwise(F.array(F.concat_ws(" ", toks)))
     return F.array_min(F.transform(shingles, lambda s: F.md5(s)))
