@@ -51,12 +51,15 @@ def append_batch(batch_df: DataFrame, dst_path: str, spec: WriteSpec | None = No
             out = out.select(*existing, *[c for c in out.columns if c not in existing])
     out.write.mode("append").option("compression", spec.compression).parquet(dst_path)
     ss = batch_df.sparkSession
-    batch_sk = build_stats_sketch(out)
     sp = sketch_path(dst_path)
     if os.path.isdir(sp):
-        merged = merge_sketches(ss.read.parquet(sp), batch_sk)
+        merged = merge_sketches(ss.read.parquet(sp), build_stats_sketch(out))
     else:
-        merged = batch_sk
+        # first sidecar for this table: the table may have pre-existing
+        # rows the batch sketch wouldn't cover — bootstrap from the full
+        # post-append table (one-time O(table); every later append merges
+        # O(batch)). For a brand-new table this reads exactly the batch.
+        merged = build_stats_sketch(ss.read.parquet(dst_path))
     # materialize before overwriting the path the plan reads from
     rows = merged.collect()  # n_columns tiny rows
     merged_df = ss.createDataFrame(rows, merged.schema)

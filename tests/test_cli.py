@@ -1,43 +1,47 @@
-"""Operational CLI (python -m columnar_spark): each subcommand drives
-the same library paths the tests already prove; here we pin the wiring,
-exit codes, and JSON output contract."""
+"""Operational CLI surface: each subcommand runs in-process and emits
+the documented JSON contract (scriptable like the reference's
+indexer/indextool pair)."""
 
 import json
+
+import pytest
 
 from columnar_spark.__main__ import main
 
 
-def test_cli_ingest_check_stats_sql(spark, tmp_path_factory, capsys):
-    dest = str(tmp_path_factory.mktemp("cli") / "layout")
-    rc = main(["ingest", "/root/testdata/sf0.001", dest])
+@pytest.fixture(scope="module")
+def table(spark, tmp_path_factory):
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    t = str(tmp_path_factory.mktemp("cli") / "embeddings.parquet")
+    spark.read.parquet(src).write.parquet(t)
+    return t
+
+
+def test_append_then_check(spark, table, tmp_path_factory, capsys):
+    batch = str(tmp_path_factory.mktemp("cli_batch") / "b.parquet")
+    spark.read.parquet(table).limit(50).write.parquet(batch)
+    assert main(["append", batch, table]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert rc == 0 and out["built"] is True
+    assert out["appended"] == 50
 
-    # idempotent second run: signature matches, no rebuild
-    rc = main(["ingest", "/root/testdata/sf0.001", dest])
+    assert main(["check", table]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert rc == 0 and out["built"] is False
+    assert out["ok"] is True
 
-    rc = main(["check", f"{dest}/lineitem.parquet"])
-    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert rc == 0 and out["ok"] is True and out["errors"] == []
-
-    rc = main(["stats", f"{dest}/nation.parquet"])
-    man = json.loads(capsys.readouterr().out.strip())
-    assert rc == 0 and man["n_nationkey"]["row_count"] == 25
-
-    rc = main(
-        ["sql", "SELECT COUNT(*) AS n FROM region", "--sf-dir", dest]
-    )
-    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
-    assert rc == 0 and rows == [{"n": 5}]
+    assert main(["stats", table]) == 0  # manifest written by append
 
 
-def test_cli_knn_query_without_index_fails_cleanly(spark, tmp_path_factory, capsys):
-    table = str(tmp_path_factory.mktemp("cliknn") / "t.parquet")
-    spark.range(3).selectExpr(
-        "id AS vec_id", "array(cast(id as float), cast(id as float)) AS embedding"
-    ).write.parquet(table)
-    rc = main(["knn-query", table, "--id", "1"])
-    out = json.loads(capsys.readouterr().out.strip())
-    assert rc == 1 and "no index" in out["error"]
+def test_knn_build_and_query(table, capsys):
+    assert main(["knn-build", table, "--nlist", "4"]) == 0
+    capsys.readouterr()
+    assert main(["knn-query", table, "--id", "1", "--k", "5"]) == 0
+    hits = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(hits) == 5 and hits[0]["id"] == 1  # self is its own 1-NN
+
+
+def test_sql_runs_and_prints_rows(capsys):
+    rc = main(["sql", "SELECT COUNT(*) AS n FROM region", "--sf-dir",
+               "/root/testdata/sf0.001"])
+    assert rc == 0
+    row = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert row["n"] == 5
