@@ -8,7 +8,8 @@
     python -m columnar_spark compact TABLE_PATH [--target-rows N]
     python -m columnar_spark knn-build TABLE_PATH [--vec-col C] [--id-col C]
                                        [--metric cosine|l2] [--nlist N]
-    python -m columnar_spark knn-query TABLE_PATH --id QID [--k K] [--nprobe N]
+    python -m columnar_spark knn-query TABLE_PATH (--id QID | --vec=F1,F2,...)
+                                       [--k K] [--nprobe N]
     python -m columnar_spark sql "SELECT ..." --sf-dir DIR
 
 `ingest` builds the clustered multi-split layout + stats sidecars (+ the
@@ -60,7 +61,9 @@ def main(argv: list[str] | None = None) -> int:
 
     sp = sub.add_parser("knn-query")
     sp.add_argument("table_path")
-    sp.add_argument("--id", type=int, required=True, help="query vector's id in the table")
+    g = sp.add_mutually_exclusive_group(required=True)
+    g.add_argument("--id", type=int, help="query vector's id in the table")
+    g.add_argument("--vec", help="literal query vector: comma-separated floats")
     sp.add_argument("--k", type=int, default=10)
     sp.add_argument("--nprobe", type=int, default=4)
 
@@ -149,14 +152,19 @@ def main(argv: list[str] | None = None) -> int:
         if idx is None:
             print(json.dumps({"error": "no index; run knn-build first"}))
             return 1
-        df = spark.read.parquet(args.table_path)
-        row = df.filter(F.col(idx.id_col) == args.id).select(idx.vec_col).first()
-        if row is None:
-            print(json.dumps({"error": f"id {args.id} not found"}))
-            return 1
-        hits = knn_query_indexed(
-            spark, idx, [float(x) for x in row[0]], args.k, nprobe=args.nprobe
-        )
+        if args.vec is not None:
+            q = [float(x) for x in args.vec.split(",")]
+            if len(q) != idx.dim:
+                print(json.dumps({"error": f"vector has {len(q)} dims, index has {idx.dim}"}))
+                return 1
+        else:
+            df = spark.read.parquet(args.table_path)
+            row = df.filter(F.col(idx.id_col) == args.id).select(idx.vec_col).first()
+            if row is None:
+                print(json.dumps({"error": f"id {args.id} not found"}))
+                return 1
+            q = [float(x) for x in row[0]]
+        hits = knn_query_indexed(spark, idx, q, args.k, nprobe=args.nprobe)
         dist_col = "dist" if "dist" in hits.columns else "pq_dist"
         out = [
             {"id": r["id"], "dist": r[dist_col]}

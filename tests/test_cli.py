@@ -45,3 +45,18 @@ def test_sql_runs_and_prints_rows(capsys):
     assert rc == 0
     row = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert row["n"] == 5
+
+
+def test_knn_query_by_literal_vector(spark, table, capsys):
+    main(["knn-build", table, "--nlist", "4"])
+    capsys.readouterr()
+    vec = spark.read.parquet(table).select("embedding").first()[0]
+    arg = ",".join(str(float(x)) for x in vec)
+    # --vec=... form: a leading negative float would otherwise parse as a flag
+    assert main(["knn-query", table, f"--vec={arg}", "--k", "3"]) == 0
+    hits = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(hits) == 3
+
+    assert main(["knn-query", table, "--vec", "1.0,2.0"]) == 1  # dim mismatch
+    err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "dims" in err["error"]
