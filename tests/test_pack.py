@@ -70,3 +70,23 @@ def test_fuzz_single_partition(spark, sizes, budget):
     want = _next_fit(sizes, budget)
     base = got[0][1] - want[0][0]
     assert [(b - base, o) for _, b, o in got] == want
+
+
+def test_carry_state_across_arrow_batches(spark):
+    """The next-fit carry (open bin + used tokens) must survive Arrow
+    batch boundaries within a partition: force tiny batches and compare
+    against the single-batch reference."""
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "16")
+    try:
+        sizes = [23 * (i % 11) + 1 for i in range(400)]
+        got = _collect(spark, sizes, budget=200)
+        want = _next_fit(sizes, 200)
+        base = got[0][1] - want[0][0]
+        assert [(b - base, o) for _, b, o in got] == want
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
