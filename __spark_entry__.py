@@ -3119,6 +3119,35 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(sized, "doc_id", "n_tok", budget=512)
 
 
+_TEMPMIX_SQL = """
+WITH c AS (SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n FROM documents GROUP BY lang),
+r AS (SELECT lang, pow(n / (SELECT SUM(n) FROM c), -0.5) AS raw FROM c),
+rr AS (SELECT lang, round(raw / (SELECT MAX(raw) FROM r), 4) AS rate FROM r)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN rr USING (lang)
+WHERE rate >= 1.0
+   OR substr(md5(CAST(d.doc_id AS VARCHAR) || 'mix'), 1, 4)
+      < printf('%04x', CAST(floor(rate * 65536) AS BIGINT))
+"""
+
+
+@_q("temperature_mix_sample", _TEMPMIX_SQL)
+def temperature_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix construction: flatten the skewed language mix toward
+    alpha=0.5 (operators/sampling.temperature_sample — the multilingual
+    pretraining / DoReMi reweighting recipe). Keep rates derive from the
+    data (p_lang^(alpha-1), rarest lang keeps all) and the hash gate
+    makes the realized sample deterministic and engine-portable — the
+    oracle recomputes the same rates and thresholds in SQL and must
+    select the exact same rows."""
+    docs = _t(spark, sf_dir, "documents")
+    from columnar_spark.operators.sampling import temperature_sample
+
+    return temperature_sample(docs, "doc_id", "lang", alpha=0.5, salt="mix").select(
+        "doc_id", "lang"
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------

@@ -55,3 +55,41 @@ def stratified_sample(
         F.col(key_col), default_fraction, salt
     )
     return df.filter(gate | others if gate is not None else others)
+
+
+def temperature_fractions(
+    df: DataFrame, strata_col: str, alpha: float = 0.5, ndigits: int = 4
+) -> dict[str, float]:
+    """Per-stratum keep rates that flatten the corpus mix toward a
+    temperature-alpha distribution (the multilingual-pretraining /
+    DoReMi recipe): target share q_s ~ p_s^alpha, realized by keeping
+    each stratum at rate r_s ~ p_s^(alpha-1), scaled so the rarest
+    stratum keeps everything (a filter cannot up-sample).
+
+    Driver-side: one tiny groupBy-count collect (n_strata rows).
+    Rates are rounded to `ndigits` so an SQL oracle computing the same
+    formula lands on bit-identical hash-gate thresholds."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    counts = {
+        r[strata_col]: r["count"]
+        for r in df.groupBy(strata_col).count().collect()
+    }
+    total = sum(counts.values())
+    raw = {s: (c / total) ** (alpha - 1.0) for s, c in counts.items()}
+    top = max(raw.values())
+    return {s: round(v / top, ndigits) for s, v in raw.items()}
+
+
+def temperature_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    alpha: float = 0.5,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic temperature-mixed sample: compute the stratum keep
+    rates from the data, then apply the hash-gate per stratum. Same
+    salt + same data -> same sample on any engine."""
+    fractions = temperature_fractions(df, strata_col, alpha)
+    return stratified_sample(df, key_col, strata_col, fractions, salt=salt)

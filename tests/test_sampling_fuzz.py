@@ -45,3 +45,40 @@ def test_gate_portable_and_monotone(spark, keys, frac):
         r["k"] for r in df.filter(sample_gate(F.col("k"), bigger, salt="s")).collect()
     }
     assert kept <= kept_bigger
+
+
+def test_temperature_fractions_properties(spark):
+    """Rarest stratum keeps everything; rates decrease with stratum
+    size; uniform corpus -> all rates 1.0; alpha=1 -> no reweighting."""
+    from columnar_spark.operators.sampling import temperature_fractions
+
+    rows = [(i, "big") for i in range(400)] + \
+           [(i + 400, "mid") for i in range(100)] + \
+           [(i + 500, "rare") for i in range(25)]
+    df = spark.createDataFrame(rows, "doc_id: long, src: string")
+
+    fr = temperature_fractions(df, "src", alpha=0.5)
+    assert fr["rare"] == 1.0
+    assert fr["rare"] > fr["mid"] > fr["big"] > 0.0
+
+    uni = spark.createDataFrame(
+        [(i, f"s{i % 4}") for i in range(400)], "doc_id: long, src: string"
+    )
+    assert set(temperature_fractions(uni, "src", alpha=0.5).values()) == {1.0}
+
+    assert set(temperature_fractions(df, "src", alpha=1.0).values()) == {1.0}
+
+
+def test_temperature_sample_flattens_mix(spark):
+    """After sampling at alpha=0.5 the realized shares sit between the
+    original mix and uniform (flattened, not inverted)."""
+    from columnar_spark.operators.sampling import temperature_sample
+
+    rows = [(i, "big") for i in range(800)] + \
+           [(i + 800, "rare") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id: long, src: string")
+    out = temperature_sample(df, "doc_id", "src", alpha=0.5, salt="t")
+    got = {r["src"]: r["count"] for r in out.groupBy("src").count().collect()}
+    assert got["rare"] == 50  # rarest keeps all
+    big_share = got["big"] / (got["big"] + got["rare"])
+    assert 0.5 < big_share < 800 / 850  # flattened toward uniform
