@@ -3148,6 +3148,67 @@ def temperature_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CROLLUP_SQL = """
+SELECT
+  (epoch_us(ts) // 86400000000) * 86400000000 AS bucket_start_us,
+  event_type,
+  CAST(COUNT(*) AS BIGINT) AS cnt,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value,
+  MIN(value) AS min_value,
+  MAX(value) AS max_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@_q("continuous_rollup_events", _CROLLUP_SQL)
+def continuous_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate algebra proof (streaming/rollup.py): the
+    events table is split into 4 disjoint 'ingest batches', each
+    contributing partial aggregate rows; merge-on-read + finalize must
+    equal the one-shot GROUP BY oracle exactly (associative decimal
+    sums, min/max). The streaming foreachBatch path appends the same
+    partials; batch boundaries are invisible by construction."""
+    from columnar_spark.streaming.rollup import (
+        finalize_rollup,
+        merge_rollup,
+        rollup_partials,
+    )
+
+    ev = _events(spark, sf_dir).withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+    parts = None
+    for i in range(4):
+        p = rollup_partials(ev.filter(F.col("event_id") % 4 == i))
+        parts = p if parts is None else parts.unionByName(p)
+    out = finalize_rollup(merge_rollup(parts))
+    return out.select(
+        F.unix_micros(F.col("bucket_start")).alias("bucket_start_us"),
+        "event_type", "cnt", "sum_value", "avg_value", "min_value", "max_value",
+    )
+
+
+_HH_SQL = """
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM events
+GROUP BY user_id
+HAVING COUNT(*) * 1500 > (SELECT COUNT(*) FROM events)
+"""
+
+
+@_q("heavy_hitters_users", _HH_SQL)
+def heavy_hitters_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact frequent items without a full-ndv shuffle
+    (operators/heavyhitters.py): per-partition pigeonhole candidates
+    (zero-shuffle mapInPandas value counts) + exact verify over the
+    broadcast candidate set. Bit-identical to the GROUP BY/HAVING oracle
+    — the plan, not the answer, is the approximation."""
+    ev = _t(spark, sf_dir, "events")
+    from columnar_spark.operators.heavyhitters import heavy_hitters
+
+    return heavy_hitters(ev, "user_id", k=1500)
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------

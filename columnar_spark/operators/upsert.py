@@ -39,14 +39,19 @@ def merge_into(
     updates: DataFrame,
     keys: Sequence[str],
     fmt: str = "parquet",
+    deletes: DataFrame | None = None,
 ) -> tuple[int, int, int]:
     """Copy-on-write MERGE: upsert `updates` into the table at `path`
     (matched keys replaced by their update row, unmatched inserted,
-    other target rows untouched). Plain Parquet has no ACID layer, so
-    this is the object-store copy-on-write pattern: rewrite the table
-    beside itself, swap directories — a reader sees the old or the new
-    complete table, never a mix (same swap discipline as
-    writer.compact_table).
+    other target rows untouched), and — when `deletes` is given — drop
+    every target row whose key appears in it (CDC tombstones; WHEN
+    MATCHED THEN DELETE). Plain Parquet has no ACID layer, so this is
+    the object-store copy-on-write pattern: rewrite the table beside
+    itself, swap directories — a reader sees the old or the new complete
+    table, never a mix (same swap discipline as writer.compact_table).
+    The pre-merge table is retired as a time-travel snapshot
+    (snapshots.swap_with_history — a rename, not a copy; `vacuum` is the
+    retention knob).
 
     Updates may add columns (schema widening): the union aligns by name
     and fills missing target columns with NULL.
@@ -56,24 +61,27 @@ def merge_into(
     the table (WriteSpec.partition_by) and merge per partition to bound
     the rewrite. Updates must have at most one row per key (enforce with
     latest_by_key first) — this keeps the plan a deterministic
-    anti-join + union instead of a window, one shuffle each.
+    anti-join + union instead of a window, one shuffle each. A key in
+    both `updates` and `deletes` resolves to the update (the delete is
+    interpreted as ordering before the upsert, matching CDC compaction
+    where the latest image wins).
 
     Returns (n_target_before, n_updates, n_after).
     """
-    import shutil
+    from columnar_spark.snapshots import swap_with_history
 
     target = getattr(spark.read, fmt)(path)
     n_before = target.count()
     n_updates = updates.count()
 
     # align schemas by name, widening with nulls on either side
-    kept = target.join(updates.select(*keys), list(keys), "left_anti")
+    drop_keys = updates.select(*keys)
+    if deletes is not None:
+        drop_keys = drop_keys.unionByName(deletes.select(*keys)).distinct()
+    kept = target.join(drop_keys, list(keys), "left_anti")
     merged = kept.unionByName(updates, allowMissingColumns=True)
 
     tmp = path.rstrip("/") + ".merge.tmp"
     merged.write.mode("overwrite").format(fmt).save(tmp)
-    old = path.rstrip("/") + ".merge.old"
-    shutil.move(path, old)
-    shutil.move(tmp, path)
-    shutil.rmtree(old)
+    swap_with_history(path, tmp, op="merge", fmt=fmt, n_rows_before=n_before)
     return n_before, n_updates, getattr(spark.read, fmt)(path).count()

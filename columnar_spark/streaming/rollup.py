@@ -1,0 +1,159 @@
+"""Continuous aggregate rollup — an incrementally-maintained
+materialized view over an event stream (the hypertable-rollup /
+Timescale continuous-aggregate pattern, Spark-first).
+
+Design: the rollup table stores PARTIAL aggregate state — one row per
+(bucket, keys) per ingest batch with (cnt, sum, min, max) — and each
+micro-batch APPENDS its partials (O(batch) work, no read-modify-write
+of the whole rollup). Reads merge-on-read: group the partials by
+(bucket, keys) and combine with the aggregate algebra (sum of counts
+and sums, min of mins, max of maxs — all associative+commutative, so
+batch boundaries are invisible). `compact_rollup` collapses the
+accumulated fragments back to one row per group (rewrite-then-swap with
+a time-travel snapshot, same discipline as writer.compact_table).
+
+This is the same partials-append / merge-on-read contract the stats
+sidecar uses (stats.build_stats_sketch + merge_sketches), promoted from
+per-column stats to a user-facing aggregation surface.
+
+Scale posture: each batch's append shuffles only the batch's partials
+(bounded by buckets x keys of THAT batch); query-time merge is a
+groupBy over the rollup — which is smaller than the raw log by the
+bucket compression ratio; nothing ever re-scans the raw history. The
+reference's analog is host-side time-bucket analytics over its RT
+segments; the E9 index-maintenance contract (secondary.cpp:391-434) is
+the per-batch sidecar-refresh pattern this extends.
+
+Decimal sums: `value` accumulates as DECIMAL(18,2) exactly (the
+cross-engine parity recipe) and finalizes to double.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def rollup_partials(
+    events: DataFrame,
+    ts_col: str = "ts",
+    bucket: str = "1 day",
+    keys: Sequence[str] = ("event_type",),
+    value_col: str = "value",
+) -> DataFrame:
+    """Partial aggregate state for one batch: (bucket_start, *keys,
+    cnt, sum_v, min_v, max_v). Works identically on a static frame and
+    inside a foreachBatch body."""
+    return (
+        events.groupBy(
+            F.window(F.col(ts_col), bucket).start.alias("bucket_start"),
+            *[F.col(k) for k in keys],
+        ).agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col(value_col).cast("decimal(18,2)")).alias("sum_v"),
+            F.min(F.col(value_col)).alias("min_v"),
+            F.max(F.col(value_col)).alias("max_v"),
+        )
+    )
+
+
+def merge_rollup(partials: DataFrame, keys: Sequence[str] = ("event_type",)) -> DataFrame:
+    """Combine partial rows into one row per (bucket, keys): the
+    merge-on-read step. Associative algebra only — applying this to
+    partials from any batch split yields identical results."""
+    return (
+        partials.groupBy("bucket_start", *keys)
+        .agg(
+            F.sum("cnt").cast("long").alias("cnt"),
+            F.sum("sum_v").alias("sum_v"),
+            F.min("min_v").alias("min_v"),
+            F.max("max_v").alias("max_v"),
+        )
+    )
+
+
+def finalize_rollup(merged: DataFrame) -> DataFrame:
+    """User-facing view: exact decimal sum -> double, plus avg."""
+    return merged.select(
+        "bucket_start",
+        *[c for c in merged.columns if c not in ("bucket_start", "cnt", "sum_v", "min_v", "max_v")],
+        F.col("cnt"),
+        F.col("sum_v").cast("double").alias("sum_value"),
+        (F.col("sum_v").cast("double") / F.col("cnt")).alias("avg_value"),
+        F.col("min_v").alias("min_value"),
+        F.col("max_v").alias("max_value"),
+    )
+
+
+def append_rollup_batch(
+    batch_df: DataFrame,
+    rollup_path: str,
+    ts_col: str = "ts",
+    bucket: str = "1 day",
+    keys: Sequence[str] = ("event_type",),
+    value_col: str = "value",
+) -> None:
+    """One micro-batch's contribution: compute partials, append."""
+    rollup_partials(batch_df, ts_col, bucket, keys, value_col).write.mode(
+        "append"
+    ).parquet(rollup_path)
+
+
+def stream_rollup(
+    spark: SparkSession,
+    src_dir: str,
+    rollup_path: str,
+    checkpoint_dir: str,
+    schema,
+    ts_col: str = "ts",
+    bucket: str = "1 day",
+    keys: Sequence[str] = ("event_type",),
+    value_col: str = "value",
+    available_now: bool = True,
+):
+    """Maintain the continuous aggregate from a file-source stream.
+    Exactly-once per batch via the checkpoint; returns the query."""
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        append_rollup_batch(batch_df, rollup_path, ts_col, bucket, keys, value_col)
+
+    writer = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_rollup(
+    spark: SparkSession,
+    rollup_path: str,
+    keys: Sequence[str] = ("event_type",),
+) -> DataFrame:
+    """The continuous aggregate as of now: merge-on-read + finalize."""
+    return finalize_rollup(merge_rollup(spark.read.parquet(rollup_path), keys))
+
+
+def compact_rollup(
+    spark: SparkSession,
+    rollup_path: str,
+    keys: Sequence[str] = ("event_type",),
+) -> tuple[int, int]:
+    """Collapse accumulated per-batch partials to one row per group
+    (rewrite-then-swap; the pre-compact rollup is retired as a
+    time-travel snapshot). Returns (rows_before, rows_after); reads are
+    unchanged by construction (the merge algebra is associative)."""
+    from columnar_spark.snapshots import swap_with_history
+
+    cur = spark.read.parquet(rollup_path)
+    n_before = cur.count()
+    merged = merge_rollup(cur, keys)
+    tmp = rollup_path.rstrip("/") + ".compact.tmp"
+    # no coalesce: group count is data-dependent (buckets x keys can be
+    # large at scale); AQE's coalesce handles the small case
+    merged.write.mode("overwrite").parquet(tmp)
+    swap_with_history(rollup_path, tmp, op="compact-rollup", n_rows_before=n_before)
+    return n_before, spark.read.parquet(rollup_path).count()

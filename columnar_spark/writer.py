@@ -276,13 +276,17 @@ def compact_table(
         df = df.repartition(target_files)
     write_table(df, tmp, compact_spec)
 
-    old = path.rstrip("/") + ".compact.old"
-    shutil.move(path, old)
-    shutil.move(tmp, path)
-    if os.path.exists(stats_path(tmp)):
-        shutil.rmtree(stats_path(path), ignore_errors=True)
-        shutil.move(stats_path(tmp), stats_path(path))
-    shutil.rmtree(old)
+    from columnar_spark.snapshots import swap_with_history
+
+    swap_with_history(
+        path,
+        tmp,
+        op="compact",
+        fmt=spec.format,
+        n_rows_before=n_rows,
+        stats_sidecar=stats_path(path),
+        tmp_stats=stats_path(tmp),
+    )
     files_after = len(
         [f for f in os.listdir(path) if f.endswith((".parquet", ".orc"))]
     )

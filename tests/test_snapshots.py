@@ -1,0 +1,82 @@
+"""Time travel: COW rewrites retire the old table as a zero-copy
+snapshot; read_table(version=) recovers any pre-rewrite state; vacuum
+bounds retention; MERGE supports CDC deletes."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from columnar_spark.operators.upsert import merge_into
+from columnar_spark.snapshots import history, read_table, vacuum
+from columnar_spark.writer import WriteSpec, compact_table, write_table
+
+
+def test_merge_retires_snapshot_and_time_travels(spark, tmp_path):
+    path = str(tmp_path / "t.parquet")
+    spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k: long, v: double"
+    ).write.parquet(path)
+
+    up1 = spark.createDataFrame([(2, -2.0), (4, 40.0)], "k: long, v: double")
+    merge_into(spark, path, up1, ["k"])
+    up2 = spark.createDataFrame([(5, 50.0)], "k: long, v: double")
+    merge_into(spark, path, up2, ["k"])
+
+    hist = history(path)
+    assert [e.version for e in hist] == [1, 2]
+    assert [e.op for e in hist] == ["merge", "merge"]
+    assert hist[0].n_rows == 3 and hist[1].n_rows == 4
+
+    # version 1 = state before the first merge
+    v1 = {r["k"]: r["v"] for r in read_table(spark, path, version=1).collect()}
+    assert v1 == {1: 10.0, 2: 20.0, 3: 30.0}
+    # version 2 = state before the second merge (after the first)
+    v2 = {r["k"]: r["v"] for r in read_table(spark, path, version=2).collect()}
+    assert v2 == {1: 10.0, 2: -2.0, 3: 30.0, 4: 40.0}
+    # current
+    cur = {r["k"]: r["v"] for r in read_table(spark, path).collect()}
+    assert cur == {1: 10.0, 2: -2.0, 3: 30.0, 4: 40.0, 5: 50.0}
+
+
+def test_merge_deletes_tombstones(spark, tmp_path):
+    path = str(tmp_path / "d.parquet")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "k: long, s: string"
+    ).write.parquet(path)
+
+    updates = spark.createDataFrame([(2, "B"), (5, "e")], "k: long, s: string")
+    deletes = spark.createDataFrame([(3,), (2,), (99,)], "k: long")
+    nb, nu, na = merge_into(spark, path, updates, ["k"], deletes=deletes)
+    assert (nb, nu) == (4, 2)
+
+    rows = {r["k"]: r["s"] for r in spark.read.parquet(path).collect()}
+    # 3 deleted; 2 is in BOTH updates and deletes -> update wins; 99 absent no-op
+    assert rows == {1: "a", 2: "B", 4: "d", 5: "e"}
+    assert na == 4
+    # pre-merge state recoverable
+    v1 = {r["k"]: r["s"] for r in read_table(spark, path, version=1).collect()}
+    assert v1 == {1: "a", 2: "b", 3: "c", 4: "d"}
+
+
+def test_compact_retires_snapshot_and_vacuum(spark, tmp_path):
+    path = str(tmp_path / "c.parquet")
+    df = spark.range(200).withColumn("v", F.col("id") * 2.0)
+    # fragment: many tiny files
+    write_table(df.repartition(16), path, WriteSpec())
+
+    fb, fa = compact_table(spark, path, WriteSpec(cluster_by=["id"]))
+    assert fb > fa
+
+    # one more rewrite to get 2 retained snapshots
+    up = spark.createDataFrame([(0, -1.0)], "id: long, v: double")
+    merge_into(spark, path, up, ["id"])
+    assert [e.op for e in history(path)] == ["compact", "merge"]
+    assert read_table(spark, path, version=1).count() == 200
+
+    removed = vacuum(path, retain_last=1)
+    assert removed == [1]
+    # log is an audit trail: entries survive, data does not
+    assert [e.version for e in history(path)] == [1, 2]
+    with pytest.raises(FileNotFoundError):
+        read_table(spark, path, version=1)
+    # newest snapshot still readable
+    assert read_table(spark, path, version=2).count() == 200
