@@ -40,19 +40,28 @@ def _gram_col(text: Column, n: int) -> Column:
 
 def contamination_report(
     corpus: DataFrame,
-    benchmark: DataFrame,
+    benchmark: DataFrame | None,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 8,
+    benchmark_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document contamination counts: (id_col, n_hits) for every
     corpus document sharing >= 1 distinct word n-gram with any benchmark
     document. Documents with zero overlap are absent (filter-join
-    semantics — the common case at scale, where almost nothing hits)."""
-    bench_grams = (
-        benchmark.select(F.explode(_gram_col(F.col(text_col), n)).alias("gram"))
-        .distinct()
-    )
+    semantics — the common case at scale, where almost nothing hits).
+
+    Pass `benchmark_grams` (a precomputed/persisted distinct-gram frame,
+    e.g. streaming/decontaminate.benchmark_gram_set) to skip re-exploding
+    the benchmark corpus — the streaming path computes it once and
+    reuses it every micro-batch."""
+    if benchmark_grams is not None:
+        bench_grams = benchmark_grams
+    else:
+        bench_grams = (
+            benchmark.select(F.explode(_gram_col(F.col(text_col), n)).alias("gram"))
+            .distinct()
+        )
     corpus_grams = corpus.select(
         F.col(id_col), F.explode(_gram_col(F.col(text_col), n)).alias("gram")
     )

@@ -60,6 +60,15 @@ class WriteSpec:
     compression: str = "zstd"
     num_partitions: int | None = None
     format: str = "parquet"  # parquet | orc
+    # Z-order the cluster_by columns instead of lexicographic range
+    # clustering: rows sort by the bit-interleaved rank of ALL cluster
+    # keys, so row-group min/max zone maps stay tight on EVERY key, not
+    # just the leading one — the multi-column pruning layout
+    # (Delta/Iceberg OPTIMIZE ZORDER analog; the reference's single
+    # minmax tree per column, builderminmax.h:25-146, benefits the same
+    # way from locality on each column). Numeric/date/timestamp keys
+    # only.
+    zorder: bool = False
 
 
 def normalize(df: DataFrame, spec: WriteSpec) -> DataFrame:
@@ -71,6 +80,56 @@ def normalize(df: DataFrame, spec: WriteSpec) -> DataFrame:
     return df
 
 
+ZORDER_BITS = 16  # per-column resolution; bits * n_cols must stay < 63
+
+
+def _as_double(c, dtype: str):
+    col = F.col(c) if isinstance(c, str) else c
+    if dtype.startswith("timestamp"):
+        return F.unix_micros(col.cast("timestamp")).cast("double")
+    if dtype == "date":
+        return F.unix_date(col).cast("double")
+    return col.cast("double")
+
+
+def zorder_key(df: DataFrame, cols: Sequence[str], bits: int = ZORDER_BITS):
+    """Bit-interleaved Z-value over `cols` as a pure JVM expression.
+
+    Each column is normalized to a `bits`-bit fixed-point rank over its
+    observed [min, max] (one tiny agg job, collected driver-side — the
+    same kind of pre-pass the range partitioner's sampling does), then
+    the ranks' bits are interleaved so neighboring Z-values are close in
+    EVERY dimension. NULLs rank as 0 (sort first). Returns the Column;
+    caller sorts/partitions by it."""
+    if bits * len(cols) > 62:
+        raise ValueError(f"{bits} bits x {len(cols)} cols overflows a long")
+    types = dict(df.dtypes)
+    bounds = df.agg(
+        *[F.min(_as_double(c, types[c])).alias(f"lo_{i}") for i, c in enumerate(cols)],
+        *[F.max(_as_double(c, types[c])).alias(f"hi_{i}") for i, c in enumerate(cols)],
+    ).collect()[0]
+    maxv = (1 << bits) - 1
+    ncols = len(cols)
+    z = F.lit(0).cast("long")
+    for j, c in enumerate(cols):
+        lo, hi = bounds[f"lo_{j}"], bounds[f"hi_{j}"]
+        if lo is None or hi is None or hi == lo:
+            continue  # constant/all-null column contributes nothing
+        rank = F.least(
+            F.lit(maxv).cast("long"),
+            F.greatest(
+                F.lit(0).cast("long"),
+                ((_as_double(c, types[c]) - F.lit(float(lo)))
+                 / F.lit(float(hi - lo)) * F.lit(float(maxv))).cast("long"),
+            ),
+        )
+        rank = F.coalesce(rank, F.lit(0).cast("long"))
+        for i in range(bits):
+            bit = F.shiftright(rank, i).bitwiseAND(F.lit(1).cast("long"))
+            z = z.bitwiseOR(F.shiftleft(bit, i * ncols + j))
+    return z
+
+
 def write_table(df: DataFrame, path: str, spec: WriteSpec | None = None) -> None:
     """Normalize, cluster, and write Parquet + stats manifest."""
     spec = spec or WriteSpec()
@@ -79,9 +138,14 @@ def write_table(df: DataFrame, path: str, spec: WriteSpec | None = None) -> None
         n = spec.num_partitions or int(
             out.sparkSession.conf.get("spark.sql.shuffle.partitions")
         )
-        out = out.repartitionByRange(n, *[F.col(c) for c in spec.cluster_by])
-        sort_cols = list(spec.sort_within) or list(spec.cluster_by)
-        out = out.sortWithinPartitions(*sort_cols)
+        if spec.zorder and len(spec.cluster_by) >= 2:
+            out = out.withColumn("__z", zorder_key(out, list(spec.cluster_by)))
+            out = out.repartitionByRange(n, F.col("__z"))
+            out = out.sortWithinPartitions("__z").drop("__z")
+        else:
+            out = out.repartitionByRange(n, *[F.col(c) for c in spec.cluster_by])
+            sort_cols = list(spec.sort_within) or list(spec.cluster_by)
+            out = out.sortWithinPartitions(*sort_cols)
     if spec.format not in ("parquet", "orc"):
         raise ValueError("format must be parquet or orc")
     w = out.write.mode("overwrite").option("compression", spec.compression)
