@@ -74,6 +74,8 @@ BENCH_QUERIES = [
     "funnel_conversion",
     "retention_cohorts",
     "latest_event_per_user",
+    "continuous_rollup_events",
+    "heavy_hitters_users",
 ]
 
 

@@ -11,6 +11,9 @@
     python -m columnar_spark knn-query TABLE_PATH (--id QID | --vec=F1,F2,...)
                                        [--k K] [--nprobe N]
     python -m columnar_spark sql "SELECT ..." --sf-dir DIR
+    python -m columnar_spark history TABLE_PATH
+    python -m columnar_spark vacuum  TABLE_PATH [--retain-last N]
+    python -m columnar_spark restore TABLE_PATH --version N
 
 `ingest` builds the clustered multi-split layout + stats sidecars (+ the
 persisted KNN index for the embeddings table); `check` runs the storage
@@ -71,7 +74,39 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("query")
     sp.add_argument("--sf-dir", required=True)
 
+    sp = sub.add_parser("history")
+    sp.add_argument("table_path")
+
+    sp = sub.add_parser("vacuum")
+    sp.add_argument("table_path")
+    sp.add_argument("--retain-last", type=int, default=1)
+
+    sp = sub.add_parser("restore")
+    sp.add_argument("table_path")
+    sp.add_argument("--version", type=int, required=True)
+
     args = p.parse_args(argv)
+
+    # snapshot bookkeeping is pure driver-side file I/O — no session
+    if args.cmd == "history":
+        from columnar_spark.snapshots import history
+
+        print(json.dumps([e.__dict__ for e in history(args.table_path)]))
+        return 0
+
+    if args.cmd == "vacuum":
+        from columnar_spark.snapshots import vacuum
+
+        removed = vacuum(args.table_path, retain_last=args.retain_last)
+        print(json.dumps({"removed_versions": removed}))
+        return 0
+
+    if args.cmd == "restore":
+        from columnar_spark.snapshots import restore
+
+        retired = restore(args.table_path, args.version)
+        print(json.dumps({"restored": args.version, "displaced_as": retired}))
+        return 0
 
     from columnar_spark.session import get_spark
 

@@ -18,7 +18,12 @@ from pyspark.sql import functions as F
 def zorder2(a: Column, b: Column, bits: int = 16) -> Column:
     """Interleave the low `bits` of two non-negative int columns into a
     Morton key. Inputs should be range-normalized ranks for skewed
-    domains; for roughly-uniform ids the raw values work."""
+    domains; for roughly-uniform ids the raw values work.
+
+    This is the raw expression primitive; `writer.zorder_key` is the
+    writer-integrated form (n columns, observed-min/max rank
+    normalization, timestamp/date handling) behind
+    `WriteSpec(zorder=True)` — use that for table layout."""
     za = a.cast("long").bitwiseAND(F.lit((1 << bits) - 1))
     zb = b.cast("long").bitwiseAND(F.lit((1 << bits) - 1))
     key = F.lit(0).cast("long")

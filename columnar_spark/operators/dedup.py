@@ -214,6 +214,12 @@ def minhash_dedup(
 
     Returns (id, keep_id, jaccard): rows that near-duplicate an earlier
     surviving row, with the earliest matched representative.
+
+    Verify joins intentionally reuse the per-doc shingle arrays from
+    `base` rather than re-tokenizing after the join: a doc appears in
+    MANY candidate pairs, so tokenize-after-join recomputes shingles
+    per PAIR instead of per DOC (measured 2.0s -> 2.5s at sf0.1; worse
+    the duppier the corpus).
     """
     rows_per_band = num_hashes // bands
     base = df.select(

@@ -140,6 +140,23 @@ def read_table(
     return getattr(spark.read, f)(snapshot_data_path(path, version))
 
 
+def restore(path: str, version: int, fmt: str = "parquet") -> int:
+    """Roll the live table back to snapshot `version`. The snapshot is
+    COPIED into place (it stays available in history) and the displaced
+    current table is itself retired as a new snapshot — so a restore is
+    just another audited rewrite, and restoring a restore works. Returns
+    the version number the displaced table was retired under.
+
+    The copy is driver-side file I/O here; on an object store it maps to
+    server-side copy of immutable files."""
+    src = snapshot_data_path(path, version)
+    tmp = path.rstrip("/") + ".restore.tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    shutil.copytree(src, tmp)
+    return swap_with_history(path, tmp, op=f"restore-v{version}", fmt=fmt)
+
+
 def vacuum(path: str, retain_last: int = 1) -> list[int]:
     """Drop all but the newest `retain_last` snapshots; returns the
     removed version numbers. The log keeps every entry (audit trail) —

@@ -57,6 +57,46 @@ def test_merge_deletes_tombstones(spark, tmp_path):
     assert v1 == {1: "a", 2: "b", 3: "c", 4: "d"}
 
 
+def test_restore_rolls_back_and_is_audited(spark, tmp_path):
+    path = str(tmp_path / "r.parquet")
+    spark.createDataFrame([(1, "x"), (2, "y")], "k: long, s: string").write.parquet(path)
+    merge_into(spark, path, spark.createDataFrame([(3, "z")], "k: long, s: string"), ["k"])
+    assert spark.read.parquet(path).count() == 3
+
+    from columnar_spark.snapshots import restore
+
+    restore(path, 1)  # back to the pre-merge 2-row state
+    assert {r["k"] for r in spark.read.parquet(path).collect()} == {1, 2}
+    # the displaced 3-row table was retired, restore is audited
+    assert [e.op for e in history(path)] == ["merge", "restore-v1"]
+    assert read_table(spark, path, version=2).count() == 3
+    # snapshot 1 still exists (restore copied, not moved)
+    assert read_table(spark, path, version=1).count() == 2
+
+
+def test_cli_history_vacuum_restore(spark, tmp_path, capsys):
+    import json
+
+    from columnar_spark.__main__ import main
+
+    path = str(tmp_path / "cli.parquet")
+    spark.range(10).write.parquet(path)
+    merge_into(spark, path, spark.range(10, 12), ["id"])
+    merge_into(spark, path, spark.range(12, 13), ["id"])
+
+    assert main(["history", path]) == 0
+    hist = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert [e["version"] for e in hist] == [1, 2]
+
+    assert main(["restore", path, "--version", "1"]) == 0
+    capsys.readouterr()
+    assert spark.read.parquet(path).count() == 10
+
+    assert main(["vacuum", path, "--retain-last", "1"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["removed_versions"] == [1, 2]
+
+
 def test_compact_retires_snapshot_and_vacuum(spark, tmp_path):
     path = str(tmp_path / "c.parquet")
     df = spark.range(200).withColumn("v", F.col("id") * 2.0)
