@@ -3209,6 +3209,54 @@ def heavy_hitters_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(ev, "user_id", k=1500)
 
 
+_OVERLAP_SQL = """
+WITH w AS (
+  SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS lo,
+         epoch_us(o_orderdate) + 864000000000 AS hi
+  FROM orders
+)
+SELECT a.o_custkey AS custkey, a.o_orderkey AS k1, b.o_orderkey AS k2,
+       CAST(least(a.hi, b.hi) - greatest(a.lo, b.lo) AS BIGINT) AS overlap_us
+FROM w a JOIN w b
+  ON a.o_custkey = b.o_custkey
+ AND a.o_orderkey < b.o_orderkey
+ AND a.lo < b.hi AND b.lo < a.hi
+"""
+
+
+@_q("overlap_order_windows", _OVERLAP_SQL)
+def overlap_order_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (operators/rangejoin.interval_overlap_join):
+    same-customer 10-day order windows that intersect, with the exact
+    overlap length. Both sides bucketize and equi-join on
+    (bucket, custkey) — a hash join with linear shuffle; the DuckDB
+    oracle is the theta-join definition. Exactly-once emission comes
+    from the first-shared-bucket predicate, not a distinct."""
+    from columnar_spark.operators.rangejoin import interval_overlap_join
+
+    TEN_D = 10 * 86_400_000_000
+    o = _t(spark, sf_dir, "orders")
+    lo = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    win = o.select(F.col("o_custkey"), F.col("o_orderkey"), lo.alias("lo"), (lo + TEN_D).alias("hi"))
+    a = win.select(
+        F.col("o_custkey").alias("cust1"), F.col("o_orderkey").alias("k1"),
+        F.col("lo").alias("lo1"), F.col("hi").alias("hi1"),
+    )
+    b = win.select(
+        F.col("o_custkey").alias("cust2"), F.col("o_orderkey").alias("k2"),
+        F.col("lo").alias("lo2"), F.col("hi").alias("hi2"),
+    )
+    j = interval_overlap_join(
+        a, b, "lo1", "hi1", "lo2", "hi2", bucket_width=TEN_D, keys=("cust1", "cust2")
+    ).filter(F.col("k1") < F.col("k2"))
+    return j.select(
+        F.col("cust1").alias("custkey"),
+        "k1",
+        "k2",
+        (F.least("hi1", "hi2") - F.greatest("lo1", "lo2")).cast("long").alias("overlap_us"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------

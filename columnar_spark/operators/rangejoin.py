@@ -102,3 +102,68 @@ def range_join(
             )
     out = matched.drop("__b", "__k") if keys else matched.drop("__b")
     return out.unionByName(unmatched.select(out.columns))
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_lo: str,
+    l_hi: str,
+    r_lo: str,
+    r_hi: str,
+    bucket_width: int,
+    keys: tuple[str, str] | None = None,
+) -> DataFrame:
+    """Interval-overlap join: every (left, right) pair whose half-open
+    intervals [l_lo, l_hi) and [r_lo, r_hi) intersect — the two-sided
+    sibling of range_join's point-in-interval (sessions x maintenance
+    windows, order windows x shipment windows, genomic intervals).
+
+    Same bucketize shape: BOTH sides explode onto the buckets their
+    interval touches and equi-join on (bucket[, key]); shuffle is linear
+    in rows x avg buckets per interval, never |L|x|R|. A pair sharing
+    k buckets would match k times, so instead of a distinct() the join
+    keeps exactly the FIRST overlapping bucket — the bucket of
+    max(l_lo, r_lo), which provably lies in both intervals' spans —
+    an exact, shuffle-free dedup predicate.
+
+    Exactness does not depend on bucket_width (exact residual + exact
+    integer `div` bucketing, see range_join's precision note); width
+    only tunes replication. Column names must not collide across sides.
+    Bounds must be integer-valued (epoch micros, positions — same
+    contract as range_join): with fractional bounds the CAST-truncated
+    bucket of max(l_lo, r_lo) can fall outside a span and drop a pair.
+    """
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be positive")
+    w = int(bucket_width)
+
+    def span(df: DataFrame, lo: str, hi: str) -> DataFrame:
+        return df.withColumn(
+            "__b",
+            F.explode(
+                F.sequence(
+                    F.expr(f"CAST(`{lo}` AS BIGINT) div {w}"),
+                    F.expr(f"(CAST(`{hi}` AS BIGINT) - 1) div {w}"),
+                )
+            ),
+        )
+
+    l = span(left, l_lo, l_hi)
+    r = span(right, r_lo, r_hi)
+    join_keys = ["__b"]
+    if keys is not None:
+        lk, rk = keys
+        l = l.withColumn("__k", F.col(lk))
+        r = r.withColumn("__k", F.col(rk))
+        join_keys.append("__k")
+
+    overlap = (F.col(l_lo) < F.col(r_hi)) & (F.col(r_lo) < F.col(l_hi))
+    first_shared_bucket = F.expr(
+        f"GREATEST(CAST(`{l_lo}` AS BIGINT), CAST(`{r_lo}` AS BIGINT)) div {w}"
+    )
+    out = (
+        l.join(r, join_keys, "inner")
+        .filter(overlap & (F.col("__b") == first_shared_bucket))
+    )
+    return out.drop("__b", "__k") if keys else out.drop("__b")

@@ -174,3 +174,68 @@ def covered_count_df(index_df: DataFrame, filters: list[Filter], alias: str) -> 
     return renamed.filter(pred).agg(
         F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias(alias)
     )
+
+
+# ------------------------------------------------ stats-covered MIN/MAX
+
+_STATS_AGG_RE = re.compile(
+    r"^\s*SELECT\s+(?P<items>.+?)\s+FROM\s+(?P<table>\w+)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ITEM_RE = re.compile(
+    r"^(?:(?P<fn>MIN|MAX)\s*\(\s*(?P<col>\w+)\s*\)|(?P<cnt>COUNT)\s*\(\s*\*\s*\))"
+    r"(?:\s+AS\s+(?P<alias>\w+))?$",
+    re.IGNORECASE,
+)
+
+
+@dataclass
+class StatsAggRewrite:
+    table: str
+    # (fn, col, alias); fn in {"min","max","count"}; col None for count
+    items: list[tuple[str, str | None, str]]
+
+
+def parse_stats_aggs(sql: str) -> StatsAggRewrite | None:
+    """Match `SELECT MIN(c)/MAX(c)/COUNT(*) [, ...] FROM t` with NO
+    WHERE/GROUP BY — the whole-table aggregates a stats manifest answers
+    without touching the table (reference D1: the min/max tree root IS
+    this answer; Delta/Iceberg serve the same from table metadata)."""
+    m = _STATS_AGG_RE.match(sql)
+    if not m or re.search(r"\b(WHERE|GROUP|HAVING|JOIN|LIMIT|ORDER)\b", sql, re.IGNORECASE):
+        return None
+    items = []
+    for raw in m.group("items").split(","):
+        im = _ITEM_RE.match(raw.strip())
+        if not im:
+            return None
+        if im.group("cnt"):
+            items.append(("count", None, im.group("alias") or "count(1)"))
+        else:
+            fn = im.group("fn").lower()
+            col = im.group("col")
+            items.append((fn, col, im.group("alias") or f"{fn}({col})"))
+    return StatsAggRewrite(table=m.group("table"), items=items)
+
+
+def stats_agg_df(
+    spark, table_df: DataFrame, manifest: dict[str, dict], rw: StatsAggRewrite
+) -> DataFrame | None:
+    """One-row answer from the manifest (LocalTableScan — zero table
+    reads at execution). Manifest min/max are stored as strings; they
+    cast back through the column's own type (Spark's numeric/timestamp
+    string round-trip is exact). Returns None when any referenced column
+    is absent or stats-less (complex types) — caller falls through."""
+    types = dict(table_df.dtypes)
+    cols = []
+    for fn, col, alias in rw.items:
+        if fn == "count":
+            any_col = next(iter(manifest))
+            cols.append(F.lit(manifest[any_col]["row_count"]).cast("long").alias(alias))
+            continue
+        ent = manifest.get(col)
+        if ent is None or col not in types or ent["ndv"] is None:
+            return None
+        raw = ent["min" if fn == "min" else "max"]
+        cols.append(F.lit(raw).cast("string").cast(types[col]).alias(alias))
+    return spark.range(1).select(*cols)

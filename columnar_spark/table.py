@@ -131,6 +131,21 @@ class Engine:
                     return covered_count_df(idx, rw.filters, rw.alias)
                 except Exception:
                     pass  # conservative: any doubt -> run the plain plan
+
+        # Whole-table MIN/MAX/COUNT(*) from the stats manifest (D1: the
+        # min/max tree root IS the answer) — a LocalTableScan plan, zero
+        # table reads at execution.
+        from columnar_spark.plans.count_rewrite import parse_stats_aggs, stats_agg_df
+
+        srw = parse_stats_aggs(query)
+        if srw is not None:
+            try:
+                tbl = self.table(srw.table)
+                out = stats_agg_df(self.spark, tbl, self.stats(srw.table), srw)
+                if out is not None:
+                    return out
+            except Exception:
+                pass  # unknown table/column or stats gap -> plain plan
         return self.spark.sql(query)
 
     # -------------------------------------------------------------- stats

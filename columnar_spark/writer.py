@@ -163,6 +163,43 @@ def stats_path(table_path: str) -> str:
     return table_path.rstrip("/") + ".stats"
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    path: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int = 16,
+    sort_cols: Sequence[str] | None = None,
+    fmt: str = "parquet",
+) -> None:
+    """Hash-bucketed table write: rows are pre-partitioned by
+    hash(bucket_cols) % n_buckets and sorted within each bucket file, so
+    any join or aggregation keyed on `bucket_cols` between co-bucketed
+    tables needs NO shuffle at all — the scan itself satisfies the
+    required hash distribution (and the sort, when sort_cols covers the
+    key). This is the big-fact-join lever at 100 TB: the shuffle you
+    eliminate is the one that moves both tables.
+
+    Registered via saveAsTable (bucket metadata lives in the catalog;
+    read back with `spark.table(table_name)` — a bare parquet read of
+    `path` sees plain files and gets no bucketing guarantee). The
+    session's in-memory catalog makes this per-session in tests; with a
+    shared metastore it is durable, same code path.
+
+    The reference's analog is its clustered block layout + string-hash
+    companions (builder.cpp:83-87) — equality work pre-hashed at write
+    time so the read side skips it."""
+    spark = df.sparkSession
+    w = (
+        df.write.mode("overwrite")
+        .option("path", path)
+        .option("compression", "zstd")
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    w = w.sortBy(*(sort_cols or bucket_cols))
+    w.format(fmt).saveAsTable(table_name)
+
+
 # --------------------------------------------------------------- ingest
 
 # Per-table layout for the benchmark corpus — the engine's ingest config

@@ -76,3 +76,57 @@ def test_plan_is_equijoin_not_bnlj(data):
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+# ------------------------------------------------ interval overlap join
+
+from columnar_spark.operators.rangejoin import interval_overlap_join
+
+
+def _brute_overlap(lrows, rrows, keyed=False):
+    out = set()
+    for la, llo, lhi, lk in lrows:
+        for ra, rlo, rhi, rk in rrows:
+            if llo < rhi and rlo < lhi and (not keyed or lk == rk):
+                out.add((la, ra))
+    return out
+
+
+def test_overlap_join_matches_brute_force(spark):
+    import random
+
+    rnd = random.Random(7)
+    lrows = [(i, lo := rnd.randrange(0, 1000), lo + rnd.randrange(1, 80), rnd.randrange(3)) for i in range(120)]
+    rrows = [(i, lo := rnd.randrange(0, 1000), lo + rnd.randrange(1, 80), rnd.randrange(3)) for i in range(150)]
+    L = spark.createDataFrame(lrows, "la: long, llo: long, lhi: long, lk: long")
+    R = spark.createDataFrame(rrows, "ra: long, rlo: long, rhi: long, rk: long")
+
+    for w in (1, 7, 64, 1000):
+        got = {
+            (r["la"], r["ra"])
+            for r in interval_overlap_join(L, R, "llo", "lhi", "rlo", "rhi", w).collect()
+        }
+        assert got == _brute_overlap(lrows, rrows), w
+        # each pair exactly once (no multi-bucket duplicates)
+        cnt = interval_overlap_join(L, R, "llo", "lhi", "rlo", "rhi", w).count()
+        assert cnt == len(got), w
+
+    keyed = {
+        (r["la"], r["ra"])
+        for r in interval_overlap_join(
+            L, R, "llo", "lhi", "rlo", "rhi", 50, keys=("lk", "rk")
+        ).collect()
+    }
+    assert keyed == _brute_overlap(lrows, rrows, keyed=True)
+
+
+def test_overlap_join_is_hash_join_not_bnlj(spark):
+    L = spark.range(500).select(
+        F.col("id").alias("la"), (F.col("id") * 10).alias("llo"), (F.col("id") * 10 + 25).alias("lhi")
+    )
+    R = spark.range(500).select(
+        F.col("id").alias("ra"), (F.col("id") * 9).alias("rlo"), (F.col("id") * 9 + 12).alias("rhi")
+    )
+    j = interval_overlap_join(L, R, "llo", "lhi", "rlo", "rhi", 16)
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
