@@ -239,3 +239,86 @@ def stats_agg_df(
         raw = ent["min" if fn == "min" else "max"]
         cols.append(F.lit(raw).cast("string").cast(types[col]).alias(alias))
     return spark.range(1).select(*cols)
+
+
+# ------------------------------------ index-covered GROUP BY / DISTINCT
+
+_GROUP_COUNT_RE = re.compile(
+    r"^\s*SELECT\s+(?P<col>\w+)\s*,\s*COUNT\s*\(\s*\*\s*\)(?:\s+AS\s+(?P<alias>\w+))?\s+"
+    r"FROM\s+(?P<table>\w+)\s+(?:WHERE\s+(?P<pred>.+?)\s+)?GROUP\s+BY\s+(?P<gcol>\w+)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DISTINCT_COUNT_RE = re.compile(
+    r"^\s*SELECT\s+COUNT\s*\(\s*DISTINCT\s+(?P<col>\w+)\s*\)(?:\s+AS\s+(?P<alias>\w+))?\s+"
+    r"FROM\s+(?P<table>\w+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+
+@dataclass
+class GroupCountRewrite:
+    table: str
+    column: str
+    filters: list[Filter]
+    alias: str
+
+
+def parse_group_count(sql: str) -> GroupCountRewrite | None:
+    """`SELECT col, COUNT(*) FROM t [WHERE <conjuncts on col>] GROUP BY
+    col` — the value index IS this result (reference E6: the index
+    stores (value, count) pairs; the whole aggregation is a lookup)."""
+    m = _GROUP_COUNT_RE.match(sql)
+    if not m or m.group("col").lower() != m.group("gcol").lower():
+        return None
+    filters: list[Filter] = []
+    if m.group("pred"):
+        terms = _split_conjuncts(m.group("pred"))
+        if not terms:
+            return None
+        for t in terms:
+            f = _term_to_filter(t)
+            if f is None or f.name.lower() != m.group("col").lower():
+                return None
+            filters.append(f)
+    return GroupCountRewrite(
+        table=m.group("table"),
+        column=m.group("col"),
+        filters=filters,
+        alias=m.group("alias") or "count(1)",
+    )
+
+
+def group_count_df(
+    index_df: DataFrame, column: str, filters: list[Filter], alias: str
+) -> DataFrame:
+    """GROUP BY col + COUNT(*) straight off the (value, cnt) index.
+    SQL GROUP BY keeps the NULL group only if NULL rows exist; the index
+    materializes a NULL row with its count, matching exactly. Inclusive
+    WHERE conjuncts never match NULL (filter model), same as SQL."""
+    renamed = index_df.withColumnRenamed("value", column)
+    pred = None
+    for f in filters:
+        c = compile_filter(f, renamed.select(column).schema)
+        pred = c if pred is None else (pred & c)
+    out = renamed if pred is None else renamed.filter(pred)
+    return out.select(F.col(column), F.col("cnt").cast("long").alias(alias))
+
+
+def parse_distinct_count(sql: str):
+    m = _DISTINCT_COUNT_RE.match(sql)
+    if not m:
+        return None
+    return (
+        m.group("table"),
+        m.group("col"),
+        m.group("alias") or f"count(DISTINCT {m.group('col')})",
+    )
+
+
+def distinct_count_df(index_df: DataFrame, column: str, alias: str) -> DataFrame:
+    """Exact COUNT(DISTINCT col) = number of non-NULL index rows
+    (reference E7 CalcCountDistinct, secondary.cpp:380-388)."""
+    renamed = index_df.withColumnRenamed("value", column)
+    return renamed.filter(F.col(column).isNotNull()).agg(
+        F.count(F.lit(1)).cast("long").alias(alias)
+    )

@@ -42,20 +42,32 @@ def rollup_partials(
     bucket: str = "1 day",
     keys: Sequence[str] = ("event_type",),
     value_col: str = "value",
+    distinct_col: str | None = None,
 ) -> DataFrame:
     """Partial aggregate state for one batch: (bucket_start, *keys,
-    cnt, sum_v, min_v, max_v). Works identically on a static frame and
-    inside a foreachBatch body."""
+    cnt, sum_v, min_v, max_v[, ndv_sketch]). Works identically on a
+    static frame and inside a foreachBatch body.
+
+    `distinct_col` adds a Datasketches HLL sketch per group — the
+    mergeable form of COUNT DISTINCT (the per-bucket "distinct users"
+    metric no sum/count algebra can maintain incrementally). Sketches
+    union associatively, so batch-split invariance holds for the ndv
+    estimate exactly as for the exact aggregates."""
+    aggs = [
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col(value_col).cast("decimal(18,2)")).alias("sum_v"),
+        F.min(F.col(value_col)).alias("min_v"),
+        F.max(F.col(value_col)).alias("max_v"),
+    ]
+    if distinct_col is not None:
+        dt = dict(events.dtypes)[distinct_col]
+        din = F.col(distinct_col) if dt in ("int", "bigint", "string", "binary") else F.col(distinct_col).cast("string")
+        aggs.append(F.hll_sketch_agg(din).alias("ndv_sketch"))
     return (
         events.groupBy(
             F.window(F.col(ts_col), bucket).start.alias("bucket_start"),
             *[F.col(k) for k in keys],
-        ).agg(
-            F.count(F.lit(1)).alias("cnt"),
-            F.sum(F.col(value_col).cast("decimal(18,2)")).alias("sum_v"),
-            F.min(F.col(value_col)).alias("min_v"),
-            F.max(F.col(value_col)).alias("max_v"),
-        )
+        ).agg(*aggs)
     )
 
 
@@ -63,28 +75,33 @@ def merge_rollup(partials: DataFrame, keys: Sequence[str] = ("event_type",)) -> 
     """Combine partial rows into one row per (bucket, keys): the
     merge-on-read step. Associative algebra only — applying this to
     partials from any batch split yields identical results."""
-    return (
-        partials.groupBy("bucket_start", *keys)
-        .agg(
-            F.sum("cnt").cast("long").alias("cnt"),
-            F.sum("sum_v").alias("sum_v"),
-            F.min("min_v").alias("min_v"),
-            F.max("max_v").alias("max_v"),
-        )
-    )
+    aggs = [
+        F.sum("cnt").cast("long").alias("cnt"),
+        F.sum("sum_v").alias("sum_v"),
+        F.min("min_v").alias("min_v"),
+        F.max("max_v").alias("max_v"),
+    ]
+    if "ndv_sketch" in partials.columns:
+        aggs.append(F.hll_union_agg(F.col("ndv_sketch"), True).alias("ndv_sketch"))
+    return partials.groupBy("bucket_start", *keys).agg(*aggs)
 
 
 def finalize_rollup(merged: DataFrame) -> DataFrame:
-    """User-facing view: exact decimal sum -> double, plus avg."""
-    return merged.select(
-        "bucket_start",
-        *[c for c in merged.columns if c not in ("bucket_start", "cnt", "sum_v", "min_v", "max_v")],
+    """User-facing view: exact decimal sum -> double, plus avg (and the
+    HLL distinct estimate when the rollup tracks one)."""
+    state_cols = ("bucket_start", "cnt", "sum_v", "min_v", "max_v", "ndv_sketch")
+    cols = [
+        F.col("bucket_start"),
+        *[F.col(c) for c in merged.columns if c not in state_cols],
         F.col("cnt"),
         F.col("sum_v").cast("double").alias("sum_value"),
         (F.col("sum_v").cast("double") / F.col("cnt")).alias("avg_value"),
         F.col("min_v").alias("min_value"),
         F.col("max_v").alias("max_value"),
-    )
+    ]
+    if "ndv_sketch" in merged.columns:
+        cols.append(F.hll_sketch_estimate(F.col("ndv_sketch")).alias("approx_distinct"))
+    return merged.select(*cols)
 
 
 def append_rollup_batch(
@@ -94,9 +111,10 @@ def append_rollup_batch(
     bucket: str = "1 day",
     keys: Sequence[str] = ("event_type",),
     value_col: str = "value",
+    distinct_col: str | None = None,
 ) -> None:
     """One micro-batch's contribution: compute partials, append."""
-    rollup_partials(batch_df, ts_col, bucket, keys, value_col).write.mode(
+    rollup_partials(batch_df, ts_col, bucket, keys, value_col, distinct_col).write.mode(
         "append"
     ).parquet(rollup_path)
 
@@ -111,6 +129,7 @@ def stream_rollup(
     bucket: str = "1 day",
     keys: Sequence[str] = ("event_type",),
     value_col: str = "value",
+    distinct_col: str | None = None,
     available_now: bool = True,
 ):
     """Maintain the continuous aggregate from a file-source stream.
@@ -118,7 +137,9 @@ def stream_rollup(
     stream = spark.readStream.schema(schema).parquet(src_dir)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        append_rollup_batch(batch_df, rollup_path, ts_col, bucket, keys, value_col)
+        append_rollup_batch(
+            batch_df, rollup_path, ts_col, bucket, keys, value_col, distinct_col
+        )
 
     writer = stream.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir
@@ -157,3 +178,58 @@ def compact_rollup(
     merged.write.mode("overwrite").parquet(tmp)
     swap_with_history(rollup_path, tmp, op="compact-rollup", n_rows_before=n_before)
     return n_before, spark.read.parquet(rollup_path).count()
+
+
+def backfill_rollup(
+    spark: SparkSession,
+    rollup_path: str,
+    events: DataFrame,
+    bucket_lo,
+    bucket_hi,
+    ts_col: str = "ts",
+    bucket: str = "1 day",
+    keys: Sequence[str] = ("event_type",),
+    value_col: str = "value",
+    distinct_col: str | None = None,
+) -> tuple[int, int]:
+    """Repair/backfill: recompute the continuous aggregate for buckets in
+    [bucket_lo, bucket_hi) from raw events (late-arriving corrections,
+    code fixes — the lambda-architecture reprocess step, scoped to a
+    bucket range instead of the whole history).
+
+    COW: partial rows inside the range are dropped, fresh partials for
+    exactly that range are appended, and the swap retires the old rollup
+    as a time-travel snapshot — a bad backfill is one `restore` away
+    from undone. Work is O(rollup) + O(events-in-range); buckets outside
+    the range are byte-untouched rows. Returns (rows_dropped, rows_added).
+    """
+    from columnar_spark.snapshots import swap_with_history
+
+    cur = spark.read.parquet(rollup_path)
+    in_range = (F.col("bucket_start") >= F.lit(bucket_lo)) & (
+        F.col("bucket_start") < F.lit(bucket_hi)
+    )
+    kept = cur.filter(~in_range)
+    dropped = cur.count() - kept.count()
+
+    # Event pre-filter: an event can only contribute to a bucket at or
+    # before its timestamp, so ts >= bucket_lo is always safe to push to
+    # the scan. The UPPER cut is applied on bucket_start AFTER
+    # bucketing — cutting raw events at bucket_hi would truncate the
+    # last bucket when bucket_hi is not bucket-aligned. With aligned
+    # boundaries (the normal case) the post-filter drops nothing and the
+    # scan range is tight.
+    fresh = rollup_partials(
+        events.filter(F.col(ts_col) >= F.lit(bucket_lo)),
+        ts_col,
+        bucket,
+        keys,
+        value_col,
+        distinct_col,
+    ).filter(in_range)
+    added = fresh.count()
+
+    tmp = rollup_path.rstrip("/") + ".backfill.tmp"
+    kept.unionByName(fresh, allowMissingColumns=True).write.mode("overwrite").parquet(tmp)
+    swap_with_history(rollup_path, tmp, op="backfill-rollup")
+    return dropped, added

@@ -132,6 +132,29 @@ class Engine:
                 except Exception:
                     pass  # conservative: any doubt -> run the plain plan
 
+        # GROUP BY col + COUNT(*) / COUNT(DISTINCT col): the value index
+        # IS the result relation (E6/E7) — serve it directly.
+        from columnar_spark.plans.count_rewrite import (
+            distinct_count_df,
+            group_count_df,
+            parse_distinct_count,
+            parse_group_count,
+        )
+
+        grw = parse_group_count(query)
+        if grw is not None:
+            idx = self._value_indexes.get((grw.table, grw.column))
+            if idx is not None:
+                try:
+                    return group_count_df(idx, grw.column, grw.filters, grw.alias)
+                except Exception:
+                    pass
+        drw = parse_distinct_count(query)
+        if drw is not None:
+            idx = self._value_indexes.get((drw[0], drw[1]))
+            if idx is not None:
+                return distinct_count_df(idx, drw[1], drw[2])
+
         # Whole-table MIN/MAX/COUNT(*) from the stats manifest (D1: the
         # min/max tree root IS the answer) — a LocalTableScan plan, zero
         # table reads at execution.

@@ -78,3 +78,31 @@ def test_rewritten_count_matches_plain_plan(eng2, q):
     # and the rewrite actually fired (index path, no base relation)
     plan = eng2.sql(sql)._jdf.queryExecution().executedPlan().toString()
     assert "lineitem.parquet" not in plan, sql
+
+
+@st.composite
+def covered_group_query(draw):
+    col, term_gen = draw(
+        st.sampled_from(
+            [("l_linenumber", _num_term), ("l_returnflag", _str_term)]
+        )
+    )
+    n_terms = draw(st.integers(min_value=0, max_value=2))
+    terms = [draw(term_gen(col)) for _ in range(n_terms)]
+    where = f" WHERE {' AND '.join(terms)}" if terms else ""
+    return f"SELECT {col}, COUNT(*) AS n FROM lineitem{where} GROUP BY {col}", col
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(q=covered_group_query())
+def test_rewritten_group_count_matches_plain_plan(eng2, q):
+    sql, col = q
+    got = sorted(map(tuple, eng2.sql(sql).collect()))
+    want = sorted(map(tuple, eng2.spark.sql(sql).collect()))
+    assert got == want, sql
+    plan = eng2.sql(sql)._jdf.queryExecution().executedPlan().toString()
+    assert "lineitem.parquet" not in plan, sql

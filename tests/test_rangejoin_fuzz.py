@@ -50,3 +50,35 @@ def test_bucketed_range_join_matches_bruteforce(spark, pts, ivs, width):
         for r in range_join(pdf, idf, "x", "lo", "hi", width).collect()
     )
     assert got == want
+
+
+# ------------------------------------------ interval overlap join fuzz
+
+from columnar_spark.operators.rangejoin import interval_overlap_join
+
+
+@given(livs=ivs_s, rivs=ivs_s, width=width_s)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_overlap_join_matches_bruteforce_fuzz(spark, livs, rivs, width):
+    L = sorted({(lo, lo + span + 1) for lo, span in livs})
+    R = sorted({(lo, lo + span + 1) for lo, span in rivs})
+    want = sorted(
+        (i, j)
+        for i, (llo, lhi) in enumerate(L)
+        for j, (rlo, rhi) in enumerate(R)
+        if llo < rhi and rlo < lhi
+    )
+    ldf = spark.createDataFrame(
+        [(i, lo, hi) for i, (lo, hi) in enumerate(L)], "li: long, llo: long, lhi: long"
+    )
+    rdf = spark.createDataFrame(
+        [(j, lo, hi) for j, (lo, hi) in enumerate(R)], "ri: long, rlo: long, rhi: long"
+    )
+    rows = interval_overlap_join(ldf, rdf, "llo", "lhi", "rlo", "rhi", width).collect()
+    got = sorted((r["li"], r["ri"]) for r in rows)
+    # exact set AND exactly-once emission at every width/magnitude
+    assert got == want

@@ -81,3 +81,78 @@ def test_batch_split_invariance_and_compaction(spark, tmp_path):
     assert merged.count() == merged.select("bucket_start", "event_type").distinct().count()
     assert _collect_view(read_rollup(spark, rollup)) == before
     assert [e.op for e in history(rollup)] == ["compact-rollup"]
+
+
+def test_hll_distinct_rollup_split_invariant(spark):
+    """The mergeable-sketch metric: per-bucket approx distinct users.
+    HLL union is associative, so ANY batch split yields the identical
+    estimate; and the estimate is near-exact at test cardinalities."""
+    ev = _events_df(spark, n=4000).withColumn(
+        "user_id", (F.col("event_id") % 97).cast("long")
+    )
+    one_shot = finalize_rollup(
+        merge_rollup(rollup_partials(ev, distinct_col="user_id"))
+    )
+    split = None
+    for i in range(3):
+        p = rollup_partials(ev.filter(F.col("event_id") % 3 == i), distinct_col="user_id")
+        split = p if split is None else split.unionByName(p)
+    merged_split = finalize_rollup(merge_rollup(split))
+
+    a = {(r["bucket_start"], r["event_type"]): r["approx_distinct"] for r in one_shot.collect()}
+    b = {(r["bucket_start"], r["event_type"]): r["approx_distinct"] for r in merged_split.collect()}
+    assert a == b and len(a) > 10
+
+    # near-exact at this cardinality (HLL lgK default): within 5%
+    exact = {
+        (r["bucket_start"], r["event_type"]): r["nd"]
+        for r in ev.groupBy(
+            F.window("ts", "1 day").start.alias("bucket_start"), "event_type"
+        )
+        .agg(F.countDistinct("user_id").alias("nd"))
+        .collect()
+    }
+    for k, est in a.items():
+        assert abs(est - exact[k]) <= max(1, 0.05 * exact[k]), (k, est, exact[k])
+
+
+def test_backfill_repairs_bucket_range(spark, tmp_path):
+    """Corrections arrive for 2 days: drop those buckets' partials,
+    recompute from corrected raw, untouched buckets stay identical, and
+    the pre-backfill rollup is restorable."""
+    ev = _events_df(spark, n=3000)
+    rollup = str(tmp_path / "bf.parquet")
+    for i in range(3):
+        rollup_partials(ev.filter(F.col("event_id") % 3 == i)).write.mode(
+            "append"
+        ).parquet(rollup)
+
+    # corrected raw: values doubled on two specific days
+    lo = datetime.datetime(2024, 1, 3)
+    hi = datetime.datetime(2024, 1, 5)
+    corrected = ev.withColumn(
+        "value",
+        F.when(
+            (F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi)), F.col("value") * 2
+        ).otherwise(F.col("value")),
+    )
+
+    before = _collect_view(read_rollup(spark, rollup))
+    from columnar_spark.streaming.rollup import backfill_rollup
+
+    dropped, added = backfill_rollup(spark, rollup, corrected, lo, hi)
+    assert dropped > 0 and added > 0
+
+    after = _collect_view(read_rollup(spark, rollup))
+    want = _collect_view(finalize_rollup(merge_rollup(rollup_partials(corrected))))
+    assert after == want
+    # untouched buckets byte-identical views
+    for k in after:
+        if not (lo <= k[0] < hi):
+            assert after[k] == before[k]
+    # audited + restorable
+    from columnar_spark.snapshots import history, restore
+
+    assert [e.op for e in history(rollup)] == ["backfill-rollup"]
+    restore(rollup, 1)
+    assert _collect_view(read_rollup(spark, rollup)) == before

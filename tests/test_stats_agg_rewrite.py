@@ -45,3 +45,29 @@ def test_rewrite_falls_through_when_not_covered(spark):
         got = eng.sql(q)
         want = spark.sql(q)
         assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect())), q
+
+
+def test_group_count_and_distinct_from_value_index(spark):
+    eng = Engine(spark, SF)
+    eng.register_views(["orders"])
+    eng.build_value_index("orders", "o_orderstatus")
+
+    cases = [
+        "SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY o_orderstatus",
+        "SELECT o_orderstatus, COUNT(*) AS n FROM orders WHERE o_orderstatus <> 'F' GROUP BY o_orderstatus",
+        "SELECT COUNT(DISTINCT o_orderstatus) AS nd FROM orders",
+    ]
+    for q in cases:
+        got = eng.sql(q)
+        plan = _plan(got)
+        assert "FileScan" not in plan and "parquet" not in plan.lower(), (q, plan[:600])
+        want = spark.sql(q)
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect())), q
+        assert got.columns == want.columns, q
+
+    # no index on the column -> plain plan, still correct
+    q = "SELECT o_orderpriority, COUNT(*) AS n FROM orders GROUP BY o_orderpriority"
+    got = eng.sql(q)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, spark.sql(q).collect())
+    )

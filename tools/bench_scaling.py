@@ -109,6 +109,54 @@ def main() -> None:
         out["exact_percentile_ndv"] = _time(
             lambda: exact_percentiles(li, "l_extendedprice", [0.5])
         )
+
+        from columnar_spark.operators.heavyhitters import heavy_hitters
+        from columnar_spark.operators.rangejoin import interval_overlap_join
+        from columnar_spark.streaming.rollup import (
+            finalize_rollup,
+            merge_rollup,
+            rollup_partials,
+        )
+
+        out["heavy_hitters"] = _time(
+            lambda: heavy_hitters(od.select("o_custkey"), "o_custkey", 100)
+        )
+
+        def mk_overlap():
+            TEN_D = 10 * 86_400_000_000
+            lo = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+            w = od.select(
+                F.col("o_custkey"), F.col("o_orderkey"),
+                lo.alias("lo"), (lo + TEN_D).alias("hi"),
+            )
+            a = w.select(
+                F.col("o_custkey").alias("c1"), F.col("o_orderkey").alias("k1"),
+                F.col("lo").alias("lo1"), F.col("hi").alias("hi1"),
+            )
+            b = w.select(
+                F.col("o_custkey").alias("c2"), F.col("o_orderkey").alias("k2"),
+                F.col("lo").alias("lo2"), F.col("hi").alias("hi2"),
+            )
+            return interval_overlap_join(
+                a, b, "lo1", "hi1", "lo2", "hi2", TEN_D, keys=("c1", "c2")
+            ).filter(F.col("k1") < F.col("k2"))
+
+        out["interval_overlap_join"] = _time(mk_overlap)
+
+        def mk_rollup():
+            ev = od.select(
+                F.col("o_orderdate").cast("timestamp").alias("ts"),
+                F.col("o_orderstatus").alias("event_type"),
+                F.col("o_totalprice").alias("value"),
+                F.col("o_orderkey"),
+            )
+            parts = None
+            for i in range(4):
+                p = rollup_partials(ev.filter(F.col("o_orderkey") % 4 == i))
+                parts = p if parts is None else parts.unionByName(p)
+            return finalize_rollup(merge_rollup(parts))
+
+        out["rollup_merge"] = _time(mk_rollup)
         return out
 
     li1 = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
