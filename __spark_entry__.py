@@ -3209,6 +3209,29 @@ def heavy_hitters_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(ev, "user_id", k=1500)
 
 
+@_q("knn_rp_l2")  # numpy-seeded JL matrix — no SQL equivalent; rows-only
+def knn_rp_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimensionality-reduction rung of the compression ladder
+    (operators/randproj.py): embeddings projected 64->16 with a seeded
+    JL matrix (zero shuffle, one matmul per Arrow batch), exact top-k
+    searched in the reduced space with the query projected through the
+    SAME matrix. Distance-preservation and recall gates live in
+    test_randproj.py."""
+    from columnar_spark.operators.knn import knn_topk
+    from columnar_spark.operators.randproj import project_query, project_vectors
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 1).select("embedding").first()[0]
+    proj = project_vectors(emb, "embedding", 16, seed=5)
+    return knn_topk(
+        proj.select("vec_id", F.col("embedding_rp16").alias("embedding")),
+        "embedding",
+        project_query(list(q), len(q), 16, seed=5),
+        k=10,
+        metric="l2",
+    ).select("vec_id", F.round("dist", 6).alias("dist"))
+
+
 _OVERLAP_SQL = """
 WITH w AS (
   SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS lo,

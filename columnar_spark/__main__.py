@@ -14,6 +14,8 @@
     python -m columnar_spark history TABLE_PATH
     python -m columnar_spark vacuum  TABLE_PATH [--retain-last N]
     python -m columnar_spark restore TABLE_PATH --version N
+    python -m columnar_spark index-build TABLE_PATH --col C
+    python -m columnar_spark diff    TABLE_PATH [--from V] [--to V] --keys K1,K2
 
 `ingest` builds the clustered multi-split layout + stats sidecars (+ the
 persisted KNN index for the embeddings table); `check` runs the storage
@@ -74,6 +76,17 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("query")
     sp.add_argument("--sf-dir", required=True)
 
+    sp = sub.add_parser("index-build")
+    sp.add_argument("table_path")
+    sp.add_argument("--col", required=True)
+
+    sp = sub.add_parser("diff")
+    sp.add_argument("table_path")
+    sp.add_argument("--from", dest="v_from", type=int, default=None)
+    sp.add_argument("--to", dest="v_to", type=int, default=None)
+    sp.add_argument("--keys", required=True, help="comma-separated key columns")
+    sp.add_argument("--limit", type=int, default=100)
+
     sp = sub.add_parser("history")
     sp.add_argument("table_path")
 
@@ -111,6 +124,23 @@ def main(argv: list[str] | None = None) -> int:
     from columnar_spark.session import get_spark
 
     spark = get_spark("columnar-spark-cli")
+
+    if args.cmd == "index-build":
+        from columnar_spark.stats import write_value_index
+
+        write_value_index(spark, args.table_path, args.col)
+        print(json.dumps({"index": args.col, "dest": args.table_path + ".vidx"}))
+        return 0
+
+    if args.cmd == "diff":
+        from columnar_spark.snapshots import table_changes
+
+        ch = table_changes(
+            spark, args.table_path, args.v_from, args.v_to, args.keys.split(",")
+        )
+        rows = [r.asDict() for r in ch.limit(args.limit).collect()]
+        print(json.dumps({"n_changes": ch.count(), "sample": rows}, default=str))
+        return 0
 
     if args.cmd == "ingest":
         from columnar_spark.writer import build_sf_layout

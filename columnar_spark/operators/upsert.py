@@ -84,4 +84,12 @@ def merge_into(
     tmp = path.rstrip("/") + ".merge.tmp"
     merged.write.mode("overwrite").format(fmt).save(tmp)
     swap_with_history(path, tmp, op="merge", fmt=fmt, n_rows_before=n_before)
+    # MERGE changes arbitrary rows, so persisted value indexes cannot be
+    # patched incrementally like appends — rebuild them from the merged
+    # table (the merge itself was already O(table), so this adds one
+    # aggregate pass per indexed column, not a new complexity class).
+    from columnar_spark.stats import persisted_value_index_cols, write_value_index
+
+    for c in persisted_value_index_cols(path):
+        write_value_index(spark, path, c, fmt)
     return n_before, n_updates, getattr(spark.read, fmt)(path).count()

@@ -171,3 +171,64 @@ def vacuum(path: str, retain_last: int = 1) -> list[int]:
             shutil.rmtree(vdir)
             removed.append(v)
     return removed
+
+
+def table_changes(
+    spark: SparkSession,
+    path: str,
+    v_from: int | None,
+    v_to: int | None,
+    keys: list[str],
+    fmt: str = "parquet",
+) -> DataFrame:
+    """Change feed between two table states: what a MERGE/backfill/
+    restore actually did (Delta CDF analog, computed from retained
+    snapshots instead of logged — COW keeps whole states, so the diff
+    is derivable after the fact for any retained pair).
+
+    `v_from`/`v_to` are version numbers as in `history()`; None means
+    the live table. Returns one row per differing key with
+    `_change_type` in {'insert','delete','update_preimage',
+    'update_postimage'} followed by that side's columns (update rows
+    appear twice, pre+post — the Delta CDF shape).
+
+    Plan: full outer join on `keys` + row-fingerprint comparison
+    (xxhash64 over the non-key columns) — one shuffle per side, no
+    driver-side state; scales like any keyed join.
+    """
+    from pyspark.sql import functions as F
+
+    old = read_table(spark, path, v_from, fmt)
+    new = read_table(spark, path, v_to, fmt)
+    common = [c for c in old.columns if c in new.columns]
+    payload = [c for c in common if c not in keys]
+
+    def fp(df):
+        cols = [F.coalesce(F.col(c).cast("string"), F.lit("\x00null")) for c in payload]
+        return df.select(
+            *[F.col(k) for k in keys],
+            F.xxhash64(*cols).alias("__fp"),
+            F.struct(*[F.col(c) for c in common]).alias("__row"),
+        )
+
+    o, n = fp(old).alias("o"), fp(new).alias("n")
+    j = o.join(n, keys, "full_outer")
+    deleted = j.filter(F.col("n.__fp").isNull()).select(
+        F.lit("delete").alias("_change_type"), F.col("o.__row").alias("__row")
+    )
+    inserted = j.filter(F.col("o.__fp").isNull()).select(
+        F.lit("insert").alias("_change_type"), F.col("n.__row").alias("__row")
+    )
+    changed = j.filter(
+        F.col("o.__fp").isNotNull()
+        & F.col("n.__fp").isNotNull()
+        & (F.col("o.__fp") != F.col("n.__fp"))
+    )
+    pre = changed.select(
+        F.lit("update_preimage").alias("_change_type"), F.col("o.__row").alias("__row")
+    )
+    post = changed.select(
+        F.lit("update_postimage").alias("_change_type"), F.col("n.__row").alias("__row")
+    )
+    out = deleted.unionByName(inserted).unionByName(pre).unionByName(post)
+    return out.select("_change_type", "__row.*")

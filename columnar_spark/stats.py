@@ -403,3 +403,58 @@ def manifest_from_sketch(sk: DataFrame) -> DataFrame:
         "null_count",
         "row_count",
     )
+
+
+# ----------------------------------------- persisted value-index sidecar
+
+def value_index_path(table_path: str, col: str) -> str:
+    return table_path.rstrip("/") + f".vidx/{col}"
+
+
+def persisted_value_index_cols(table_path: str) -> list[str]:
+    """Columns with a persisted value-index sidecar for this table."""
+    import os
+
+    root = table_path.rstrip("/") + ".vidx"
+    if not os.path.isdir(root):
+        return []
+    return sorted(
+        d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d))
+    )
+
+
+def write_value_index(spark: SparkSession, table_path: str, col: str, fmt: str = "parquet") -> None:
+    """Build and persist the (value, cnt) sidecar for `col` — the A11
+    secondary-index artifact at the storage layer (reference
+    secondary/builder.cpp:849+ writes per-column SI files beside the
+    columnar blob the same way)."""
+    df = getattr(spark.read, fmt)(table_path)
+    build_value_index(df, col).write.mode("overwrite").parquet(
+        value_index_path(table_path, col)
+    )
+
+
+def load_value_index(spark: SparkSession, table_path: str, col: str) -> DataFrame | None:
+    import os
+
+    p = value_index_path(table_path, col)
+    return spark.read.parquet(p) if os.path.isdir(p) else None
+
+
+def merge_value_index(spark: SparkSession, table_path: str, col: str, batch_df: DataFrame) -> None:
+    """Incremental E9 maintenance: fold ONE batch's value counts into the
+    persisted index — O(index + batch-ndv) work, no table re-scan; counts
+    are associative so batch boundaries are invisible (same contract as
+    the stats sketch and the rollup partials)."""
+    existing = load_value_index(spark, table_path, col)
+    if existing is None:
+        return
+    delta = build_value_index(batch_df, col)
+    merged = (
+        existing.unionByName(delta)
+        .groupBy("value")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    rows = merged.collect()  # value indexes are small by contract
+    out = spark.createDataFrame(rows, merged.schema)
+    out.write.mode("overwrite").parquet(value_index_path(table_path, col))

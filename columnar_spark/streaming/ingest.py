@@ -78,6 +78,13 @@ def append_batch(batch_df: DataFrame, dst_path: str, spec: WriteSpec | None = No
     vidx = load_vector_index(dst_path)
     if vidx is not None and vidx.vec_col in out.columns:
         append_to_vector_index(ss, out, dst_path)
+    # Persisted value-index sidecars (A11 artifact): fold the batch's
+    # value counts in — O(index + batch-ndv), same merge contract.
+    from columnar_spark.stats import merge_value_index, persisted_value_index_cols
+
+    for c in persisted_value_index_cols(dst_path):
+        if c in out.columns:
+            merge_value_index(ss, dst_path, c, out)
 
 
 def stream_ingest(

@@ -91,6 +91,22 @@ class Engine:
             idx = idx.cache()
         self._value_indexes[(name, col)] = idx
 
+    def load_persisted_value_indexes(self, name: str) -> list[str]:
+        """Adopt every on-disk value-index sidecar for `name` (written by
+        stats.write_value_index at ingest, maintained incrementally on
+        append) — the reference's load-the-SI-file path, vs
+        build_value_index's build-in-session path. Returns the adopted
+        column names."""
+        from columnar_spark.stats import load_value_index, persisted_value_index_cols
+
+        table_path = f"{self.sf_dir}/{name}.parquet"
+        cols = persisted_value_index_cols(table_path)
+        for c in cols:
+            idx = load_value_index(self.spark, table_path, c)
+            if idx is not None:
+                self._value_indexes[(name, c)] = idx
+        return cols
+
     def count(self, name: str, filters: Sequence[Filter] = ()) -> int:
         """COUNT(*) with filters; answered from a value index alone when a
         single-column filter is covered (CalcCount parity, E6)."""

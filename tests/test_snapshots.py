@@ -120,3 +120,51 @@ def test_compact_retires_snapshot_and_vacuum(spark, tmp_path):
         read_table(spark, path, version=1)
     # newest snapshot still readable
     assert read_table(spark, path, version=2).count() == 200
+
+
+def test_table_changes_between_versions(spark, tmp_path):
+    from columnar_spark.snapshots import table_changes
+
+    path = str(tmp_path / "cdf.parquet")
+    spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)], "k: long, s: string, v: double"
+    ).write.parquet(path)
+    merge_into(
+        spark,
+        path,
+        spark.createDataFrame([(2, "B", 2.0), (4, "d", 4.0)], "k: long, s: string, v: double"),
+        ["k"],
+        deletes=spark.createDataFrame([(3,)], "k: long"),
+    )
+
+    # v1 (pre-merge) -> live
+    rows = table_changes(spark, path, 1, None, ["k"]).collect()
+    got = {(r["_change_type"], r["k"]): (r["s"], r["v"]) for r in rows}
+    assert got == {
+        ("delete", 3): ("c", 3.0),
+        ("insert", 4): ("d", 4.0),
+        ("update_preimage", 2): ("b", 2.0),
+        ("update_postimage", 2): ("B", 2.0),
+    }
+    # identical states diff to empty
+    assert table_changes(spark, path, None, None, ["k"]).count() == 0
+
+
+def test_cli_index_build_and_diff(spark, tmp_path, capsys):
+    import json
+
+    from columnar_spark.__main__ import main
+
+    path = str(tmp_path / "cd.parquet")
+    spark.createDataFrame([(1, "a"), (2, "b")], "k: long, s: string").write.parquet(path)
+    assert main(["index-build", path, "--col", "s"]) == 0
+    capsys.readouterr()
+    merge_into(
+        spark, path, spark.createDataFrame([(2, "B")], "k: long, s: string"), ["k"]
+    )
+    assert main(["diff", path, "--from", "1", "--keys", "k"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_changes"] == 2  # update pre+post for k=2
+    assert {r["_change_type"] for r in out["sample"]} == {
+        "update_preimage", "update_postimage",
+    }
