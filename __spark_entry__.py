@@ -3209,6 +3209,72 @@ def heavy_hitters_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(ev, "user_id", k=1500)
 
 
+_WSAMPLE_SQL = """
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR) || 'q'), 1, 8)
+    < printf('%08x', CAST(floor(least(1.0, n_chars / 400.0) * 4294967296.0) AS BIGINT))
+"""
+
+
+@_q("weighted_sample_docs", _WSAMPLE_SQL)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row importance sampling (operators/sampling.weighted_sample):
+    keep probability = a data-derived quality proxy (length damping,
+    capped at 1), realized through the deterministic md5 hash gate so
+    the oracle selects the exact same rows. Pure scan predicate — no
+    shuffle, reproducible across engines and runs."""
+    from columnar_spark.operators.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    w = F.least(F.lit(1.0), F.col("n_chars") / F.lit(400.0))
+    return weighted_sample(docs, "doc_id", w, salt="q").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+_EDEPTH_SQL = """
+WITH r AS (
+  SELECT o_totalprice,
+         row_number() OVER (ORDER BY o_totalprice, o_orderkey) - 1 AS rn,
+         (SELECT COUNT(*) FROM orders) AS n
+  FROM orders
+)
+SELECT CAST(rn * 10 // n AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       MIN(o_totalprice) AS lo,
+       MAX(o_totalprice) AS hi
+FROM r
+GROUP BY 1
+"""
+
+
+@_q("equidepth_histogram_prices", _EDEPTH_SQL)
+def equidepth_histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-count) histogram — the selectivity-estimation
+    structure equi-width histograms can't replace on skewed data. Built
+    on the distributed global row_number (operators/rank.py: range
+    partition + broadcast offsets — no single-partition window), so the
+    bucketing scales; the DuckDB oracle is the window-function
+    definition with the identical (value, key) total order."""
+    from columnar_spark.operators.rank import global_row_number
+
+    o = _t(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    n = o.count()
+    ranked = global_row_number(o, ["o_totalprice", "o_orderkey"], name="rn")
+    return (
+        # integer `div`, not double `/`: a quotient that rounds up at a
+        # bucket boundary would shift a row into the wrong bucket
+        ranked.withColumn("bucket", F.expr(f"CAST(((rn - 1) * 10) div {n} AS BIGINT)"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
+
+
 @_q("knn_rp_l2")  # numpy-seeded JL matrix — no SQL equivalent; rows-only
 def knn_rp_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dimensionality-reduction rung of the compression ladder

@@ -93,3 +93,26 @@ def temperature_sample(
     salt + same data -> same sample on any engine."""
     fractions = temperature_fractions(df, strata_col, alpha)
     return stratified_sample(df, key_col, strata_col, fractions, salt=salt)
+
+
+def weighted_sample_gate(key: Column, weight: Column, salt: str = "") -> Column:
+    """Per-ROW keep probability (vs sample_gate's per-stratum constant):
+    keep iff hash-position(key) < weight, where position is the first 8
+    hex chars of md5(key || salt) read as a 32-bit fraction. Same
+    determinism/auditability contract as sample_gate; `weight` is any
+    expression in [0, 1] (quality score, length damping, per-domain
+    rate), so importance sampling stays a pure scan predicate — no
+    shuffle, engine-portable, reproducible."""
+    pos = F.substring(F.md5(F.concat(key.cast("string"), F.lit(salt))), 1, 8)
+    thresh = F.lower(
+        F.lpad(
+            F.hex(F.floor(weight * F.lit(float(1 << 32))).cast("bigint")), 8, "0"
+        )
+    )
+    return pos < thresh
+
+
+def weighted_sample(
+    df: DataFrame, key_col: str, weight: Column, salt: str = ""
+) -> DataFrame:
+    return df.filter(weighted_sample_gate(F.col(key_col), weight, salt))

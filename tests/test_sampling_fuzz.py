@@ -82,3 +82,44 @@ def test_temperature_sample_flattens_mix(spark):
     assert got["rare"] == 50  # rarest keeps all
     big_share = got["big"] / (got["big"] + got["rare"])
     assert 0.5 < big_share < 800 / 850  # flattened toward uniform
+
+
+# ------------------------------------------------- weighted (per-row) gate
+
+from columnar_spark.operators.sampling import weighted_sample_gate
+
+weight_s = st.sampled_from([0.0, 0.05, 0.3, 0.5, 0.77, 1.0])
+
+
+def _py_wgate(key: int, w: float, salt: str) -> bool:
+    pos = hashlib.md5(f"{key}{salt}".encode()).hexdigest()[:8]
+    thresh = format(int(w * (1 << 32)), "08x")
+    return pos < thresh
+
+
+@given(keys=keys_s, w=weight_s)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_weighted_gate_portable_and_monotone(spark, keys, w):
+    df = spark.createDataFrame([(k,) for k in set(keys)], "k: long")
+    kept = {
+        r["k"]
+        for r in df.filter(
+            weighted_sample_gate(F.col("k"), F.lit(w), salt="s")
+        ).collect()
+    }
+    want = {k for k in set(keys) if _py_wgate(k, w, "s")}
+    assert kept == want
+
+    # monotone: raising every weight only ADDS rows (extend-don't-resample)
+    w2 = min(1.0, w + 0.2)
+    kept2 = {
+        r["k"]
+        for r in df.filter(
+            weighted_sample_gate(F.col("k"), F.lit(w2), salt="s")
+        ).collect()
+    }
+    assert kept <= kept2
