@@ -3209,6 +3209,44 @@ def heavy_hitters_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(ev, "user_id", k=1500)
 
 
+_KNN_BATCH_SQL = """
+WITH q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+),
+d AS (
+  SELECT q.qid, e.vec_id,
+         round(1 - (SELECT SUM(x.a * x.b) FROM (SELECT unnest(CAST(e.embedding AS DOUBLE[])) AS a, unnest(q.qv) AS b) x)
+                 / (sqrt((SELECT SUM(x.a * x.a) FROM (SELECT unnest(CAST(e.embedding AS DOUBLE[])) AS a) x))
+                  * sqrt((SELECT SUM(x.b * x.b) FROM (SELECT unnest(q.qv) AS b) x))), 6) + 0.0 AS dist
+  FROM embeddings e, q
+)
+SELECT qid, vec_id, dist FROM (
+  SELECT qid, vec_id, dist,
+         row_number() OVER (PARTITION BY qid ORDER BY dist ASC, vec_id ASC) AS rn
+  FROM d
+) WHERE rn <= 5
+"""
+
+
+@_q("knn_batch_cosine", _KNN_BATCH_SQL)
+def knn_batch_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch retrieval: 5 query vectors served in ONE data pass
+    (operators/knn.knn_batch_topk — broadcast query set, two-phase
+    per-query top-k, no single-partition sort). The oracle is the
+    per-query window-function definition; rounding + tie-break make the
+    row sets hash-identical."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("qvec"),
+    )
+    out = KNN.knn_batch_topk(
+        emb, "embedding", qs, k=5, metric="cosine", id_col="vec_id", round_digits=6
+    )
+    return out.select("qid", "vec_id", "dist")
+
+
 _WSAMPLE_SQL = """
 SELECT doc_id, lang, n_chars
 FROM documents

@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "topk_latest_events",
     "knn_cosine_topk",
     "knn_cosine_filtered",
+    "knn_batch_cosine",
     "minhash_dedup_assign",
     "simhash_dedup_assign",
     "doc_text_stats",

@@ -286,3 +286,67 @@ def knn_topk_ivf(
         df = assign_clusters(df, vec_col, centroids, cluster_col)
     pruned = df.filter(F.col(cluster_col).isin(probe))
     return knn_topk(pruned, vec_col, query_vec, k, metric, id_col, None, dist_col)
+
+
+def knn_batch_topk(
+    df: DataFrame,
+    vec_col: str,
+    queries: DataFrame,
+    k: int,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    q_id_col: str = "qid",
+    q_vec_col: str = "qvec",
+    dist_col: str = "dist",
+    round_digits: int | None = None,
+) -> DataFrame:
+    """Top-k for a BATCH of query vectors in one data pass — the serving
+    shape of retrieval pipelines (q queries against n rows; running
+    knn_topk q times scans the table q times).
+
+    Plan: the query set is small by contract and broadcast; one scan
+    computes every (row, query) distance (n x q rows, JVM expressions);
+    per-query top-k runs in TWO phases — local top-k inside each input
+    partition (window over (query, partition), bounded rows per group),
+    then a merge of the <= k x P survivors per query. No phase ever
+    sorts a whole-table partition: the one-phase `Window.partitionBy
+    (query)` alternative puts ALL n rows of each query in ONE partition,
+    the exact single-partition hazard the round-1 audit flagged.
+    Reference analog: the per-chunk KNN iterators merged by the host
+    (knn/knn.cpp:411-540) — phase 1 is the chunk search, phase 2 the
+    host merge."""
+    from pyspark.sql import Window
+
+    metric_fn = {
+        "cosine": cosine_dist,
+        "l2": l2_sq,
+        "ip": ip_dist,
+    }[metric]
+
+    dist_expr = metric_fn(F.col(vec_col).cast("array<double>"), F.col(q_vec_col))
+    if round_digits is not None:
+        # rank on the ROUNDED distance so an oracle that rounds first
+        # selects the identical row set at rank boundaries
+        dist_expr = F.round(dist_expr, round_digits) + F.lit(0.0)
+    joined = df.crossJoin(F.broadcast(queries)).select(
+        F.col(q_id_col),
+        F.col(id_col),
+        dist_expr.alias(dist_col),
+        F.spark_partition_id().alias("__pid"),
+    )
+    w_local = Window.partitionBy(q_id_col, "__pid").orderBy(
+        F.col(dist_col).asc(), F.col(id_col).asc()
+    )
+    local = (
+        joined.withColumn("__rn", F.row_number().over(w_local))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn", "__pid")
+    )
+    w_global = Window.partitionBy(q_id_col).orderBy(
+        F.col(dist_col).asc(), F.col(id_col).asc()
+    )
+    return (
+        local.withColumn("__rn", F.row_number().over(w_global))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

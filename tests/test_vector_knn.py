@@ -149,3 +149,26 @@ def test_similarity_self_join_recall(emb, np_data):
     assert all(len(v) == 5 for v in approx.values())
     recall = sum(len(exact[i] & approx[i]) for i in exact) / (5.0 * len(exact))
     assert recall >= 0.7, f"mean recall@5 {recall:.3f} below floor"
+
+
+def test_batch_topk_matches_per_query(spark):
+    from columnar_spark.operators.knn import knn_batch_topk, knn_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("qvec"),
+    )
+    batch = knn_batch_topk(emb, "embedding", qs, k=7, metric="l2", id_col="vec_id")
+    got = {
+        (r["qid"], r["vec_id"]): round(r["dist"], 9) for r in batch.collect()
+    }
+    for q in range(4):
+        qvec = [float(v) for v in emb.filter(F.col("vec_id") == q).first()["embedding"]]
+        single = knn_topk(emb, "embedding", qvec, 7, metric="l2", id_col="vec_id")
+        for r in single.collect():
+            assert round(r["dist"], 9) == got[(q, r["vec_id"])], (q, r["vec_id"])
+    assert len(got) == 4 * 7
+    # no single-partition whole-table sort in the plan
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan.split("Window")[0]
