@@ -3209,6 +3209,29 @@ def heavy_hitters_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(ev, "user_id", k=1500)
 
 
+@_q("model_quality_filter_docs")  # MLlib-trained weights — rows-only
+def model_quality_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality filtering (operators/quality_model.py): train a
+    logistic model on heuristic keep/drop labels (the rule-based
+    quality_score as weak supervision — CCNet/FineWeb-style), then
+    score and filter the corpus in one codegen'd scan. Rows-only:
+    L-BFGS weights have no SQL equivalent; separation and plan gates
+    live in test_quality_model.py."""
+    from columnar_spark.operators.quality_model import (
+        model_quality_filter,
+        train_quality_model,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    labeled = docs.withColumn(
+        "label", (CT.quality_score(F.col("text")) >= 0.55).cast("double")
+    )
+    model = train_quality_model(labeled)
+    return model_quality_filter(model, docs, threshold=0.5).select(
+        "doc_id", F.round("quality_prob", 3).alias("quality_prob")
+    )
+
+
 _KNN_BATCH_SQL = """
 WITH q AS (
   SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv

@@ -330,6 +330,38 @@ def check_table(
     from columnar_spark.operators.knn_index import check_vector_index
 
     errors.extend(check_vector_index(spark, path))
+
+    # Value-index sidecars: each must tile the table exactly — count
+    # sums equal the table row count, and per-value counts match a
+    # recount (the same value<->count lockstep the reference's SI
+    # checker enforces per block).
+    from columnar_spark.stats import (
+        build_value_index,
+        load_value_index,
+        persisted_value_index_cols,
+    )
+
+    n = df.count()
+    for c in persisted_value_index_cols(path):
+        idx = load_value_index(spark, path, c)
+        if c not in df.columns:
+            errors.append(f"value index {c}: column absent from table")
+            continue
+        total = idx.agg(F.sum("cnt")).first()[0] or 0
+        if total != n:
+            errors.append(f"value index {c}: cnt sum {total} != table rows {n}")
+            continue
+        # value indexes are small by contract; a driver-side compare is
+        # NULL-safe (a NULL value row would silently miss an equi-join)
+        live = {r["value"]: r["cnt"] for r in build_value_index(df, c).collect()}
+        stored = {r["value"]: r["cnt"] for r in idx.collect()}
+        mismatches = sum(
+            1
+            for k in set(live) | set(stored)
+            if live.get(k) != stored.get(k)
+        )
+        if mismatches:
+            errors.append(f"value index {c}: {mismatches} values out of sync")
     return errors
 
 

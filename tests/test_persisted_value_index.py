@@ -80,3 +80,38 @@ def test_engine_adopts_persisted_index(spark, tmp_path):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, spark.sql(q).collect())
     )
+
+
+def test_check_table_audits_value_index(spark, tmp_path):
+    import shutil
+
+    from columnar_spark.stats import value_index_path
+    from columnar_spark.writer import WriteSpec, check_table, write_table
+
+    path = str(tmp_path / "chk.parquet")
+    df = spark.createDataFrame([(i, ["a", "b"][i % 2]) for i in range(40)], "k: long, s: string")
+    write_table(df, path, WriteSpec())
+    write_value_index(spark, path, "s")
+    assert check_table(spark, path) == []
+
+    # corrupt: stale index after an unaudited append
+    spark.createDataFrame([(100, "a")], "k: long, s: string").write.mode(
+        "append"
+    ).parquet(path)
+    errs = check_table(spark, path)
+    assert any("value index s" in e for e in errs)
+
+    # repair by rebuild (after refreshing the manifest the same way ingest does)
+    from columnar_spark.stats import build_stats_manifest
+    from columnar_spark.writer import stats_path
+
+    build_stats_manifest(spark.read.parquet(path)).write.mode("overwrite").parquet(
+        stats_path(path)
+    )
+    write_value_index(spark, path, "s")
+    assert check_table(spark, path) == []
+
+    # missing column
+    shutil.move(value_index_path(path, "s"), value_index_path(path, "nope"))
+    errs = check_table(spark, path)
+    assert any("column absent" in e for e in errs)
