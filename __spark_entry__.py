@@ -3209,6 +3209,78 @@ def heavy_hitters_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(ev, "user_id", k=1500)
 
 
+_SEMANTIC_SQL = """
+WITH RECURSIVE
+base AS (
+  SELECT doc_id, text,
+    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk,
+    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ltk
+  FROM documents
+), q AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+      round(0.4 * least(len(tk) / 50.0, 1.0)
+          + 0.3 * least((len(list_filter(ltk, x -> x IN ('the','of','and','to','a','in','is','it','you','that'))) * 1.0
+                         / greatest(len(ltk), 1)) * 5.0, 1.0)
+          + 0.3 * (length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) * 1.0
+                   / greatest(length(text), 1)), 6) AS quality
+    FROM base
+  ) WHERE quality >= 0.75
+), sub AS (
+  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
+         sqrt((SELECT SUM(x.a * x.a)
+               FROM (SELECT unnest(CAST(e.embedding AS DOUBLE[])) AS a) x)) AS nrm
+  FROM embeddings e JOIN q ON e.vec_id = q.doc_id
+), e AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sub a, sub b
+  WHERE a.vec_id < b.vec_id
+    AND (SELECT SUM(x.a * x.b)
+         FROM (SELECT unnest(a.v) AS a, unnest(b.v) AS b) x) / (a.nrm * b.nrm) >= 0.4
+),
+edges AS (SELECT id_a AS src, id_b AS dst FROM e
+          UNION SELECT id_b, id_a FROM e),
+reach(id, r) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+),
+comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id)
+SELECT q.doc_id
+FROM q LEFT JOIN comp ON q.doc_id = comp.id
+WHERE comp.id IS NULL OR comp.comp = q.doc_id
+"""
+
+
+@_q("semantic_curation_pipeline", _SEMANTIC_SQL)
+def semantic_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed SEMANTIC curation: quality gate -> embedding join ->
+    transitive near-dup clustering -> keep one representative per
+    cluster. Complements training_pipeline_docs (whose dedup is exact
+    text match) with embedding-space dedup; every stage is an operator
+    proven alone (doc_quality_filter, embedding_neardup_components).
+    The exact all-pairs edge enumeration is the guarded quadratic
+    ORACLE form — production swaps in the LSH candidate path
+    (embedding_neardup_lsh) with identical downstream algebra."""
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    emb = _t(spark, sf_dir, "embeddings")
+    q = (
+        docs.select("doc_id", CT.quality_score(F.col("text")).alias("quality"))
+        .filter(F.col("quality") >= 0.75)
+        .select("doc_id")
+    )
+    sub = emb.join(q, emb["vec_id"] == q["doc_id"]).select("vec_id", "embedding")
+    pairs = DD.embedding_neardup_pairs(
+        sub, "embedding", "vec_id", threshold=0.4, method="exact"
+    )
+    comp = DD.connected_components(pairs.select("id_a", "id_b"))
+    return (
+        q.join(comp, q["doc_id"] == comp["id"], "left")
+        .filter(F.col("id").isNull() | (F.col("comp") == F.col("doc_id")))
+        .select("doc_id")
+    )
+
+
 @_q("model_quality_filter_docs")  # MLlib-trained weights — rows-only
 def model_quality_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned quality filtering (operators/quality_model.py): train a

@@ -44,7 +44,7 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("append")
     sp.add_argument("src")
     sp.add_argument("table_path")
-    sp.add_argument("--format", default="parquet", choices=["parquet", "csv", "json"])
+    sp.add_argument("--format", default="parquet", choices=["parquet", "csv", "json", "orc"])
     sp.add_argument("--cluster-by", default=None, help="comma-separated sort columns")
 
     sp = sub.add_parser("check")
