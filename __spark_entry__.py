@@ -3209,6 +3209,46 @@ def heavy_hitters_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(ev, "user_id", k=1500)
 
 
+_SEMDECON_SQL = """
+WITH b AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS v,
+         sqrt((SELECT SUM(x.a*x.a) FROM (SELECT unnest(CAST(embedding AS DOUBLE[])) AS a) x)) AS nrm
+  FROM embeddings WHERE vec_id % 20 = 0
+),
+c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt((SELECT SUM(x.a*x.a) FROM (SELECT unnest(CAST(embedding AS DOUBLE[])) AS a) x)) AS nrm
+  FROM embeddings WHERE vec_id % 20 <> 0
+),
+s AS (
+  SELECT c.vec_id,
+         (SELECT SUM(x.a*x.b) FROM (SELECT unnest(c.v) AS a, unnest(b.v) AS b) x) / (c.nrm * b.nrm) AS sim
+  FROM c, b
+)
+SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+       round(MAX(sim), 6) + 0.0 AS max_sim
+FROM s WHERE sim >= 0.35
+GROUP BY vec_id
+"""
+
+
+@_q("semantic_decontaminate", _SEMDECON_SQL)
+def semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination
+    (operators/decontaminate.semantic_contamination_report): corpus
+    vectors vs a broadcast eval set — catches paraphrase contamination
+    the n-gram pass (benchmark_decontaminate) misses. n x b with a tiny
+    b, so the exact broadcast product IS the scale path; the only
+    shuffle is the per-id hit aggregation."""
+    from columnar_spark.operators.decontaminate import semantic_contamination_report
+
+    emb = _t(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 20 == 0)
+    corpus = emb.filter(F.col("vec_id") % 20 != 0)
+    out = semantic_contamination_report(corpus, bench, threshold=0.35)
+    return out.select("vec_id", "n_hits", (F.col("max_sim") + F.lit(0.0)).alias("max_sim"))
+
+
 _SEMANTIC_SQL = """
 WITH RECURSIVE
 base AS (

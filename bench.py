@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "corr_stddev_stats",
     "stratified_sample_docs",
     "benchmark_decontaminate",
+    "semantic_decontaminate",
     "knn_b1_cosine",
     "knn_ivfpq_cosine",
     "funnel_conversion",

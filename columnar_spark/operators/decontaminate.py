@@ -90,3 +90,39 @@ def decontaminate(
     hits = contamination_report(corpus, benchmark, id_col, text_col, n)
     flagged = hits.filter(F.col("n_hits") > max_hits).select(id_col)
     return corpus.join(flagged, id_col, "left_anti")
+
+
+def semantic_contamination_report(
+    corpus_emb: DataFrame,
+    bench_emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Embedding-space decontamination: flag corpus items whose vector is
+    cosine-similar (>= threshold) to ANY benchmark/eval item — catches
+    paraphrased or reformatted contamination the n-gram pass misses.
+
+    Unlike corpus SELF near-dup (where all-pairs is quadratic and LSH is
+    mandatory), corpus x benchmark is n x b with b tiny — so the exact
+    broadcast cross product IS the scale path: one corpus scan, bench
+    vectors broadcast, distances in codegen, per-id aggregation is the
+    only shuffle (bounded by flagged rows). Returns
+    (id_col, n_hits, max_sim)."""
+    from columnar_spark.functions.vector import cosine_sim
+
+    bench = F.broadcast(
+        bench_emb.select(F.col(vec_col).cast("array<double>").alias("__bv"))
+    )
+    sim = cosine_sim(F.col(vec_col).cast("array<double>"), F.col("__bv"))
+    return (
+        corpus_emb.select(id_col, vec_col)
+        .crossJoin(bench)
+        .select(F.col(id_col), sim.alias("__sim"))
+        .filter(F.col("__sim") >= threshold)
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_hits"),
+            F.round(F.max("__sim"), 6).alias("max_sim"),
+        )
+    )
