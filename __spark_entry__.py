@@ -3244,7 +3244,9 @@ def semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     bench = emb.filter(F.col("vec_id") % 20 == 0)
-    corpus = emb.filter(F.col("vec_id") % 20 != 0)
+    # the cross-product compute is CPU-heavy per row; spread an
+    # under-partitioned scan first (same guard as benchmark_decontaminate)
+    corpus = ensure_parallelism(emb.filter(F.col("vec_id") % 20 != 0))
     out = semantic_contamination_report(corpus, bench, threshold=0.35)
     return out.select("vec_id", "n_hits", (F.col("max_sim") + F.lit(0.0)).alias("max_sim"))
 

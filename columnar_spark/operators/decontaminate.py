@@ -109,15 +109,25 @@ def semantic_contamination_report(
     vectors broadcast, distances in codegen, per-id aggregation is the
     only shuffle (bounded by flagged rows). Returns
     (id_col, n_hits, max_sim)."""
-    from columnar_spark.functions.vector import cosine_sim
+    from columnar_spark.functions.vector import dot, norm
 
+    # Norms precomputed ONCE per row on each side (a projection below
+    # the join evaluates per stream row / per broadcast row, not per
+    # pair) — computing cosine_sim(a, b) per pair would re-fold both
+    # norms
+    # |bench| times per corpus row. Values are bit-identical: the same
+    # norm expression, just cached.
     bench = F.broadcast(
-        bench_emb.select(F.col(vec_col).cast("array<double>").alias("__bv"))
+        bench_emb.select(
+            F.col(vec_col).cast("array<double>").alias("__bv")
+        ).withColumn("__bn", norm(F.col("__bv")))
     )
-    sim = cosine_sim(F.col(vec_col).cast("array<double>"), F.col("__bv"))
+    corpus = corpus_emb.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__cv")
+    ).withColumn("__cn", norm(F.col("__cv")))
+    sim = dot(F.col("__cv"), F.col("__bv")) / (F.col("__cn") * F.col("__bn"))
     return (
-        corpus_emb.select(id_col, vec_col)
-        .crossJoin(bench)
+        corpus.crossJoin(bench)
         .select(F.col(id_col), sim.alias("__sim"))
         .filter(F.col("__sim") >= threshold)
         .groupBy(id_col)
