@@ -88,8 +88,18 @@ def merge_into(
     # patched incrementally like appends — rebuild them from the merged
     # table (the merge itself was already O(table), so this adds one
     # aggregate pass per indexed column, not a new complexity class).
-    from columnar_spark.stats import persisted_value_index_cols, write_value_index
+    from columnar_spark.stats import (
+        persisted_posting_index_cols,
+        persisted_value_index_cols,
+        posting_index_id_col,
+        write_posting_index,
+        write_value_index,
+    )
 
     for c in persisted_value_index_cols(path):
         write_value_index(spark, path, c, fmt)
+    for c in persisted_posting_index_cols(path):
+        idc = posting_index_id_col(path, c)
+        if idc:
+            write_posting_index(spark, path, c, idc, fmt)
     return n_before, n_updates, getattr(spark.read, fmt)(path).count()

@@ -458,3 +458,81 @@ def merge_value_index(spark: SparkSession, table_path: str, col: str, batch_df: 
     rows = merged.collect()  # value indexes are small by contract
     out = spark.createDataFrame(rows, merged.schema)
     out.write.mode("overwrite").parquet(value_index_path(table_path, col))
+
+
+def posting_index_path(table_path: str, col: str) -> str:
+    return table_path.rstrip("/") + f".pidx/{col}"
+
+
+def persisted_posting_index_cols(table_path: str) -> list[str]:
+    import os
+
+    root = table_path.rstrip("/") + ".pidx"
+    if not os.path.isdir(root):
+        return []
+    return sorted(
+        d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d))
+    )
+
+
+def write_posting_index(
+    spark: SparkSession, table_path: str, col: str, id_col: str, fmt: str = "parquet"
+) -> None:
+    """Persist the value -> sorted-postings sidecar (the full A11
+    artifact beside the .vidx count sidecar; the reference persists both
+    shapes in its SI files)."""
+    import json
+    import os
+
+    df = getattr(spark.read, fmt)(table_path)
+    p = posting_index_path(table_path, col)
+    build_posting_index(df, col, id_col).write.mode("overwrite").parquet(p)
+    with open(os.path.join(p, "_meta.json"), "w") as f:
+        json.dump({"id_col": id_col}, f)
+
+
+def load_posting_index(spark: SparkSession, table_path: str, col: str) -> DataFrame | None:
+    import os
+
+    p = posting_index_path(table_path, col)
+    return spark.read.parquet(p) if os.path.isdir(p) else None
+
+
+def posting_index_id_col(table_path: str, col: str) -> str | None:
+    import json
+    import os
+
+    mp = os.path.join(posting_index_path(table_path, col), "_meta.json")
+    if not os.path.exists(mp):
+        return None
+    with open(mp) as f:
+        return json.load(f)["id_col"]
+
+
+def merge_posting_index(
+    spark: SparkSession, table_path: str, col: str, batch_df: DataFrame, id_col: str
+) -> None:
+    """Incremental maintenance: fold one batch's postings in —
+    concat + re-sort per touched value, O(index + batch) like the value
+    index. Sorted-postings invariant is preserved by construction."""
+    existing = load_posting_index(spark, table_path, col)
+    if existing is None:
+        return
+    delta = build_posting_index(batch_df, col, id_col)
+    merged = (
+        existing.unionByName(delta)
+        .groupBy("value")
+        .agg(
+            F.sort_array(F.flatten(F.collect_list("postings"))).alias("postings"),
+            F.sum("cnt").cast("long").alias("cnt"),
+        )
+    )
+    import json
+    import os
+
+    rows = merged.collect()  # same small-by-contract bound as the value index
+    out = spark.createDataFrame(rows, merged.schema)
+    p = posting_index_path(table_path, col)
+    out.write.mode("overwrite").parquet(p)
+    with open(os.path.join(p, "_meta.json"), "w") as f:
+        json.dump({"id_col": id_col}, f)

@@ -80,11 +80,21 @@ def append_batch(batch_df: DataFrame, dst_path: str, spec: WriteSpec | None = No
         append_to_vector_index(ss, out, dst_path)
     # Persisted value-index sidecars (A11 artifact): fold the batch's
     # value counts in — O(index + batch-ndv), same merge contract.
-    from columnar_spark.stats import merge_value_index, persisted_value_index_cols
+    from columnar_spark.stats import (
+        merge_posting_index,
+        merge_value_index,
+        persisted_posting_index_cols,
+        persisted_value_index_cols,
+        posting_index_id_col,
+    )
 
     for c in persisted_value_index_cols(dst_path):
         if c in out.columns:
             merge_value_index(ss, dst_path, c, out)
+    for c in persisted_posting_index_cols(dst_path):
+        idc = posting_index_id_col(dst_path, c)
+        if c in out.columns and idc and idc in out.columns:
+            merge_posting_index(ss, dst_path, c, out, idc)
 
 
 def stream_ingest(

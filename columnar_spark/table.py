@@ -139,6 +139,28 @@ class Engine:
             parse_covered_count,
         )
 
+        # Time-travel syntax: `FROM <table> VERSION AS OF <n>` reads the
+        # retained snapshot (snapshots.read_table) through a temp view —
+        # the Delta SQL surface over this engine's COW version log.
+        import re as _re
+
+        m = _re.search(
+            r"\bFROM\s+(\w+)\s+VERSION\s+AS\s+OF\s+(\d+)\b", query, _re.IGNORECASE
+        )
+        if m:
+            from columnar_spark.snapshots import read_table as _read_snapshot
+
+            name, version = m.group(1), int(m.group(2))
+            snap = _read_snapshot(
+                self.spark, f"{self.sf_dir}/{name}.parquet", version
+            )
+            view = f"__{name}_v{version}"
+            snap.createOrReplaceTempView(view)
+            rewritten = (
+                query[: m.start()] + f"FROM {view}" + query[m.end():]
+            )
+            return self.spark.sql(rewritten)
+
         rw = parse_covered_count(query)
         if rw is not None:
             idx = self._value_indexes.get((rw.table, rw.column))

@@ -115,3 +115,50 @@ def test_check_table_audits_value_index(spark, tmp_path):
     shutil.move(value_index_path(path, "s"), value_index_path(path, "nope"))
     errs = check_table(spark, path)
     assert any("column absent" in e for e in errs)
+
+
+def test_posting_index_sidecar_lifecycle(spark, tmp_path):
+    from columnar_spark.stats import (
+        build_posting_index,
+        load_posting_index,
+        merge_posting_index,
+        point_lookup,
+        write_posting_index,
+    )
+
+    path = str(tmp_path / "p.parquet")
+    spark.createDataFrame(
+        [(i, ["x", "y"][i % 2]) for i in range(20)], "k: long, s: string"
+    ).write.parquet(path)
+    write_posting_index(spark, path, "s", "k")
+
+    idx = load_posting_index(spark, path, "s")
+    assert {r["value"]: r["postings"] for r in idx.collect()} == {
+        "x": list(range(0, 20, 2)),
+        "y": list(range(1, 20, 2)),
+    }
+
+    # incremental append merge == full rebuild, postings stay sorted
+    batch = spark.createDataFrame([(100, "x"), (101, "z")], "k: long, s: string")
+    batch.write.mode("append").parquet(path)
+    merge_posting_index(spark, path, "s", batch, "k")
+    got = {r["value"]: r["postings"] for r in load_posting_index(spark, path, "s").collect()}
+    want = {
+        r["value"]: r["postings"]
+        for r in build_posting_index(spark.read.parquet(path), "s", "k").collect()
+    }
+    assert got == want and got["z"] == [101] and got["x"][-1] == 100
+
+    # point lookup touches only the index
+    hits = point_lookup(load_posting_index(spark, path, "s"), "z")
+    assert [r["row_id"] for r in hits.collect()] == [101]
+
+    # MERGE rebuilds it
+    merge_into(
+        spark,
+        path,
+        spark.createDataFrame([(0, "z")], "k: long, s: string"),
+        ["k"],
+    )
+    got2 = {r["value"]: sorted(r["postings"]) for r in load_posting_index(spark, path, "s").collect()}
+    assert 0 in got2["z"] and 0 not in got2["x"]

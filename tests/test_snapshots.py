@@ -168,3 +168,31 @@ def test_cli_index_build_and_diff(spark, tmp_path, capsys):
     assert {r["_change_type"] for r in out["sample"]} == {
         "update_preimage", "update_postimage",
     }
+
+
+def test_sql_version_as_of(spark, tmp_path):
+    from columnar_spark.table import Engine
+
+    sf = str(tmp_path)
+    path = f"{sf}/orders.parquet"
+    spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "o_orderkey: long, o_totalprice: double"
+    ).write.parquet(path)
+    merge_into(
+        spark,
+        path,
+        spark.createDataFrame([(2, 99.0), (3, 30.0)], "o_orderkey: long, o_totalprice: double"),
+        ["o_orderkey"],
+    )
+
+    eng = Engine(spark, sf)
+    eng.register_views(["orders"])
+    cur = eng.sql("SELECT SUM(o_totalprice) AS s FROM orders").first()["s"]
+    assert cur == 10.0 + 99.0 + 30.0
+    old = eng.sql("SELECT SUM(o_totalprice) AS s FROM orders VERSION AS OF 1").first()["s"]
+    assert old == 30.0
+    # works with predicates around the clause too
+    rows = eng.sql(
+        "SELECT o_orderkey FROM orders VERSION AS OF 1 WHERE o_totalprice > 15"
+    ).collect()
+    assert [r["o_orderkey"] for r in rows] == [2]
