@@ -107,6 +107,20 @@ class Engine:
                 self._value_indexes[(name, c)] = idx
         return cols
 
+    def _get_value_index(self, name: str, col: str):
+        """In-session index, or lazily adopt the on-disk .vidx sidecar
+        so SQL users get the index-covered rewrites without an explicit
+        load call."""
+        idx = self._value_indexes.get((name, col))
+        if idx is not None:
+            return idx
+        from columnar_spark.stats import load_value_index
+
+        idx = load_value_index(self.spark, f"{self.sf_dir}/{name}.parquet", col)
+        if idx is not None:
+            self._value_indexes[(name, col)] = idx
+        return idx
+
     def count(self, name: str, filters: Sequence[Filter] = ()) -> int:
         """COUNT(*) with filters; answered from a value index alone when a
         single-column filter is covered (CalcCount parity, E6)."""
@@ -161,9 +175,23 @@ class Engine:
             )
             return self.spark.sql(rewritten)
 
+        # DESCRIBE <table>: the stats manifest as a result set (column,
+        # min, max, ndv, null_count, row_count) — metadata-only, no scan
+        # beyond the manifest's own (cached) aggregate.
+        m = _re.match(r"^\s*DESCRIBE\s+(\w+)\s*;?\s*$", query, _re.IGNORECASE)
+        if m:
+            name = m.group(1)
+            rows = [
+                (c, d["min"], d["max"], d["ndv"], d["null_count"], d["row_count"])
+                for c, d in sorted(self.stats(name).items())
+            ]
+            return self.spark.createDataFrame(
+                rows, "column: string, min: string, max: string, ndv: long, null_count: long, row_count: long"
+            )
+
         rw = parse_covered_count(query)
         if rw is not None:
-            idx = self._value_indexes.get((rw.table, rw.column))
+            idx = self._get_value_index(rw.table, rw.column)
             if idx is not None:
                 try:
                     return covered_count_df(idx, rw.filters, rw.alias)
@@ -181,7 +209,7 @@ class Engine:
 
         grw = parse_group_count(query)
         if grw is not None:
-            idx = self._value_indexes.get((grw.table, grw.column))
+            idx = self._get_value_index(grw.table, grw.column)
             if idx is not None:
                 try:
                     return group_count_df(idx, grw.column, grw.filters, grw.alias)
@@ -189,7 +217,7 @@ class Engine:
                     pass
         drw = parse_distinct_count(query)
         if drw is not None:
-            idx = self._value_indexes.get((drw[0], drw[1]))
+            idx = self._get_value_index(drw[0], drw[1])
             if idx is not None:
                 return distinct_count_df(idx, drw[1], drw[2])
 

@@ -71,3 +71,30 @@ def test_group_count_and_distinct_from_value_index(spark):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, spark.sql(q).collect())
     )
+
+
+def test_describe_and_sidecar_autoload(spark, tmp_path):
+    from columnar_spark.stats import write_value_index
+
+    sf = str(tmp_path)
+    src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    src.write.parquet(f"{sf}/orders.parquet")
+    write_value_index(spark, f"{sf}/orders.parquet", "o_orderstatus")
+
+    eng = Engine(spark, sf)
+    eng.register_views(["orders"])
+
+    desc = eng.sql("DESCRIBE orders")
+    d = {r["column"]: r for r in desc.collect()}
+    assert d["o_orderkey"]["row_count"] == src.count()
+    assert int(d["o_orderkey"]["min"]) >= 0 and d["o_orderstatus"]["ndv"] >= 2
+
+    # no explicit load_persisted_value_indexes: the rewrite adopts the
+    # sidecar lazily
+    q = "SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY o_orderstatus"
+    got = eng.sql(q)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "struct<value:string,cnt:bigint>" in plan
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, spark.sql(q).collect())
+    )
