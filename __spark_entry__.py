@@ -3209,6 +3209,51 @@ def heavy_hitters_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(ev, "user_id", k=1500)
 
 
+@_q("knn_batch_ivf_cosine")  # approximate (IVF pruning) — rows-only
+def knn_batch_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch retrieval with IVF pruning (knn.knn_batch_topk_ivf):
+    queries pick their nprobe clusters driver-side, join the
+    cluster-assigned corpus as an equi-join, exact rank within
+    candidates — O(n x q x nprobe/nlist) distance work. Recall vs the
+    exact batch is gated in test_vector_knn."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("qvec"),
+    )
+    cents = KNN.train_centroids(emb, "embedding", n_clusters=16, seed=42)
+    out = KNN.knn_batch_topk_ivf(
+        emb, "embedding", qs, k=5, centroids=cents, nprobe=4, metric="cosine", id_col="vec_id"
+    )
+    return out.select("qid", "vec_id", F.round("dist", 6).alias("dist"))
+
+
+_CHUNK_SQL = """
+WITH base AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+  FROM documents
+),
+c AS (
+  SELECT doc_id, CAST(t.i - 1 AS BIGINT) AS chunk_id,
+         array_to_string(tk[(t.i-1)*48+1 : (t.i-1)*48+64], ' ') AS chunk_text
+  FROM base, UNNEST(generate_series(1, CASE WHEN len(tk) = 0 THEN 0 ELSE (len(tk)-1)//48 + 1 END)) AS t(i)
+)
+SELECT doc_id, chunk_id,
+       CAST(len(string_split(chunk_text, ' ')) AS BIGINT) AS n_chunk_tokens, chunk_text
+FROM c WHERE chunk_text <> ''
+"""
+
+
+@_q("chunk_documents_rag", _CHUNK_SQL)
+def chunk_documents_rag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG/embedding prep: overlapping 64-token windows with stride 48
+    (functions/text.chunk_documents) — pure codegen tokenize-once +
+    slice-per-window, streams with the scan; the oracle is the
+    list-slice definition."""
+    docs = _t(spark, sf_dir, "documents")
+    return CT.chunk_documents(docs, "doc_id", "text", chunk_tokens=64, overlap=16)
+
+
 _SEMDECON_SQL = """
 WITH b AS (
   SELECT CAST(embedding AS DOUBLE[]) AS v,

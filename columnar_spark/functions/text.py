@@ -190,3 +190,55 @@ def doc_fingerprint(text: Column, shingle_k: int = 3) -> Column:
         ),
     ).otherwise(F.array(F.concat_ws(" ", toks)))
     return F.array_min(F.transform(shingles, lambda s: F.md5(s)))
+
+
+def chunk_documents(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+):
+    """Split documents into overlapping token-window chunks — the
+    RAG/embedding prep step (fixed-size windows with overlap so no
+    span is cut at a boundary without context). Returns
+    (id_col, chunk_id, n_chunk_tokens, chunk_text); chunk_id is the
+    0-based window index, stride = chunk_tokens - overlap.
+
+    Pure codegen: tokenize once, then slice+array_join per window
+    offset (the same slice construction measured ~2.5x faster than
+    per-offset element_at for shingles). The explode widens rows by
+    ceil(n_tok/stride) — bounded by document length, no shuffle;
+    chunking streams with the scan.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    # window starts: 0, stride, 2*stride, ... while start < n_tok
+    # (last window may be short; empty docs produce no chunks)
+    n_chunks = F.floor((n_tok - 1) / F.lit(stride)) + 1
+    # guard BEFORE building the sequence: n_tok = 0 would ask for
+    # sequence(0, -stride) and fail the executor-side bounds check
+    starts = F.when(
+        n_tok > 0, F.sequence(F.lit(0), (n_chunks - 1) * stride, F.lit(stride))
+    ).otherwise(F.array().cast("array<bigint>"))
+    out = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.posexplode(
+            F.transform(
+                starts,
+                lambda s: F.array_join(
+                    F.slice(tokens(F.col(text_col)), s + 1, chunk_tokens), " "
+                ),
+            )
+        ).alias("chunk_id", "chunk_text"),
+    )
+    return out.select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(F.split(F.col("chunk_text"), " ")).cast("long").alias("n_chunk_tokens"),
+        "chunk_text",
+    ).filter(F.col("chunk_text") != "")

@@ -350,3 +350,73 @@ def knn_batch_topk(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def knn_batch_topk_ivf(
+    df: DataFrame,
+    vec_col: str,
+    queries: DataFrame,
+    k: int,
+    centroids: list[list[float]],
+    nprobe: int = 4,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    cluster_col: str = "ivf_cluster",
+    q_id_col: str = "qid",
+    q_vec_col: str = "qvec",
+) -> DataFrame:
+    """Batch retrieval with IVF pruning: each query is assigned its
+    nprobe nearest clusters DRIVER-side (centroids are a tiny list),
+    the (query, cluster) pairs join the cluster-assigned corpus as an
+    equi-join on cluster — so each query's distance work touches only
+    its probed fraction of the corpus, and with a cluster-partitioned
+    layout the scan itself prunes. The exact-within-candidates ranking
+    reuses knn_batch_topk's two-phase top-k.
+
+    This is knn_topk_ivf x batch: O(n x q x nprobe/nlist) distance
+    computations instead of the exact batch's O(n x q). Recall is
+    IVF-bounded, gated in tests against the exact batch."""
+    import math
+
+    def _l2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    qrows = queries.select(q_id_col, q_vec_col).collect()
+    probes = []
+    for r in qrows:
+        qv = list(r[q_vec_col])
+        order = sorted(range(len(centroids)), key=lambda i: _l2(centroids[i], qv))
+        for c in order[: max(1, min(nprobe, len(centroids)))]:
+            probes.append((r[q_id_col], c))
+    spark = df.sparkSession
+    probe_df = spark.createDataFrame(probes, f"{q_id_col}: long, {cluster_col}: int")
+
+    if cluster_col not in df.columns:
+        df = assign_clusters(df, vec_col, centroids, cluster_col)
+    # equi-join on cluster attaches each query only to its probed rows;
+    # the query vectors ride in via the broadcast probe relation
+    qvecs = queries.select(
+        F.col(q_id_col), F.col(q_vec_col).cast("array<double>").alias(q_vec_col)
+    )
+    cand = df.join(
+        F.broadcast(probe_df.withColumn(cluster_col, F.col(cluster_col).cast("int"))),
+        cluster_col,
+    ).join(F.broadcast(qvecs), q_id_col)
+
+    metric_fn = {"cosine": cosine_dist, "l2": l2_sq, "ip": ip_dist}[metric]
+    from pyspark.sql import Window
+
+    scored = cand.select(
+        F.col(q_id_col),
+        F.col(id_col),
+        metric_fn(F.col(vec_col).cast("array<double>"), F.col(q_vec_col)).alias("dist"),
+        F.spark_partition_id().alias("__pid"),
+    )
+    w_local = Window.partitionBy(q_id_col, "__pid").orderBy(F.col("dist").asc(), F.col(id_col).asc())
+    local = scored.withColumn("__rn", F.row_number().over(w_local)).filter(
+        F.col("__rn") <= k
+    ).drop("__rn", "__pid")
+    w_global = Window.partitionBy(q_id_col).orderBy(F.col("dist").asc(), F.col(id_col).asc())
+    return local.withColumn("__rn", F.row_number().over(w_global)).filter(
+        F.col("__rn") <= k
+    ).drop("__rn")

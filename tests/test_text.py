@@ -86,3 +86,32 @@ def test_repetition_signals_small(spark):
     assert got[2]["top2gram_cover"] == round(1 / 5, 6)
     assert got[2]["dup2gram_frac"] == 0.0
     assert got[2]["uniq_tok_ratio"] == 1.0
+
+
+def test_chunk_documents_invariants(spark):
+    from columnar_spark.functions.text import chunk_documents
+
+    rows = [
+        (1, " ".join(f"w{i}" for i in range(150))),  # 3 chunks at 64/16
+        (2, "a b c"),                                # short: one chunk
+        (3, ""),                                     # empty: none
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = chunk_documents(df, chunk_tokens=64, overlap=16)
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["n_chunk_tokens"], r["chunk_text"])
+        for r in out.collect()
+    }
+    # doc 1: starts at 0, 48, 96, 144 -> 4 windows (150 tokens, stride 48)
+    assert {c for d, c in got if d == 1} == {0, 1, 2, 3}
+    assert got[(1, 0)][0] == 64 and got[(1, 3)][0] == 150 - 144
+    # overlap: last 16 tokens of chunk 0 == first 16 of chunk 1
+    assert got[(1, 0)][1].split()[-16:] == got[(1, 1)][1].split()[:16]
+    # reconstruction: stride-strided concatenation covers every token once
+    recon = []
+    for c in range(4):
+        toks = got[(1, c)][1].split()
+        recon.extend(toks if c == 0 else toks[16:])
+    assert recon == [f"w{i}" for i in range(150)]
+    assert got[(2, 0)] == (3, "a b c")
+    assert not any(d == 3 for d, _ in got)

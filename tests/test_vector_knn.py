@@ -172,3 +172,33 @@ def test_batch_topk_matches_per_query(spark):
     # no single-partition whole-table sort in the plan
     plan = batch._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan.split("Window")[0]
+
+
+def test_batch_ivf_recall_and_pruning(spark):
+    from columnar_spark.operators.knn import (
+        knn_batch_topk,
+        knn_batch_topk_ivf,
+        train_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("qvec"),
+    )
+    cents = train_centroids(emb, "embedding", n_clusters=16, seed=42)
+
+    exact = knn_batch_topk(emb, "embedding", queries, 10, metric="l2", id_col="vec_id")
+    approx = knn_batch_topk_ivf(
+        emb, "embedding", queries, 10, cents, nprobe=4, metric="l2", id_col="vec_id"
+    )
+    ex = {}
+    for r in exact.collect():
+        ex.setdefault(r["qid"], set()).add(r["vec_id"])
+    ap = {}
+    for r in approx.collect():
+        ap.setdefault(r["qid"], set()).add(r["vec_id"])
+    recalls = [len(ex[q] & ap.get(q, set())) / len(ex[q]) for q in ex]
+    assert sum(recalls) / len(recalls) >= 0.7, recalls
+    # every query produced k hits and only probed candidates scored
+    assert all(len(v) == 10 for v in ap.values())
