@@ -3567,6 +3567,154 @@ def overlap_order_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Full-text retrieval (operators/fulltext.py): BM25, hybrid RRF, facets
+# --------------------------------------------------------------------------
+
+_FT_QUERY = "vector scan merge"
+_FT_TERMS = ("merge", "scan", "vector")  # tokenize_query(_FT_QUERY), sorted
+
+# Shared oracle CTE prologue: tokenizer twin of fulltext.tokenize, then
+# tf / df / dl / corpus stats. The contribution expression mirrors the
+# Spark operator token-for-token (same literal constants, same */ order)
+# and the per-doc sum folds in ascending-term order on both engines.
+_FT_PROLOGUE = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+  FROM documents
+),
+dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+corpus AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(len(t)) AS DOUBLE) / COUNT(*) AS avgdl FROM toks),
+tf AS (
+  SELECT doc_id, w AS term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(t) AS w FROM toks)
+  WHERE w IN {_FT_TERMS!r}
+  GROUP BY doc_id, w
+),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT tf.doc_id, tf.term,
+    ln(1.0 + (CAST(corpus.n AS DOUBLE) - CAST(dfreq.df AS DOUBLE) + 0.5) / (CAST(dfreq.df AS DOUBLE) + 0.5))
+    * (CAST(tf.tf AS DOUBLE) * 2.2)
+    / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / corpus.avgdl)) AS c
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id), corpus
+),
+bm25 AS (
+  SELECT doc_id, round(list_reduce(list(c ORDER BY term), (a, x) -> a + x), 6) + 0.0 AS score
+  FROM contrib GROUP BY doc_id
+)
+"""
+
+_BM25_SQL = _FT_PROLOGUE + """
+SELECT doc_id, score FROM bm25 ORDER BY score DESC, doc_id LIMIT 15
+"""
+
+
+@_q("bm25_search_docs", _BM25_SQL)
+def bm25_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked keyword retrieval: BM25 top-15 for a 3-term query
+    (operators/fulltext.py). The inverted-index scan filters postings to
+    the query terms BEFORE aggregating, so the plan cost is |query|
+    posting lists, not the corpus; the per-doc score folds contributions
+    in ascending-term order — bit-reproducible on any partitioning.
+    Reference parity: the secondary index's value->postings structure
+    (secondary/builder.cpp:849+) applied to terms, plus the ranked-search
+    host layer the reference pairs with the columnar store."""
+    from columnar_spark.operators import fulltext as FT
+
+    docs = _t(spark, sf_dir, "documents")
+    return FT.bm25_search(docs, _FT_QUERY, k=15)
+
+
+_HYBRID_SQL = _FT_PROLOGUE + f""",
+btop AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM bm25 ORDER BY score DESC, doc_id LIMIT 50
+),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = {_KNN_QID}),
+vdist AS (
+  SELECT e.vec_id AS doc_id,
+    round(1 - (SELECT SUM(x.a * x.b) FROM (SELECT unnest(CAST(e.embedding AS DOUBLE[])) AS a, unnest(q.qv) AS b) x)
+      / (sqrt((SELECT SUM(x.a * x.a) FROM (SELECT unnest(CAST(e.embedding AS DOUBLE[])) AS a) x))
+         * sqrt((SELECT SUM(x.b * x.b) FROM (SELECT unnest(q.qv) AS b) x))), 6) + 0.0 AS dist
+  FROM embeddings e, q
+),
+vtop AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY dist ASC, doc_id) AS rank
+  FROM vdist ORDER BY dist ASC, doc_id LIMIT 50
+),
+fused AS (
+  SELECT COALESCE(btop.doc_id, vtop.doc_id) AS doc_id,
+    round(COALESCE(1.0 / (60.0 + CAST(btop.rank AS DOUBLE)), 0.0)
+        + COALESCE(1.0 / (60.0 + CAST(vtop.rank AS DOUBLE)), 0.0), 6) + 0.0 AS rrf,
+    btop.rank AS rank_a, vtop.rank AS rank_b
+  FROM btop FULL OUTER JOIN vtop ON btop.doc_id = vtop.doc_id
+)
+SELECT doc_id, rrf, rank_a, rank_b FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+"""
+
+
+@_q("hybrid_search_rrf", _HYBRID_SQL)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 keyword top-50 fused with exact-cosine
+    vector top-50 by reciprocal-rank fusion (1/(60+rank), text-then-
+    vector addition order — deterministic double). Both legs rank on
+    the 6-dp rounded score with id tiebreak so the 50-cutoffs agree on
+    any engine; the fusion join is over two top-50 lists (broadcast)."""
+    from columnar_spark.functions.vector import cosine_dist, vec_lit
+    from columnar_spark.operators import fulltext as FT
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(v) for v in emb.filter(F.col("vec_id") == _KNN_QID).first()["embedding"]]
+
+    btop = FT.bm25_search(docs, _FT_QUERY, k=50).withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.col("score").desc(), F.col("doc_id")))
+    )
+    vtop = (
+        emb.select(
+            F.col("vec_id").alias("doc_id"),
+            (F.round(cosine_dist(F.col("embedding").cast("array<double>"), vec_lit(qvec)), 6) + F.lit(0.0)).alias("dist"),
+        )
+        .orderBy(F.col("dist").asc(), F.col("doc_id").asc())
+        .limit(50)
+        .withColumn("rank", F.row_number().over(Window.orderBy(F.col("dist").asc(), F.col("doc_id"))))
+    )
+    return FT.rrf_fuse(btop, vtop, k=10)
+
+
+_FACET_SQL = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+  FROM documents
+),
+nmatch AS (
+  SELECT doc_id, CAST(COUNT(DISTINCT w) AS BIGINT) AS n_terms
+  FROM (SELECT doc_id, unnest(t) AS w FROM toks)
+  WHERE w IN ('merge', 'scan', 'vector')
+  GROUP BY doc_id
+),
+m AS (
+  SELECT d.* FROM documents d JOIN nmatch USING (doc_id) WHERE nmatch.n_terms >= 3
+)
+SELECT 'lang' AS facet, lang AS value, CAST(COUNT(*) AS BIGINT) AS cnt FROM m GROUP BY lang
+UNION ALL
+SELECT 'source' AS facet, source AS value, CAST(COUNT(*) AS BIGINT) AS cnt FROM m GROUP BY source
+"""
+
+
+@_q("faceted_search_docs", _FACET_SQL)
+def faceted_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faceted search: per-facet value counts over documents matching all
+    3 query terms — the match set is computed ONCE (distinct-term count
+    over term-filtered postings) and fanned into tiny per-facet
+    aggregates, Manticore FACET-clause style."""
+    from columnar_spark.operators import fulltext as FT
+
+    docs = _t(spark, sf_dir, "documents")
+    return FT.facet_counts(docs, _FT_QUERY, ["lang", "source"], min_should_match=3)
+
+
+# --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
 
@@ -3592,8 +3740,9 @@ _DRIVER_PRIORITY = [
     # TPC-H-style join/agg core
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
     "q4_order_priority", "q7_nation_volume",
-    "q13_order_distribution", "q17_small_qty_revenue",
     "q19_disjunctive_revenue", "q21_sole_late_supplier", "q22_idle_customers",
+    # full-text retrieval family (BM25 + hybrid RRF fusion)
+    "bm25_search_docs", "hybrid_search_rrf",
     # Arrow/mapInPandas path, oracle-verified end-to-end (fake decode is
     # recomputed in DuckDB SQL)
     "media_feature_stats",
@@ -3625,6 +3774,7 @@ _DRIVER_PRIORITY = [
     "embedding_neardup_lsh", "q9_nation_profit", "knn_q8_cosine", "knn_pq_l2",
     "knn_ivfpq_cosine", "histogram_quantity", "knn_self_join_ivf",
     "minhash_lsh_pairs", "simhash_pairs", "knn_cosine_filtered",
+    "q13_order_distribution", "q17_small_qty_revenue", "faceted_search_docs",
 ]
 
 

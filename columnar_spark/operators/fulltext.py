@@ -1,0 +1,348 @@
+"""Full-text retrieval: inverted index, BM25 ranking, hybrid fusion.
+
+The reference's secondary index maps value -> row-id postings
+(secondary/builder.cpp:849+, secondary/secondary.cpp load path); the
+inverted text index is the same artifact with *terms* as the values and
+term frequency riding along — the structure the reference's parent
+project pairs with the columnar store for ranked keyword retrieval.
+Spark-first shape:
+
+- postings are an ordinary DataFrame (term, doc_id, tf) built by ONE
+  explode -> groupBy pass (a single shuffle keyed on (term, doc_id));
+- a per-query scan filters `term IN (<query terms>)` BEFORE any
+  aggregation, so the plan touches |query| posting lists, never the
+  whole index (equality pushdown reaches the parquet scan of the
+  persisted sidecar, and the sidecar is hive-partitioned by a term-hash
+  bucket so partition pruning drops 63/64 of the files up front);
+- BM25 scoring is pure codegen arithmetic; the per-document sum folds
+  contributions in ascending-term order (F.aggregate over a sorted
+  struct array) so the float result is reproducible bit-for-bit on any
+  partitioning and matches an engine that sums in the same order.
+
+Scale posture: the index build is linear in corpus tokens with map-side
+combine; a query shuffles only the filtered postings (|terms| lists).
+Document-length norms live in a (doc_id, dl) table that joins on the
+already-shuffled doc_id key. Nothing here collects the corpus to the
+driver; `N` / `avgdl` travel as a broadcast 1-row cross join.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Lucene-style BM25 defaults.
+K1 = 1.2
+B = 0.75
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+
+def tokenize(text: Column) -> Column:
+    """Lowercase alphanumeric tokenizer; '' never appears as a token."""
+    return F.filter(F.split(F.lower(text), TOKEN_SPLIT_RE), lambda t: t != "")
+
+
+def tokenize_query(query: str) -> list[str]:
+    """Driver-side twin of `tokenize` for the (tiny) query string.
+    Deduplicated, sorted — BM25 scores each distinct term once."""
+    import re
+
+    return sorted({t for t in re.split(TOKEN_SPLIT_RE, query.lower()) if t})
+
+
+def doc_lengths(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokenize(F.col(text_col))).alias("dl"),
+    )
+
+
+def build_postings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(term, doc_id, tf) — one explode + one partial-aggregated shuffle."""
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokenize(F.col(text_col))).alias("term"),
+        )
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def _idf(n_docs: Column, df_term: Column) -> Column:
+    # Lucene BM25 idf: ln(1 + (N - df + .5)/(df + .5)) — strictly positive
+    # even for terms present in every document (this corpus's regime).
+    return F.log(
+        F.lit(1.0)
+        + (n_docs.cast("double") - df_term.cast("double") + F.lit(0.5))
+        / (df_term.cast("double") + F.lit(0.5))
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = K1,
+    b: float = B,
+    postings: DataFrame | None = None,
+    lengths: DataFrame | None = None,
+) -> DataFrame:
+    """BM25 score per matching document: (doc_id, score).
+
+    `postings`/`lengths` override the on-the-fly build with a persisted
+    index (see write_text_index) — same downstream plan either way.
+    Determinism contract: contributions fold in ascending-term order, so
+    the double is independent of shuffle partitioning.
+    """
+    terms = sorted(set(query_terms))
+    if not terms:
+        raise ValueError("empty query")
+    if postings is None:
+        postings = build_postings(df, id_col, text_col)
+    if lengths is None:
+        lengths = doc_lengths(df, id_col, text_col)
+
+    # Corpus stats as a broadcast 1-row frame (never a driver collect of
+    # data, never a single-partition window).
+    stats = lengths.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+
+    hits = postings.filter(F.col("term").isin(terms))
+    df_term = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    contrib = (
+        hits.join(F.broadcast(df_term), "term")
+        .join(lengths, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "contrib",
+            _idf(F.col("n_docs"), F.col("df"))
+            * (F.col("tf").cast("double") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf").cast("double")
+                + F.lit(k1)
+                * (
+                    F.lit(1.0 - b)
+                    + F.lit(b) * F.col("dl").cast("double") / F.col("avgdl")
+                )
+            ),
+        )
+    )
+    return contrib.groupBy("doc_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("term", "contrib"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["contrib"],
+        ).alias("score")
+    )
+
+
+def bm25_search(
+    df: DataFrame,
+    query: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **kw,
+) -> DataFrame:
+    """Top-k ranked retrieval. The ORDER BY is on the 6-dp ROUNDED score
+    (desc) with doc_id tiebreak, so the k-cutoff is identical on any
+    engine computing the same formula."""
+    scores = bm25_scores(df, tokenize_query(query), id_col, text_col, **kw)
+    return (
+        scores.select("doc_id", (F.round("score", 6) + F.lit(0.0)).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    k: int = 10,
+    c: int = 60,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion of two ranked lists (each carrying a dense
+    1-based `rank` column): rrf = 1/(c+rank_a) + 1/(c+rank_b), absent
+    list contributes 0. Fixed a-then-b addition order keeps the double
+    deterministic. Inputs are top-N lists (small) — the join broadcasts."""
+    a = ranked_a.select(F.col(id_col), F.col("rank").alias("rank_a"))
+    b = ranked_b.select(F.col(id_col), F.col("rank").alias("rank_b"))
+    fused = a.join(b, id_col, "full_outer").withColumn(
+        "rrf",
+        F.coalesce(F.lit(1.0) / (F.lit(float(c)) + F.col("rank_a").cast("double")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(float(c)) + F.col("rank_b").cast("double")), F.lit(0.0)),
+    )
+    return (
+        fused.select(
+            id_col,
+            (F.round("rrf", 6) + F.lit(0.0)).alias("rrf"),
+            F.col("rank_a").cast("long").alias("rank_a"),
+            F.col("rank_b").cast("long").alias("rank_b"),
+        )
+        .orderBy(F.col("rrf").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def facet_counts(
+    df: DataFrame,
+    query: str,
+    facet_cols: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_should_match: int = 1,
+) -> DataFrame:
+    """Faceted search: per-facet value counts over the documents matching
+    >= min_should_match distinct query terms. One match pass (postings
+    filter + distinct-term count), then a union of tiny per-facet
+    aggregates — the matching-doc set is computed once and reused."""
+    terms = tokenize_query(query)
+    match = (
+        build_postings(df, id_col, text_col)
+        .filter(F.col("term").isin(terms))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_terms"))
+        .filter(F.col("n_terms") >= min_should_match)
+        .select("doc_id")
+    )
+    hits = df.join(match, df[id_col] == match["doc_id"], "left_semi")
+    parts = [
+        hits.groupBy(F.lit(c).alias("facet"), F.col(c).cast("string").alias("value")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        for c in facet_cols
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ------------------------------------------------ persisted index sidecar
+
+def text_index_path(table_path: str) -> str:
+    return table_path.rstrip("/") + ".ftidx"
+
+
+N_TERM_BUCKETS = 64
+
+
+def write_text_index(
+    spark: SparkSession,
+    table_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fmt: str = "parquet",
+) -> None:
+    """Persist the inverted index beside the table (like `.vidx`):
+    `<table>.ftidx/postings/` hive-partitioned by tb=xxhash64(term)%64 —
+    a query's term list prunes to |terms| partitions before any IO —
+    plus `lengths/` and a `meta.json` with (n_docs, avgdl)."""
+    df = getattr(spark.read, fmt)(table_path)
+    root = text_index_path(table_path)
+    postings = build_postings(df, id_col, text_col).withColumn(
+        "tb", F.pmod(F.xxhash64("term"), F.lit(N_TERM_BUCKETS)).cast("int")
+    )
+    postings.write.mode("overwrite").partitionBy("tb").parquet(f"{root}/postings")
+    lengths = doc_lengths(df, id_col, text_col)
+    lengths.write.mode("overwrite").parquet(f"{root}/lengths")
+    n, total = lengths.agg(F.count(F.lit(1)), F.sum("dl")).first()
+    with open(f"{root}/meta.json", "w") as f:
+        json.dump({"n_docs": int(n), "avgdl": total / n, "text_col": text_col}, f)
+
+
+def load_text_index(spark: SparkSession, table_path: str):
+    """-> (postings, lengths, meta) or None if no sidecar exists."""
+    root = text_index_path(table_path)
+    if not os.path.isdir(f"{root}/postings"):
+        return None
+    postings = spark.read.parquet(f"{root}/postings")
+    lengths = spark.read.parquet(f"{root}/lengths")
+    with open(f"{root}/meta.json") as f:
+        meta = json.load(f)
+    return postings, lengths, meta
+
+
+def bm25_search_indexed(
+    spark: SparkSession,
+    table_path: str,
+    query: str,
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Ranked retrieval off the persisted sidecar — no corpus scan at all.
+    The postings filter `term IN (...)` combines with the tb partition
+    column (term -> bucket via the same xxhash64, evaluated as a Spark
+    expression over the literal terms) so the scan prunes to the buckets
+    actually containing query terms."""
+    loaded = load_text_index(spark, table_path)
+    if loaded is None:
+        raise FileNotFoundError(f"no text index at {text_index_path(table_path)}")
+    postings, lengths, meta = loaded
+    terms = tokenize_query(query)
+    # Bucket ids for the literal terms, computed JVM-side in one tiny job
+    # over a driver-local frame (|terms| rows — not a data collect).
+    tdf = spark.createDataFrame([(t,) for t in terms], "term string")
+    buckets = sorted(
+        {
+            r["tb"]
+            for r in tdf.select(
+                F.pmod(F.xxhash64("term"), F.lit(N_TERM_BUCKETS)).cast("int").alias("tb")
+            ).collect()
+        }
+    )
+    pruned = postings.filter(F.col("tb").isin(buckets)).filter(F.col("term").isin(terms))
+    scores = bm25_scores(
+        df=None,  # index-only path: df never touched
+        query_terms=terms,
+        k1=k1,
+        b=b,
+        postings=pruned.select("term", "doc_id", "tf"),
+        lengths=lengths,
+    )
+    return (
+        scores.select("doc_id", (F.round("score", 6) + F.lit(0.0)).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+# ------------------------------------------------ python reference (tests)
+
+def bm25_reference(
+    docs: list[tuple[int, str]], query: str, k1: float = K1, b: float = B
+) -> dict[int, float]:
+    """Plain-python BM25 with the same ascending-term fold — the pytest
+    differential oracle."""
+    import re
+
+    toks = {
+        i: [t for t in re.split(TOKEN_SPLIT_RE, s.lower()) if t] for i, s in docs
+    }
+    n = len(docs)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    terms = sorted({t for t in re.split(TOKEN_SPLIT_RE, query.lower()) if t})
+    dfreq = {t: sum(1 for d in toks.values() if t in d) for t in terms}
+    out: dict[int, float] = {}
+    for i, d in toks.items():
+        score = 0.0
+        for t in terms:
+            tf = d.count(t)
+            if tf == 0 or dfreq[t] == 0:
+                continue
+            idf = math.log(1.0 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            score += idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * len(d) / avgdl))
+        if score != 0.0:
+            out[i] = score
+    return out
