@@ -78,6 +78,8 @@ BENCH_QUERIES = [
     "latest_event_per_user",
     "continuous_rollup_events",
     "heavy_hitters_users",
+    "bm25_search_docs",
+    "hybrid_search_rrf",
 ]
 
 

@@ -253,12 +253,27 @@ def write_text_index(
     postings = build_postings(df, id_col, text_col).withColumn(
         "tb", F.pmod(F.xxhash64("term"), F.lit(N_TERM_BUCKETS)).cast("int")
     )
-    postings.write.mode("overwrite").partitionBy("tb").parquet(f"{root}/postings")
+    # one file per bucket partition (repartition on tb), not one file
+    # per shuffle task per bucket — a term lookup opens exactly one
+    # file. At 100 TB-corpus scale, size this with repartition(n, "tb")
+    # so each bucket splits across n/64 files while staying colocated.
+    postings.repartition(N_TERM_BUCKETS, "tb").write.mode("overwrite").partitionBy(
+        "tb"
+    ).parquet(f"{root}/postings")
     lengths = doc_lengths(df, id_col, text_col)
     lengths.write.mode("overwrite").parquet(f"{root}/lengths")
     n, total = lengths.agg(F.count(F.lit(1)), F.sum("dl")).first()
     with open(f"{root}/meta.json", "w") as f:
-        json.dump({"n_docs": int(n), "avgdl": total / n, "text_col": text_col}, f)
+        json.dump(
+            {
+                "n_docs": int(n),
+                "total_dl": int(total),
+                "avgdl": total / n,
+                "text_col": text_col,
+                "id_col": id_col,
+            },
+            f,
+        )
 
 
 def load_text_index(spark: SparkSession, table_path: str):
@@ -271,6 +286,81 @@ def load_text_index(spark: SparkSession, table_path: str):
     with open(f"{root}/meta.json") as f:
         meta = json.load(f)
     return postings, lengths, meta
+
+
+def append_to_text_index(
+    spark: SparkSession,
+    table_path: str,
+    batch_df: DataFrame,
+) -> None:
+    """E9-style incremental maintenance: fold ONE batch of NEW documents
+    into the persisted inverted index — O(batch tokens) work, no corpus
+    re-tokenize. Append-only contract (same as the vector and value
+    sidecars): batch doc_ids must be new, so batch postings rows are
+    disjoint from stored ones and a partitioned parquet APPEND is the
+    whole merge. Meta counters are associative (n_docs, total_dl), so
+    batch boundaries are invisible — append_half == one-shot rebuild,
+    pytest-pinned."""
+    root = text_index_path(table_path)
+    with open(f"{root}/meta.json") as f:
+        meta = json.load(f)
+    id_col, text_col = meta.get("id_col", "doc_id"), meta["text_col"]
+
+    postings = build_postings(batch_df, id_col, text_col).withColumn(
+        "tb", F.pmod(F.xxhash64("term"), F.lit(N_TERM_BUCKETS)).cast("int")
+    )
+    postings.write.mode("append").partitionBy("tb").parquet(f"{root}/postings")
+    lengths = doc_lengths(batch_df, id_col, text_col)
+    lengths.write.mode("append").parquet(f"{root}/lengths")
+
+    n, total = lengths.agg(F.count(F.lit(1)), F.sum("dl")).first()
+    old_total = int(meta.get("total_dl", round(meta["avgdl"] * meta["n_docs"])))
+    meta["n_docs"] += int(n)
+    meta["total_dl"] = old_total + int(total)
+    meta["avgdl"] = meta["total_dl"] / meta["n_docs"]
+    with open(f"{root}/meta.json", "w") as f:
+        json.dump(meta, f)
+
+
+def check_text_index(spark: SparkSession, table_path: str, fmt: str = "parquet") -> list[str]:
+    """Integrity audit of the .ftidx sidecar (reference A13's checker
+    walking companion structures): lengths<->table id lockstep, postings
+    ids subset of table ids, term buckets consistent with the hash, tf
+    totals equal a live re-tokenize, meta counters in agreement."""
+    loaded = load_text_index(spark, table_path)
+    if loaded is None:
+        return []
+    postings, lengths, meta = loaded
+    errors: list[str] = []
+    df = getattr(spark.read, fmt)(table_path)
+    id_col, text_col = meta.get("id_col", "doc_id"), meta["text_col"]
+
+    n_table = df.count()
+    n_len = lengths.count()
+    if n_len != n_table or meta["n_docs"] != n_table:
+        errors.append(
+            f"text index: lengths rows {n_len} / meta n_docs {meta['n_docs']}"
+            f" != table rows {n_table}"
+        )
+    ids = df.select(F.col(id_col).alias("doc_id"))
+    orphans = postings.select("doc_id").distinct().join(ids, "doc_id", "left_anti").count()
+    if orphans:
+        errors.append(f"text index: {orphans} posting doc_ids absent from table")
+    bad_bucket = postings.filter(
+        F.col("tb") != F.pmod(F.xxhash64("term"), F.lit(N_TERM_BUCKETS)).cast("int")
+    ).count()
+    if bad_bucket:
+        errors.append(f"text index: {bad_bucket} postings in the wrong term bucket")
+    stored_tf = postings.agg(F.sum("tf")).first()[0] or 0
+    live_tf = df.select(F.size(tokenize(F.col(text_col))).alias("n")).agg(F.sum("n")).first()[0] or 0
+    if stored_tf != live_tf:
+        errors.append(f"text index: tf total {stored_tf} != live token count {live_tf}")
+    total_dl = lengths.agg(F.sum("dl")).first()[0] or 0
+    if meta.get("total_dl", total_dl) != total_dl:
+        errors.append(
+            f"text index: meta total_dl {meta['total_dl']} != lengths sum {total_dl}"
+        )
+    return errors
 
 
 def bm25_search_indexed(
@@ -316,6 +406,112 @@ def bm25_search_indexed(
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(k)
     )
+
+
+# ------------------------------------------------ phrase / proximity
+
+def build_positional_postings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(term, doc_id, tf, positions) — positions are 0-based token
+    offsets, sorted. Same single explode->aggregate shape as
+    build_postings; the positions array is what the reference's parent
+    engine keeps in its hitlists for phrase/proximity matching."""
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(tokenize(F.col(text_col))).alias("pos", "term"),
+        )
+        .groupBy("term", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.sort_array(F.collect_list("pos")).alias("positions"),
+        )
+    )
+
+
+def phrase_match(
+    df: DataFrame,
+    phrase: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """Documents containing the exact phrase, with occurrence count:
+    (doc_id, n_occurrences). Token i of the phrase must appear at
+    start+i for every i — evaluated by intersecting the per-term
+    position lists (|phrase| - 1 broadcast-size joins over postings
+    already filtered to the phrase's terms; the base table never
+    re-scans per term).
+
+    Duplicate-term phrases work: each phrase slot joins the SAME
+    posting row again under a slot alias."""
+    import re
+
+    words = [t for t in re.split(TOKEN_SPLIT_RE, phrase.lower()) if t]
+    if not words:
+        raise ValueError("empty phrase")
+    if postings is None:
+        postings = build_positional_postings(df, id_col, text_col)
+    base = postings.filter(F.col("term").isin(sorted(set(words))))
+
+    out = base.filter(F.col("term") == words[0]).select(
+        "doc_id", F.col("positions").alias("starts")
+    )
+    def _at_offset(col_name: str, offset: int):
+        # single-arg lambda: F.filter treats 2-arg lambdas as
+        # (element, index), which is not what we want here
+        return lambda s: F.array_contains(F.col(col_name), s + offset)
+
+    for i, w in enumerate(words[1:], start=1):
+        nxt = base.filter(F.col("term") == w).select(
+            "doc_id", F.col("positions").alias(f"p{i}")
+        )
+        out = (
+            out.join(nxt, "doc_id")
+            .withColumn("starts", F.filter(F.col("starts"), _at_offset(f"p{i}", i)))
+            .drop(f"p{i}")
+            .filter(F.size("starts") > 0)
+        )
+    return out.select(
+        "doc_id", F.size("starts").cast("long").alias("n_occurrences")
+    )
+
+
+def mmr_rerank(
+    candidates: list[tuple],
+    k: int,
+    lam: float = 0.5,
+) -> list[tuple]:
+    """Maximal-marginal-relevance diversification over a TOP-N candidate
+    list: greedily pick argmax lam*rel - (1-lam)*max_sim_to_selected.
+
+    Driver-side by design: the input is the k-row result of a
+    distributed retrieval (BM25/KNN top-N), not a table — same contract
+    as the driver fetching a top-k. Each tuple is (id, rel, vec) with
+    vec a float list; similarity is cosine. Deterministic: ties break on
+    id ascending."""
+    import math as m
+
+    def cos(a, b):
+        dp = sum(x * y for x, y in zip(a, b))
+        na = m.sqrt(sum(x * x for x in a))
+        nb = m.sqrt(sum(x * x for x in b))
+        return dp / (na * nb) if na > 0 and nb > 0 else 0.0
+
+    remaining = sorted(candidates, key=lambda t: (-t[1], t[0]))
+    selected: list[tuple] = []
+    while remaining and len(selected) < k:
+        best = None
+        best_score = None
+        for cand in remaining:
+            penalty = max((cos(cand[2], s[2]) for s in selected), default=0.0)
+            score = lam * cand[1] - (1.0 - lam) * penalty
+            if best is None or score > best_score or (
+                score == best_score and cand[0] < best[0]
+            ):
+                best, best_score = cand, score
+        selected.append(best)
+        remaining.remove(best)
+    return selected
 
 
 # ------------------------------------------------ python reference (tests)

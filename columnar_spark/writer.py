@@ -255,7 +255,10 @@ def build_sf_layout(
         if os.path.exists(src):
             st = os.stat(src)
             sig_parts.append(f"{table}:{st.st_size}:{int(st.st_mtime)}")
-    signature = src_dir + "\n" + "\n".join(sig_parts) + "\n"
+    # layout_v bumps when the ingest artifacts change (new sidecar
+    # kinds), so a cached layout built by older code is invalidated even
+    # though the SOURCE signature still matches.
+    signature = "layout_v2\n" + src_dir + "\n" + "\n".join(sig_parts) + "\n"
 
     marker = os.path.join(dest_dir, _LAYOUT_MARKER)
     if os.path.exists(marker) and not force:
@@ -282,6 +285,13 @@ def build_sf_layout(
             from columnar_spark.operators.knn_index import build_vector_index
 
             build_vector_index(spark, df, dest)
+        if table == "documents":
+            # Inverted text index beside the table (term-bucketed
+            # postings + doc lengths): ranked retrieval serves from the
+            # sidecar instead of re-tokenizing the corpus per query.
+            from columnar_spark.operators.fulltext import write_text_index
+
+            write_text_index(spark, dest)
     with open(marker, "w") as fh:
         fh.write(signature)
     return True
@@ -330,6 +340,11 @@ def check_table(
     from columnar_spark.operators.knn_index import check_vector_index
 
     errors.extend(check_vector_index(spark, path))
+
+    # Inverted-text sidecar, when present.
+    from columnar_spark.operators.fulltext import check_text_index
+
+    errors.extend(check_text_index(spark, path, fmt=spec.format))
 
     # Value-index sidecars: each must tile the table exactly — count
     # sums equal the table row count, and per-value counts match a

@@ -107,3 +107,64 @@ def test_facet_counts(docs_df):
     # matching docs: 1,2,4 (scan), 2,5 (vector) -> {1,2,4,5}
     assert got[("lang", "en")] == 2  # docs 2, 4
     assert got[("lang", "fr")] == 2  # docs 1, 5
+
+
+def test_append_half_equals_full_rebuild(spark, tmp_path):
+    """Incremental maintenance proof: build the index on half the corpus,
+    append the other half -> postings/lengths/meta identical to a
+    one-shot build on the full corpus."""
+    full = spark.createDataFrame(DOCS, "doc_id long, text string")
+    half1 = full.filter(F.col("doc_id") <= 3)
+    half2 = full.filter(F.col("doc_id") > 3)
+
+    p_inc = str(tmp_path / "inc.parquet")
+    half1.write.parquet(p_inc)
+    FT.write_text_index(spark, p_inc)
+    # grow the table, then the index
+    half2.write.mode("append").parquet(p_inc)
+    FT.append_to_text_index(spark, p_inc, half2)
+
+    p_full = str(tmp_path / "full.parquet")
+    full.write.parquet(p_full)
+    FT.write_text_index(spark, p_full)
+
+    for part in ("postings", "lengths"):
+        a = spark.read.parquet(f"{FT.text_index_path(p_inc)}/{part}")
+        b = spark.read.parquet(f"{FT.text_index_path(p_full)}/{part}")
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect())), part
+    _, _, ma = FT.load_text_index(spark, p_inc)
+    _, _, mb = FT.load_text_index(spark, p_full)
+    assert ma["n_docs"] == mb["n_docs"] and ma["total_dl"] == mb["total_dl"]
+    assert ma["avgdl"] == mb["avgdl"]
+
+    # scores identical through the incremental index
+    inc = FT.bm25_search_indexed(spark, p_inc, "vector scan merge", k=5).collect()
+    one = FT.bm25_search_indexed(spark, p_full, "vector scan merge", k=5).collect()
+    assert [tuple(r) for r in inc] == [tuple(r) for r in one]
+
+
+def test_check_text_index_clean_and_detects_drift(spark, tmp_path):
+    from columnar_spark.operators.fulltext import check_text_index
+
+    p = str(tmp_path / "chk.parquet")
+    spark.createDataFrame(DOCS, "doc_id long, text string").write.parquet(p)
+    FT.write_text_index(spark, p)
+    assert check_text_index(spark, p) == []
+
+    # drift: append docs to the TABLE but not the index
+    spark.createDataFrame([(99, "drifted doc")], "doc_id long, text string").write.mode(
+        "append"
+    ).parquet(p)
+    errs = check_text_index(spark, p)
+    assert errs and any("n_docs" in e or "rows" in e for e in errs)
+
+
+def test_check_table_walks_text_index(spark, tmp_path):
+    from columnar_spark.writer import check_table
+
+    p = str(tmp_path / "wtbl.parquet")
+    spark.createDataFrame(DOCS, "doc_id long, text string").write.parquet(p)
+    FT.write_text_index(spark, p)
+    errs = check_table(spark, p)
+    # stats manifest is absent for a bare write, but no text-index errors
+    assert not any("text index" in e for e in errs)
