@@ -3780,6 +3780,100 @@ def mmr_diverse_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(out, "vec_id long, rel double, mmr_rank long")
 
 
+_RADIUS = 0.8
+
+_KNN_RADIUS_SQL = f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = {_KNN_QID})
+SELECT e.vec_id, e.label,
+  round(1 - (SELECT SUM(x.a * x.b) FROM (SELECT unnest(CAST(e.embedding AS DOUBLE[])) AS a, unnest(q.qv) AS b) x)
+    / (sqrt((SELECT SUM(x.a * x.a) FROM (SELECT unnest(CAST(e.embedding AS DOUBLE[])) AS a) x))
+       * sqrt((SELECT SUM(x.b * x.b) FROM (SELECT unnest(q.qv) AS b) x))), 6) + 0.0 AS dist
+FROM embeddings e, q
+WHERE 1 - (SELECT SUM(x.a * x.b) FROM (SELECT unnest(CAST(e.embedding AS DOUBLE[])) AS a, unnest(q.qv) AS b) x)
+    / (sqrt((SELECT SUM(x.a * x.a) FROM (SELECT unnest(CAST(e.embedding AS DOUBLE[])) AS a) x))
+       * sqrt((SELECT SUM(x.b * x.b) FROM (SELECT unnest(q.qv) AS b) x))) <= {_RADIUS}
+"""
+
+
+@_q("knn_radius_cosine", _KNN_RADIUS_SQL)
+def knn_radius_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (radius) search — every vector within cosine distance 0.8 of
+    the query (operators/knn.knn_radius): a pure parallel filter over the
+    distance expression, no global ordering, no top-k heap. The
+    fixed-threshold mode of the reference's KNN surface (near-dup gates
+    / recall filters); membership is decided on the UNROUNDED distance,
+    bit-identical across engines because both fold the dot product
+    left-to-right."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(v) for v in emb.filter(F.col("vec_id") == _KNN_QID).first()["embedding"]]
+    out = KNN.knn_radius(emb, "embedding", qvec, radius=_RADIUS, metric="cosine", id_col="vec_id")
+    return out.select(
+        "vec_id", "label", (F.round(F.col("dist"), 6) + F.lit(0.0)).alias("dist")
+    )
+
+
+_BM25_BATCH_QUERIES = [
+    ("q_a", "vector scan merge"),
+    ("q_b", "customer order line"),
+    ("q_c", "window batch"),
+]
+
+_BM25_BATCH_SQL = """
+WITH queries(query_id, qtext) AS (
+  VALUES ('q_a', 'vector scan merge'), ('q_b', 'customer order line'), ('q_c', 'window batch')
+),
+qterms AS (
+  SELECT DISTINCT query_id, unnest(list_filter(string_split_regex(lower(qtext), '[^a-z0-9]+'), x -> x <> '')) AS term
+  FROM queries
+),
+toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+  FROM documents
+),
+dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+corpus AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(len(t)) AS DOUBLE) / COUNT(*) AS avgdl FROM toks),
+tf AS (
+  SELECT doc_id, w AS term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(t) AS w FROM toks)
+  WHERE w IN (SELECT term FROM qterms)
+  GROUP BY doc_id, w
+),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT qterms.query_id, tf.doc_id, tf.term,
+    ln(1.0 + (CAST(corpus.n AS DOUBLE) - CAST(dfreq.df AS DOUBLE) + 0.5) / (CAST(dfreq.df AS DOUBLE) + 0.5))
+    * (CAST(tf.tf AS DOUBLE) * 2.2)
+    / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / corpus.avgdl)) AS c
+  FROM tf JOIN qterms USING (term) JOIN dfreq USING (term) JOIN dl USING (doc_id), corpus
+),
+scored AS (
+  SELECT query_id, doc_id,
+    round(list_reduce(list(c ORDER BY term), (a, x) -> a + x), 6) + 0.0 AS score
+  FROM contrib GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= 5
+"""
+
+
+@_q("bm25_batch_search_docs", _BM25_BATCH_SQL)
+def bm25_batch_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch retrieval: top-5 BM25 for THREE queries in ONE corpus pass
+    (operators/fulltext.bm25_batch_search) — postings filter to the
+    union of all query terms, per-term df computed once, a broadcast
+    (query_id, term) join fans postings out to queries, and the top-k
+    window partitions BY QUERY (no global sort). Q queries against a
+    100 TB corpus cost one scan, not Q."""
+    from columnar_spark.operators import fulltext as FT
+
+    docs = _t(spark, sf_dir, "documents")
+    return FT.bm25_batch_search(docs, _BM25_BATCH_QUERIES, k=5)
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------

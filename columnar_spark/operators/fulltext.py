@@ -408,6 +408,94 @@ def bm25_search_indexed(
     )
 
 
+def bm25_batch_search(
+    df: DataFrame,
+    queries: list[tuple[str, str]],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = K1,
+    b: float = B,
+    postings: DataFrame | None = None,
+    lengths: DataFrame | None = None,
+) -> DataFrame:
+    """Top-k BM25 for MANY queries in ONE pass: (query_id, doc_id,
+    score, rank). The retrieval-pipeline scale path — Q queries against
+    a 100 TB corpus must not run Q corpus scans.
+
+    Shape: postings filter to the UNION of all query terms (one scan),
+    per-term df computed once (query-independent), then a broadcast
+    (query_id, term) join fans matching postings out to queries, and a
+    per-query window takes top-k — partitioned by query_id, never a
+    global sort. Scoring folds ascending-term like the single-query op,
+    so per-(query, doc) scores are identical to running each query
+    alone (pytest-pinned)."""
+    if not queries:
+        raise ValueError("no queries")
+    spark = df.sparkSession if df is not None else postings.sparkSession
+    pairs = sorted({(qid, t) for qid, qs in queries for t in tokenize_query(qs)})
+    if not pairs:
+        raise ValueError("all queries empty after tokenization")
+    all_terms = sorted({t for _, t in pairs})
+    qterms = spark.createDataFrame(pairs, "query_id string, term string")
+
+    if postings is None:
+        postings = build_postings(df, id_col, text_col)
+    if lengths is None:
+        lengths = doc_lengths(df, id_col, text_col)
+
+    stats = lengths.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    hits = postings.filter(F.col("term").isin(all_terms))
+    df_term = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    contrib = (
+        hits.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(df_term), "term")
+        .join(lengths, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "contrib",
+            _idf(F.col("n_docs"), F.col("df"))
+            * (F.col("tf").cast("double") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf").cast("double")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / F.col("avgdl"))
+            ),
+        )
+    )
+    scored = contrib.groupBy("query_id", "doc_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("term", "contrib"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["contrib"],
+        ).alias("score")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_r").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.select(
+            "query_id",
+            "doc_id",
+            (F.round("score", 6) + F.lit(0.0)).alias("score_r"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("score_r").alias("score"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 # ------------------------------------------------ phrase / proximity
 
 def build_positional_postings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

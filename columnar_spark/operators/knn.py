@@ -88,6 +88,34 @@ def knn_topk(
     return out.orderBy(F.col(dist_col).asc(), F.col(id_col).asc()).limit(k)
 
 
+def knn_radius(
+    df: DataFrame,
+    vec_col: str,
+    query_vec: Sequence[float],
+    radius: float,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    pre_filter: Column | None = None,
+    dist_col: str = "dist",
+    limit: int | None = None,
+) -> DataFrame:
+    """Range (radius) search: every row with distance <= radius — the
+    fixed-threshold sibling of top-k (near-duplicate gates, recall
+    filters, geo-style cutoffs). Pure filter over the distance
+    expression: embarrassingly parallel, no global ordering unless a
+    `limit` safety cap is requested (then TakeOrdered applies the same
+    deterministic (dist, id) order as knn_topk)."""
+    out = df
+    if pre_filter is not None:
+        out = out.filter(pre_filter)
+    out = out.withColumn(
+        dist_col, distance_expr(F.col(vec_col), query_vec, metric)
+    ).filter(F.col(dist_col) <= radius)
+    if limit is not None:
+        out = out.orderBy(F.col(dist_col).asc(), F.col(id_col).asc()).limit(limit)
+    return out
+
+
 def train_centroids(
     df: DataFrame,
     vec_col: str,
