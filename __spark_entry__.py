@@ -3874,6 +3874,61 @@ def bm25_batch_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return FT.bm25_batch_search(docs, _BM25_BATCH_QUERIES, k=5)
 
 
+_BOOL_MATCH_SQL = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+  FROM documents
+)
+SELECT doc_id FROM toks
+WHERE (list_contains(t, 'scan') AND list_contains(t, 'vector'))
+   OR (list_contains(t, 'merge') AND NOT list_contains(t, 'window'))
+"""
+
+
+@_q("match_boolean_docs", _BOOL_MATCH_SQL)
+def match_boolean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean term matching with Manticore-style extended syntax:
+    "(scan AND vector) OR (merge AND NOT window)" parsed by
+    fulltext.parse_bool_query and evaluated as ONE codegen'd boolean
+    column over per-doc matched-term sets — postings filter to the
+    expression's terms (one scan), no per-clause subqueries or
+    self-joins; NOT sees zero-match docs via the left join.
+    Differential-fuzzed vs a python evaluator (test_bool_match)."""
+    from columnar_spark.operators import fulltext as FT
+
+    docs = _t(spark, sf_dir, "documents")
+    return FT.match_boolean(docs, "(scan AND vector) OR (merge AND NOT window)")
+
+
+_NEAR_SQL = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+  FROM documents
+),
+pa AS (
+  SELECT doc_id, unnest(generate_series(1, len(t))) AS i, t FROM toks
+),
+posa AS (SELECT doc_id, i - 1 AS p FROM pa WHERE t[i] = 'vector'),
+posb AS (SELECT doc_id, i - 1 AS p FROM pa WHERE t[i] = 'stream')
+SELECT posa.doc_id, CAST(MIN(ABS(posa.p - posb.p)) AS BIGINT) AS min_gap
+FROM posa JOIN posb ON posa.doc_id = posb.doc_id
+GROUP BY posa.doc_id
+HAVING MIN(ABS(posa.p - posb.p)) <= 3
+"""
+
+
+@_q("near_match_docs", _NEAR_SQL)
+def near_match_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity search (Manticore NEAR/3): 'vector' and 'stream' within
+    3 token positions, with the closest gap. Two posting lists join on
+    doc_id; the position check is a codegen'd array fold — positions
+    never explode into rows (fulltext.near_match)."""
+    from columnar_spark.operators import fulltext as FT
+
+    docs = _t(spark, sf_dir, "documents")
+    return FT.near_match(docs, "vector", "stream", slop=3)
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------

@@ -602,6 +602,195 @@ def mmr_rerank(
     return selected
 
 
+def near_match(
+    df: DataFrame,
+    term_a: str,
+    term_b: str,
+    slop: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """Proximity operator (Manticore NEAR/N): documents where term_a and
+    term_b occur within `slop` token positions of each other, with the
+    closest observed gap: (doc_id, min_gap). Two posting lists join on
+    doc_id; the pairwise position check is a codegen'd nested
+    array-exists, never an explode of positions."""
+    if postings is None:
+        postings = build_positional_postings(df, id_col, text_col)
+    a = postings.filter(F.col("term") == term_a.lower()).select(
+        "doc_id", F.col("positions").alias("pa")
+    )
+    b = postings.filter(F.col("term") == term_b.lower()).select(
+        "doc_id", F.col("positions").alias("pb")
+    )
+    joined = a.join(b, "doc_id")
+    # min over all |p-q| via a fold (arrays are per-doc hit lists, small
+    # relative to the corpus; the fold is jvm-side, no shuffle)
+    min_gap = F.aggregate(
+        F.flatten(
+            F.transform(
+                F.col("pa"),
+                lambda p: F.transform(F.col("pb"), lambda q: F.abs(p - q)),
+            )
+        ),
+        F.lit(None).cast("int"),
+        lambda acc, x: F.when(acc.isNull() | (x < acc), x).otherwise(acc),
+    )
+    return (
+        joined.withColumn("min_gap", min_gap.cast("long"))
+        .filter(F.col("min_gap") <= slop)
+        .select("doc_id", "min_gap")
+    )
+
+
+# ------------------------------------------------ boolean match DSL
+
+class _BoolNode:
+    __slots__ = ("op", "kids", "term")
+
+    def __init__(self, op, kids=None, term=None):
+        self.op, self.kids, self.term = op, kids or [], term
+
+
+def parse_bool_query(query: str) -> _BoolNode:
+    """Manticore-extended-syntax-style boolean matching: terms combined
+    with AND / OR / NOT and parentheses; adjacency is implicit AND
+    ("scan vector" == "scan AND vector"). Case-insensitive keywords;
+    anything else tokenizes through the standard tokenizer."""
+    import re
+
+    raw = [t for t in re.findall(r"\(|\)|[^\s()]+", query)]
+    toks: list[tuple[str, str]] = []
+    for t in raw:
+        u = t.upper()
+        if t in "()":
+            toks.append((t, t))
+        elif u in ("AND", "OR", "NOT"):
+            toks.append((u, t))
+        else:
+            for w in tokenize_query(t):
+                toks.append(("TERM", w))
+    pos = 0
+
+    def peek():
+        return toks[pos][0] if pos < len(toks) else None
+
+    def eat(kind):
+        nonlocal pos
+        if peek() != kind:
+            raise ValueError(f"expected {kind} at {pos} in {query!r}")
+        pos += 1
+        return toks[pos - 1][1]
+
+    def parse_or():
+        node = parse_and()
+        while peek() == "OR":
+            eat("OR")
+            rhs = parse_and()
+            node = _BoolNode("or", [node, rhs])
+        return node
+
+    def parse_and():
+        node = parse_unary()
+        while peek() in ("AND", "NOT", "TERM", "("):
+            if peek() == "AND":
+                eat("AND")
+            rhs = parse_unary()
+            node = _BoolNode("and", [node, rhs])
+        return node
+
+    def parse_unary():
+        if peek() == "NOT":
+            eat("NOT")
+            return _BoolNode("not", [parse_unary()])
+        if peek() == "(":
+            eat("(")
+            node = parse_or()
+            eat(")")
+            return node
+        return _BoolNode("term", term=eat("TERM"))
+
+    node = parse_or()
+    if pos != len(toks):
+        raise ValueError(f"trailing tokens in {query!r}")
+    return node
+
+
+def _bool_terms(node: _BoolNode) -> set[str]:
+    if node.op == "term":
+        return {node.term}
+    out: set[str] = set()
+    for k in node.kids:
+        out |= _bool_terms(k)
+    return out
+
+
+def _bool_column(node: _BoolNode, terms_col: Column) -> Column:
+    if node.op == "term":
+        return F.array_contains(terms_col, node.term)
+    if node.op == "not":
+        return ~_bool_column(node.kids[0], terms_col)
+    parts = [_bool_column(k, terms_col) for k in node.kids]
+    out = parts[0]
+    for p in parts[1:]:
+        out = (out & p) if node.op == "and" else (out | p)
+    return out
+
+
+def match_boolean(
+    df: DataFrame,
+    query: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """Documents satisfying a boolean term expression: (doc_id).
+
+    Plan: postings filter to the expression's terms (|terms| lists, one
+    scan), per-doc matched-term sets aggregate once, and the boolean
+    tree evaluates as ONE codegen'd Column over the set — no per-clause
+    subquery, no self-joins. Docs matching zero terms flow through the
+    left join with an empty set so NOT-clauses see them."""
+    node = parse_bool_query(query)
+    terms = sorted(_bool_terms(node))
+    if postings is None:
+        postings = build_postings(df, id_col, text_col)
+    matched = (
+        postings.filter(F.col("term").isin(terms))
+        .groupBy("doc_id")
+        .agg(F.collect_set("term").alias("__terms"))
+    )
+    ids = df.select(F.col(id_col).alias("doc_id"))
+    joined = ids.join(matched, "doc_id", "left").withColumn(
+        "__terms",
+        F.coalesce(F.col("__terms"), F.array().cast("array<string>")),
+    )
+    return joined.filter(_bool_column(node, F.col("__terms"))).select("doc_id")
+
+
+def match_boolean_reference(docs: list[tuple[int, str]], query: str) -> set[int]:
+    """Python twin of match_boolean for differential tests."""
+    import re
+
+    node = parse_bool_query(query)
+
+    def ev(n, toks):
+        if n.op == "term":
+            return n.term in toks
+        if n.op == "not":
+            return not ev(n.kids[0], toks)
+        vals = [ev(k, toks) for k in n.kids]
+        return all(vals) if n.op == "and" else any(vals)
+
+    out = set()
+    for i, s in docs:
+        toks = {t for t in re.split(TOKEN_SPLIT_RE, s.lower()) if t}
+        if ev(node, toks):
+            out.add(i)
+    return out
+
+
 # ------------------------------------------------ python reference (tests)
 
 def bm25_reference(

@@ -98,3 +98,24 @@ def test_mmr_deterministic_ties():
     cands = [(2, 0.5, [1.0, 0.0]), (1, 0.5, [0.0, 1.0]), (3, 0.5, [0.5, 0.5])]
     sel = FT.mmr_rerank(cands, k=2, lam=1.0)
     assert [s[0] for s in sel] == [1, 2]
+
+
+def test_near_match(docs_df):
+    # DOCS[0] = "fast scan fast scan merge": fast/merge min gap 2
+    got = {
+        r["doc_id"]: r["min_gap"]
+        for r in FT.near_match(docs_df, "fast", "merge", slop=2).collect()
+    }
+    assert got[1] == 2
+    # doc 4 = "the fast scan the fast scan the fast scan" has no merge
+    assert 4 not in got
+
+
+def test_near_match_slop_boundary(spark):
+    df = spark.createDataFrame(
+        [(1, "a x x x b"), (2, "a b"), (3, "b x a")], "doc_id long, text string"
+    )
+    within4 = {r["doc_id"]: r["min_gap"] for r in FT.near_match(df, "a", "b", 4).collect()}
+    assert within4 == {1: 4, 2: 1, 3: 2}
+    within1 = {r["doc_id"] for r in FT.near_match(df, "a", "b", 1).collect()}
+    assert within1 == {2}
