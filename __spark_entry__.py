@@ -3929,6 +3929,84 @@ def near_match_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return FT.near_match(docs, "vector", "stream", slop=3)
 
 
+_SNIPPET_SQL = """
+SELECT doc_id,
+  CAST(strpos(lower(text), 'vector') AS BIGINT) AS off,
+  substr(text, CAST(greatest(strpos(lower(text), 'vector') - 20, 1) AS INT), 66) AS snippet
+FROM documents
+WHERE strpos(lower(text), 'vector') > 0
+"""
+
+
+@_q("snippets_docs", _SNIPPET_SQL)
+def snippets_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-result highlighting (CALL SNIPPETS parity): the text window
+    around the first occurrence of the query term — pure codegen'd
+    locate+substring projection, zero shuffle (fulltext.snippets)."""
+    from columnar_spark.operators import fulltext as FT
+
+    docs = _t(spark, sf_dir, "documents")
+    return FT.snippets(docs, "vector", before=20, after=40)
+
+
+_KW_SUGGEST_SQL = """
+WITH tf AS (
+  SELECT doc_id, w AS term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (
+    SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
+    FROM documents
+  )
+  GROUP BY doc_id, w
+)
+SELECT term, CAST(COUNT(*) AS BIGINT) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf
+FROM tf WHERE term LIKE 's%'
+GROUP BY term
+ORDER BY df DESC, total_tf DESC, term
+LIMIT 10
+"""
+
+
+@_q("keyword_suggest_docs", _KW_SUGGEST_SQL)
+def keyword_suggest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocomplete (CALL KEYWORDS parity): prefix-matched vocabulary
+    ranked by document frequency — one aggregation over prefix-filtered
+    postings; with the persisted sidecar, an index-only scan
+    (fulltext.keyword_suggest)."""
+    from columnar_spark.operators import fulltext as FT
+
+    docs = _t(spark, sf_dir, "documents")
+    return FT.keyword_suggest(docs, "s", limit=10)
+
+
+_SPELL_SQL = """
+WITH vocab AS (
+  SELECT w AS term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM (
+    SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
+    FROM documents
+  )
+  GROUP BY w
+)
+SELECT term, CAST(levenshtein(term, 'vectr') AS BIGINT) AS dist, df
+FROM vocab
+WHERE levenshtein(term, 'vectr') <= 2
+ORDER BY dist, df DESC, term
+LIMIT 5
+"""
+
+
+@_q("spell_suggest_docs", _SPELL_SQL)
+def spell_suggest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did-you-mean (CALL QSUGGEST parity): Levenshtein candidates from
+    the aggregated VOCABULARY (ndv terms), never per posting row —
+    vocab is millions where postings are trillions
+    (fulltext.spell_suggest)."""
+    from columnar_spark.operators import fulltext as FT
+
+    docs = _t(spark, sf_dir, "documents")
+    return FT.spell_suggest(docs, "vectr", max_dist=2, limit=5)
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------

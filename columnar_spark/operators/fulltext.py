@@ -791,6 +791,89 @@ def match_boolean_reference(docs: list[tuple[int, str]], query: str) -> set[int]
     return out
 
 
+# ------------------------------------------------ search QoL: snippets,
+# prefix suggest, spell suggest (CALL SNIPPETS / KEYWORDS / QSUGGEST
+# parity — the operational surface around ranked retrieval)
+
+def snippets(
+    df: DataFrame,
+    term: str,
+    before: int = 20,
+    after: int = 40,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document snippet around the FIRST occurrence of `term`:
+    (doc_id, off, snippet). Zero-shuffle projection — locate + substring
+    are codegen'd string ops; documents without the term drop out.
+    `off` is the 1-based char offset (SQL locate convention)."""
+    t = term.lower()
+    off = F.locate(t, F.lower(F.col(text_col)))
+    start = F.greatest(off - F.lit(before), F.lit(1))
+    return (
+        df.withColumn("off", off.cast("long"))
+        .filter(F.col("off") > 0)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            "off",
+            F.substring(F.col(text_col), start.cast("int"), before + len(t) + after).alias(
+                "snippet"
+            ),
+        )
+    )
+
+
+def keyword_suggest(
+    df: DataFrame,
+    prefix: str,
+    limit: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """Autocomplete: vocabulary terms starting with `prefix`, ranked by
+    document frequency then total term frequency: (term, df, total_tf).
+    One aggregation over prefix-filtered postings — with the persisted
+    sidecar this is an index-only scan (startsWith pushes to parquet)."""
+    if postings is None:
+        postings = build_postings(df, id_col, text_col)
+    return (
+        postings.filter(F.col("term").startswith(prefix.lower()))
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").cast("long").alias("total_tf"),
+        )
+        .orderBy(F.col("df").desc(), F.col("total_tf").desc(), F.col("term").asc())
+        .limit(limit)
+    )
+
+
+def spell_suggest(
+    df: DataFrame,
+    word: str,
+    max_dist: int = 2,
+    limit: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """Did-you-mean: vocabulary terms within `max_dist` Levenshtein edits
+    of `word`, ranked by (distance, df desc, term): (term, dist, df).
+    The distance runs over the aggregated VOCABULARY (ndv terms), never
+    per posting row — at corpus scale the vocab is millions while
+    postings are trillions."""
+    if postings is None:
+        postings = build_postings(df, id_col, text_col)
+    vocab = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        vocab.withColumn("dist", F.levenshtein(F.col("term"), F.lit(word.lower())).cast("long"))
+        .filter(F.col("dist") <= max_dist)
+        .orderBy(F.col("dist").asc(), F.col("df").desc(), F.col("term").asc())
+        .limit(limit)
+    )
+
+
 # ------------------------------------------------ python reference (tests)
 
 def bm25_reference(

@@ -168,3 +168,35 @@ def test_check_table_walks_text_index(spark, tmp_path):
     errs = check_table(spark, p)
     # stats manifest is absent for a bare write, but no text-index errors
     assert not any("text index" in e for e in errs)
+
+
+def test_snippets(spark):
+    df = spark.createDataFrame(
+        [(1, "x" * 30 + " vector rest of the text here and more padding"),
+         (2, "Vector at start"), (3, "no match")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in FT.snippets(df, "vector", before=5, after=10).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[2]["off"] == 1
+    assert rows[2]["snippet"].startswith("Vector")
+    assert rows[1]["off"] == 32
+    # window: 5 before + 6 term + 10 after
+    assert len(rows[1]["snippet"]) == 21
+
+
+def test_keyword_suggest(docs_df):
+    rows = FT.keyword_suggest(docs_df, "s").collect()
+    terms = [r["term"] for r in rows]
+    assert "scan" in terms and "spark" in terms and "slow" in terms
+    assert all(t.startswith("s") for t in terms)
+    dfs = [r["df"] for r in rows]
+    assert dfs == sorted(dfs, reverse=True)
+    scan = next(r for r in rows if r["term"] == "scan")
+    assert scan["df"] == 3 and scan["total_tf"] == 7  # docs 1,2,4; tfs 1+1+5
+
+
+def test_spell_suggest(docs_df):
+    rows = FT.spell_suggest(docs_df, "scann", max_dist=2).collect()
+    assert rows[0]["term"] == "scan" and rows[0]["dist"] == 1
+    assert all(r["dist"] <= 2 for r in rows)
