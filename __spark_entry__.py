@@ -3635,6 +3635,21 @@ def _bm25_top(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
         return FT.bm25_search(_t(spark, sf_dir, "documents"), _FT_QUERY, k=k)
 
 
+def _docs_index(spark: SparkSession, sf_dir: str, positional: bool = False):
+    """(postings, lengths) from the persisted .ftidx sidecar, or
+    (None, None) on raw layouts — every retrieval query downgrades to an
+    on-the-fly postings build with identical results (parity pinned)."""
+    from columnar_spark.operators import fulltext as FT
+
+    loaded = FT.load_text_index(spark, f"{sf_dir}/documents.parquet")
+    if loaded is None:
+        return None, None
+    postings, lengths, _ = loaded
+    if positional and "positions" not in postings.columns:
+        return None, None  # older tf-only sidecar vintage
+    return postings, lengths
+
+
 _HYBRID_SQL = _FT_PROLOGUE + f""",
 btop AS (
   SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
@@ -3750,7 +3765,8 @@ def phrase_match_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from columnar_spark.operators import fulltext as FT
 
     docs = _t(spark, sf_dir, "documents")
-    return FT.phrase_match(docs, "fast scan")
+    postings, _ = _docs_index(spark, sf_dir, positional=True)
+    return FT.phrase_match(docs, "fast scan", postings=postings)
 
 
 @_q("mmr_diverse_knn")  # greedy-iterative — no SQL equivalent (rows-only)
@@ -3871,7 +3887,12 @@ def bm25_batch_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from columnar_spark.operators import fulltext as FT
 
     docs = _t(spark, sf_dir, "documents")
-    return FT.bm25_batch_search(docs, _BM25_BATCH_QUERIES, k=5)
+    postings, lengths = _docs_index(spark, sf_dir)
+    if postings is not None:
+        postings = postings.select("term", "doc_id", "tf")
+    return FT.bm25_batch_search(
+        docs, _BM25_BATCH_QUERIES, k=5, postings=postings, lengths=lengths
+    )
 
 
 _BOOL_MATCH_SQL = """
@@ -3897,7 +3918,10 @@ def match_boolean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from columnar_spark.operators import fulltext as FT
 
     docs = _t(spark, sf_dir, "documents")
-    return FT.match_boolean(docs, "(scan AND vector) OR (merge AND NOT window)")
+    postings, _ = _docs_index(spark, sf_dir)
+    return FT.match_boolean(
+        docs, "(scan AND vector) OR (merge AND NOT window)", postings=postings
+    )
 
 
 _NEAR_SQL = """
@@ -3926,7 +3950,8 @@ def near_match_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from columnar_spark.operators import fulltext as FT
 
     docs = _t(spark, sf_dir, "documents")
-    return FT.near_match(docs, "vector", "stream", slop=3)
+    postings, _ = _docs_index(spark, sf_dir, positional=True)
+    return FT.near_match(docs, "vector", "stream", slop=3, postings=postings)
 
 
 _SNIPPET_SQL = """
@@ -3975,7 +4000,8 @@ def keyword_suggest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from columnar_spark.operators import fulltext as FT
 
     docs = _t(spark, sf_dir, "documents")
-    return FT.keyword_suggest(docs, "s", limit=10)
+    postings, _ = _docs_index(spark, sf_dir)
+    return FT.keyword_suggest(docs, "s", limit=10, postings=postings)
 
 
 _SPELL_SQL = """
@@ -4004,7 +4030,8 @@ def spell_suggest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from columnar_spark.operators import fulltext as FT
 
     docs = _t(spark, sf_dir, "documents")
-    return FT.spell_suggest(docs, "vectr", max_dist=2, limit=5)
+    postings, _ = _docs_index(spark, sf_dir)
+    return FT.spell_suggest(docs, "vectr", max_dist=2, limit=5, postings=postings)
 
 
 # --------------------------------------------------------------------------

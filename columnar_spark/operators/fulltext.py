@@ -250,7 +250,10 @@ def write_text_index(
     plus `lengths/` and a `meta.json` with (n_docs, avgdl)."""
     df = getattr(spark.read, fmt)(table_path)
     root = text_index_path(table_path)
-    postings = build_postings(df, id_col, text_col).withColumn(
+    # positional postings (hitlists): tf-only consumers (BM25, boolean,
+    # suggest) just don't read the positions column — parquet column
+    # pruning makes that free — while phrase/NEAR get index service too
+    postings = build_positional_postings(df, id_col, text_col).withColumn(
         "tb", F.pmod(F.xxhash64("term"), F.lit(N_TERM_BUCKETS)).cast("int")
     )
     # one file per bucket partition (repartition on tb), not one file
@@ -306,7 +309,7 @@ def append_to_text_index(
         meta = json.load(f)
     id_col, text_col = meta.get("id_col", "doc_id"), meta["text_col"]
 
-    postings = build_postings(batch_df, id_col, text_col).withColumn(
+    postings = build_positional_postings(batch_df, id_col, text_col).withColumn(
         "tb", F.pmod(F.xxhash64("term"), F.lit(N_TERM_BUCKETS)).cast("int")
     )
     postings.write.mode("append").partitionBy("tb").parquet(f"{root}/postings")
@@ -355,6 +358,12 @@ def check_text_index(spark: SparkSession, table_path: str, fmt: str = "parquet")
     live_tf = df.select(F.size(tokenize(F.col(text_col))).alias("n")).agg(F.sum("n")).first()[0] or 0
     if stored_tf != live_tf:
         errors.append(f"text index: tf total {stored_tf} != live token count {live_tf}")
+    if "positions" in postings.columns:
+        bad_pos = postings.filter(F.size("positions") != F.col("tf")).count()
+        if bad_pos:
+            errors.append(
+                f"text index: {bad_pos} postings where len(positions) != tf"
+            )
     total_dl = lengths.agg(F.sum("dl")).first()[0] or 0
     if meta.get("total_dl", total_dl) != total_dl:
         errors.append(

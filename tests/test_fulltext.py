@@ -200,3 +200,40 @@ def test_spell_suggest(docs_df):
     rows = FT.spell_suggest(docs_df, "scann", max_dist=2).collect()
     assert rows[0]["term"] == "scan" and rows[0]["dist"] == 1
     assert all(r["dist"] <= 2 for r in rows)
+
+
+def test_sidecar_serves_all_retrieval_ops(spark, tmp_path):
+    """phrase / NEAR / boolean / suggest / batch-BM25 served from the
+    positional .ftidx sidecar must equal the on-the-fly build."""
+    p = str(tmp_path / "allops.parquet")
+    spark.createDataFrame(DOCS, "doc_id long, text string").write.parquet(p)
+    FT.write_text_index(spark, p)
+    postings, lengths, meta = FT.load_text_index(spark, p)
+    assert "positions" in postings.columns
+    df = spark.read.parquet(p)
+
+    def rows(d):
+        return sorted(map(tuple, d.collect()))
+
+    assert rows(FT.phrase_match(df, "vector scan", postings=postings)) == rows(
+        FT.phrase_match(df, "vector scan")
+    )
+    assert rows(FT.near_match(df, "merge", "row", 3, postings=postings)) == rows(
+        FT.near_match(df, "merge", "row", 3)
+    )
+    assert rows(FT.match_boolean(df, "vector AND NOT fox", postings=postings)) == rows(
+        FT.match_boolean(df, "vector AND NOT fox")
+    )
+    assert rows(FT.keyword_suggest(df, "s", postings=postings)) == rows(
+        FT.keyword_suggest(df, "s")
+    )
+    assert rows(
+        FT.bm25_batch_search(
+            df, [("q", "vector scan")], k=5,
+            postings=postings.select("term", "doc_id", "tf"), lengths=lengths,
+        )
+    ) == rows(FT.bm25_batch_search(df, [("q", "vector scan")], k=5))
+
+    from columnar_spark.operators.fulltext import check_text_index
+
+    assert check_text_index(spark, p) == []
