@@ -76,6 +76,21 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("query")
     sp.add_argument("--sf-dir", required=True)
 
+    sp = sub.add_parser("text-index-build")
+    sp.add_argument("table_path")
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--id-col", default="doc_id")
+
+    sp = sub.add_parser("search")
+    sp.add_argument("table_path")
+    sp.add_argument("query")
+    sp.add_argument("--k", type=int, default=10)
+    sp.add_argument(
+        "--mode", default="bm25", choices=["bm25", "boolean", "phrase"]
+    )
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--id-col", default="doc_id")
+
     sp = sub.add_parser("index-build")
     sp.add_argument("table_path")
     sp.add_argument("--col", required=True)
@@ -130,6 +145,41 @@ def main(argv: list[str] | None = None) -> int:
 
         write_value_index(spark, args.table_path, args.col)
         print(json.dumps({"index": args.col, "dest": args.table_path + ".vidx"}))
+        return 0
+
+    if args.cmd == "text-index-build":
+        from columnar_spark.operators.fulltext import write_text_index
+
+        write_text_index(
+            spark, args.table_path, text_col=args.text_col, id_col=args.id_col
+        )
+        print(json.dumps({"index": "fulltext", "dest": args.table_path + ".ftidx"}))
+        return 0
+
+    if args.cmd == "search":
+        from columnar_spark.operators import fulltext as FT
+
+        df = spark.read.parquet(args.table_path)
+        loaded = FT.load_text_index(spark, args.table_path)
+        postings = loaded[0] if loaded else None
+        if args.mode == "bm25":
+            if loaded:
+                out = FT.bm25_search_indexed(spark, args.table_path, args.query, k=args.k)
+            else:
+                out = FT.bm25_search(
+                    df, args.query, k=args.k, id_col=args.id_col, text_col=args.text_col
+                )
+        elif args.mode == "boolean":
+            out = FT.match_boolean(
+                df, args.query, id_col=args.id_col, text_col=args.text_col,
+                postings=postings,
+            ).limit(args.k)
+        else:  # phrase
+            pos = postings if postings is not None and "positions" in postings.columns else None
+            out = FT.phrase_match(
+                df, args.query, id_col=args.id_col, text_col=args.text_col, postings=pos
+            ).limit(args.k)
+        print(json.dumps([r.asDict() for r in out.collect()], default=str))
         return 0
 
     if args.cmd == "diff":

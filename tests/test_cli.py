@@ -60,3 +60,24 @@ def test_knn_query_by_literal_vector(spark, table, capsys):
     assert main(["knn-query", table, "--vec", "1.0,2.0"]) == 1  # dim mismatch
     err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "dims" in err["error"]
+
+
+def test_text_index_build_and_search(spark, tmp_path_factory, capsys):
+    t = str(tmp_path_factory.mktemp("cli_ft") / "docs.parquet")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").write.parquet(t)
+
+    assert main(["text-index-build", t]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["dest"].endswith(".ftidx")
+
+    assert main(["search", t, "vector scan", "--k", "3"]) == 0
+    hits = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(hits) == 3 and all("score" in h for h in hits)
+
+    assert main(["search", t, "scan AND NOT vector", "--mode", "boolean", "--k", "5"]) == 0
+    hits = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert hits and all(set(h) == {"doc_id"} for h in hits)
+
+    assert main(["search", t, "fast scan", "--mode", "phrase", "--k", "5"]) == 0
+    hits = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert all("n_occurrences" in h for h in hits)
