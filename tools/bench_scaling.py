@@ -164,6 +164,22 @@ def main() -> None:
     t1 = suite(li1, od1)
     tn = suite(spark.read.parquet(li_p), spark.read.parquet(od_p))
 
+    # full-text: batch BM25 over an N-times-larger corpus (docs get new
+    # ids per copy; the postings build and the score aggregation are the
+    # scaling surfaces — query-term count is constant)
+    from columnar_spark.operators.fulltext import bm25_batch_search
+
+    dc_p = os.path.join(cache, "documents.parquet")
+    dc1 = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    if not os.path.exists(dc_p):
+        _replicate(dc1, n, ["doc_id"]).repartition(32).write.mode("overwrite").parquet(dc_p)
+    dcn = spark.read.parquet(dc_p)
+    for d in (dc1, dcn):
+        d.write.format("noop").mode("overwrite").save()
+    BM25_QS = [("qa", "vector scan merge"), ("qb", "customer order line"), ("qc", "window batch")]
+    t1["bm25_batch"] = _time(lambda: bm25_batch_search(dc1, BM25_QS, k=5))
+    tn["bm25_batch"] = _time(lambda: bm25_batch_search(dcn, BM25_QS, k=5))
+
     ratios = {k: round(tn[k] / t1[k], 2) if t1[k] else None for k in t1}
     print(
         json.dumps(
