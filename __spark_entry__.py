@@ -4034,6 +4034,51 @@ def spell_suggest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return FT.spell_suggest(docs, "vectr", max_dist=2, limit=5, postings=postings)
 
 
+_GEO_SQL = """
+WITH pts AS (
+  SELECT c_custkey,
+    CAST(c_custkey % 170 AS DOUBLE) - 85.0 + 0.25 AS lat,
+    CAST((c_custkey * 7) % 350 AS DOUBLE) - 175.0 + 0.5 AS lon
+  FROM customer
+)
+SELECT c_custkey, lat, lon,
+  round(2.0 * 6371000.0 * asin(sqrt(
+    sin(radians(40.7 - lat) / 2) * sin(radians(40.7 - lat) / 2)
+    + cos(radians(lat)) * cos(radians(40.7))
+      * sin(radians(-74.0 - lon) / 2) * sin(radians(-74.0 - lon) / 2)
+  )), 3) + 0.0 AS dist_m
+FROM pts
+ORDER BY dist_m ASC, c_custkey ASC
+LIMIT 20
+"""
+
+
+@_q("geo_nearest_customers", _GEO_SQL)
+def geo_nearest_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEODIST parity (functions/geo.py): haversine great-circle meters
+    as a pure codegen column — geo-ranked top-k is TakeOrdered over a
+    projection, no UDF, no shuffle beyond the k-row merge. Coordinates
+    derive deterministically from c_custkey (integer arithmetic, exact
+    on both engines); the 3-dp rounding absorbs last-ulp libm drift."""
+    from columnar_spark.functions.geo import haversine_m
+
+    cust = _t(spark, sf_dir, "customer")
+    pts = cust.select(
+        "c_custkey",
+        ((F.col("c_custkey") % 170).cast("double") - F.lit(85.0) + F.lit(0.25)).alias("lat"),
+        (((F.col("c_custkey") * 7) % 350).cast("double") - F.lit(175.0) + F.lit(0.5)).alias("lon"),
+    )
+    qlat, qlon = F.lit(40.7), F.lit(-74.0)
+    return (
+        pts.withColumn(
+            "dist_m",
+            F.round(haversine_m(F.col("lat"), F.col("lon"), qlat, qlon), 3) + F.lit(0.0),
+        )
+        .orderBy(F.col("dist_m").asc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
