@@ -158,6 +158,59 @@ def read_rollup(
     return finalize_rollup(merge_rollup(spark.read.parquet(rollup_path), keys))
 
 
+# ------------------------------------------------ sidecar convention
+# A rollup registered BESIDE its base table (like .vidx/.ftidx/.knn)
+# carries a meta.json describing what it aggregates — enough for the
+# Engine.sql materialized-view router to verify a query matches.
+
+def rollup_sidecar_path(table_path: str) -> str:
+    return table_path.rstrip("/") + ".rollup"
+
+
+def write_rollup_sidecar(
+    df: DataFrame,
+    table_path: str,
+    ts_col: str = "ts",
+    bucket: str = "1 day",
+    keys: Sequence[str] = ("event_type",),
+    value_col: str = "value",
+) -> str:
+    """One-shot build of the sidecar rollup from the current table state
+    (streaming maintenance appends into the same path via
+    append_rollup_batch). Returns the sidecar path."""
+    import json
+    import os
+
+    root = rollup_sidecar_path(table_path)
+    rollup_partials(df, ts_col, bucket, keys, value_col).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(root, "partials"))
+    with open(os.path.join(root, "meta.json"), "w") as f:
+        json.dump(
+            {
+                "ts_col": ts_col,
+                "bucket": bucket,
+                "keys": list(keys),
+                "value_col": value_col,
+            },
+            f,
+        )
+    return root
+
+
+def load_rollup_sidecar(spark: SparkSession, table_path: str):
+    """-> (partials_df, meta) or None."""
+    import json
+    import os
+
+    root = rollup_sidecar_path(table_path)
+    if not os.path.isdir(os.path.join(root, "partials")):
+        return None
+    with open(os.path.join(root, "meta.json")) as f:
+        meta = json.load(f)
+    return spark.read.parquet(os.path.join(root, "partials")), meta
+
+
 def compact_rollup(
     spark: SparkSession,
     rollup_path: str,

@@ -221,6 +221,41 @@ class Engine:
             if idx is not None:
                 return distinct_count_df(idx, drw[1], drw[2])
 
+        # Materialized-view routing: a time-bucketed GROUP BY served from
+        # the continuous-rollup sidecar (merge-on-read over partials) —
+        # O(buckets x keys) instead of a table scan. Freshness-gated: the
+        # rollup's total row count must equal the table's manifest
+        # row_count (rows with NULL ts are absent from both the rollup
+        # and the bucketed GROUP BY result, but a NULL-ts table would
+        # fail this equality and conservatively fall back).
+        from columnar_spark.plans.count_rewrite import (
+            parse_time_rollup,
+            rollup_route_df,
+        )
+
+        rrw = parse_time_rollup(query)
+        if rrw is not None:
+            from columnar_spark.streaming.rollup import load_rollup_sidecar
+
+            loaded = load_rollup_sidecar(
+                self.spark, f"{self.sf_dir}/{rrw.table}.parquet"
+            )
+            if loaded is not None:
+                partials, meta = loaded
+                try:
+                    out = rollup_route_df(partials, meta, rrw)
+                    if out is not None:
+                        from pyspark.sql import functions as _F
+
+                        total = partials.agg(_F.sum("cnt")).first()[0] or 0
+                        row_count = next(
+                            iter(self.stats(rrw.table).values())
+                        )["row_count"]
+                        if total == row_count:
+                            return out
+                except Exception:
+                    pass  # stale/incompatible sidecar -> plain plan
+
         # Whole-table MIN/MAX/COUNT(*) from the stats manifest (D1: the
         # min/max tree root IS the answer) — a LocalTableScan plan, zero
         # table reads at execution.
