@@ -4105,6 +4105,35 @@ def geo_nearest_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WILDCARD_SQL = """
+WITH tf AS (
+  SELECT doc_id, w AS term
+  FROM (
+    SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
+    FROM documents
+  )
+  GROUP BY doc_id, w
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matched_terms
+FROM tf
+WHERE term LIKE 's%n'
+GROUP BY doc_id
+"""
+
+
+@_q("wildcard_match_docs", _WILDCARD_SQL)
+def wildcard_match_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wildcard term search ('s*n' — scan, spartan, ...): the glob
+    evaluates against the VOCABULARY, matching terms semi-join postings;
+    the corpus text is never regex-scanned (fulltext.wildcard_match).
+    The leading literal keeps the term filter sargable."""
+    from columnar_spark.operators import fulltext as FT
+
+    docs = _t(spark, sf_dir, "documents")
+    postings, _ = _docs_index(spark, sf_dir)
+    return FT.wildcard_match(docs, "s*n", postings=postings)
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------

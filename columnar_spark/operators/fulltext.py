@@ -653,6 +653,37 @@ def near_match(
     )
 
 
+def wildcard_match(
+    df: DataFrame,
+    pattern: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """Wildcard term search (Manticore dict=keywords wildcards): docs
+    containing any vocabulary term matching the glob (`*` = any run,
+    `?` = one char): (doc_id, n_matched_terms). The pattern evaluates
+    against the VOCABULARY (term dimension), then matching terms
+    semi-join the postings — the corpus is never regex-scanned. A
+    leading-literal pattern keeps the term filter sargable (startswith
+    prefix cut applied before the regex)."""
+    import re
+
+    glob = pattern.lower()
+    rx = "^" + re.escape(glob).replace("\\*", ".*").replace("\\?", ".") + "$"
+    if postings is None:
+        postings = build_postings(df, id_col, text_col)
+    pruned = postings
+    prefix = re.match(r"^[a-z0-9]+", glob)
+    if prefix:
+        pruned = pruned.filter(F.col("term").startswith(prefix.group(0)))
+    return (
+        pruned.filter(F.col("term").rlike(rx))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_matched_terms"))
+    )
+
+
 # ------------------------------------------------ boolean match DSL
 
 class _BoolNode:

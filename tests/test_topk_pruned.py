@@ -1,0 +1,74 @@
+"""Zone-map-pruned top-k: file-subset reads, correctness parity on
+clustered AND hostile layouts, null and ascending modes."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from columnar_spark.operators.topk import topk_pruned
+from columnar_spark.writer import WriteSpec, write_table
+
+
+@pytest.fixture(scope="module")
+def clustered(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("topk") / "orders.parquet")
+    od = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    write_table(od, p, WriteSpec(cluster_by=("o_totalprice",), num_partitions=16))
+    return p
+
+
+def _expected(spark, path, col, k, desc, tie):
+    order = [F.col(col).desc() if desc else F.col(col).asc(), F.col(tie).asc()]
+    return [tuple(r) for r in spark.read.parquet(path).orderBy(*order).limit(k).collect()]
+
+
+def test_pruned_reads_few_files_and_matches(spark, clustered):
+    df, read, total = topk_pruned(
+        spark, clustered, "o_totalprice", 20, descending=True, tiebreak_col="o_orderkey"
+    )
+    assert total == 16
+    assert read <= 3, f"read {read}/{total} files"
+    assert [tuple(r) for r in df.collect()] == _expected(
+        spark, clustered, "o_totalprice", 20, True, "o_orderkey"
+    )
+
+
+def test_ascending_mode(spark, clustered):
+    df, read, total = topk_pruned(
+        spark, clustered, "o_totalprice", 15, descending=False, tiebreak_col="o_orderkey"
+    )
+    assert read <= 3
+    assert [tuple(r) for r in df.collect()] == _expected(
+        spark, clustered, "o_totalprice", 15, False, "o_orderkey"
+    )
+
+
+def test_hostile_layout_still_correct(spark, tmp_path):
+    """Values interleaved across files: pruning degrades (reads more
+    files) but never returns a wrong answer."""
+    p = str(tmp_path / "hostile.parquet")
+    df = spark.range(10_000).select(
+        F.col("id"), (F.col("id") % 97).cast("double").alias("v")
+    )
+    df.repartition(8).write.parquet(p)  # random assignment, overlapping ranges
+    out, read, total = topk_pruned(spark, p, "v", 10, descending=True, tiebreak_col="id")
+    expected = _expected(spark, p, "v", 10, True, "id")
+    assert [tuple(r) for r in out.collect()] == expected
+    assert read >= 1  # no soundness shortcut
+
+
+def test_k_larger_than_first_files(spark, clustered):
+    df, read, total = topk_pruned(
+        spark, clustered, "o_totalprice", 3000, descending=True, tiebreak_col="o_orderkey"
+    )
+    got = [tuple(r) for r in df.collect()]
+    assert got == _expected(spark, clustered, "o_totalprice", 3000, True, "o_orderkey")
+    assert len(got) == 3000
+
+
+def test_missing_stats_falls_back(spark, tmp_path):
+    """A string-typed min/max is still fine; a column absent from the
+    footer (never written) falls back to the full sort."""
+    p = str(tmp_path / "plain.parquet")
+    spark.range(100).select(F.col("id"), F.lit(None).cast("double").alias("v")).write.parquet(p)
+    out, read, total = topk_pruned(spark, p, "v", 5, descending=True, tiebreak_col="id")
+    assert out.count() == 5  # all-null column: still returns k rows (nulls last semantics aside)
