@@ -4134,6 +4134,74 @@ def wildcard_match_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return FT.wildcard_match(docs, "s*n", postings=postings)
 
 
+_PERCOLATE_STORED = [
+    ("route_scan_vector", "scan vector"),
+    ("route_window_batch", "window batch"),
+    ("route_customer_order_line", "customer order line"),
+]
+
+_PERCOLATE_SQL = """
+WITH dt AS (
+  SELECT doc_id,
+    list_distinct(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS toks
+  FROM documents
+),
+stored(query_id, qterms) AS (
+  VALUES ('route_scan_vector', ['scan', 'vector']),
+         ('route_window_batch', ['batch', 'window']),
+         ('route_customer_order_line', ['customer', 'line', 'order'])
+)
+SELECT query_id, doc_id
+FROM stored, dt
+WHERE list_has_all(toks, qterms)
+"""
+
+
+@_q("percolate_docs", _PERCOLATE_SQL)
+def percolate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percolate — the REVERSE of search (Manticore percolate tables):
+    stored queries are the index, documents are the probes (alerting /
+    routing). One corpus pass for ALL stored queries: postings filter to
+    the union of stored terms, broadcast-join the flattened query-term
+    table, and require-all matches emerge from a distinct-term count
+    (operators/fulltext.percolate; streaming mode in
+    streaming/percolate.py with batch parity pinned)."""
+    from columnar_spark.operators import fulltext as FT
+
+    docs = _t(spark, sf_dir, "documents")
+    postings, _ = _docs_index(spark, sf_dir)
+    return FT.percolate(docs, _PERCOLATE_STORED, postings=postings)
+
+
+_BM25_PAGE2_SQL = _FT_PROLOGUE + """
+SELECT doc_id, score FROM bm25 ORDER BY score DESC, doc_id LIMIT 10 OFFSET 10
+"""
+
+
+@_q("bm25_search_after", _BM25_PAGE2_SQL)
+def bm25_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset pagination (search_after): page 2 fetched by seeking past
+    the (score, doc_id) cursor of page 1's last row — a FILTER plus the
+    same top-k, never an OFFSET scan of prior pages (offset pagination
+    re-ranks 10k rows to show page 1000; the cursor form stays O(k)).
+    The oracle states the same page via OFFSET — identical rows."""
+    page1 = _bm25_top(spark, sf_dir, k=10).collect()
+    s0, d0 = page1[-1]["score"], page1[-1]["doc_id"]
+    from columnar_spark.operators import fulltext as FT
+
+    docs = _t(spark, sf_dir, "documents")
+    scores = FT.bm25_scores(docs, FT.tokenize_query(_FT_QUERY)).select(
+        "doc_id", (F.round("score", 6) + F.lit(0.0)).alias("score")
+    )
+    return (
+        scores.filter(
+            (F.col("score") < s0) | ((F.col("score") == s0) & (F.col("doc_id") > d0))
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------

@@ -831,6 +831,57 @@ def match_boolean_reference(docs: list[tuple[int, str]], query: str) -> set[int]
     return out
 
 
+# ------------------------------------------------ percolate (stored queries)
+
+def percolate(
+    docs: DataFrame,
+    stored: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """Percolate: match a batch of DOCUMENTS against STORED QUERIES —
+    the reverse of search, Manticore's percolate-table feature (alerting
+    / routing: queries are the index, documents are the probes).
+
+    `stored` is [(query_id, query_text)]; a document matches a query
+    when it contains ALL the query's terms (the AND semantics percolate
+    defaults to). Returns (query_id, doc_id).
+
+    Shape: stored queries flatten to a broadcast (query_id, term,
+    n_terms) table; document postings filter to the UNION of stored
+    terms (one corpus pass for ALL queries), join, and a per-(query,
+    doc) distinct-term count equal to n_terms is a match. Cost is
+    O(matched postings), independent of how many stored queries share
+    terms."""
+    if not stored:
+        raise ValueError("no stored queries")
+    spark = docs.sparkSession if docs is not None else postings.sparkSession
+    pairs = []
+    for qid, qtext in stored:
+        terms = tokenize_query(qtext)
+        if not terms:
+            raise ValueError(f"stored query {qid!r} empty after tokenization")
+        for t in terms:
+            pairs.append((qid, t, len(terms)))
+    qdf = spark.createDataFrame(pairs, "query_id string, term string, n_terms int")
+    all_terms = sorted({t for _, t, _ in pairs})
+
+    if postings is None:
+        postings = build_postings(docs, id_col, text_col)
+    hits = postings.filter(F.col("term").isin(all_terms))
+    return (
+        hits.join(F.broadcast(qdf), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("__matched"),
+            F.first("n_terms").alias("__need"),
+        )
+        .filter(F.col("__matched") == F.col("__need"))
+        .select("query_id", "doc_id")
+    )
+
+
 # ------------------------------------------------ search QoL: snippets,
 # prefix suggest, spell suggest (CALL SNIPPETS / KEYWORDS / QSUGGEST
 # parity — the operational surface around ranked retrieval)
