@@ -4202,6 +4202,47 @@ def bm25_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NGRAM_LM_SQL = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, i - 1 AS pos, t[i] AS prev, t[i + 1] AS cur
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 2)
+),
+c2 AS (SELECT prev, cur, CAST(COUNT(*) AS DOUBLE) AS c2 FROM bg GROUP BY prev, cur),
+c1 AS (SELECT prev, CAST(COUNT(*) AS DOUBLE) AS c1 FROM bg GROUP BY prev),
+v AS (SELECT CAST(COUNT(DISTINCT w) AS DOUBLE) AS v FROM (SELECT unnest(t) AS w FROM toks)),
+lp AS (
+  SELECT bg.doc_id, bg.pos,
+    ln((COALESCE(c2.c2, 0) + 1.0) / (COALESCE(c1.c1, 0) + v.v)) AS logp
+  FROM bg LEFT JOIN c2 USING (prev, cur) LEFT JOIN c1 USING (prev), v
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+  round(list_reduce(list(logp ORDER BY pos), (a, x) -> a + x) / COUNT(*), 6) + 0.0 AS avg_logp
+FROM lp GROUP BY doc_id
+"""
+
+
+@_q("ngram_lm_quality_docs", _NGRAM_LM_SQL)
+def ngram_lm_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality scoring (KenLM-filtering's shape as pure
+    relational algebra — operators/ngram_lm.py): fit a bigram LM with
+    add-one smoothing on the corpus (two aggregations), score every doc
+    by average log-prob with per-position fold order (deterministic
+    doubles). Low avg_logp = out-of-distribution text — the standard
+    LLM-data filter signal; no model binary, no UDF, linear shuffles."""
+    from columnar_spark.operators.ngram_lm import fit_bigram_lm, score_bigram_lm
+
+    docs = _t(spark, sf_dir, "documents")
+    c2, c1, v = fit_bigram_lm(docs)
+    out = score_bigram_lm(docs, c2, c1, v)
+    return out.select(
+        "doc_id", "n_bigrams", (F.round("avg_logp", 6) + F.lit(0.0)).alias("avg_logp")
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
