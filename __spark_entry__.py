@@ -4243,6 +4243,70 @@ def ngram_lm_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25F_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+  FROM documents
+),
+fields AS (SELECT doc_id, t[1:8] AS ft, t[9:] AS fb FROM toks),
+wtf AS (
+  SELECT doc_id, term, SUM(wtf) AS wtf FROM (
+    SELECT doc_id, w AS term, CAST(COUNT(*) AS DOUBLE) * 2.0 AS wtf
+    FROM (SELECT doc_id, unnest(ft) AS w FROM fields) WHERE w IN {_FT_TERMS!r}
+    GROUP BY doc_id, w
+    UNION ALL
+    SELECT doc_id, w AS term, CAST(COUNT(*) AS DOUBLE) * 1.0 AS wtf
+    FROM (SELECT doc_id, unnest(fb) AS w FROM fields) WHERE w IN {_FT_TERMS!r}
+    GROUP BY doc_id, w
+  ) GROUP BY doc_id, term
+),
+wlen AS (SELECT doc_id, 2.0 * len(ft) + 1.0 * len(fb) AS wlen FROM fields),
+stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(wlen) / COUNT(*) AS avg_wlen FROM wlen),
+dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM wtf GROUP BY term),
+contrib AS (
+  SELECT wtf.doc_id, wtf.term,
+    ln(1.0 + (CAST(stats.n AS DOUBLE) - CAST(dfq.df AS DOUBLE) + 0.5) / (CAST(dfq.df AS DOUBLE) + 0.5))
+    * wtf.wtf / (1.2 * (0.25 + 0.75 * wlen.wlen / stats.avg_wlen) + wtf.wtf) AS c
+  FROM wtf JOIN dfq USING (term) JOIN wlen USING (doc_id), stats
+)
+SELECT doc_id,
+  round(list_reduce(list(c ORDER BY term), (a, x) -> a + x), 6) + 0.0 AS score
+FROM contrib GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT 15
+"""
+
+
+@_q("bm25f_search_docs", _BM25F_SQL)
+def bm25f_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25F multi-field ranking (title^2 body^1): weighted per-field tf
+    feeds ONE saturation curve with a weighted length norm
+    (fulltext.bm25f_scores). Fields here derive deterministically from
+    the corpus (title = first 8 tokens) so both engines see identical
+    field splits; integer-valued weighted sums stay float-exact under
+    any aggregation order."""
+    from columnar_spark.operators import fulltext as FT
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = FT.tokenize(F.col("text"))
+    split = docs.select(
+        "doc_id",
+        F.array_join(F.slice(toks, 1, 8), " ").alias("title"),
+        F.array_join(
+            F.slice(toks, 9, F.greatest(F.size(toks) - 8, F.lit(0))), " "
+        ).alias("body"),
+    )
+    scores = FT.bm25f_scores(
+        split,
+        list(_FT_TERMS),
+        {"title": ("title", 2.0), "body": ("body", 1.0)},
+    )
+    return (
+        scores.select("doc_id", (F.round("score", 6) + F.lit(0.0)).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(15)
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------

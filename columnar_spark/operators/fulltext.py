@@ -831,6 +831,86 @@ def match_boolean_reference(docs: list[tuple[int, str]], query: str) -> set[int]
     return out
 
 
+def bm25f_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    fields: dict[str, tuple[str, float]],
+    id_col: str = "doc_id",
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """BM25F — multi-field ranking (title^2 body^1 ...): per-term
+    WEIGHTED tf across fields feeds ONE saturation curve (Robertson's
+    simple BM25F), with a weighted doc length norm:
+
+        tf~(t,d)  = sum_f w_f * tf_f(t,d)
+        len~(d)   = sum_f w_f * len_f(d)
+        score(d)  = sum_t idf(t) * tf~ / (k1*(1-b+b*len~/avg len~) + tf~)
+
+    `fields` maps field name -> (text column, weight). idf counts a doc
+    once if ANY field contains the term. One union'd explode over the
+    fields, the same single-shuffle aggregate shape as plain BM25, and
+    the same ascending-term fold determinism."""
+    terms = sorted(set(query_terms))
+    if not terms or not fields:
+        raise ValueError("empty query or fields")
+
+    per_field = []
+    lens = None
+    for fname in sorted(fields):
+        col, w = fields[fname]
+        tf_f = (
+            df.select(
+                F.col(id_col).alias("doc_id"),
+                F.explode(tokenize(F.col(col))).alias("term"),
+            )
+            .filter(F.col("term").isin(terms))
+            .groupBy("doc_id", "term")
+            .agg((F.count(F.lit(1)).cast("double") * F.lit(float(w))).alias("wtf"))
+        )
+        per_field.append(tf_f)
+        flen = df.select(
+            F.col(id_col).alias("doc_id"),
+            (F.size(tokenize(F.col(col))).cast("double") * F.lit(float(w))).alias("wlen"),
+        )
+        lens = flen if lens is None else lens.unionByName(flen)
+
+    wtf = per_field[0]
+    for p in per_field[1:]:
+        wtf = wtf.unionByName(p)
+    wtf = wtf.groupBy("doc_id", "term").agg(F.sum("wtf").alias("wtf"))
+
+    wlen = lens.groupBy("doc_id").agg(F.sum("wlen").alias("wlen"))
+    stats = wlen.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("wlen") / F.count(F.lit(1))).alias("avg_wlen"),
+    )
+    df_term = wtf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    contrib = (
+        wtf.join(F.broadcast(df_term), "term")
+        .join(wlen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "contrib",
+            _idf(F.col("n_docs"), F.col("df"))
+            * F.col("wtf")
+            / (
+                F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("wlen") / F.col("avg_wlen"))
+                + F.col("wtf")
+            ),
+        )
+    )
+    return contrib.groupBy("doc_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("term", "contrib"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["contrib"],
+        ).alias("score")
+    )
+
+
 # ------------------------------------------------ percolate (stored queries)
 
 def percolate(

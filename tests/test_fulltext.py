@@ -237,3 +237,44 @@ def test_sidecar_serves_all_retrieval_ops(spark, tmp_path):
     from columnar_spark.operators.fulltext import check_text_index
 
     assert check_text_index(spark, p) == []
+
+
+def test_bm25f_field_weights(spark):
+    """A title hit must outscore the same hit in the body; python
+    reference parity on the full formula."""
+    import math
+
+    docs = [
+        (1, "vector search", "other words here entirely"),
+        (2, "other words", "vector search in the body text"),
+        (3, "nothing", "nothing again"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, title string, body string")
+    out = {
+        r["doc_id"]: r["score"]
+        for r in FT.bm25f_scores(
+            df, ["vector"], {"title": ("title", 2.0), "body": ("body", 1.0)}
+        ).collect()
+    }
+    assert set(out) == {1, 2}
+    assert out[1] > out[2]
+
+    # python reference
+    import re
+
+    def toks(s):
+        return [t for t in re.split(FT.TOKEN_SPLIT_RE, s.lower()) if t]
+
+    w = {"title": 2.0, "body": 1.0}
+    wtf = {}
+    wlen = {}
+    for i, title, body in docs:
+        wtf[i] = w["title"] * toks(title).count("vector") + w["body"] * toks(body).count("vector")
+        wlen[i] = w["title"] * len(toks(title)) + w["body"] * len(toks(body))
+    n = len(docs)
+    avg = sum(wlen.values()) / n
+    dfreq = sum(1 for v in wtf.values() if v > 0)
+    idf = math.log(1.0 + (n - dfreq + 0.5) / (dfreq + 0.5))
+    for i in (1, 2):
+        want = idf * wtf[i] / (1.2 * (0.25 + 0.75 * wlen[i] / avg) + wtf[i])
+        assert math.isclose(out[i], want, rel_tol=1e-12)
