@@ -46,6 +46,53 @@ def tokenize(text: Column) -> Column:
     return F.filter(F.split(F.lower(text), TOKEN_SPLIT_RE), lambda t: t != "")
 
 
+def stem_s(t: Column) -> Column:
+    """Harman S-stemmer as a pure codegen expression — the light-touch
+    English morphology pass (Manticore morphology=stem_en's cheap tier):
+    -ies -> -y (not -eies/-aies), -es -> -e (not -aes/-ees/-oes),
+    -s dropped (not -us/-ss). Order matters; first matching rule wins."""
+    ln = F.length(t)
+    return (
+        F.when(
+            t.endswith("ies") & ~t.endswith("eies") & ~t.endswith("aies") & (ln > 4),
+            F.concat(t.substr(F.lit(1), ln - 3), F.lit("y")),
+        )
+        .when(
+            t.endswith("es") & ~t.endswith("aes") & ~t.endswith("ees") & ~t.endswith("oes") & (ln > 3),
+            t.substr(F.lit(1), ln - 1),
+        )
+        .when(t.endswith("s") & ~t.endswith("us") & ~t.endswith("ss") & (ln > 2), t.substr(F.lit(1), ln - 1))
+        .otherwise(t)
+    )
+
+
+def tokenize_analyzed(
+    text: Column, stem: bool = False, stopwords: tuple[str, ...] = ()
+) -> Column:
+    """Tokenizer + analyzer chain: lowercase split, optional stopword
+    removal, optional S-stemming — all array expressions, zero UDFs.
+    Stopwords filter BEFORE stemming (the conventional order: stopword
+    lists are surface forms)."""
+    toks = tokenize(text)
+    if stopwords:
+        sw = F.array(*[F.lit(w) for w in stopwords])
+        toks = F.filter(toks, lambda t: ~F.array_contains(sw, t))
+    if stem:
+        toks = F.transform(toks, stem_s)
+    return toks
+
+
+def stem_s_py(t: str) -> str:
+    """Python twin of stem_s for tests/oracles."""
+    if t.endswith("ies") and not t.endswith(("eies", "aies")) and len(t) > 4:
+        return t[:-3] + "y"
+    if t.endswith("es") and not t.endswith(("aes", "ees", "oes")) and len(t) > 3:
+        return t[:-1]
+    if t.endswith("s") and not t.endswith(("us", "ss")) and len(t) > 2:
+        return t[:-1]
+    return t
+
+
 def tokenize_query(query: str) -> list[str]:
     """Driver-side twin of `tokenize` for the (tiny) query string.
     Deduplicated, sorted — BM25 scores each distinct term once."""

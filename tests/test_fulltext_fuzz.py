@@ -1,0 +1,102 @@
+"""Hypothesis fuzz: BM25 and phrase matching vs python references over
+random corpora — the same differential discipline as the filter and
+percentile fuzzers."""
+
+import math
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from columnar_spark.operators import fulltext as FT
+
+_VOCAB = ["a", "bb", "ccc", "scan", "vector", "x1"]
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    corpus=st.lists(
+        st.lists(st.sampled_from(_VOCAB), min_size=0, max_size=10).map(" ".join),
+        min_size=1,
+        max_size=8,
+    ),
+    qterms=st.lists(st.sampled_from(_VOCAB), min_size=1, max_size=3, unique=True),
+)
+def test_fuzz_bm25_vs_reference(spark, corpus, qterms):
+    docs = list(enumerate(corpus))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    query = " ".join(qterms)
+    got = {
+        r["doc_id"]: r["score"]
+        for r in FT.bm25_scores(df, FT.tokenize_query(query)).collect()
+    }
+    want = FT.bm25_reference(docs, query)
+    assert set(got) == set(want)
+    for d, s in want.items():
+        assert math.isclose(got[d], s, rel_tol=1e-12), (d, got[d], s)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    corpus=st.lists(
+        st.lists(st.sampled_from(_VOCAB[:4]), min_size=0, max_size=8).map(" ".join),
+        min_size=1,
+        max_size=6,
+    ),
+    phrase=st.lists(st.sampled_from(_VOCAB[:4]), min_size=1, max_size=3).map(" ".join),
+)
+def test_fuzz_phrase_vs_reference(spark, corpus, phrase):
+    import re
+
+    docs = list(enumerate(corpus))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    words = [t for t in re.split(FT.TOKEN_SPLIT_RE, phrase.lower()) if t]
+    got = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in FT.phrase_match(df, phrase).collect()
+    }
+    want = {}
+    for i, s in docs:
+        t = [x for x in re.split(FT.TOKEN_SPLIT_RE, s.lower()) if x]
+        n = sum(
+            1
+            for j in range(len(t) - len(words) + 1)
+            if t[j : j + len(words)] == words
+        )
+        if n:
+            want[i] = n
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    words=st.lists(
+        st.text(alphabet="abcdeiosu", min_size=1, max_size=8),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_fuzz_stemmer_vs_python(spark, words):
+    from pyspark.sql import functions as F
+
+    from columnar_spark.operators.fulltext import stem_s, stem_s_py
+
+    df = spark.createDataFrame([(i, w) for i, w in enumerate(words)], "i long, w string")
+    got = {r["i"]: r["s"] for r in df.select("i", stem_s(F.col("w")).alias("s")).collect()}
+    for i, w in enumerate(words):
+        assert got[i] == stem_s_py(w), (w, got[i], stem_s_py(w))
+
+
+def test_analyzer_chain(spark):
+    from pyspark.sql import functions as F
+
+    from columnar_spark.operators.fulltext import tokenize_analyzed
+
+    df = spark.createDataFrame(
+        [(1, "The Queries and Tables pass batches of rows")], "i long, t string"
+    )
+    out = df.select(
+        tokenize_analyzed(
+            F.col("t"), stem=True, stopwords=("the", "and", "of")
+        ).alias("toks")
+    ).first()["toks"]
+    assert out == ["query", "table", "pass", "batche", "row"]
