@@ -101,19 +101,47 @@ def tokenize_query(query: str) -> list[str]:
     return sorted({t for t in re.split(TOKEN_SPLIT_RE, query.lower()) if t})
 
 
-def doc_lengths(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(tokenize(F.col(text_col))).alias("dl"),
+def _toks(text: Column, analyzer: dict | None) -> Column:
+    """tokenize, or the analyzer chain when one is configured
+    ({"stem": bool, "stopwords": [..]} — the persisted-index meta
+    format, so index build and query agree by construction)."""
+    if not analyzer:
+        return tokenize(text)
+    return tokenize_analyzed(
+        text,
+        stem=bool(analyzer.get("stem")),
+        stopwords=tuple(analyzer.get("stopwords") or ()),
     )
 
 
-def build_postings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def analyze_query_terms(terms: list[str], analyzer: dict | None) -> list[str]:
+    """Driver-side twin of _toks for (tiny) query term lists."""
+    if not analyzer:
+        return terms
+    sw = set(analyzer.get("stopwords") or ())
+    out = [t for t in terms if t not in sw]
+    if analyzer.get("stem"):
+        out = [stem_s_py(t) for t in out]
+    return sorted(set(out))
+
+
+def doc_lengths(
+    df: DataFrame, id_col: str, text_col: str, analyzer: dict | None = None
+) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(_toks(F.col(text_col), analyzer)).alias("dl"),
+    )
+
+
+def build_postings(
+    df: DataFrame, id_col: str, text_col: str, analyzer: dict | None = None
+) -> DataFrame:
     """(term, doc_id, tf) — one explode + one partial-aggregated shuffle."""
     return (
         df.select(
             F.col(id_col).alias("doc_id"),
-            F.explode(tokenize(F.col(text_col))).alias("term"),
+            F.explode(_toks(F.col(text_col), analyzer)).alias("term"),
         )
         .groupBy("term", "doc_id")
         .agg(F.count(F.lit(1)).alias("tf"))
@@ -290,6 +318,7 @@ def write_text_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     fmt: str = "parquet",
+    analyzer: dict | None = None,
 ) -> None:
     """Persist the inverted index beside the table (like `.vidx`):
     `<table>.ftidx/postings/` hive-partitioned by tb=xxhash64(term)%64 —
@@ -300,7 +329,7 @@ def write_text_index(
     # positional postings (hitlists): tf-only consumers (BM25, boolean,
     # suggest) just don't read the positions column — parquet column
     # pruning makes that free — while phrase/NEAR get index service too
-    postings = build_positional_postings(df, id_col, text_col).withColumn(
+    postings = build_positional_postings(df, id_col, text_col, analyzer).withColumn(
         "tb", F.pmod(F.xxhash64("term"), F.lit(N_TERM_BUCKETS)).cast("int")
     )
     # one file per bucket partition (repartition on tb), not one file
@@ -310,7 +339,7 @@ def write_text_index(
     postings.repartition(N_TERM_BUCKETS, "tb").write.mode("overwrite").partitionBy(
         "tb"
     ).parquet(f"{root}/postings")
-    lengths = doc_lengths(df, id_col, text_col)
+    lengths = doc_lengths(df, id_col, text_col, analyzer)
     lengths.write.mode("overwrite").parquet(f"{root}/lengths")
     n, total = lengths.agg(F.count(F.lit(1)), F.sum("dl")).first()
     with open(f"{root}/meta.json", "w") as f:
@@ -321,6 +350,7 @@ def write_text_index(
                 "avgdl": total / n,
                 "text_col": text_col,
                 "id_col": id_col,
+                "analyzer": analyzer,
             },
             f,
         )
@@ -355,12 +385,13 @@ def append_to_text_index(
     with open(f"{root}/meta.json") as f:
         meta = json.load(f)
     id_col, text_col = meta.get("id_col", "doc_id"), meta["text_col"]
+    analyzer = meta.get("analyzer")
 
-    postings = build_positional_postings(batch_df, id_col, text_col).withColumn(
+    postings = build_positional_postings(batch_df, id_col, text_col, analyzer).withColumn(
         "tb", F.pmod(F.xxhash64("term"), F.lit(N_TERM_BUCKETS)).cast("int")
     )
     postings.write.mode("append").partitionBy("tb").parquet(f"{root}/postings")
-    lengths = doc_lengths(batch_df, id_col, text_col)
+    lengths = doc_lengths(batch_df, id_col, text_col, analyzer)
     lengths.write.mode("append").parquet(f"{root}/lengths")
 
     n, total = lengths.agg(F.count(F.lit(1)), F.sum("dl")).first()
@@ -402,7 +433,12 @@ def check_text_index(spark: SparkSession, table_path: str, fmt: str = "parquet")
     if bad_bucket:
         errors.append(f"text index: {bad_bucket} postings in the wrong term bucket")
     stored_tf = postings.agg(F.sum("tf")).first()[0] or 0
-    live_tf = df.select(F.size(tokenize(F.col(text_col))).alias("n")).agg(F.sum("n")).first()[0] or 0
+    live_tf = (
+        df.select(F.size(_toks(F.col(text_col), meta.get("analyzer"))).alias("n"))
+        .agg(F.sum("n"))
+        .first()[0]
+        or 0
+    )
     if stored_tf != live_tf:
         errors.append(f"text index: tf total {stored_tf} != live token count {live_tf}")
     if "positions" in postings.columns:
@@ -436,7 +472,9 @@ def bm25_search_indexed(
     if loaded is None:
         raise FileNotFoundError(f"no text index at {text_index_path(table_path)}")
     postings, lengths, meta = loaded
-    terms = tokenize_query(query)
+    terms = analyze_query_terms(tokenize_query(query), meta.get("analyzer"))
+    if not terms:
+        raise ValueError("query empty after analysis")
     # Bucket ids for the literal terms, computed JVM-side in one tiny job
     # over a driver-local frame (|terms| rows — not a data collect).
     tdf = spark.createDataFrame([(t,) for t in terms], "term string")
@@ -554,7 +592,9 @@ def bm25_batch_search(
 
 # ------------------------------------------------ phrase / proximity
 
-def build_positional_postings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def build_positional_postings(
+    df: DataFrame, id_col: str, text_col: str, analyzer: dict | None = None
+) -> DataFrame:
     """(term, doc_id, tf, positions) — positions are 0-based token
     offsets, sorted. Same single explode->aggregate shape as
     build_postings; the positions array is what the reference's parent
@@ -562,7 +602,7 @@ def build_positional_postings(df: DataFrame, id_col: str, text_col: str) -> Data
     return (
         df.select(
             F.col(id_col).alias("doc_id"),
-            F.posexplode(tokenize(F.col(text_col))).alias("pos", "term"),
+            F.posexplode(_toks(F.col(text_col), analyzer)).alias("pos", "term"),
         )
         .groupBy("term", "doc_id")
         .agg(

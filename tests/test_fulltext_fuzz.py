@@ -100,3 +100,39 @@ def test_analyzer_chain(spark):
         ).alias("toks")
     ).first()["toks"]
     assert out == ["query", "table", "pass", "batche", "row"]
+
+
+def test_analyzed_index_roundtrip(spark, tmp_path):
+    """An index built with an analyzer (stopwords + stemmer) applies the
+    SAME analyzer to queries, appends, and the integrity audit."""
+    from columnar_spark.operators import fulltext as FT
+
+    docs = [
+        (1, "the tables and rows"),
+        (2, "table row"),
+        (3, "the unrelated words here"),
+    ]
+    p = str(tmp_path / "an.parquet")
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(p)
+    analyzer = {"stem": True, "stopwords": ["the", "and"]}
+    FT.write_text_index(spark, p, analyzer=analyzer)
+
+    # "tables" stems to "table": both docs 1 and 2 match the query
+    hits = {r["doc_id"] for r in FT.bm25_search_indexed(spark, p, "tables").collect()}
+    assert hits == {1, 2}
+    # stopword-only query is empty after analysis
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        FT.bm25_search_indexed(spark, p, "the and")
+
+    # audit is analyzer-aware (stored tf excludes stopwords)
+    assert FT.check_text_index(spark, p) == []
+
+    # append maintains the analyzer
+    batch = spark.createDataFrame([(4, "more tables arriving")], "doc_id long, text string")
+    batch.write.mode("append").parquet(p)
+    FT.append_to_text_index(spark, p, batch)
+    assert FT.check_text_index(spark, p) == []
+    hits = {r["doc_id"] for r in FT.bm25_search_indexed(spark, p, "table").collect()}
+    assert hits == {1, 2, 4}
