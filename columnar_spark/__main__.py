@@ -81,6 +81,20 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--text-col", default="text")
     sp.add_argument("--id-col", default="doc_id")
 
+    sp = sub.add_parser("rollup-build")
+    sp.add_argument("table_path")
+    sp.add_argument("--ts-col", default="ts")
+    sp.add_argument("--bucket", default="1 day")
+    sp.add_argument("--keys", default="event_type", help="comma-separated")
+    sp.add_argument("--value-col", default="value")
+
+    sp = sub.add_parser("topk")
+    sp.add_argument("table_path")
+    sp.add_argument("--col", required=True)
+    sp.add_argument("--k", type=int, default=10)
+    sp.add_argument("--asc", action="store_true")
+    sp.add_argument("--tiebreak", default=None)
+
     sp = sub.add_parser("search")
     sp.add_argument("table_path")
     sp.add_argument("query")
@@ -154,6 +168,43 @@ def main(argv: list[str] | None = None) -> int:
             spark, args.table_path, text_col=args.text_col, id_col=args.id_col
         )
         print(json.dumps({"index": "fulltext", "dest": args.table_path + ".ftidx"}))
+        return 0
+
+    if args.cmd == "rollup-build":
+        from columnar_spark.streaming.rollup import write_rollup_sidecar
+
+        root = write_rollup_sidecar(
+            spark.read.parquet(args.table_path),
+            args.table_path,
+            ts_col=args.ts_col,
+            bucket=args.bucket,
+            keys=tuple(k for k in args.keys.split(",") if k),
+            value_col=args.value_col,
+        )
+        print(json.dumps({"index": "rollup", "dest": root}))
+        return 0
+
+    if args.cmd == "topk":
+        from columnar_spark.operators.topk import topk_pruned
+
+        df, read, total = topk_pruned(
+            spark,
+            args.table_path,
+            args.col,
+            args.k,
+            descending=not args.asc,
+            tiebreak_col=args.tiebreak,
+        )
+        print(
+            json.dumps(
+                {
+                    "files_read": read,
+                    "files_total": total,
+                    "rows": [r.asDict() for r in df.collect()],
+                },
+                default=str,
+            )
+        )
         return 0
 
     if args.cmd == "search":

@@ -81,3 +81,24 @@ def test_text_index_build_and_search(spark, tmp_path_factory, capsys):
     assert main(["search", t, "fast scan", "--mode", "phrase", "--k", "5"]) == 0
     hits = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert all("n_occurrences" in h for h in hits)
+
+
+def test_rollup_build_and_topk(spark, tmp_path_factory, capsys):
+    from pyspark.sql import functions as F
+
+    d = tmp_path_factory.mktemp("cli_r")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    if dict(ev.dtypes)["ts"] in ("bigint", "long"):
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    t = str(d / "events.parquet")
+    ev.write.parquet(t)
+
+    assert main(["rollup-build", t]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["dest"].endswith(".rollup")
+
+    assert main(["topk", t, "--col", "value", "--k", "5", "--tiebreak", "event_id"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(out["rows"]) == 5
+    vals = [r["value"] for r in out["rows"]]
+    assert vals == sorted(vals, reverse=True)
