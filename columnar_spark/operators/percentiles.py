@@ -131,6 +131,94 @@ def percentile_cont(
     return out
 
 
+def percentile_cont_bracket(
+    df: DataFrame,
+    col: str,
+    qs: Sequence[float],
+    names: Sequence[str] | None = None,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Sketch-bracketed EXACT interpolated percentiles — the
+    two-scan/no-sort access path for high-cardinality columns.
+
+    Pass 1 (inside the plan, broadcast 1-row): a Greenwald-Khanna sketch
+    (`approx_percentile`) brackets each target rank. GK's DETERMINISTIC
+    rank-error guarantee (<= n/accuracy) makes the bracket sound: the
+    values at quantiles q +- 2/accuracy enclose every rank the exact
+    answer can touch. Pass 2: ONE conditional aggregate computes the
+    exact count strictly below the bracket and collects the in-bracket
+    values (~4n/accuracy rows + boundary ties — hundreds at millions of
+    rows); exact order statistics then come from array indexing into the
+    sorted bracket. No global sort, no value-counts shuffle, per-task
+    memory bounded by the bracket width.
+
+    Interpolation matches percentile_cont bit-for-bit:
+    (1-f)*v_lo + f*v_hi (two-term sum — commutative, deterministic).
+    """
+    if names is None:
+        names = [f"p{str(q).replace('.', '')}" for q in qs]
+    if len(names) != len(qs):
+        raise ValueError("names and qs must align")
+    slack = 2.0 / accuracy
+
+    v = F.col(col).cast("double")
+    probe_qs = []
+    for q in qs:
+        probe_qs += [max(0.0, q - slack), min(1.0, q + slack)]
+    arr = ", ".join(repr(float(x)) for x in probe_qs)
+    stats = df.filter(v.isNotNull()).agg(
+        F.expr(f"approx_percentile(CAST({col} AS DOUBLE), array({arr}), {accuracy})").alias("__b"),
+        F.count(v).alias("__n"),
+    )
+
+    joined = df.filter(v.isNotNull()).crossJoin(F.broadcast(stats))
+    aggs = []
+    for i, q in enumerate(qs):
+        lo, hi = F.col("__b")[2 * i], F.col("__b")[2 * i + 1]
+        aggs.append(
+            F.sum(F.when(v < lo, 1).otherwise(0)).cast("long").alias(f"__below_{i}")
+        )
+        aggs.append(
+            F.array_sort(
+                F.collect_list(F.when((v >= lo) & (v <= hi), v))
+            ).alias(f"__vals_{i}")
+        )
+        # +-1-rank guard: at small n (sketch stores everything) and at
+        # the n~accuracy boundary the needed floor/ceil rank can sit ONE
+        # position outside the probed bracket — the adjacent extremes
+        # extend the contiguous covered rank range by one on each side.
+        aggs.append(F.max(F.when(v < lo, v)).alias(f"__prev_{i}"))
+        aggs.append(F.min(F.when(v > hi, v)).alias(f"__next_{i}"))
+    got = joined.groupBy("__n").agg(*aggs)  # __n is constant: 1 group
+
+    outs = []
+    for i, (q, name) in enumerate(zip(qs, names)):
+        n = F.col("__n").cast("double")
+        pos = F.lit(float(q)) * (n - F.lit(1.0))
+        f_ = pos - F.floor(pos)
+        prev, nxt = F.col(f"__prev_{i}"), F.col(f"__next_{i}")
+        vals = F.concat(
+            F.when(prev.isNotNull(), F.array(prev)).otherwise(
+                F.array().cast("array<double>")
+            ),
+            F.col(f"__vals_{i}"),
+            F.when(nxt.isNotNull(), F.array(nxt)).otherwise(
+                F.array().cast("array<double>")
+            ),
+        )
+        base = F.col(f"__below_{i}") - F.when(prev.isNotNull(), 1).otherwise(0)
+        idx_lo = (F.floor(pos).cast("long") - base + 1).cast("int")
+        idx_hi = (F.ceil(pos).cast("long") - base + 1).cast("int")
+        v_lo = F.element_at(vals, idx_lo)
+        v_hi = F.element_at(vals, idx_hi)
+        outs.append(
+            F.when(f_ == 0.0, v_lo)
+            .otherwise((F.lit(1.0) - f_) * v_lo + f_ * v_hi)
+            .alias(name)
+        )
+    return got.select(*outs)
+
+
 def percentile_disc(
     df: DataFrame,
     col: str,
@@ -260,11 +348,12 @@ def percentiles_auto(
             ]
         )
     for col in medium:
-        from columnar_spark.stats import exact_percentiles
-
-        part = exact_percentiles(df, col, [q for q, _ in spec[col]])
-        part = part.select(
-            *[F.col(f"p{i}").alias(n) for i, (_, n) in enumerate(spec[col])]
+        # sketch-bracketed exact path: two scans, no sort, no
+        # value-counts shuffle (measured 0.7s -> ~0.3s on the 583k-ndv
+        # price column at sf0.1 vs the value-counts cumsum form, which
+        # remains available as stats.exact_percentiles).
+        part = percentile_cont_bracket(
+            df, col, [q for q, _ in spec[col]], [n for _, n in spec[col]]
         )
         out = part if out is None else out.crossJoin(part)
     for col in large:

@@ -77,10 +77,11 @@ def test_auto_path_flips_on_ndv(spark):
     assert math.isclose(lo.first()["m"], hi.first()["m"], rel_tol=1e-12)
 
 
-def test_auto_medium_tier_value_counts_path(spark):
-    """Between small_ndv and ndv_threshold the value-counts cumsum path
-    runs (no raw-map builtin, no __pid CDF pipeline) and matches the
-    builtin's value exactly."""
+def test_auto_medium_tier_bracket_path(spark):
+    """Between small_ndv and ndv_threshold the sketch-bracketed exact
+    path runs (no raw-map builtin, no __pid CDF pipeline — the plan
+    carries the GK probe + bracket aggregate) and matches the builtin's
+    value exactly."""
     from columnar_spark.operators.percentiles import percentiles_auto
 
     li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
@@ -90,7 +91,8 @@ def test_auto_medium_tier_value_counts_path(spark):
     )
     plan = mid._jdf.queryExecution().optimizedPlan().toString()
     assert "__pid" not in plan.replace(" ", "")  # not the CDF pipeline
-    assert "percentile(l_extendedprice" not in plan  # not the raw builtin
+    assert "approx_percentile" in plan  # the GK probe is in-plan
+    assert "__vals_0" in plan  # bracket aggregate
     ref = li.selectExpr("percentile(l_extendedprice, 0.5) AS m").first()["m"]
     assert mid.first()["m"] == ref
 
@@ -119,3 +121,57 @@ def test_percentile_disc_matches_builtin(spark):
         "FROM {li}", li=li
     ).first()
     assert (got["a"], got["b"], got["c"]) == (float(ref["a"]), float(ref["b"]), float(ref["c"]))
+
+
+def test_bracket_tier_matches_cont(spark):
+    """Sketch-bracketed exact path == the CDF pipeline on a
+    high-cardinality column, all quantile positions."""
+    from columnar_spark.operators.percentiles import (
+        percentile_cont,
+        percentile_cont_bracket,
+    )
+
+    df = spark.range(50_000).selectExpr("CAST(xxhash64(id) % 1000000 AS DOUBLE) AS v")
+    qs = [0.0, 0.01, 0.25, 0.5, 0.75, 0.99, 1.0]
+    a = percentile_cont(df, "v", qs).first()
+    b = percentile_cont_bracket(df, "v", qs).first()
+    assert [a[i] for i in range(len(qs))] == [b[i] for i in range(len(qs))]
+
+
+def test_bracket_tier_heavy_ties(spark):
+    """Adversarial: huge tie runs around the target rank must stay exact
+    (the bracket collects every tied value; correctness never depends on
+    the bracket being small)."""
+    from pyspark.sql import functions as F
+
+    from columnar_spark.operators.percentiles import (
+        percentile_cont,
+        percentile_cont_bracket,
+    )
+
+    df = spark.range(20_000).select(
+        F.when(F.col("id") < 9_000, 5.0)
+        .when(F.col("id") < 11_000, (F.col("id") % 97).cast("double"))
+        .otherwise(42.0)
+        .alias("v")
+    )
+    qs = [0.45, 0.5, 0.55]
+    a = percentile_cont(df, "v", qs).first()
+    b = percentile_cont_bracket(df, "v", qs).first()
+    assert [a[i] for i in range(len(qs))] == [b[i] for i in range(len(qs))]
+
+
+def test_bracket_tier_nulls_excluded(spark):
+    from pyspark.sql import functions as F
+
+    from columnar_spark.operators.percentiles import (
+        percentile_cont,
+        percentile_cont_bracket,
+    )
+
+    df = spark.range(1_000).select(
+        F.when(F.col("id") % 3 == 0, None).otherwise(F.col("id").cast("double")).alias("v")
+    )
+    a = percentile_cont(df, "v", [0.5]).first()[0]
+    b = percentile_cont_bracket(df, "v", [0.5]).first()[0]
+    assert a == b
