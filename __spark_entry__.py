@@ -4307,6 +4307,44 @@ def bm25f_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PERC_BOOL_STORED = [
+    ("alert_scan_not_window", "scan AND NOT window"),
+    ("alert_vector_or_stream", "vector OR stream"),
+    ("alert_complex", "(merge AND batch) OR (fox AND NOT table)"),
+]
+
+_PERC_BOOL_SQL = """
+WITH dt AS (
+  SELECT doc_id,
+    list_distinct(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS toks
+  FROM documents
+)
+SELECT 'alert_scan_not_window' AS query_id, doc_id FROM dt
+WHERE list_contains(toks, 'scan') AND NOT list_contains(toks, 'window')
+UNION ALL
+SELECT 'alert_vector_or_stream', doc_id FROM dt
+WHERE list_contains(toks, 'vector') OR list_contains(toks, 'stream')
+UNION ALL
+SELECT 'alert_complex', doc_id FROM dt
+WHERE (list_contains(toks, 'merge') AND list_contains(toks, 'batch'))
+   OR (list_contains(toks, 'fox') AND NOT list_contains(toks, 'table'))
+"""
+
+
+@_q("percolate_boolean_docs", _PERC_BOOL_SQL)
+def percolate_boolean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percolate with FULL boolean stored queries (AND/OR/NOT/parens):
+    one matched-term-set aggregation over the union of all stored terms,
+    each stored expression evaluated as a codegen'd boolean column over
+    the shared set (fulltext.percolate_boolean) — alerting rules richer
+    than require-all, still one corpus pass."""
+    from columnar_spark.operators import fulltext as FT
+
+    docs = _t(spark, sf_dir, "documents")
+    postings, _ = _docs_index(spark, sf_dir)
+    return FT.percolate_boolean(docs, _PERC_BOOL_STORED, postings=postings)
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------

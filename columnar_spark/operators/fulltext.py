@@ -1049,6 +1049,48 @@ def percolate(
     )
 
 
+def percolate_boolean(
+    docs: DataFrame,
+    stored: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """Percolate with FULL boolean semantics: each stored query is an
+    extended-syntax expression (AND/OR/NOT/parens — parse_bool_query),
+    so alerts like "(error AND disk) OR (panic AND NOT test)" are
+    storable. One matched-term-set aggregation over the union of every
+    stored query's terms; each query then evaluates as a codegen'd
+    boolean column over that shared set (Catalyst's exchange reuse
+    dedupes the shared aggregate across the per-query union branches).
+    NOT semantics see zero-match documents via the left join. Returns
+    (query_id, doc_id)."""
+    if not stored:
+        raise ValueError("no stored queries")
+    parsed = [(qid, parse_bool_query(q)) for qid, q in stored]
+    all_terms = sorted(set().union(*[_bool_terms(n) for _, n in parsed]))
+
+    if postings is None:
+        postings = build_postings(docs, id_col, text_col)
+    matched = (
+        postings.filter(F.col("term").isin(all_terms))
+        .groupBy("doc_id")
+        .agg(F.collect_set("term").alias("__terms"))
+    )
+    ids = docs.select(F.col(id_col).alias("doc_id"))
+    base = ids.join(matched, "doc_id", "left").withColumn(
+        "__terms",
+        F.coalesce(F.col("__terms"), F.array().cast("array<string>")),
+    )
+    out = None
+    for qid, node in parsed:
+        part = base.filter(_bool_column(node, F.col("__terms"))).select(
+            F.lit(qid).alias("query_id"), "doc_id"
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 # ------------------------------------------------ search QoL: snippets,
 # prefix suggest, spell suggest (CALL SNIPPETS / KEYWORDS / QSUGGEST
 # parity — the operational surface around ranked retrieval)

@@ -85,3 +85,36 @@ def test_stream_percolate_equals_batch(spark, tmp_path):
         (r["query_id"], r["doc_id"]) for r in spark.read.parquet(out_path).collect()
     }
     assert streamed == _py_percolate(DOCS, STORED)
+
+
+BOOL_STORED = [
+    ("b_and", "scan AND vector"),
+    ("b_not", "table AND NOT fox"),
+    ("b_mixed", "(fox AND dog) OR (merge AND NOT join)"),
+    ("b_pure_not", "NOT scan"),
+]
+
+
+def _py_percolate_bool(docs, stored):
+    out = set()
+    for qid, q in stored:
+        for i, _ in docs:
+            if i in {d for d in FT.match_boolean_reference(docs, q)}:
+                out.add((qid, i))
+    return out
+
+
+def test_percolate_boolean_matches_reference(docs_df):
+    got = {
+        (r["query_id"], r["doc_id"])
+        for r in FT.percolate_boolean(docs_df, BOOL_STORED).collect()
+    }
+    assert got == _py_percolate_bool(DOCS, BOOL_STORED)
+    # pure NOT matches the empty doc too
+    assert ("b_pure_not", 6) in got
+
+
+@pytest.mark.parametrize("bad", [[], [("q", "scan AND")]])
+def test_percolate_boolean_validates(docs_df, bad):
+    with pytest.raises(ValueError):
+        FT.percolate_boolean(docs_df, bad)
