@@ -175,6 +175,45 @@ class Engine:
             )
             return self.spark.sql(rewritten)
 
+        # SHOW INDEXES FROM <table>: every sidecar artifact beside the
+        # table (value indexes, posting lists, text index, vector index,
+        # rollup, stats, retained versions) — the indextool-style
+        # inventory as a result set. Metadata-only.
+        m = _re.match(
+            r"^\s*SHOW\s+INDEXES\s+FROM\s+(\w+)\s*;?\s*$", query, _re.IGNORECASE
+        )
+        if m:
+            import os
+
+            name = m.group(1)
+            base = f"{self.sf_dir}/{name}.parquet"
+            rows: list[tuple[str, str, str]] = []
+            from columnar_spark.stats import (
+                persisted_posting_index_cols,
+                persisted_value_index_cols,
+            )
+
+            for c in persisted_value_index_cols(base):
+                rows.append(("value_index", c, f"{base}.vidx/{c}"))
+            for c in persisted_posting_index_cols(base):
+                rows.append(("posting_index", c, f"{base}.pidx/{c}"))
+            if os.path.isdir(f"{base}.ftidx"):
+                rows.append(("text_index", "—", f"{base}.ftidx"))
+            if os.path.isdir(f"{base}.knn"):
+                rows.append(("vector_index", "—", f"{base}.knn"))
+            if os.path.isdir(f"{base}.rollup"):
+                rows.append(("rollup", "—", f"{base}.rollup"))
+            if os.path.isdir(f"{base}.stats"):
+                rows.append(("stats_manifest", "—", f"{base}.stats"))
+            vdir = f"{base}.versions"
+            if os.path.isdir(vdir):
+                n_v = len([d for d in os.listdir(vdir) if d.startswith("v")])
+                rows.append(("versions", str(n_v), vdir))
+            return self.spark.createDataFrame(
+                rows or [("none", "—", "—")],
+                "kind: string, column: string, path: string",
+            )
+
         # DESCRIBE <table>: the stats manifest as a result set (column,
         # min, max, ndv, null_count, row_count) — metadata-only, no scan
         # beyond the manifest's own (cached) aggregate.

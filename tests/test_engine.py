@@ -140,3 +140,29 @@ def test_sql_count_rewrite_drops_base_scan(eng):
     r5 = eng.sql(q5)
     assert r5.first()["n"] == eng.spark.sql(q5).first()["n"]
     assert "lineitem.parquet" not in r5._jdf.queryExecution().executedPlan().toString()
+
+
+def test_show_indexes_lists_sidecars(spark, tmp_path):
+    """SHOW INDEXES FROM t inventories every sidecar artifact."""
+    from pyspark.sql import functions as F
+
+    from columnar_spark.operators.fulltext import write_text_index
+    from columnar_spark.stats import write_value_index
+    from columnar_spark.table import Engine
+
+    d = tmp_path / "showix"
+    d.mkdir()
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = str(d / "documents.parquet")
+    docs.write.parquet(p)
+    write_value_index(spark, p, "lang")
+    write_text_index(spark, p)
+
+    eng = Engine(spark, str(d))
+    rows = {(r["kind"], r["column"]) for r in eng.sql("SHOW INDEXES FROM documents").collect()}
+    assert ("value_index", "lang") in rows
+    assert ("text_index", "—") in rows
+    # a table with no sidecars reports none
+    docs.limit(5).write.parquet(str(d / "bare.parquet"))
+    rows2 = [r["kind"] for r in eng.sql("SHOW INDEXES FROM bare").collect()]
+    assert rows2 == ["none"]
