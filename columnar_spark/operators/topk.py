@@ -50,6 +50,8 @@ def _file_stats(table_path: str, col: str) -> list[tuple[str, object, object, in
             meta = pq.ParquetFile(f).metadata
         except Exception:
             return None
+        if meta.num_row_groups == 0 or meta.num_rows == 0:
+            continue  # empty split: cannot contain winners, skip outright
         idx = None
         for j in range(meta.num_columns):
             if meta.row_group(0).column(j).path_in_schema == col:
@@ -90,7 +92,7 @@ def topk_pruned(
     if tiebreak_col:
         order.append(F.col(tiebreak_col).asc())
 
-    if stats is None or any(s[1] is None for s in stats):
+    if stats is None or not stats or any(s[1] is None for s in stats):
         df = spark.read.parquet(table_path)
         return df.orderBy(*order).limit(k), -1, -1
 

@@ -72,3 +72,50 @@ def test_missing_stats_falls_back(spark, tmp_path):
     spark.range(100).select(F.col("id"), F.lit(None).cast("double").alias("v")).write.parquet(p)
     out, read, total = topk_pruned(spark, p, "v", 5, descending=True, tiebreak_col="id")
     assert out.count() == 5  # all-null column: still returns k rows (nulls last semantics aside)
+
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.lists(
+        st.tuples(st.integers(0, 10**6), st.integers(-50, 50)),
+        min_size=1,
+        max_size=300,
+        unique_by=lambda t: t[0],
+    ),
+    k=st.integers(1, 40),
+    desc=st.booleans(),
+    nfiles=st.integers(1, 6),
+)
+def test_fuzz_topk_pruned_vs_full_sort(spark, tmp_path_factory, data, k, desc, nfiles):
+    """Random values (heavy ties), random file layouts, random k and
+    direction: the pruned result must equal the full sort exactly."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path_factory.mktemp("tkfz") / "t.parquet")
+    df = spark.createDataFrame(data, "id long, v long")
+    df.repartition(nfiles).write.parquet(p)
+
+    out, read, total = topk_pruned(
+        spark, p, "v", k, descending=desc, tiebreak_col="id"
+    )
+    got = [tuple(r) for r in out.collect()]
+    order = [F.col("v").desc() if desc else F.col("v").asc(), F.col("id").asc()]
+    want = [
+        tuple(r)
+        for r in spark.read.parquet(p).orderBy(*order).limit(k).collect()
+    ]
+    assert got == want, (k, desc, nfiles, read, total)
+
+
+def test_all_empty_splits_fall_back(spark, tmp_path):
+    p = str(tmp_path / "empty.parquet")
+    spark.range(0).selectExpr("id", "CAST(id AS DOUBLE) AS v").repartition(3).write.parquet(p)
+    out, read, total = topk_pruned(spark, p, "v", 5, tiebreak_col="id")
+    assert out.count() == 0
