@@ -4345,6 +4345,66 @@ def percolate_boolean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return FT.percolate_boolean(docs, _PERC_BOOL_STORED, postings=postings)
 
 
+_RAG_RETRIEVAL_SQL = """
+WITH base AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+  FROM documents
+),
+c AS (
+  SELECT doc_id, CAST(t.i - 1 AS BIGINT) AS chunk_id,
+         array_to_string(tk[(t.i-1)*48+1 : (t.i-1)*48+64], ' ') AS chunk_text
+  FROM base, UNNEST(generate_series(1, CASE WHEN len(tk) = 0 THEN 0 ELSE (len(tk)-1)//48 + 1 END)) AS t(i)
+),
+chunks AS (
+  SELECT doc_id * 1000 + chunk_id AS cid, chunk_text FROM c WHERE chunk_text <> ''
+),
+toks AS (
+  SELECT cid, list_filter(string_split_regex(lower(chunk_text), '[^a-z0-9]+'), x -> x <> '') AS t
+  FROM chunks
+),
+dl AS (SELECT cid, len(t) AS dl FROM toks),
+corpus AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(len(t)) AS DOUBLE) / COUNT(*) AS avgdl FROM toks),
+tf AS (
+  SELECT cid, w AS term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT cid, unnest(t) AS w FROM toks)
+  WHERE w IN ('merge', 'scan', 'vector')
+  GROUP BY cid, w
+),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT tf.cid, tf.term,
+    ln(1.0 + (CAST(corpus.n AS DOUBLE) - CAST(dfreq.df AS DOUBLE) + 0.5) / (CAST(dfreq.df AS DOUBLE) + 0.5))
+    * (CAST(tf.tf AS DOUBLE) * 2.2)
+    / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / corpus.avgdl)) AS c
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (cid), corpus
+)
+SELECT cid AS chunk_ref,
+  round(list_reduce(list(c ORDER BY term), (a, x) -> a + x), 6) + 0.0 AS score
+FROM contrib GROUP BY cid
+ORDER BY score DESC, chunk_ref LIMIT 15
+"""
+
+
+@_q("rag_chunk_retrieval", _RAG_RETRIEVAL_SQL)
+def rag_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed RAG retrieval: chunk the corpus into overlapping
+    64-token windows (functions/text.chunk_documents), then rank CHUNKS
+    by BM25 — one plan, chunking streams into the postings build; the
+    retrieval unit a RAG pipeline actually wants is the chunk, not the
+    document. chunk_ref = doc_id*1000 + chunk_id."""
+    from columnar_spark.operators import fulltext as FT
+
+    docs = _t(spark, sf_dir, "documents")
+    chunks = CT.chunk_documents(docs, "doc_id", "text", chunk_tokens=64, overlap=16)
+    chunks = chunks.select(
+        (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("chunk_ref"), "chunk_text"
+    )
+    out = FT.bm25_search(
+        chunks, _FT_QUERY, k=15, id_col="chunk_ref", text_col="chunk_text"
+    )
+    return out.select(F.col("doc_id").alias("chunk_ref"), "score")
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
