@@ -4405,6 +4405,41 @@ def rag_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("doc_id").alias("chunk_ref"), "score")
 
 
+_SEARCH_JOIN_SQL = _FT_PROLOGUE + """
+, top AS (
+  SELECT doc_id, score FROM bm25 ORDER BY score DESC, doc_id LIMIT 10
+)
+SELECT t.doc_id, t.score, d.lang, d.source,
+  substr(d.text, CAST(greatest(strpos(lower(d.text), 'vector') - 20, 1) AS INT), 66) AS snippet
+FROM top t JOIN documents d ON t.doc_id = d.doc_id
+"""
+
+
+@_q("search_join_metadata", _SEARCH_JOIN_SQL)
+def search_join_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete search RESULT PAGE in one plan: BM25 top-10 joined
+    back to the base table for metadata and a highlight snippet — the
+    k-row ranked list broadcasts into the join, so the page costs the
+    ranking plus k row lookups, never a second corpus pass."""
+    from columnar_spark.operators import fulltext as FT
+
+    docs = _t(spark, sf_dir, "documents")
+    top = _bm25_top(spark, sf_dir, k=10)
+    off = F.locate("vector", F.lower(F.col("text")))
+    start = F.greatest(off - F.lit(20), F.lit(1))
+    return (
+        F.broadcast(top)
+        .join(docs, "doc_id")
+        .select(
+            "doc_id",
+            "score",
+            "lang",
+            "source",
+            F.substring(F.col("text"), start.cast("int"), 66).alias("snippet"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------

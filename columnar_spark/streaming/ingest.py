@@ -95,6 +95,17 @@ def append_batch(batch_df: DataFrame, dst_path: str, spec: WriteSpec | None = No
         idc = posting_index_id_col(dst_path, c)
         if c in out.columns and idc and idc in out.columns:
             merge_posting_index(ss, dst_path, c, out, idc)
+    # Inverted-text sidecar: append the batch's postings/lengths with
+    # the persisted analyzer — O(batch tokens), same append-only merge
+    # contract as the vector and value sidecars.
+    from columnar_spark.operators.fulltext import (
+        append_to_text_index,
+        load_text_index,
+    )
+
+    loaded = load_text_index(ss, dst_path)
+    if loaded is not None and loaded[2]["text_col"] in out.columns:
+        append_to_text_index(ss, dst_path, out)
 
 
 def stream_ingest(

@@ -136,3 +136,43 @@ def test_analyzed_index_roundtrip(spark, tmp_path):
     assert FT.check_text_index(spark, p) == []
     hits = {r["doc_id"] for r in FT.bm25_search_indexed(spark, p, "table").collect()}
     assert hits == {1, 2, 4}
+
+
+def test_stream_ingest_maintains_text_index(spark, tmp_path):
+    """Streaming ingest of document batches keeps the .ftidx sidecar in
+    lockstep — the same per-batch merge contract as the stats/vector/
+    value sidecars; the audit passes after every restart-resume."""
+    import shutil
+
+    from columnar_spark.operators import fulltext as FT
+    from columnar_spark.streaming.ingest import stream_ingest
+
+    dst = str(tmp_path / "docs.parquet")
+    src = tmp_path / "src"
+    src.mkdir()
+    stage = tmp_path / "stage"
+    ckpt = str(tmp_path / "ckpt")
+
+    b1 = [(1, "spark scan merge"), (2, "vector scan slow")]
+    b2 = [(3, "table row column"), (4, "scan scan scan")]
+
+    def add(name, rows):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.parquet(
+            str(stage / name)
+        )
+        for j, f in enumerate(sorted((stage / name).glob("*.parquet"))):
+            shutil.copy(f, src / f"{name}_{j}.parquet")
+
+    add("b1", b1)
+    q = stream_ingest(spark, str(src), dst, ckpt, "doc_id long, text string")
+    q.awaitTermination(120)
+    FT.write_text_index(spark, dst)  # index starts after first batch
+    assert FT.check_text_index(spark, dst) == []
+
+    add("b2", b2)
+    q = stream_ingest(spark, str(src), dst, ckpt, "doc_id long, text string")
+    q.awaitTermination(120)
+    # the sink folded batch 2 into the index: audit green, search sees it
+    assert FT.check_text_index(spark, dst) == []
+    hits = {r["doc_id"] for r in FT.bm25_search_indexed(spark, dst, "scan", k=10).collect()}
+    assert hits == {1, 2, 4}
