@@ -81,6 +81,14 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--text-col", default="text")
     sp.add_argument("--id-col", default="doc_id")
 
+    sp = sub.add_parser("percolate")
+    sp.add_argument("table_path")
+    sp.add_argument("rules", help="JSON file: [{'id': ..., 'query': ...}, ...]")
+    sp.add_argument("--mode", default="terms", choices=["terms", "boolean"])
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--limit", type=int, default=1000)
+
     sp = sub.add_parser("rollup-build")
     sp.add_argument("table_path")
     sp.add_argument("--ts-col", default="ts")
@@ -168,6 +176,18 @@ def main(argv: list[str] | None = None) -> int:
             spark, args.table_path, text_col=args.text_col, id_col=args.id_col
         )
         print(json.dumps({"index": "fulltext", "dest": args.table_path + ".ftidx"}))
+        return 0
+
+    if args.cmd == "percolate":
+        from columnar_spark.operators.fulltext import percolate, percolate_boolean
+
+        with open(args.rules) as fh:
+            rules = [(r["id"], r["query"]) for r in json.load(fh)]
+        df = spark.read.parquet(args.table_path)
+        fn = percolate_boolean if args.mode == "boolean" else percolate
+        out = fn(df, rules, id_col=args.id_col, text_col=args.text_col)
+        rows = [r.asDict() for r in out.limit(args.limit).collect()]
+        print(json.dumps({"n_matches": out.count(), "matches": rows}, default=str))
         return 0
 
     if args.cmd == "rollup-build":

@@ -429,6 +429,43 @@ class Engine:
             )
         return knn_topk(df, vec_col, query_vec, k, metric, id_col, pre)
 
+    def search(
+        self,
+        name: str,
+        query: str,
+        k: int = 10,
+        mode: str = "bm25",
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> DataFrame:
+        """Full-text entry point, sidecar-aware: BM25 / boolean / phrase
+        over `name`, served from a persisted `.ftidx` when the table
+        carries one (identical results either way — parity pinned)."""
+        from columnar_spark.operators import fulltext as FT
+
+        path = f"{self.sf_dir}/{name}.parquet"
+        df = self.table(name)
+        loaded = FT.load_text_index(self.spark, path)
+        postings = loaded[0] if loaded else None
+        if mode == "bm25":
+            if loaded:
+                return FT.bm25_search_indexed(self.spark, path, query, k=k)
+            return FT.bm25_search(df, query, k=k, id_col=id_col, text_col=text_col)
+        if mode == "boolean":
+            return FT.match_boolean(
+                df, query, id_col=id_col, text_col=text_col, postings=postings
+            ).limit(k)
+        if mode == "phrase":
+            pos = (
+                postings
+                if postings is not None and "positions" in postings.columns
+                else None
+            )
+            return FT.phrase_match(
+                df, query, id_col=id_col, text_col=text_col, postings=pos
+            ).limit(k)
+        raise ValueError(f"unknown search mode {mode!r}")
+
     # ------------------------------------------------------------ explain
 
     def explain(self, df: DataFrame, execute: bool = False) -> AccessPathReport:

@@ -102,3 +102,30 @@ def test_rollup_build_and_topk(spark, tmp_path_factory, capsys):
     assert len(out["rows"]) == 5
     vals = [r["value"] for r in out["rows"]]
     assert vals == sorted(vals, reverse=True)
+
+
+def test_percolate_cli_and_engine_search(spark, tmp_path_factory, capsys):
+    d = tmp_path_factory.mktemp("cli_pc")
+    t = str(d / "docs.parquet")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").write.parquet(t)
+    rules = d / "rules.json"
+    rules.write_text(
+        '[{"id": "r1", "query": "scan vector"}, {"id": "r2", "query": "fox"}]'
+    )
+    assert main(["percolate", t, str(rules), "--limit", "5"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_matches"] >= 1 and len(out["matches"]) <= 5
+
+    rules.write_text('[{"id": "b1", "query": "scan AND NOT vector"}]')
+    assert main(["percolate", t, str(rules), "--mode", "boolean", "--limit", "5"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_matches"] >= 1
+
+    # Engine.search facade, sidecar-aware
+    from columnar_spark.table import Engine
+
+    eng = Engine(spark, str(d))
+    hits = eng.search("docs", "scan vector", k=3).collect()
+    assert len(hits) == 3
+    assert eng.search("docs", "fast scan", mode="phrase", k=5).count() >= 1
+    assert eng.search("docs", "scan AND NOT vector", mode="boolean", k=5).count() == 5
