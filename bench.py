@@ -8,6 +8,15 @@ Query selection: the oracle-checked core (scan/filter/join/agg/window/
 top-k/KNN) plus the scale-path variants of the similarity operators
 (MinHash-LSH, SimHash, IVF) — the exact all-pairs oracles are correctness
 tools, not headline operators, and are excluded by design.
+
+Methodology history (read before comparing BENCH_r* across rounds):
+BENCH_r01 timed `df.count()`, which lets Catalyst prune unreferenced
+projections — projection-heavy queries were timing the row count, not
+the work. From round 2 on, timed runs use a noop-sink write that
+materializes EVERY output column. Apparent r1->r3 "regressions"
+(percentile_stats 0.09->0.27s, count_distinct_stats 0.08->0.24s,
+doc_text_stats 0.18->0.29s) are this measurement fix: r1 numbers were
+optimistic, not later rounds slow. Do not "fix" them.
 """
 
 from __future__ import annotations

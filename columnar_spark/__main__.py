@@ -233,6 +233,7 @@ def main(argv: list[str] | None = None) -> int:
         df = spark.read.parquet(args.table_path)
         loaded = FT.load_text_index(spark, args.table_path)
         postings = loaded[0] if loaded else None
+        analyzer = loaded[2].get("analyzer") if loaded else None
         if args.mode == "bm25":
             if loaded:
                 out = FT.bm25_search_indexed(spark, args.table_path, args.query, k=args.k)
@@ -243,13 +244,14 @@ def main(argv: list[str] | None = None) -> int:
         elif args.mode == "boolean":
             out = FT.match_boolean(
                 df, args.query, id_col=args.id_col, text_col=args.text_col,
-                postings=postings,
-            ).limit(args.k)
+                postings=postings, analyzer=analyzer,
+            ).orderBy("doc_id").limit(args.k)
         else:  # phrase
             pos = postings if postings is not None and "positions" in postings.columns else None
             out = FT.phrase_match(
-                df, args.query, id_col=args.id_col, text_col=args.text_col, postings=pos
-            ).limit(args.k)
+                df, args.query, id_col=args.id_col, text_col=args.text_col,
+                postings=pos, analyzer=analyzer if pos is not None else None,
+            ).orderBy("doc_id").limit(args.k)
         print(json.dumps([r.asDict() for r in out.collect()], default=str))
         return 0
 

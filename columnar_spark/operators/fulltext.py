@@ -342,65 +342,145 @@ def write_text_index(
     lengths = doc_lengths(df, id_col, text_col, analyzer)
     lengths.write.mode("overwrite").parquet(f"{root}/lengths")
     n, total = lengths.agg(F.count(F.lit(1)), F.sum("dl")).first()
-    with open(f"{root}/meta.json", "w") as f:
-        json.dump(
-            {
-                "n_docs": int(n),
-                "total_dl": int(total),
-                "avgdl": total / n,
-                "text_col": text_col,
-                "id_col": id_col,
-                "analyzer": analyzer,
-            },
-            f,
-        )
+    _commit_text_meta(
+        root,
+        {
+            "n_docs": int(n),
+            "total_dl": int(total),
+            "avgdl": total / n,
+            "text_col": text_col,
+            "id_col": id_col,
+            "analyzer": analyzer,
+        },
+    )
 
 
 def load_text_index(spark: SparkSession, table_path: str):
-    """-> (postings, lengths, meta) or None if no sidecar exists."""
+    """-> (postings, lengths, meta) or None if no sidecar exists.
+
+    Postings/lengths are the base segment UNION the COMMITTED delta
+    segments listed in meta['deltas'] — delta dirs not (yet) listed in
+    meta are uncommitted leftovers of a failed append attempt and are
+    invisible (meta.json is the commit point; see append_to_text_index)."""
     root = text_index_path(table_path)
     if not os.path.isdir(f"{root}/postings"):
         return None
-    postings = spark.read.parquet(f"{root}/postings")
-    lengths = spark.read.parquet(f"{root}/lengths")
     with open(f"{root}/meta.json") as f:
         meta = json.load(f)
+    postings = spark.read.parquet(f"{root}/postings")
+    lengths = spark.read.parquet(f"{root}/lengths")
+    for a in meta.get("deltas", []):
+        postings = postings.unionByName(
+            spark.read.parquet(f"{root}/postings_delta/{a}")
+        )
+        lengths = lengths.unionByName(spark.read.parquet(f"{root}/lengths_delta/{a}"))
     return postings, lengths, meta
+
+
+def _commit_text_meta(root: str, meta: dict) -> None:
+    """Atomic meta commit — the rename is the transaction point. A crash
+    before this call leaves the sidecar exactly as it was (staged delta
+    dirs are unreferenced and invisible to load_text_index)."""
+    tmp = f"{root}/meta.json.tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, f"{root}/meta.json")
 
 
 def append_to_text_index(
     spark: SparkSession,
     table_path: str,
     batch_df: DataFrame,
-) -> None:
+    batch_id: int | None = None,
+) -> bool:
     """E9-style incremental maintenance: fold ONE batch of NEW documents
     into the persisted inverted index — O(batch tokens) work, no corpus
-    re-tokenize. Append-only contract (same as the vector and value
-    sidecars): batch doc_ids must be new, so batch postings rows are
-    disjoint from stored ones and a partitioned parquet APPEND is the
-    whole merge. Meta counters are associative (n_docs, total_dl), so
-    batch boundaries are invisible — append_half == one-shot rebuild,
+    re-tokenize. Returns True if the batch was applied, False if it was
+    skipped as already applied.
+
+    Replay-safe by a stage-then-commit protocol (foreachBatch sinks are
+    invoked at-least-once, so a retried batch must not double-index):
+    the batch's postings/lengths land in fresh per-attempt delta dirs
+    (overwrite — never touching the base segment), and only the final
+    atomic meta.json rename makes them visible, recording the attempt
+    in meta['deltas'] and — when `batch_id` is given (the streaming
+    epoch id) — in meta['applied_batches'] so a retry of an
+    already-committed batch is a no-op. A crash mid-append leaves only
+    an unreferenced delta dir, swept by compact_text_index.
+
+    Meta counters are associative (n_docs, total_dl), so batch
+    boundaries are invisible — append_half == one-shot rebuild,
     pytest-pinned."""
+    import uuid
+
     root = text_index_path(table_path)
     with open(f"{root}/meta.json") as f:
         meta = json.load(f)
+    if batch_id is not None and str(batch_id) in meta.get("applied_batches", {}):
+        return False
     id_col, text_col = meta.get("id_col", "doc_id"), meta["text_col"]
     analyzer = meta.get("analyzer")
+    attempt = uuid.uuid4().hex
 
     postings = build_positional_postings(batch_df, id_col, text_col, analyzer).withColumn(
         "tb", F.pmod(F.xxhash64("term"), F.lit(N_TERM_BUCKETS)).cast("int")
     )
-    postings.write.mode("append").partitionBy("tb").parquet(f"{root}/postings")
+    postings.write.mode("overwrite").partitionBy("tb").parquet(
+        f"{root}/postings_delta/{attempt}"
+    )
     lengths = doc_lengths(batch_df, id_col, text_col, analyzer)
-    lengths.write.mode("append").parquet(f"{root}/lengths")
+    lengths.write.mode("overwrite").parquet(f"{root}/lengths_delta/{attempt}")
 
-    n, total = lengths.agg(F.count(F.lit(1)), F.sum("dl")).first()
+    # Count from the WRITTEN delta so the committed counters can never
+    # disagree with the committed rows (batch_df could be re-evaluated
+    # non-identically between the write and a recount).
+    n, total = (
+        spark.read.parquet(f"{root}/lengths_delta/{attempt}")
+        .agg(F.count(F.lit(1)), F.sum("dl"))
+        .first()
+    )
     old_total = int(meta.get("total_dl", round(meta["avgdl"] * meta["n_docs"])))
     meta["n_docs"] += int(n)
-    meta["total_dl"] = old_total + int(total)
-    meta["avgdl"] = meta["total_dl"] / meta["n_docs"]
-    with open(f"{root}/meta.json", "w") as f:
-        json.dump(meta, f)
+    meta["total_dl"] = old_total + int(total or 0)
+    meta["avgdl"] = meta["total_dl"] / meta["n_docs"] if meta["n_docs"] else 0.0
+    meta.setdefault("deltas", []).append(attempt)
+    if batch_id is not None:
+        meta.setdefault("applied_batches", {})[str(batch_id)] = attempt
+    _commit_text_meta(root, meta)
+    return True
+
+
+def compact_text_index(spark: SparkSession, table_path: str, fmt: str = "parquet") -> int:
+    """Fold committed deltas back into a single base segment (a full
+    rebuild from the table, which by the append contract already holds
+    every indexed row) and sweep delta dirs — including unreferenced
+    ones left by crashed append attempts. Returns the number of delta
+    dirs removed. Mirrors the vector sidecar's compaction: appends are
+    O(batch), compaction amortizes the segment count back to 1.
+
+    Single-writer maintenance op (like the reference's segment rebuild):
+    run it with the ingest stream stopped — appends racing a compaction
+    can be lost when the rebuilt meta replaces theirs."""
+    import shutil
+
+    root = text_index_path(table_path)
+    with open(f"{root}/meta.json") as f:
+        meta = json.load(f)
+    write_text_index(
+        spark,
+        table_path,
+        text_col=meta["text_col"],
+        id_col=meta.get("id_col", "doc_id"),
+        fmt=fmt,
+        analyzer=meta.get("analyzer"),
+    )
+    removed = 0
+    for sub in ("postings_delta", "lengths_delta"):
+        d = f"{root}/{sub}"
+        if os.path.isdir(d):
+            removed += len(os.listdir(d)) if sub == "postings_delta" else 0
+            shutil.rmtree(d)
+    return removed
 
 
 def check_text_index(spark: SparkSession, table_path: str, fmt: str = "parquet") -> list[str]:
@@ -618,6 +698,7 @@ def phrase_match(
     id_col: str = "doc_id",
     text_col: str = "text",
     postings: DataFrame | None = None,
+    analyzer: dict | None = None,
 ) -> DataFrame:
     """Documents containing the exact phrase, with occurrence count:
     (doc_id, n_occurrences). Token i of the phrase must appear at
@@ -627,14 +708,25 @@ def phrase_match(
     re-scans per term).
 
     Duplicate-term phrases work: each phrase slot joins the SAME
-    posting row again under a slot alias."""
+    posting row again under a slot alias.
+
+    `analyzer` (the sidecar's meta['analyzer']) maps the phrase into
+    the index's token stream: stopwords drop and terms stem IN ORDER,
+    so adjacency is evaluated in the same analyzed position space the
+    index stores (positions in a stopworded index are post-filter
+    offsets)."""
     import re
 
     words = [t for t in re.split(TOKEN_SPLIT_RE, phrase.lower()) if t]
+    if analyzer:
+        sw = set(analyzer.get("stopwords") or ())
+        words = [t for t in words if t not in sw]
+        if analyzer.get("stem"):
+            words = [stem_s_py(t) for t in words]
     if not words:
         raise ValueError("empty phrase")
     if postings is None:
-        postings = build_positional_postings(df, id_col, text_col)
+        postings = build_positional_postings(df, id_col, text_col, analyzer)
     base = postings.filter(F.col("term").isin(sorted(set(words))))
 
     out = base.filter(F.col("term") == words[0]).select(
@@ -706,18 +798,26 @@ def near_match(
     id_col: str = "doc_id",
     text_col: str = "text",
     postings: DataFrame | None = None,
+    analyzer: dict | None = None,
 ) -> DataFrame:
     """Proximity operator (Manticore NEAR/N): documents where term_a and
     term_b occur within `slop` token positions of each other, with the
     closest observed gap: (doc_id, min_gap). Two posting lists join on
     doc_id; the pairwise position check is a codegen'd nested
-    array-exists, never an explode of positions."""
+    array-exists, never an explode of positions.
+
+    `analyzer` stems the two query terms into the index's term space;
+    a stopword query term is absent from a stopworded index, so the
+    result is correctly empty."""
     if postings is None:
-        postings = build_positional_postings(df, id_col, text_col)
-    a = postings.filter(F.col("term") == term_a.lower()).select(
+        postings = build_positional_postings(df, id_col, text_col, analyzer)
+    ta, tb = term_a.lower(), term_b.lower()
+    if analyzer and analyzer.get("stem"):
+        ta, tb = stem_s_py(ta), stem_s_py(tb)
+    a = postings.filter(F.col("term") == ta).select(
         "doc_id", F.col("positions").alias("pa")
     )
-    b = postings.filter(F.col("term") == term_b.lower()).select(
+    b = postings.filter(F.col("term") == tb).select(
         "doc_id", F.col("positions").alias("pb")
     )
     joined = a.join(b, "doc_id")
@@ -753,7 +853,12 @@ def wildcard_match(
     against the VOCABULARY (term dimension), then matching terms
     semi-join the postings — the corpus is never regex-scanned. A
     leading-literal pattern keeps the term filter sargable (startswith
-    prefix cut applied before the regex)."""
+    prefix cut applied before the regex).
+
+    Term space: the pattern evaluates against the INDEXED vocabulary —
+    for an analyzed (stemmed/stopworded) sidecar that is the analyzed
+    term space, the standard wildcard semantic (a glob cannot be
+    stemmed); stopwords are simply absent from the vocabulary."""
     import re
 
     glob = pattern.lower()
@@ -865,12 +970,25 @@ def _bool_column(node: _BoolNode, terms_col: Column) -> Column:
     return out
 
 
+def _stem_node_terms(node: _BoolNode, analyzer: dict | None) -> None:
+    """Rewrite term nodes into the index's term space (stemming only:
+    a stopword term is simply absent from the index and evaluates
+    False, which composes correctly under NOT)."""
+    if not analyzer or not analyzer.get("stem"):
+        return
+    if node.op == "term":
+        node.term = stem_s_py(node.term)
+    for k in node.kids:
+        _stem_node_terms(k, analyzer)
+
+
 def match_boolean(
     df: DataFrame,
     query: str,
     id_col: str = "doc_id",
     text_col: str = "text",
     postings: DataFrame | None = None,
+    analyzer: dict | None = None,
 ) -> DataFrame:
     """Documents satisfying a boolean term expression: (doc_id).
 
@@ -878,11 +996,18 @@ def match_boolean(
     scan), per-doc matched-term sets aggregate once, and the boolean
     tree evaluates as ONE codegen'd Column over the set — no per-clause
     subquery, no self-joins. Docs matching zero terms flow through the
-    left join with an empty set so NOT-clauses see them."""
+    left join with an empty set so NOT-clauses see them.
+
+    `analyzer` is the persisted sidecar's meta['analyzer']: query terms
+    are stemmed into the index's term space so a stemmed sidecar
+    matches; stopword query terms are not dropped — they are absent
+    from the index, evaluate False, and thus behave correctly under
+    NOT."""
     node = parse_bool_query(query)
+    _stem_node_terms(node, analyzer)
     terms = sorted(_bool_terms(node))
     if postings is None:
-        postings = build_postings(df, id_col, text_col)
+        postings = build_postings(df, id_col, text_col, analyzer)
     matched = (
         postings.filter(F.col("term").isin(terms))
         .groupBy("doc_id")
@@ -1134,7 +1259,11 @@ def keyword_suggest(
     """Autocomplete: vocabulary terms starting with `prefix`, ranked by
     document frequency then total term frequency: (term, df, total_tf).
     One aggregation over prefix-filtered postings — with the persisted
-    sidecar this is an index-only scan (startsWith pushes to parquet)."""
+    sidecar this is an index-only scan (startsWith pushes to parquet).
+
+    Term space: suggestions come from the INDEXED vocabulary — for an
+    analyzed sidecar that is the analyzed term space (the only terms a
+    follow-up search can match), so the prefix is matched verbatim."""
     if postings is None:
         postings = build_postings(df, id_col, text_col)
     return (

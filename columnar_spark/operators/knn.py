@@ -42,6 +42,10 @@ from columnar_spark.functions.vector import (
 
 METRICS = ("l2", "ip", "cosine")
 
+# knn_batch_topk broadcasts the query set; above this it must be chunked
+# (the broadcast and the n x q distance fan-out both scale with q).
+BATCH_QUERY_MAX_ROWS = 10_000
+
 
 def distance_expr(vec_col: Column, query_vec: Sequence[float], metric: str) -> Column:
     q = vec_lit(query_vec)
@@ -345,6 +349,19 @@ def knn_batch_topk(
     host merge."""
     from pyspark.sql import Window
 
+    # "Query set small by contract" gets a hard guard, not a docstring:
+    # a million-row query set would broadcast-explode n x q with no
+    # backpressure (house pattern: dedup._guard_quadratic). Callers with
+    # more queries chunk the query set and union the results.
+    nq = queries.count()
+    if nq > BATCH_QUERY_MAX_ROWS:
+        raise ValueError(
+            f"knn_batch_topk broadcasts the query set and computes n x q "
+            f"distances; it refuses query sets over {BATCH_QUERY_MAX_ROWS} "
+            f"rows (got {nq}). Chunk the query set and union the per-chunk "
+            "top-k results, or join against a persisted IVF index instead."
+        )
+
     metric_fn = {
         "cosine": cosine_dist,
         "l2": l2_sq,
@@ -409,6 +426,13 @@ def knn_batch_topk_ivf(
     def _l2(a, b):
         return sum((x - y) ** 2 for x, y in zip(a, b))
 
+    nq = queries.count()
+    if nq > BATCH_QUERY_MAX_ROWS:
+        raise ValueError(
+            f"knn_batch_topk_ivf collects and broadcasts the query set; it "
+            f"refuses query sets over {BATCH_QUERY_MAX_ROWS} rows (got {nq}). "
+            "Chunk the query set and union the per-chunk results."
+        )
     qrows = queries.select(q_id_col, q_vec_col).collect()
     probes = []
     for r in qrows:

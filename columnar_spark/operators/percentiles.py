@@ -209,8 +209,14 @@ def percentile_cont_bracket(
         base = F.col(f"__below_{i}") - F.when(prev.isNotNull(), 1).otherwise(0)
         idx_lo = (F.floor(pos).cast("long") - base + 1).cast("int")
         idx_hi = (F.ceil(pos).cast("long") - base + 1).cast("int")
-        v_lo = F.element_at(vals, idx_lo)
-        v_hi = F.element_at(vals, idx_hi)
+        # Fail loudly, not plausibly: if the bracket assumption is ever
+        # violated past the ±1 guard, a non-positive index would make
+        # element_at read from the array END (negative indexing) and
+        # return a plausible-but-wrong percentile. Surface NULL instead.
+        in_bounds_lo = (idx_lo >= 1) & (idx_lo <= F.size(vals))
+        in_bounds_hi = (idx_hi >= 1) & (idx_hi <= F.size(vals))
+        v_lo = F.when(in_bounds_lo, F.element_at(vals, idx_lo))
+        v_hi = F.when(in_bounds_hi, F.element_at(vals, idx_hi))
         outs.append(
             F.when(f_ == 0.0, v_lo)
             .otherwise((F.lit(1.0) - f_) * v_lo + f_ * v_hi)
@@ -351,7 +357,7 @@ def percentiles_auto(
         # sketch-bracketed exact path: two scans, no sort, no
         # value-counts shuffle (measured 0.7s -> ~0.3s on the 583k-ndv
         # price column at sf0.1 vs the value-counts cumsum form, which
-        # remains available as stats.exact_percentiles).
+        # survives only as the tests' differential oracle).
         part = percentile_cont_bracket(
             df, col, [q for q, _ in spec[col]], [n for _, n in spec[col]]
         )

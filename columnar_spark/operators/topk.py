@@ -112,8 +112,8 @@ def topk_pruned(
 
     df1 = spark.read.parquet(*sorted(chosen))
     rows = df1.orderBy(*order).limit(k).collect()
-    if len(rows) >= k:
-        kth = rows[k - 1][order_col]
+    kth = rows[k - 1][order_col] if len(rows) >= k else None
+    if kth is not None:
         # >= / <= (not strict): a file whose bound TIES the k-th value
         # can still hold rows that win on the tiebreak column
         extra = [
@@ -122,7 +122,12 @@ def topk_pruned(
             if s[0] not in chosen
             and (s[2] >= kth if descending else s[1] <= kth)
         ]
-    else:  # fewer rows than k in phase 1 — read everything else too
+    else:
+        # Fewer than k rows in phase 1, or the k-th observed value is
+        # NULL (footer row counts include NULL rows, which sort last
+        # under Spark's default ordering, so a nullable order column can
+        # leave position k-1 NULL): the bound is unknown — read every
+        # remaining file rather than compare against None.
         extra = [s[0] for s in stats if s[0] not in chosen]
     if extra:
         chosen |= set(extra)

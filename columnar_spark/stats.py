@@ -249,60 +249,6 @@ def count_distinct_from_index(index_df: DataFrame) -> int:
     return index_df.count()
 
 
-# ------------------------------------------------ index-based percentiles
-
-def exact_percentiles(df: DataFrame, col: str, probs: list[float]) -> DataFrame:
-    """Exact interpolated percentiles from the value->count index —
-    bit-identical to Spark's `percentile` aggregate (and DuckDB
-    quantile_cont), verified in tests.
-
-    Scale posture vs the builtin: `percentile` ships EVERY raw value
-    into one final aggregation buffer; this path shuffles only
-    (value, count) pairs (distributed groupBy) and runs one cumulative
-    window over ndv rows. For low/medium-cardinality columns ndv is
-    index-sized; even at 97% distinct it measures faster locally. The
-    single-partition cumsum over ndv rows is the remaining ceiling —
-    same ceiling the builtin's merge buffer has, with n >= ndv.
-
-    Returns one row with columns p0..p{len(probs)-1}."""
-    vc = (
-        df.filter(F.col(col).isNotNull())
-        .groupBy(F.col(col).alias("v"))
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    from pyspark.sql import Window
-
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    cum = vc.withColumn("cum", F.sum("c").over(w))
-    tot = vc.agg(F.sum("c").alias("n"))
-    j = cum.crossJoin(F.broadcast(tot))
-    aggs = []
-    for i, p in enumerate(probs):
-        pos = (F.col("n") - 1).cast("double") * F.lit(float(p))
-        k = F.floor(pos)
-        # value at 0-based sorted position k = smallest v with cum > k
-        aggs.append(F.min(F.when(F.col("cum") > k, F.col("v"))).alias(f"lo{i}"))
-        aggs.append(F.min(F.when(F.col("cum") > k + 1, F.col("v"))).alias(f"hi{i}"))
-    aggs.append(F.max("n").alias("n"))
-    g = j.agg(*aggs)
-    outs = []
-    for i, p in enumerate(probs):
-        pos = (F.col("n") - 1).cast("double") * F.lit(float(p))
-        lo_idx = F.floor(pos).cast("double")
-        hi_idx = F.ceil(pos).cast("double")
-        lo = F.col(f"lo{i}").cast("double")
-        hi = F.coalesce(F.col(f"hi{i}"), F.col(f"lo{i}")).cast("double")
-        # Spark Percentile's exact interpolation form (two-sided weights,
-        # NOT lo + frac*(hi-lo) — they differ in the last ulp):
-        #   (higher - pos) * lo + (pos - lower) * hi, lower==higher -> lo
-        outs.append(
-            F.when(hi_idx == lo_idx, lo)
-            .otherwise((hi_idx - pos) * lo + (pos - lo_idx) * hi)
-            .alias(f"p{i}")
-        )
-    return g.select(*outs)
-
-
 # --------------------------------------------------------- posting lists
 
 def build_posting_index(df: DataFrame, col: str, id_col: str) -> DataFrame:

@@ -29,7 +29,12 @@ from columnar_spark.stats import (
 from columnar_spark.writer import WriteSpec, normalize, stats_path
 
 
-def append_batch(batch_df: DataFrame, dst_path: str, spec: WriteSpec | None = None) -> None:
+def append_batch(
+    batch_df: DataFrame,
+    dst_path: str,
+    spec: WriteSpec | None = None,
+    batch_id: int | None = None,
+) -> None:
     """Append one batch to a table with full sidecar maintenance: the
     normalized rows land in the table, the stats sketch/manifest merge
     in the batch's contribution (O(batch), mergeable HLL + associative
@@ -103,9 +108,12 @@ def append_batch(batch_df: DataFrame, dst_path: str, spec: WriteSpec | None = No
         load_text_index,
     )
 
+    # batch_id (the streaming epoch id) makes the merge replay-safe:
+    # foreachBatch sinks run at-least-once, and a retried batch must
+    # not double-index (stage-then-commit inside append_to_text_index).
     loaded = load_text_index(ss, dst_path)
     if loaded is not None and loaded[2]["text_col"] in out.columns:
-        append_to_text_index(ss, dst_path, out)
+        append_to_text_index(ss, dst_path, out, batch_id=batch_id)
 
 
 def stream_ingest(
@@ -126,7 +134,7 @@ def stream_ingest(
     stream = spark.readStream.schema(schema).parquet(src_dir)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        append_batch(batch_df, dst_path, spec)
+        append_batch(batch_df, dst_path, spec, batch_id=batch_id)
 
     writer = stream.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir

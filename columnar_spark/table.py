@@ -447,23 +447,39 @@ class Engine:
         df = self.table(name)
         loaded = FT.load_text_index(self.spark, path)
         postings = loaded[0] if loaded else None
+        # the sidecar's analyzer maps query terms into the index's term
+        # space (a stemmed index would otherwise silently return empty)
+        analyzer = loaded[2].get("analyzer") if loaded else None
         if mode == "bm25":
             if loaded:
                 return FT.bm25_search_indexed(self.spark, path, query, k=k)
             return FT.bm25_search(df, query, k=k, id_col=id_col, text_col=text_col)
+        # deterministic cutoff: boolean/phrase matches carry no score, so
+        # order by doc_id before limiting (an unordered .limit(k) is
+        # partition-dependent and can change run to run)
         if mode == "boolean":
-            return FT.match_boolean(
-                df, query, id_col=id_col, text_col=text_col, postings=postings
-            ).limit(k)
+            return (
+                FT.match_boolean(
+                    df, query, id_col=id_col, text_col=text_col,
+                    postings=postings, analyzer=analyzer,
+                )
+                .orderBy("doc_id")
+                .limit(k)
+            )
         if mode == "phrase":
             pos = (
                 postings
                 if postings is not None and "positions" in postings.columns
                 else None
             )
-            return FT.phrase_match(
-                df, query, id_col=id_col, text_col=text_col, postings=pos
-            ).limit(k)
+            return (
+                FT.phrase_match(
+                    df, query, id_col=id_col, text_col=text_col,
+                    postings=pos, analyzer=analyzer if pos is not None else None,
+                )
+                .orderBy("doc_id")
+                .limit(k)
+            )
         raise ValueError(f"unknown search mode {mode!r}")
 
     # ------------------------------------------------------------ explain

