@@ -1165,6 +1165,32 @@ def value_index_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_value_index(_t(spark, sf_dir, "lineitem"), "l_linenumber")
 
 
+_JSON_FIELD_SQL = """
+SELECT json_extract_string(props, '$.k') AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM events
+WHERE json_extract_string(props, '$.k') IS NOT NULL
+GROUP BY 1
+"""
+
+
+@_q("json_field_counts", _JSON_FIELD_SQL)
+def json_field_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON per-field secondary index (reference secondary.cpp:426-433
+    flattens JSON attributes into per-field SIs): the GROUP BY over
+    get_json_object(props, '$.k') is answered from the field's value
+    index through Engine.sql — the events base scan is absent from the
+    plan (pinned in tests/test_json_field_index.py)."""
+    from columnar_spark.table import Engine
+
+    eng = Engine(spark, sf_dir)
+    eng.register_views(["events"])
+    eng.build_json_field_index("events", "props", "$.k")
+    return eng.sql(
+        "SELECT get_json_object(props, '$.k') AS k, COUNT(*) AS cnt "
+        "FROM events WHERE get_json_object(props, '$.k') IS NOT NULL GROUP BY 1"
+    )
+
+
 _QUALITY_FILTER_SQL = """
 WITH base AS (
   SELECT doc_id, text,
@@ -1277,6 +1303,62 @@ def knn_b1_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = [float(v) for v in emb.filter(F.col("vec_id") == _KNN_QID).first()["embedding"]]
     b1 = binarize_vectors(emb, "embedding", dim)
     out = knn_topk_b1(
+        b1, "embedding_b1", qvec, _KNN_K, id_col="vec_id", vec_col="embedding",
+        rerank_factor=16,
+    )
+    return out.select("vec_id", "label", (F.round(F.col("dist"), 6) + F.lit(0.0)).alias("dist"))
+
+
+_B1Q4_SQL = """
+WITH b AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+q AS (
+  SELECT emb AS qemb, sqrt(list_dot_product(emb, emb)) AS qn,
+         list_min(emb) AS qmin,
+         15.0 / (list_max(emb) - list_min(emb)) AS scale
+  FROM b WHERE vec_id = 7
+),
+scored AS (
+  SELECT b.vec_id, b.label, b.emb, q.qemb, q.qn,
+         2.0 / q.scale * list_sum(list_transform(range(0, 64), i ->
+           CASE WHEN b.emb[i+1] > 0 THEN
+             least(greatest(CAST(floor((q.qemb[i+1] - q.qmin) * q.scale + 0.5) AS INT), 0), 15)
+           ELSE 0 END))
+         + 2.0 * q.qmin * list_sum(list_transform(b.emb, x -> CASE WHEN x > 0 THEN 1 ELSE 0 END))
+         AS score
+  FROM b, q
+),
+cand AS (
+  SELECT * FROM scored ORDER BY score DESC, vec_id ASC LIMIT 160
+)
+SELECT vec_id, label,
+       round(1.0 - list_dot_product(emb, qemb)/(sqrt(list_dot_product(emb,emb))*qn), 6) + 0.0 AS dist
+FROM cand
+ORDER BY 1.0 - list_dot_product(emb, qemb)/(sqrt(list_dot_product(emb,emb))*qn) ASC, vec_id ASC
+LIMIT 10
+"""
+
+
+@_q("knn_b1q4_cosine", _B1Q4_SQL)
+def knn_b1q4_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric BIT1 (reference knn/quantizer.cpp:222-641): 1-bit data,
+    4-bit query as transposed bit planes, ranked by the estimated inner
+    product (plane-AND-popcount with the popcount correction), exact
+    cosine re-rank. Same 32x storage as knn_b1_cosine with measurably
+    higher pre-rerank recall (0.47 vs 0.30 @10 at sf0.01, gated in
+    tests/test_quantize_asym.py).
+
+    Oracle-bearing: the 4-bit query quantization is deterministic
+    (half-up rounding), so DuckDB replicates the candidate ranking and
+    the re-ranked result hash-matches end to end."""
+    from columnar_spark.operators.quantize import binarize_vectors, knn_topk_b1q4
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    qvec = [float(v) for v in emb.filter(F.col("vec_id") == _KNN_QID).first()["embedding"]]
+    b1 = binarize_vectors(emb, "embedding", dim)
+    out = knn_topk_b1q4(
         b1, "embedding_b1", qvec, _KNN_K, id_col="vec_id", vec_col="embedding",
         rerank_factor=16,
     )
@@ -4475,7 +4557,7 @@ _DRIVER_PRIORITY = [
     # filter surface + secondary index + stats
     "filter_surface_counts", "mva_filter_counts", "filter_in_large_list",
     "count_filtered_conjunct", "count_distinct_stats", "stats_minmax_manifest",
-    "value_index_counts", "posting_index_lookup",
+    "value_index_counts", "posting_index_lookup", "json_field_counts",
     # window functions
     "group_topk_window", "window_running_sum", "window_moving_avg_range",
     "window_rank_family", "window_lead_lag", "global_rank_orders",
@@ -4494,8 +4576,11 @@ _DRIVER_PRIORITY = [
     "dedup_exact_survivors", "training_pipeline_docs",
     # exact KNN + embed pipeline + quantized ladder (l2/ip variants and
     # q9 post-50, locally verified)
-    "knn_cosine_topk", "embed_then_knn", "knn_b1_cosine",
+    "knn_cosine_topk", "embed_then_knn",
     # ---- slot 50+: no-oracle flagships (rows-only check), then the rest
+    # (knn_b1_cosine moved post-50 in r4 to admit json_field_counts; it
+    # stays hash-verified in the local 133-run)
+    "knn_b1_cosine",
     "knn_ivf_cosine", "minhash_dedup_assign", "simhash_dedup_assign",
     "embedding_neardup_lsh", "q9_nation_profit", "knn_q8_cosine", "knn_pq_l2",
     "knn_ivfpq_cosine", "histogram_quantity", "knn_self_join_ivf",

@@ -198,6 +198,118 @@ def knn_topk_b1(
     return knn_topk(cand, vec_col, query_vec, k, metric=metric, id_col=id_col).drop("__ham")
 
 
+# ------------------------------------------- asymmetric BIT1 x 4-bit query
+#
+# Reference BinaryQuantizer_c keeps the DATA at 1 bit but quantizes the
+# QUERY to 4-bit precision stored as transposed bit planes
+# (quantizer.cpp:222-641): the inner product against the sign bits is
+# evaluated plane-by-plane as popcount(plane_p AND data_word) summed with
+# weight 2^p — same storage as symmetric hamming, strictly more query
+# information, higher pre-rerank recall.
+#
+# Math: with q4[d] = round((q[d] - qmin) * s), s = 15 / (qmax - qmin),
+#   sum_{d set} q[d]  ~=  (1/s) * sum_p 2^p popcount(plane_p & bits)
+#                          + qmin * popcount(bits)
+# and the estimated IP against the +-1 sign pattern is
+#   2 * sum_{d set} q[d] - sum_d q[d]   (last term constant per query),
+# so documents rank by   (2/s) * asym + 2*qmin*popcount(bits)   descending.
+# The popcount correction matters: without it, documents with more set
+# bits are over/under-scored whenever qmin != 0.
+
+
+def query_bit_planes(
+    query_vec: Sequence[float], centroid: Sequence[float] | None = None
+) -> tuple[list[list[int]], float, float]:
+    """Driver-side 4-bit transposed query quantization: returns
+    (planes[4][n_words], scale, qmin). Component d of the (centered)
+    query maps to q4 in [0, 15]; bit p of q4 lands in plane p at the
+    same (word, bit) position the data's sign bit occupies."""
+    q = [
+        float(v) - (float(centroid[i]) if centroid is not None else 0.0)
+        for i, v in enumerate(query_vec)
+    ]
+    qmin, qmax = min(q), max(q)
+    scale = 15.0 / (qmax - qmin) if qmax > qmin else 1.0
+    n_words = (len(q) + 63) // 64
+    planes = [[0] * n_words for _ in range(4)]
+    import math
+
+    for d, v in enumerate(q):
+        # half-up (floor(x + 0.5)), NOT python's banker's rounding: the
+        # engine-portable form a SQL oracle can replicate exactly
+        q4 = int(math.floor((v - qmin) * scale + 0.5))
+        q4 = 0 if q4 < 0 else (15 if q4 > 15 else q4)
+        w, b = divmod(d, 64)
+        for p in range(4):
+            if (q4 >> p) & 1:
+                planes[p][w] |= 1 << b
+    # signed-long canon (matches binarize_py's word values)
+    for p in range(4):
+        planes[p] = [w - (1 << 64) if w >= 1 << 63 else w for w in planes[p]]
+    return planes, scale, qmin
+
+
+def asym_score_expr(
+    b1_col: Column, planes: list[list[int]], scale: float, qmin: float
+) -> Column:
+    """Estimated inner product of the 4-bit query against the sign-bit
+    pattern, as a pure JVM expression: 4 plane-AND-popcount folds plus
+    the popcount correction. Higher = closer (descending rank)."""
+    asym = F.lit(0)
+    for p, plane in enumerate(planes):
+        plit = F.array(*[F.lit(w).cast("long") for w in plane])
+        s = F.aggregate(
+            F.zip_with(b1_col, plit, lambda x, y: F.bit_count(x.bitwiseAND(y))),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        asym = asym + F.lit(1 << p) * s
+    pc = F.aggregate(
+        F.transform(b1_col, lambda x: F.bit_count(x)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        F.lit(2.0 / scale) * asym.cast("double")
+        + F.lit(2.0 * qmin) * pc.cast("double")
+    )
+
+
+def knn_topk_b1q4(
+    df: DataFrame,
+    b1_col: str,
+    query_vec: Sequence[float],
+    k: int,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str | None = None,
+    rerank_factor: int = 4,
+    centroid: Sequence[float] | None = None,
+) -> DataFrame:
+    """Asymmetric BIT1 top-k: 1-bit data, 4-bit query (reference
+    quantizer.cpp:222-641). Same storage and plan shape as knn_topk_b1;
+    candidates rank by the asymmetric estimated IP instead of symmetric
+    hamming, then exact re-rank on the float vectors when `vec_col` is
+    given. Recall gain over symmetric at equal storage is pinned in
+    tests/test_quantize_asym.py."""
+    planes, scale, qmin = query_bit_planes(query_vec, centroid)
+    scored = df.withColumn(
+        "__asym", asym_score_expr(F.col(b1_col), planes, scale, qmin)
+    )
+    if vec_col is None:
+        return (
+            scored.orderBy(F.col("__asym").desc(), F.col(id_col).asc())
+            .limit(k)
+            .withColumnRenamed("__asym", "score")
+        )
+    cand = scored.orderBy(F.col("__asym").desc(), F.col(id_col).asc()).limit(
+        k * rerank_factor
+    )
+    return knn_topk(cand, vec_col, query_vec, k, metric=metric, id_col=id_col).drop(
+        "__asym"
+    )
+
+
 def knn_topk_q8(
     df: DataFrame,
     qvec_col: str,

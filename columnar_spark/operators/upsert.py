@@ -89,6 +89,8 @@ def merge_into(
     # table (the merge itself was already O(table), so this adds one
     # aggregate pass per indexed column, not a new complexity class).
     from columnar_spark.stats import (
+        invalidate_json_field_indexes,
+        json_index_meta,
         persisted_posting_index_cols,
         persisted_value_index_cols,
         posting_index_id_col,
@@ -96,7 +98,14 @@ def merge_into(
         write_value_index,
     )
 
+    # JSON field indexes are INVALIDATED, not rebuilt: a MERGE rewrites
+    # the parent JSON column, and the reference disables per-field
+    # indexes on JSON update the same way (secondary.cpp:426-433) —
+    # re-enable explicitly with stats.write_json_field_index.
+    invalidate_json_field_indexes(path)
     for c in persisted_value_index_cols(path):
+        if json_index_meta(path, c) is not None:
+            continue  # already swept above (defensive)
         write_value_index(spark, path, c, fmt)
     for c in persisted_posting_index_cols(path):
         idc = posting_index_id_col(path, c)

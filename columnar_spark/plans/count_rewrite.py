@@ -45,6 +45,27 @@ _COUNT_RE = re.compile(
 )
 
 _LIT = r"(?:'(?:[^']*)'|-?\d+(?:\.\d+)?)"
+
+# JSON per-field predicates: `get_json_object(col, '$.path')` wherever a
+# column name is accepted. Normalized textually into the virtual-column
+# naming convention (stats.json_virtual_name) BEFORE the grammar runs, so
+# every parse path below covers JSON fields for free — the per-field
+# value-index sidecar is keyed by the same virtual name.
+_JSON_EXPR_RE = re.compile(
+    r"GET_JSON_OBJECT\s*\(\s*(\w+)\s*,\s*'(\$[^']*)'\s*\)", re.IGNORECASE
+)
+
+
+def normalize_json_exprs(sql: str) -> str:
+    from columnar_spark.stats import json_virtual_name
+
+    def sub(m):
+        try:
+            return json_virtual_name(m.group(1), m.group(2))
+        except ValueError:
+            return m.group(0)  # unparseable path: leave for Spark
+
+    return _JSON_EXPR_RE.sub(sub, sql)
 _TERM_RES = {
     "cmp": re.compile(
         rf"^(?P<col>\w+)\s*(?P<op><=|>=|<>|!=|=|<|>)\s*(?P<lit>{_LIT})$", re.IGNORECASE
@@ -244,8 +265,9 @@ def stats_agg_df(
 # ------------------------------------ index-covered GROUP BY / DISTINCT
 
 _GROUP_COUNT_RE = re.compile(
-    r"^\s*SELECT\s+(?P<col>\w+)\s*,\s*COUNT\s*\(\s*\*\s*\)(?:\s+AS\s+(?P<alias>\w+))?\s+"
-    r"FROM\s+(?P<table>\w+)\s+(?:WHERE\s+(?P<pred>.+?)\s+)?GROUP\s+BY\s+(?P<gcol>\w+)\s*;?\s*$",
+    r"^\s*SELECT\s+(?P<col>\w+)(?:\s+AS\s+(?P<calias>\w+))?\s*,\s*"
+    r"COUNT\s*\(\s*\*\s*\)(?:\s+AS\s+(?P<alias>\w+))?\s+"
+    r"FROM\s+(?P<table>\w+)\s+(?:WHERE\s+(?P<pred>.+?)\s+)?GROUP\s+BY\s+(?P<gcol>\w+|1)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _DISTINCT_COUNT_RE = re.compile(
@@ -261,14 +283,23 @@ class GroupCountRewrite:
     column: str
     filters: list[Filter]
     alias: str
+    out_name: str  # SELECT-list alias for the group column
 
 
 def parse_group_count(sql: str) -> GroupCountRewrite | None:
-    """`SELECT col, COUNT(*) FROM t [WHERE <conjuncts on col>] GROUP BY
-    col` — the value index IS this result (reference E6: the index
-    stores (value, count) pairs; the whole aggregation is a lookup)."""
+    """`SELECT col [AS name], COUNT(*) FROM t [WHERE <conjuncts on col>]
+    GROUP BY col|1` — the value index IS this result (reference E6: the
+    index stores (value, count) pairs; the whole aggregation is a
+    lookup). `col` may be a JSON virtual name after
+    normalize_json_exprs."""
     m = _GROUP_COUNT_RE.match(sql)
-    if not m or m.group("col").lower() != m.group("gcol").lower():
+    if not m:
+        return None
+    gcol = m.group("gcol").lower()
+    aliases = {m.group("col").lower(), "1"}
+    if m.group("calias"):
+        aliases.add(m.group("calias").lower())
+    if gcol not in aliases:
         return None
     filters: list[Filter] = []
     if m.group("pred"):
@@ -285,11 +316,16 @@ def parse_group_count(sql: str) -> GroupCountRewrite | None:
         column=m.group("col"),
         filters=filters,
         alias=m.group("alias") or "count(1)",
+        out_name=m.group("calias") or m.group("col"),
     )
 
 
 def group_count_df(
-    index_df: DataFrame, column: str, filters: list[Filter], alias: str
+    index_df: DataFrame,
+    column: str,
+    filters: list[Filter],
+    alias: str,
+    out_name: str | None = None,
 ) -> DataFrame:
     """GROUP BY col + COUNT(*) straight off the (value, cnt) index.
     SQL GROUP BY keeps the NULL group only if NULL rows exist; the index
@@ -301,7 +337,10 @@ def group_count_df(
         c = compile_filter(f, renamed.select(column).schema)
         pred = c if pred is None else (pred & c)
     out = renamed if pred is None else renamed.filter(pred)
-    return out.select(F.col(column), F.col("cnt").cast("long").alias(alias))
+    return out.select(
+        F.col(column).alias(out_name or column),
+        F.col("cnt").cast("long").alias(alias),
+    )
 
 
 def parse_distinct_count(sql: str):

@@ -48,6 +48,14 @@ _RUNTIME_CONFS = {
 }
 
 
+def ext_jar_path() -> str | None:
+    """Path of the committed Catalyst extension jar (the index-covered
+    COUNT rewrite for PLAIN spark.sql — columnar_spark/jvm/), or None.
+    Rebuild with tools/build_jvm_ext.sh."""
+    p = os.path.join(os.path.dirname(os.path.abspath(__file__)), "jvm", "columnar-spark-ext.jar")
+    return p if os.path.exists(p) else None
+
+
 def get_spark(app_name: str = "columnar-spark", cpus: str | int | None = None) -> SparkSession:
     """Build (or reuse) a SparkSession tuned for the engine.
 
@@ -66,6 +74,18 @@ def get_spark(app_name: str = "columnar-spark", cpus: str | int | None = None) -
         builder = builder.master(f"local[{cpus}]")
     for k, v in _BUILD_CONFS.items():
         builder = builder.config(k, v)
+    # Catalyst extension (reference CalcCount is host-wired
+    # unconditionally, secondary.cpp:531-551): the JVM rule makes the
+    # index-covered COUNT rewrite reach PLAIN spark.sql, not only the
+    # Engine.sql facade. Session-creation-time only — an already-running
+    # session (getOrCreate reuse) keeps whatever it was built with.
+    jar = ext_jar_path()
+    if jar:
+        builder = (
+            builder.config("spark.jars", jar)
+            .config("spark.driver.extraClassPath", jar)
+            .config("spark.sql.extensions", "ColumnarSparkExtensions")
+        )
     spark = builder.getOrCreate()
     tune(spark)
     return spark

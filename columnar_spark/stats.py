@@ -417,6 +417,13 @@ def merge_value_index(spark: SparkSession, table_path: str, col: str, batch_df: 
     existing = load_value_index(spark, table_path, col)
     if existing is None:
         return
+    # JSON field index: the batch carries the PARENT column; compute the
+    # virtual field column before counting (parent linkage from _meta).
+    jmeta = json_index_meta(table_path, col)
+    if jmeta is not None and col not in batch_df.columns:
+        batch_df = batch_df.withColumn(
+            col, json_field_expr(jmeta["parent"], jmeta["json_path"])
+        )
     delta = build_value_index(batch_df, col)
     merged = (
         existing.unionByName(delta)
@@ -426,6 +433,93 @@ def merge_value_index(spark: SparkSession, table_path: str, col: str, batch_df: 
     rows = merged.collect()  # value indexes are small by contract
     out = spark.createDataFrame(rows, merged.schema)
     out.write.mode("overwrite").parquet(value_index_path(table_path, col))
+    if jmeta is not None:  # the overwrite clears the dir — restore linkage
+        import json
+        import os
+
+        with open(os.path.join(value_index_path(table_path, col), "_meta.json"), "w") as f:
+            json.dump(jmeta, f)
+
+
+# ------------------------------------------- JSON per-field indexes (A11
+# over semi-structured data). The reference flattens JSON attributes into
+# per-field secondary indexes with parent linkage and invalidates them
+# when the parent JSON column updates (secondary/secondary.cpp:426-433,
+# secondary/blockreader.h:96). Spark-first form: the field is a VIRTUAL
+# column `get_json_object(parent, path)` named by a fixed convention; its
+# value index is an ordinary .vidx sidecar whose _meta.json records the
+# parent linkage, so appends maintain it from the parent column and a
+# parent-rewriting MERGE invalidates it (the reference's disable-on-update
+# semantic).
+
+def json_virtual_name(parent: str, json_path: str) -> str:
+    """('props', '$.kind') -> 'props__j_kind' — the virtual-column naming
+    convention for per-field JSON indexes (sibling of the '<col>__hash'
+    companion convention)."""
+    import re
+
+    frag = re.sub(r"[^A-Za-z0-9]+", "_", json_path.lstrip("$").strip(".")).strip("_")
+    if not frag:
+        raise ValueError(f"empty JSON path {json_path!r}")
+    return f"{parent}__j_{frag}"
+
+
+def json_field_expr(parent: str, json_path: str):
+    return F.get_json_object(F.col(parent), json_path)
+
+
+def write_json_field_index(
+    spark: SparkSession, table_path: str, parent: str, json_path: str, fmt: str = "parquet"
+) -> str:
+    """Build + persist the (value, cnt) index for one JSON field; returns
+    the virtual column name the index is keyed by. E6/E7 rewrites then
+    cover predicates on `get_json_object(parent, path)` exactly like
+    plain-column predicates."""
+    import json
+    import os
+
+    vname = json_virtual_name(parent, json_path)
+    df = getattr(spark.read, fmt)(table_path).withColumn(
+        vname, json_field_expr(parent, json_path)
+    )
+    p = value_index_path(table_path, vname)
+    build_value_index(df, vname).write.mode("overwrite").parquet(p)
+    with open(os.path.join(p, "_meta.json"), "w") as f:
+        json.dump({"parent": parent, "json_path": json_path}, f)
+    return vname
+
+
+def json_index_meta(table_path: str, col: str) -> dict | None:
+    """Parent linkage of a persisted value index, or None for a plain
+    column index."""
+    import json
+    import os
+
+    mp = os.path.join(value_index_path(table_path, col), "_meta.json")
+    if not os.path.exists(mp):
+        return None
+    with open(mp) as f:
+        meta = json.load(f)
+    return meta if "parent" in meta else None
+
+
+def invalidate_json_field_indexes(table_path: str, parent: str | None = None) -> list[str]:
+    """Drop JSON field indexes (all, or those linked to `parent`) — the
+    reference's update invalidation: a rewrite of the parent JSON column
+    may change any field value, and unlike appends there is no O(batch)
+    patch, so the index is disabled until explicitly rebuilt
+    (write_json_field_index)."""
+    import shutil
+
+    removed = []
+    for c in persisted_value_index_cols(table_path):
+        meta = json_index_meta(table_path, c)
+        if meta is None:
+            continue
+        if parent is None or meta["parent"] == parent:
+            shutil.rmtree(value_index_path(table_path, c))
+            removed.append(c)
+    return removed
 
 
 def posting_index_path(table_path: str, col: str) -> str:

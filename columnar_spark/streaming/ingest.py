@@ -86,6 +86,7 @@ def append_batch(
     # Persisted value-index sidecars (A11 artifact): fold the batch's
     # value counts in — O(index + batch-ndv), same merge contract.
     from columnar_spark.stats import (
+        json_index_meta,
         merge_posting_index,
         merge_value_index,
         persisted_posting_index_cols,
@@ -94,7 +95,10 @@ def append_batch(
     )
 
     for c in persisted_value_index_cols(dst_path):
-        if c in out.columns:
+        jmeta = json_index_meta(dst_path, c)
+        if c in out.columns or (jmeta is not None and jmeta["parent"] in out.columns):
+            # JSON field indexes merge from the parent column (the
+            # virtual field is computed inside merge_value_index)
             merge_value_index(ss, dst_path, c, out)
     for c in persisted_posting_index_cols(dst_path):
         idc = posting_index_id_col(dst_path, c)

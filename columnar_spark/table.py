@@ -91,6 +91,28 @@ class Engine:
             idx = idx.cache()
         self._value_indexes[(name, col)] = idx
 
+    def build_json_field_index(
+        self, name: str, parent: str, json_path: str, max_local_rows: int = 100_000
+    ) -> str:
+        """In-session per-field JSON index (reference secondary.cpp:426-433
+        flattens JSON attributes into per-field SIs): the value index is
+        built over the virtual column `get_json_object(parent, path)` and
+        registered under the stats.json_virtual_name convention, so
+        Engine.sql COUNT/GROUP BY on that expression is answered from the
+        index alone. For the persisted form see
+        stats.write_json_field_index."""
+        from columnar_spark.stats import json_field_expr, json_virtual_name
+
+        vname = json_virtual_name(parent, json_path)
+        df = self.table(name).withColumn(vname, json_field_expr(parent, json_path))
+        idx = build_value_index(df, vname)
+        if idx.count() <= max_local_rows:
+            idx = self.spark.createDataFrame(idx.collect(), idx.schema)
+        else:
+            idx = idx.cache()
+        self._value_indexes[(name, vname)] = idx
+        return vname
+
     def load_persisted_value_indexes(self, name: str) -> list[str]:
         """Adopt every on-disk value-index sidecar for `name` (written by
         stats.write_value_index at ingest, maintained incrementally on
@@ -228,7 +250,17 @@ class Engine:
                 rows, "column: string, min: string, max: string, ndv: long, null_count: long, row_count: long"
             )
 
-        rw = parse_covered_count(query)
+        # JSON per-field predicates (`get_json_object(col, '$.path')`)
+        # normalize into the virtual-column convention the per-field
+        # .vidx sidecars are keyed by — every rewrite below then covers
+        # JSON fields for free (reference secondary.cpp:426-433 flattens
+        # JSON attributes into per-field SIs the same way). The ORIGINAL
+        # query is what falls through to spark.sql.
+        from columnar_spark.plans.count_rewrite import normalize_json_exprs
+
+        jquery = normalize_json_exprs(query)
+
+        rw = parse_covered_count(jquery)
         if rw is not None:
             idx = self._get_value_index(rw.table, rw.column)
             if idx is not None:
@@ -246,15 +278,17 @@ class Engine:
             parse_group_count,
         )
 
-        grw = parse_group_count(query)
+        grw = parse_group_count(jquery)
         if grw is not None:
             idx = self._get_value_index(grw.table, grw.column)
             if idx is not None:
                 try:
-                    return group_count_df(idx, grw.column, grw.filters, grw.alias)
+                    return group_count_df(
+                        idx, grw.column, grw.filters, grw.alias, grw.out_name
+                    )
                 except Exception:
                     pass
-        drw = parse_distinct_count(query)
+        drw = parse_distinct_count(jquery)
         if drw is not None:
             idx = self._get_value_index(drw[0], drw[1])
             if idx is not None:

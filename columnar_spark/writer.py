@@ -60,6 +60,13 @@ class WriteSpec:
     compression: str = "zstd"
     num_partitions: int | None = None
     format: str = "parquet"  # parquet | orc
+    # JSON per-field materialization: (parent_col, '$.path') pairs become
+    # real columns named by stats.json_virtual_name at write time — the
+    # reference's flatten-JSON-attributes-into-per-field-indexes move
+    # (secondary.cpp:426-433) done at the storage layer: the field gets
+    # parquet row-group stats (zone-map skipping), dictionary encoding,
+    # manifest rows, and can carry its own .vidx sidecar.
+    json_fields: Sequence[tuple[str, str]] = field(default_factory=tuple)
     # Z-order the cluster_by columns instead of lexicographic range
     # clustering: rows sort by the bit-interleaved rank of ALL cluster
     # keys, so row-group min/max zone maps stay tight on EVERY key, not
@@ -72,11 +79,19 @@ class WriteSpec:
 
 
 def normalize(df: DataFrame, spec: WriteSpec) -> DataFrame:
-    """Apply write-time invariants: sorted MVA arrays, hash companions."""
+    """Apply write-time invariants: sorted MVA arrays, hash companions,
+    materialized JSON field columns."""
     for c in spec.mva_cols:
         df = df.withColumn(c, F.array_sort(F.col(c)))
     for c in spec.hash_cols:
         df = df.withColumn(f"{c}__hash", F.xxhash64(F.col(c)))
+    if spec.json_fields:
+        from columnar_spark.stats import json_field_expr, json_virtual_name
+
+        for parent, path in spec.json_fields:
+            df = df.withColumn(
+                json_virtual_name(parent, path), json_field_expr(parent, path)
+            )
     return df
 
 
