@@ -48,10 +48,13 @@ from pyspark.sql import types as T
 class EmbedModel:
     name: str
     dim: int
-    provider: str  # "stub" | "api" | "local"
+    provider: str  # "stub" | "api" | "local" | "local-hf"
     api_url: str | None = None
     key_env: str | None = None
     model_id: str | None = None  # provider-side model name
+    # local-hf pooling: "mean" (BERT/T5-style encoders) or "last"
+    # (decoder-style embedding models, e.g. Qwen3-Embedding)
+    pooling: str = "mean"
 
 
 # Mirrors the shape of the reference registry (embeddings/src/model/mod.rs:27-69,
@@ -87,6 +90,17 @@ MODEL_REGISTRY: dict[str, EmbedModel] = {
             "jina-embeddings-v3",
         ),
         EmbedModel("local/bert-base", 768, "local", model_id="bert-base-uncased"),
+        # Non-BERT local families through plain transformers (the
+        # reference's candle registry spans BERT/Gemma/Llama/Mistral/
+        # Qwen3/T5, local.rs:7-21): T5 encoder with mean pooling and a
+        # Qwen3 decoder-style embedder with last-token pooling.
+        EmbedModel(
+            "local/t5-base", 768, "local-hf", model_id="t5-base", pooling="mean"
+        ),
+        EmbedModel(
+            "local/qwen3-embedding-0.6b", 1024, "local-hf",
+            model_id="Qwen/Qwen3-Embedding-0.6B", pooling="last",
+        ),
     ]
 }
 
@@ -159,6 +173,41 @@ def _local_embed(texts: Sequence[str], model_id: str) -> list[list[float]]:
     return [list(map(float, v)) for v in model.encode(list(texts))]
 
 
+def _local_hf_embed(
+    texts: Sequence[str], model_id: str, pooling: str = "mean"
+) -> list[list[float]]:
+    """Plain-transformers forward pass for non-BERT families — the
+    reference's candle local registry spans BERT/Gemma/Llama/Mistral/
+    Qwen3/T5 (local.rs:7-21); this is the transformers-import-gated
+    analog. Encoder models (T5) mean-pool masked token states; decoder
+    embedding models (Qwen3-Embedding) take the last non-pad token
+    state, per their model cards."""
+    try:
+        import torch
+        from transformers import AutoModel, AutoTokenizer
+    except ImportError as e:
+        raise ImportError(
+            f"model {model_id!r} needs the optional 'transformers' + 'torch' "
+            "packages (plus downloaded weights); use a stub-* model here"
+        ) from e
+    tok = AutoTokenizer.from_pretrained(model_id)
+    model = AutoModel.from_pretrained(model_id)
+    model.eval()
+    enc = tok(list(texts), padding=True, truncation=True, return_tensors="pt")
+    with torch.no_grad():
+        if getattr(model.config, "is_encoder_decoder", False):
+            hidden = model.get_encoder()(**enc).last_hidden_state
+        else:
+            hidden = model(**enc).last_hidden_state
+    mask = enc["attention_mask"].unsqueeze(-1).to(hidden.dtype)
+    if pooling == "last":
+        idx = enc["attention_mask"].sum(dim=1) - 1
+        pooled = hidden[torch.arange(hidden.shape[0]), idx]
+    else:
+        pooled = (hidden * mask).sum(dim=1) / mask.sum(dim=1).clamp(min=1)
+    return [list(map(float, v)) for v in pooled.cpu().numpy()]
+
+
 def _stub_embed(text: str, dim: int) -> list[float]:
     """Deterministic unit-norm pseudo-embedding: sha256-seeded values.
     Stands in for a model forward pass; stable across sessions."""
@@ -206,6 +255,8 @@ def embed_batch(
         return client.embed(texts)
     if spec.provider == "local":
         return _local_embed(texts, spec.model_id)
+    if spec.provider == "local-hf":
+        return _local_hf_embed(texts, spec.model_id, spec.pooling)
     raise ValueError(f"unknown provider {spec.provider!r}")
 
 

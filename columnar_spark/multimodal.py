@@ -7,12 +7,16 @@ closest analog is its Rust embeddings sidecar (knn/knn.h:146-163,
 embeddings/src/ffi.rs), which likewise moves variable-length payloads
 through a narrow batch interface.
 
-The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this container, so
-the decode kernel is stubbed: `mode="fake"` produces a deterministic
-feature vector from the bytes (so the Spark-side plumbing — schema,
-partitioning, batch shape, Arrow transfer — is real and tested), and
-`mode="real"` raises NotImplementedError at the exact point a codec
-would be called.
+Codec gating (same pattern as the optional hnswlib / sentence-
+transformers paths): `mode="real"` uses Pillow when it is importable on
+the EXECUTORS — real pixel decode, statistics features, real
+resampling — and raises NotImplementedError otherwise (no codec ships
+in this container; the import is attempted inside the mapInPandas
+kernel, where production executors would have the wheel). `mode="fake"`
+produces a deterministic feature vector from the bytes so the
+Spark-side plumbing — schema, partitioning, batch shape, Arrow
+transfer — is real and tested everywhere, and stays the oracle path
+(media_feature_stats recomputes it in DuckDB SQL).
 
 Scale posture: mapInPandas streams Arrow batches per partition; no
 driver-side collection; feature width is fixed so the output schema is
@@ -52,6 +56,50 @@ MEDIA_SCHEMA = T.StructType(
 FEATURE_DIM = 8
 
 
+def _pil_image_module():
+    """Pillow's Image module when importable, else None — the
+    import-gate for the real decode path (evaluated on the executor,
+    where a production cluster installs the wheel)."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
+def _real_image_features(payload: bytes) -> list[float]:
+    """Decoded-pixel statistics as the FEATURE_DIM-float vector:
+    (w/4096, h/4096, aspect, mean_r, mean_g, mean_b, gray std/255,
+    mean |dx| gradient/255) — cheap, deterministic, and shaped exactly
+    like the fake path so downstream schemas never change."""
+    import io
+
+    import numpy as np
+
+    Image = _pil_image_module()
+    if Image is None:
+        raise NotImplementedError(
+            "media decode requires Pillow on the executors "
+            "(pip install pillow); use mode='fake' for plumbing tests"
+        )
+    img = Image.open(io.BytesIO(payload)).convert("RGB")
+    arr = np.asarray(img, dtype=np.float64) / 255.0
+    gray = arr.mean(axis=2)
+    dx = np.abs(np.diff(gray, axis=1)).mean() if gray.shape[1] > 1 else 0.0
+    w, h = img.size
+    return [
+        min(w / 4096.0, 1.0),
+        min(h / 4096.0, 1.0),
+        min(w / max(h, 1), 8.0) / 8.0,
+        float(arr[..., 0].mean()),
+        float(arr[..., 1].mean()),
+        float(arr[..., 2].mean()),
+        float(gray.std()),
+        float(dx),
+    ]
+
+
 def _fake_features(payload: bytes) -> list[float]:
     """Deterministic stand-in for a decoded-media feature vector: 8 floats
     derived from a sha256 of the payload, in [0, 1)."""
@@ -71,10 +119,11 @@ def extract_media_features(
 ) -> DataFrame:
     """(id, features array<float>, n_bytes) via mapInPandas.
 
-    mode="real" is the integration point for PIL/ffmpeg decode — it raises
-    NotImplementedError because no codec library ships in this
-    environment; everything around it (Arrow batching, schema, partition
-    parallelism) is production-shaped.
+    mode="real" decodes with Pillow when it is importable on the
+    executors (image statistics features, _real_image_features) and
+    raises NotImplementedError otherwise; everything around it (Arrow
+    batching, schema, partition parallelism) is identical on both
+    paths.
     """
     if mode not in ("fake", "real"):
         raise ValueError("mode must be 'fake' or 'real'")
@@ -91,17 +140,13 @@ def extract_media_features(
     )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fn = _real_image_features if mode == "real" else _fake_features
         for pdf in it:
-            if mode == "real":
-                raise NotImplementedError(
-                    "media decode requires PIL/ffmpeg, not available in this "
-                    "container; use mode='fake' for plumbing tests"
-                )
             payloads = pdf[data_col]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
-                    "features": [_fake_features(b) for b in payloads],
+                    "features": [fn(b) for b in payloads],
                     "n_bytes": [len(b) if b is not None else 0 for b in payloads],
                 }
             )
@@ -120,10 +165,11 @@ def resize_images(
 ) -> DataFrame:
     """Image resize plumbing: output rows carry the resized payload plus
     updated (width, height) metadata. Geometry (aspect-preserving fit
-    into the target box) is REAL and computed from the input metadata;
-    only the pixel resampling is stubbed — mode="fake" emits a
-    deterministic payload of the correct byte budget (3 bytes/pixel),
-    mode="real" raises at the exact PIL/ffmpeg call site."""
+    into the target box) is REAL and computed from the input metadata on
+    both paths; mode="fake" emits a deterministic payload of the correct
+    byte budget (3 bytes/pixel), mode="real" decodes with Pillow when
+    importable on the executors (bilinear resample, raw RGB out — same
+    3-bytes/pixel contract) and raises NotImplementedError otherwise."""
     if mode not in ("fake", "real"):
         raise ValueError("mode must be 'fake' or 'real'")
 
@@ -143,20 +189,28 @@ def resize_images(
         return max(int(w * scale), 1), max(int(h * scale), 1)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Image = _pil_image_module() if mode == "real" else None
+        if mode == "real" and Image is None:
+            raise NotImplementedError(
+                "image resampling requires Pillow on the executors "
+                "(pip install pillow); use mode='fake' for plumbing tests"
+            )
         for pdf in it:
-            if mode == "real":
-                raise NotImplementedError(
-                    "image resampling requires PIL, not available in this "
-                    "container; use mode='fake' for plumbing tests"
-                )
             ids, datas, ws, hs = [], [], [], []
             for mid, payload, meta in zip(pdf[id_col], pdf[data_col], pdf[meta_col]):
-                w_in = int(meta["width"]) if meta is not None and meta["width"] is not None else 0
-                h_in = int(meta["height"]) if meta is not None and meta["height"] is not None else 0
-                w, h = _fit(w_in, h_in)
-                seed = hashlib.sha256(payload or b"").digest()
-                budget = w * h * 3
-                datas.append((seed * (budget // len(seed) + 1))[:budget])
+                if mode == "real":
+                    import io
+
+                    img = Image.open(io.BytesIO(payload)).convert("RGB")
+                    w, h = _fit(*img.size)
+                    datas.append(img.resize((w, h), Image.BILINEAR).tobytes())
+                else:
+                    w_in = int(meta["width"]) if meta is not None and meta["width"] is not None else 0
+                    h_in = int(meta["height"]) if meta is not None and meta["height"] is not None else 0
+                    w, h = _fit(w_in, h_in)
+                    seed = hashlib.sha256(payload or b"").digest()
+                    budget = w * h * 3
+                    datas.append((seed * (budget // len(seed) + 1))[:budget])
                 ids.append(mid)
                 ws.append(w)
                 hs.append(h)

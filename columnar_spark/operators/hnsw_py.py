@@ -31,6 +31,184 @@ import numpy as np
 PY_HNSW_MAX_PARTITION_ROWS = 200_000
 
 
+class P2Quantile:
+    """Streaming quantile by the published P-squared algorithm (Jain &
+    Chlamtac, CACM 1985): five markers track (min, p/2, p, (1+p)/2, max)
+    heights; interior markers move by the parabolic formula when their
+    position drifts from the desired one. O(1) memory per stream.
+
+    Design provenance: the reference keeps its discovery-rate threshold
+    in the same estimator (knn/quantile.h:24-163); this is an
+    independent implementation of the same published algorithm."""
+
+    def __init__(self, p: float):
+        if not 0.0 <= p <= 1.0:
+            raise ValueError(f"quantile must be in [0,1], got {p}")
+        self.p = p
+        self.reset()
+
+    def reset(self) -> None:
+        self.count = 0
+        self._q = [0.0] * 5  # marker heights
+        self._n = [0.0] * 5  # marker positions
+        self._np = [0.0] * 5  # desired positions
+        self._dn = [0.0, self.p / 2.0, self.p, (1.0 + self.p) / 2.0, 1.0]
+
+    def insert(self, x: float) -> None:
+        self.count += 1
+        if self.count <= 5:
+            self._q[self.count - 1] = x
+            if self.count == 5:
+                self._q.sort()
+                for i in range(5):
+                    self._n[i] = i + 1
+                    self._np[i] = 1 + 4 * self._dn[i]
+            return
+        # locate the cell, stretching the extreme markers
+        if x < self._q[0]:
+            self._q[0] = x
+            cell = 0
+        elif x >= self._q[4]:
+            self._q[4] = x
+            cell = 3
+        else:
+            cell = next(
+                i for i in range(4) if self._q[i] <= x < self._q[i + 1]
+            )
+        for i in range(cell + 1, 5):
+            self._n[i] += 1
+        for i in range(5):
+            self._np[i] += self._dn[i]
+        # adjust interior markers
+        q, n = self._q, self._n
+        for i in (1, 2, 3):
+            d = self._np[i] - n[i]
+            if (d >= 1.0 and n[i + 1] - n[i] > 1.0) or (
+                d <= -1.0 and n[i - 1] - n[i] < -1.0
+            ):
+                s = 1 if d >= 1.0 else -1
+                # parabolic prediction (the P^2 formula)
+                hi, lo = n[i + 1] - n[i], n[i] - n[i - 1]
+                cand = q[i] + (s / (hi + lo)) * (
+                    (lo + s) * (q[i + 1] - q[i]) / hi
+                    + (hi - s) * (q[i] - q[i - 1]) / lo
+                )
+                if q[i - 1] < cand < q[i + 1]:
+                    q[i] = cand
+                else:  # fall back to linear move toward the neighbor
+                    q[i] += s * (q[i + s] - q[i]) / (hi if s > 0 else lo)
+                n[i] += s
+
+    def ready(self) -> bool:
+        return self.count >= 5
+
+    def get(self) -> float:
+        return self._q[2]
+
+
+class MovingP2Quantile:
+    """Windowed P2: the estimator resets every `window` inserts and the
+    reported value blends the previous window's final estimate with the
+    current partial one by fill fraction — a moving quantile that adapts
+    when the stream's distribution drifts (reference
+    MP2QuantileEstimator_c behavior, knn/quantile.h:120-163)."""
+
+    def __init__(self, window: int, p: float):
+        if window <= 0:
+            raise ValueError("window must be positive")
+        self.window = window
+        self._est = P2Quantile(p)
+        self.reset()
+
+    def reset(self) -> None:
+        self._count = 0
+        self._in_window = 0
+        self._prev = 0.0
+        self._est.reset()
+
+    def insert(self, x: float) -> None:
+        self._est.insert(x)
+        self._count += 1
+        self._in_window += 1
+        if self._in_window == self.window:
+            self._prev = self._est.get()
+            self._est.reset()
+            self._in_window = 0
+
+    def get(self) -> float:
+        if not self._count:
+            return 0.0
+        if self._count < self.window:
+            return self._est.get()
+        if not self._in_window:
+            return self._prev
+        w2 = self._in_window / self.window
+        return (1.0 - w2) * self._prev + w2 * self._est.get()
+
+
+def _patience_for_ef(ef: int) -> int:
+    """Consecutive-bad-rounds tolerance, tighter at large ef (the beam
+    has had more chances to improve) — reference CalcPatience,
+    knn/termination.cpp:27-39."""
+    if ef <= 800:
+        return 9
+    if ef <= 2000:
+        return 8
+    if ef <= 4000:
+        return 7
+    return 6
+
+
+class QuantileTermination:
+    """Discovery-rate adaptive stop (reference TerminationQuantile_c,
+    knn/termination.cpp:41-79): per beam round, rate = candidates
+    collected into the frontier / distances scored; a round is BAD when
+    its rate falls under the moving P2 quantile of past rates, and the
+    search stops after `patience` consecutive bad rounds. Warm-up rounds
+    (frontier not yet at ef) only reset the counters — the signal is
+    replacements against a saturated frontier."""
+
+    THRESHOLD_QUANTILE = 0.2
+    THRESHOLD_QUANTILE_L2 = 0.14  # reference TerminationQuantileL2_c
+    WINDOW = 128
+
+    def __init__(self, quantile: float | None = None):
+        self.quantile = (
+            quantile if quantile is not None else self.THRESHOLD_QUANTILE
+        )
+        self._threshold = MovingP2Quantile(self.WINDOW, self.quantile)
+        self.reset()
+
+    def reset(self) -> None:
+        self.collected = 0
+        self._prev_collected = 0
+        self.scored = 0
+        self._bad_rounds = 0
+        self._patience = _patience_for_ef(10)
+        self._threshold.reset()
+
+    def on_scored(self) -> None:
+        self.scored += 1
+
+    def on_collected(self) -> None:
+        self.collected += 1
+
+    def should_terminate(self, ef: int, current_size: int) -> bool:
+        if current_size < ef:
+            self._prev_collected = self.collected
+            self.scored = 0
+            self._bad_rounds = 0
+            self._patience = _patience_for_ef(ef)
+            return False
+        rate = (self.collected - self._prev_collected) / (1e-9 + self.scored)
+        bad = rate < self._threshold.get()
+        self._bad_rounds = (self._bad_rounds + 1) if bad else 0
+        self._threshold.insert(rate)
+        self._prev_collected = self.collected
+        self.scored = 0
+        return self._bad_rounds >= self._patience
+
+
 class HnswIndex:
     """Hierarchical Navigable Small World graph over float32 vectors.
 
@@ -144,14 +322,18 @@ class HnswIndex:
         level: int,
         budget: int | None = None,
         stagnation: int | None = None,
+        quantile_state: "QuantileTermination | None" = None,
     ) -> list[tuple[float, int]]:
         """Best-first beam search; returns [(dist, node)] of <= ef nodes.
 
         `budget` caps distance computations for this call; `stagnation`
         stops after that many consecutive beam pops with no improvement
-        to the result set (the adaptive-termination analog — reference
-        HNSWTerminationPolicy_e::QUANTILE, knn/knn.cpp:481, lives in its
-        hnswlib fork's search loop the same way)."""
+        to the result set; `quantile_state` applies the discovery-rate
+        moving-quantile policy (reference
+        HNSWTerminationPolicy_e::QUANTILE, knn/knn.cpp:481 +
+        termination.cpp:41-79 — each beam pop is a round). The policies
+        live in the search loop the same way the reference's hnswlib
+        fork hosts them."""
         visited = set(entry_points)
         cand: list[tuple[float, int]] = []  # min-heap
         best: list[tuple[float, int]] = []  # max-heap via negated dist
@@ -174,13 +356,21 @@ class HnswIndex:
                     return [(-nd, n) for nd, n in best]
                 visited.add(nb)
                 dn = self._dist(q, qn, nb)
+                if quantile_state is not None:
+                    quantile_state.on_scored()
                 if len(best) < ef or dn < -best[0][0]:
                     heapq.heappush(cand, (dn, nb))
                     heapq.heappush(best, (-dn, nb))
                     if len(best) > ef:
                         heapq.heappop(best)
                     improved = True
+                    if quantile_state is not None:
+                        quantile_state.on_collected()
             pops_since_improve = 0 if improved else pops_since_improve + 1
+            if quantile_state is not None and quantile_state.should_terminate(
+                ef, len(best)
+            ):
+                break
         return [(-nd, n) for nd, n in best]
 
     # ------------------------------------------------------------- search
@@ -196,14 +386,20 @@ class HnswIndex:
         """Top-k (label, dist), ascending by distance.
 
         policy: 'none' = full ef beam; 'adaptive' = stagnation-based
-        early termination (disabled for k <= 10, mirroring the
-        reference's `iResults > 10` gate, knn/knn.cpp:481); 'budget'
-        = hard cap of `budget` distance computations. `n_dist_calcs`
+        early termination; 'quantile' = the reference's discovery-rate
+        moving-quantile policy (TerminationQuantile_c,
+        termination.cpp:41-79 — P2-estimated 0.2-quantile threshold,
+        0.14 for l2 per TerminationQuantileL2_c, patience by ef);
+        'budget' = hard cap of `budget` distance computations. adaptive
+        and quantile are disabled for k <= 10, mirroring the reference's
+        `iResults > 10` gate (knn/knn.cpp:481). `n_dist_calcs`
         accumulates across searches — the pDistanceComputations counter
         (knn/knn.h:117); read/reset it around a call for per-query
         stats."""
-        if policy not in ("none", "adaptive", "budget"):
-            raise ValueError(f"policy must be none|adaptive|budget, got {policy!r}")
+        if policy not in ("none", "adaptive", "budget", "quantile"):
+            raise ValueError(
+                f"policy must be none|adaptive|quantile|budget, got {policy!r}"
+            )
         if self._entry is None:
             return []
         q = np.asarray(vec, dtype=np.float32)
@@ -214,6 +410,13 @@ class HnswIndex:
         stagnation = None
         if policy == "adaptive" and k > 10:
             stagnation = max(ef // 4, 8)
+        quantile_state = None
+        if policy == "quantile" and k > 10:
+            quantile_state = QuantileTermination(
+                QuantileTermination.THRESHOLD_QUANTILE_L2
+                if self.metric == "l2"
+                else QuantileTermination.THRESHOLD_QUANTILE
+            )
         found = self._search_layer(
             q,
             qn,
@@ -222,6 +425,7 @@ class HnswIndex:
             0,
             budget=budget if policy == "budget" else None,
             stagnation=stagnation,
+            quantile_state=quantile_state,
         )
         top = heapq.nsmallest(k, found)
         return [(self._labels[n], d) for d, n in top]

@@ -368,7 +368,24 @@ def knn_batch_topk(
         "ip": ip_dist,
     }[metric]
 
-    dist_expr = metric_fn(F.col(vec_col).cast("array<double>"), F.col(q_vec_col))
+    if metric == "cosine":
+        # Hoist the norms out of the n x q pair loop: each data row's
+        # norm folds once (before the broadcast join) and each query's
+        # once, so the per-pair work is ONE dot fold instead of three.
+        # Arithmetic is unchanged (dot/(|a|*|b|), same fold order), so
+        # batch==single parity and oracle hashes are unaffected.
+        from columnar_spark.functions.vector import dot as _dot
+        from columnar_spark.functions.vector import norm as _norm
+
+        df = df.withColumn("__vn", _norm(F.col(vec_col).cast("array<double>")))
+        queries = queries.withColumn(
+            "__qn", _norm(F.col(q_vec_col).cast("array<double>"))
+        )
+        dist_expr = F.lit(1.0) - _dot(
+            F.col(vec_col).cast("array<double>"), F.col(q_vec_col)
+        ) / (F.col("__vn") * F.col("__qn"))
+    else:
+        dist_expr = metric_fn(F.col(vec_col).cast("array<double>"), F.col(q_vec_col))
     if round_digits is not None:
         # rank on the ROUNDED distance so an oracle that rounds first
         # selects the identical row set at rank boundaries

@@ -22,7 +22,14 @@ _BUILD_CONFS = {
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Keep Spark's 10 MB default: raising it (r1-r3 used 64 MB) makes the
+    # static size estimator broadcast FILTERED FACT TABLES near the
+    # boundary (a column-pruned 6M-row lineitem estimates ~16 MB and the
+    # planner builds a multi-million-entry hash relation per execution —
+    # measured 2-3s/query at 10x sf0.1, and catastrophic on a real
+    # cluster). Dim tables stay comfortably under 10 MB; joins that lose
+    # a marginal broadcast fall back to shuffle joins that scale.
+    "spark.sql.autoBroadcastJoinThreshold": str(10 * 1024 * 1024),
     "spark.sql.session.timeZone": "UTC",
     # Older testdata vintages store events.ts as TIMESTAMP(NANOS), which
     # Spark's reader rejects without this conf (reads as long ns instead;

@@ -108,3 +108,68 @@ def test_py_hnsw_termination_policies():
 
     with pytest.raises(ValueError, match="policy"):
         index.search(q, 5, policy="bogus")
+
+
+def test_p2_quantile_estimator_tracks_true_quantile():
+    """The P-squared estimator (Jain & Chlamtac 1985) converges near the
+    true stream quantile; the windowed variant adapts to drift."""
+    from columnar_spark.operators.hnsw_py import MovingP2Quantile, P2Quantile
+
+    rng = np.random.RandomState(7)
+    xs = rng.exponential(2.0, 5000)
+    est = P2Quantile(0.2)
+    for x in xs:
+        est.insert(float(x))
+    true_q = np.quantile(xs, 0.2)
+    assert est.ready()
+    assert abs(est.get() - true_q) < 0.15 * (true_q + 1e-9), (est.get(), true_q)
+
+    # drifting stream: the moving estimator follows the NEW regime, the
+    # plain one stays anchored to the mixed history
+    m = MovingP2Quantile(128, 0.5)
+    p = P2Quantile(0.5)
+    for x in rng.normal(0.0, 0.1, 2000):
+        m.insert(float(x)); p.insert(float(x))
+    for x in rng.normal(10.0, 0.1, 2000):
+        m.insert(float(x)); p.insert(float(x))
+    assert abs(m.get() - 10.0) < 0.5, m.get()
+    assert p.get() < 9.5  # anchored in the old regime
+
+
+def test_py_hnsw_quantile_termination_policy():
+    """F5 full parity: the reference's discovery-rate moving-quantile
+    policy (termination.cpp:41-79) terminates with fewer distance
+    computations than the full beam at k>10 while keeping recall; it is
+    a no-op at k<=10 (the reference's iResults > 10 gate)."""
+    from columnar_spark.operators.hnsw_py import HnswIndex
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(2000, 24).astype(np.float32)
+    index = HnswIndex(24, metric="l2", M=12, ef_construction=80, seed=5)
+    for i in range(len(vecs)):
+        index.add(vecs[i], i)
+
+    q = vecs[11] + 0.01
+    d2 = np.sum((vecs - q) ** 2, axis=1)
+    exact = set(np.argsort(d2)[:20].tolist())
+
+    index.n_dist_calcs = 0
+    full = index.search(q, 20, ef=256)
+    full_calcs = index.n_dist_calcs
+
+    index.n_dist_calcs = 0
+    quant = index.search(q, 20, ef=256, policy="quantile")
+    quant_calcs = index.n_dist_calcs
+    assert quant_calcs <= full_calcs
+    assert len(exact & {l for l, _ in quant}) >= 14, len(
+        exact & {l for l, _ in quant}
+    )
+
+    # k<=10: gate disables the policy — identical to the full beam
+    index.n_dist_calcs = 0
+    a = index.search(q, 10, ef=256)
+    na = index.n_dist_calcs
+    index.n_dist_calcs = 0
+    b = index.search(q, 10, ef=256, policy="quantile")
+    nb = index.n_dist_calcs
+    assert a == b and na == nb

