@@ -2013,18 +2013,21 @@ WHERE p_brand = 'Brand#3' AND l_quantity < qlim
 
 @_q("q17_small_qty_revenue", _Q17_SQL)
 def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q17: correlated avg-quantity subquery expressed as an
-    aggregate-then-join (the scalable decorrelated form)."""
+    """TPC-H Q17: correlated avg-quantity subquery decorrelated as a
+    per-part WINDOW over the brand-filtered join. The brand filter picks
+    the parts, and every lineitem of a picked part survives the
+    broadcast join, so the window average equals the whole-table per-part
+    average — but the plan shuffles ONLY the brand's ~1/25 slice instead
+    of aggregating and re-joining all of lineitem (measured 1.22s ->
+    0.78s at 10x sf0.1; equality pytest-pinned by the oracle hash)."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
-    pa = li.groupBy(F.col("l_partkey").alias("pk")).agg(
-        (F.lit(0.2) * (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1)))).alias("qlim")
+    jf = li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+    w = Window.partitionBy("l_partkey")
+    qlim = F.lit(0.2) * (
+        F.sum(_dec("l_quantity")).over(w).cast("double") / F.count(F.lit(1)).over(w)
     )
-    j = (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
-        .join(pa, F.col("pk") == F.col("l_partkey"))
-        .filter(F.col("l_quantity") < F.col("qlim"))
-    )
+    j = jf.withColumn("qlim", qlim).filter(F.col("l_quantity") < F.col("qlim"))
     return j.agg(
         (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias("avg_yearly"),
         F.count(F.lit(1)).alias("n"),

@@ -81,7 +81,9 @@ BENCH_QUERIES = [
     "benchmark_decontaminate",
     "semantic_decontaminate",
     "knn_b1_cosine",
+    "knn_b1q4_cosine",
     "knn_ivfpq_cosine",
+    "json_field_counts",
     "funnel_conversion",
     "retention_cohorts",
     "latest_event_per_user",

@@ -5,6 +5,7 @@ import org.apache.spark.sql.Row;
 import org.apache.spark.sql.SparkSession;
 import org.apache.spark.sql.catalyst.expressions.Alias;
 import org.apache.spark.sql.catalyst.expressions.Attribute;
+import org.apache.spark.sql.catalyst.expressions.AttributeReference;
 import org.apache.spark.sql.catalyst.expressions.AttributeSet;
 import org.apache.spark.sql.catalyst.expressions.Expression;
 import org.apache.spark.sql.catalyst.expressions.Literal;
@@ -64,9 +65,97 @@ public class CountRewriteRule extends Rule<LogicalPlan> {
     private LogicalPlan rewrite(LogicalPlan plan) {
         if (!(plan instanceof Aggregate)) return null;
         Aggregate agg = (Aggregate) plan;
-        if (!agg.groupingExpressions().isEmpty()) return null;
+        if (agg.groupingExpressions().isEmpty()) return rewriteGlobalCount(agg);
+        return rewriteGroupCount(agg);
+    }
+
+    /** SELECT COUNT(*) FROM t WHERE <single-col pred>  ->  sum(cnt) off
+     * the .vidx sidecar. */
+    private LogicalPlan rewriteGlobalCount(Aggregate agg) {
         if (agg.aggregateExpressions().size() != 1) return null;
-        NamedExpression ne = agg.aggregateExpressions().head();
+        Alias alias = countStarAlias(agg.aggregateExpressions().head());
+        if (alias == null) return null;
+
+        LogicalPlan child = skipAttributeOnlyProjects(agg.child());
+        if (!(child instanceof Filter)) return null;
+        Filter filter = (Filter) child;
+        Expression cond = filter.condition();
+
+        Attribute attr = singleColumnRef(cond);
+        if (attr == null) return null;
+        String tablePath = relationPath(skipAttributeOnlyProjects(filter.child()));
+        if (tablePath == null) return null;
+        Dataset<Row> idx = loadIndex(tablePath, attr);
+        if (idx == null) return null;
+
+        Dataset<Row> result =
+                idx.filter(renderUnqualified(cond, attr))
+                        .agg(
+                                functions.coalesce(functions.sum("cnt"), functions.lit(0L))
+                                        .cast("long")
+                                        .alias(alias.name()));
+        return result.queryExecution().analyzed();
+    }
+
+    /** SELECT col, COUNT(*) FROM t [WHERE <pred on col>] GROUP BY col
+     * -> the (value, cnt) sidecar IS the result relation. The index
+     * materializes every group including NULL, and an inclusive WHERE
+     * never matches NULL — identical to base-table GROUP BY. */
+    private LogicalPlan rewriteGroupCount(Aggregate agg) {
+        if (agg.groupingExpressions().size() != 1) return null;
+        if (!(agg.groupingExpressions().head() instanceof AttributeReference)) {
+            return null;
+        }
+        AttributeReference gcol =
+                (AttributeReference) agg.groupingExpressions().head();
+        if (agg.aggregateExpressions().size() != 2) return null;
+        NamedExpression first = agg.aggregateExpressions().head();
+        // first output: the grouping attribute itself (possibly aliased)
+        String outName;
+        if (first instanceof AttributeReference
+                && ((AttributeReference) first).exprId().equals(gcol.exprId())) {
+            outName = first.name();
+        } else if (first instanceof Alias
+                && ((Alias) first).child() instanceof AttributeReference
+                && ((AttributeReference) ((Alias) first).child())
+                        .exprId()
+                        .equals(gcol.exprId())) {
+            outName = ((Alias) first).name();
+        } else {
+            return null;
+        }
+        Alias cntAlias = countStarAlias(agg.aggregateExpressions().apply(1));
+        if (cntAlias == null) return null;
+
+        LogicalPlan child = skipAttributeOnlyProjects(agg.child());
+        Expression cond = null;
+        if (child instanceof Filter) {
+            cond = ((Filter) child).condition();
+            Attribute ref = singleColumnRef(cond);
+            if (ref == null || !ref.exprId().equals(gcol.exprId())) return null;
+            child = skipAttributeOnlyProjects(((Filter) child).child());
+        }
+        String tablePath = relationPath(child);
+        if (tablePath == null) return null;
+        Dataset<Row> idx = loadIndex(tablePath, gcol);
+        if (idx == null) return null;
+
+        if (cond != null) {
+            idx = idx.filter(renderUnqualified(cond, gcol));
+        }
+        Dataset<Row> result =
+                idx.select(
+                        functions.col(gcol.name()).alias(outName),
+                        functions.coalesce(functions.col("cnt"), functions.lit(0L))
+                                .cast("long")
+                                .alias(cntAlias.name()));
+        return result.queryExecution().analyzed();
+    }
+
+    // ------------------------------------------------------------ helpers
+
+    /** Alias over a plain COUNT(1)/COUNT(*) aggregate, else null. */
+    private Alias countStarAlias(NamedExpression ne) {
         if (!(ne instanceof Alias)) return null;
         Alias alias = (Alias) ne;
         if (!(alias.child() instanceof AggregateExpression)) return null;
@@ -75,16 +164,21 @@ public class CountRewriteRule extends Rule<LogicalPlan> {
         if (!(ae.aggregateFunction() instanceof Count)) return null;
         Count cnt = (Count) ae.aggregateFunction();
         if (cnt.children().size() != 1) return null;
-        if (!(cnt.children().head() instanceof Literal)) return null; // count(1) == COUNT(*)
+        if (!(cnt.children().head() instanceof Literal)) return null;
+        return alias;
+    }
 
-        LogicalPlan child = skipAttributeOnlyProjects(agg.child());
-        if (!(child instanceof Filter)) return null;
-        Filter filter = (Filter) child;
-        Expression cond = filter.condition();
-        if (!cond.deterministic()) return null;
-        if (hasSubquery(cond)) return null;
+    /** The single attribute a deterministic, subquery-free condition
+     * references, else null. */
+    private Attribute singleColumnRef(Expression cond) {
+        if (!cond.deterministic() || hasSubquery(cond)) return null;
+        AttributeSet refs = cond.references();
+        if (refs.size() != 1) return null;
+        return (Attribute) refs.iterator().next();
+    }
 
-        LogicalPlan rel = skipAttributeOnlyProjects(filter.child());
+    /** Single local root path of a parquet LogicalRelation, else null. */
+    private String relationPath(LogicalPlan rel) {
         if (!(rel instanceof LogicalRelation)) return null;
         LogicalRelation lr = (LogicalRelation) rel;
         if (!(lr.relation() instanceof HadoopFsRelation)) return null;
@@ -92,33 +186,25 @@ public class CountRewriteRule extends Rule<LogicalPlan> {
         if (fs.location().rootPaths().size() != 1) return null;
         String tablePath = fs.location().rootPaths().head().toUri().getPath();
         if (tablePath.contains(".vidx")) return null; // never fire on an index
+        return tablePath;
+    }
 
-        AttributeSet refs = cond.references();
-        if (refs.size() != 1) return null;
-        Attribute attr = (Attribute) refs.iterator().next();
-        String col = attr.name();
-
-        File idxDir = new File(tablePath + ".vidx/" + col);
+    /** The .vidx sidecar for (table, column) with `value` renamed to the
+     * column name, or null when none exists. */
+    private Dataset<Row> loadIndex(String tablePath, Attribute attr) {
+        File idxDir = new File(tablePath + ".vidx/" + attr.name());
         if (!idxDir.isDirectory()) return null;
+        return session.read().parquet(idxDir.getPath())
+                .withColumnRenamed("value", attr.name());
+    }
 
-        // Rebind the condition over the index via its SQL form: strip
-        // the attribute's qualifier (a view/table alias like `li`.`col`
-        // would not resolve against the index frame) and render — the
-        // single unqualified quoted name then resolves against the
-        // renamed `value` column. Rendering (not string surgery) keeps
-        // literals intact.
+    /** Render the condition with the attribute's qualifier stripped (a
+     * view alias like `li`.`col` would not resolve against the index
+     * frame). Rendering — not string surgery — keeps literals intact. */
+    private String renderUnqualified(Expression cond, Attribute attr) {
         Expression unqualified =
                 (Expression) cond.transformUp(new StripQualifier(attr));
-        String condSql = unqualified.sql();
-        Dataset<Row> idx =
-                session.read().parquet(idxDir.getPath()).withColumnRenamed("value", col);
-        Dataset<Row> result =
-                idx.filter(condSql)
-                        .agg(
-                                functions.coalesce(functions.sum("cnt"), functions.lit(0L))
-                                        .cast("long")
-                                        .alias(alias.name()));
-        return result.queryExecution().analyzed();
+        return unqualified.sql();
     }
 
     /** Skip Project nodes that only pass attributes through (column

@@ -227,7 +227,11 @@ def write_bucketed(
 _LAYOUT_SPECS: dict[str, WriteSpec] = {
     "lineitem": WriteSpec(cluster_by=("l_shipdate",)),
     "orders": WriteSpec(cluster_by=("o_orderdate",)),
-    "events": WriteSpec(cluster_by=("ts",)),
+    # events.props is the semi-structured column: materialize the $.k
+    # field at ingest (parquet stats -> zone-map skipping) and index it
+    # (write_json_field_index below) — the reference's JSON-attribute
+    # flattening applied at the storage layer.
+    "events": WriteSpec(cluster_by=("ts",), json_fields=(("props", "$.k"),)),
     "documents": WriteSpec(cluster_by=("doc_id",)),
     "embeddings": WriteSpec(cluster_by=("vec_id",)),
     "customer": WriteSpec(cluster_by=("c_custkey",)),
@@ -273,7 +277,7 @@ def build_sf_layout(
     # layout_v bumps when the ingest artifacts change (new sidecar
     # kinds), so a cached layout built by older code is invalidated even
     # though the SOURCE signature still matches.
-    signature = "layout_v4\n" + src_dir + "\n" + "\n".join(sig_parts) + "\n"
+    signature = "layout_v5\n" + src_dir + "\n" + "\n".join(sig_parts) + "\n"
 
     marker = os.path.join(dest_dir, _LAYOUT_MARKER)
     if os.path.exists(marker) and not force:
@@ -320,6 +324,13 @@ def build_sf_layout(
 
                 ev = ev.withColumn("ts", _F.timestamp_micros(_F.expr("ts div 1000")))
             write_rollup_sidecar(ev, dest)
+            # Per-field JSON value index beside the materialized virtual
+            # column — Engine.sql AND the JVM Catalyst rule (plain
+            # spark.sql) answer props-field counts from this sidecar.
+            from columnar_spark.stats import write_json_field_index
+
+            for parent, path in spec.json_fields:
+                write_json_field_index(spark, dest, parent, path)
     with open(marker, "w") as fh:
         fh.write(signature)
     return True

@@ -59,8 +59,26 @@ plan3 = df3._jdf.queryExecution().executedPlan().toString()
 assert "li.parquet" in plan3.replace(".vidx", "")
 assert df3.first()["n"] == src.filter("l_quantity > 30").count()
 
-# 4. grouped/no-filter aggregates untouched
-assert spark.sql("SELECT l_returnflag, COUNT(*) AS n FROM li GROUP BY 1").count() == 3
+# 4. GROUP BY col + COUNT(*): the (value, cnt) sidecar IS the result
+df4 = spark.sql(
+    "SELECT l_returnflag AS rf, COUNT(*) AS n FROM li "
+    "WHERE l_returnflag <> 'R' GROUP BY l_returnflag"
+)
+plan4 = df4._jdf.queryExecution().executedPlan().toString()
+assert ".vidx" in plan4 and "li.parquet" not in plan4.replace("li.parquet.vidx", "")
+got4 = sorted(map(tuple, df4.collect()))
+want4 = sorted(
+    map(tuple, src.filter("l_returnflag <> 'R'").groupBy("l_returnflag").count().collect())
+)
+assert got4 == want4 and df4.columns == ["rf", "n"]
+
+# 5. shapes the rule must NOT touch stay correct: extra aggregate,
+#    multi-column grouping, non-covered grouping column
+df5 = spark.sql("SELECT l_returnflag, COUNT(*) AS n, SUM(l_quantity) AS s FROM li GROUP BY 1")
+assert "vidx" not in df5._jdf.queryExecution().executedPlan().toString()
+assert df5.count() == 3
+assert spark.sql("SELECT l_linenumber, COUNT(*) AS n FROM li GROUP BY 1").count() == \
+    src.select("l_linenumber").distinct().count()
 
 print("JVM-EXT-OK")
 """
