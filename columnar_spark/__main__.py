@@ -116,6 +116,18 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("index-build")
     sp.add_argument("table_path")
     sp.add_argument("--col", required=True)
+    sp.add_argument(
+        "--json-path",
+        default=None,
+        help="build a per-field JSON index over get_json_object(col, path), "
+        "e.g. --col props --json-path '$.k'",
+    )
+
+    sp = sub.add_parser("merge")
+    sp.add_argument("table_path")
+    sp.add_argument("--updates", required=True, help="parquet path of update rows")
+    sp.add_argument("--keys", required=True, help="comma-separated key columns")
+    sp.add_argument("--deletes", default=None, help="parquet path of delete keys")
 
     sp = sub.add_parser("diff")
     sp.add_argument("table_path")
@@ -163,10 +175,42 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark("columnar-spark-cli")
 
     if args.cmd == "index-build":
+        if args.json_path:
+            from columnar_spark.stats import write_json_field_index
+
+            vname = write_json_field_index(
+                spark, args.table_path, args.col, args.json_path
+            )
+            print(
+                json.dumps(
+                    {
+                        "index": vname,
+                        "parent": args.col,
+                        "json_path": args.json_path,
+                        "dest": f"{args.table_path}.vidx/{vname}",
+                    }
+                )
+            )
+            return 0
         from columnar_spark.stats import write_value_index
 
         write_value_index(spark, args.table_path, args.col)
         print(json.dumps({"index": args.col, "dest": args.table_path + ".vidx"}))
+        return 0
+
+    if args.cmd == "merge":
+        from columnar_spark.operators.upsert import merge_into
+
+        updates = spark.read.parquet(args.updates)
+        deletes = spark.read.parquet(args.deletes) if args.deletes else None
+        before, n_up, after = merge_into(
+            spark, args.table_path, updates, args.keys.split(","), deletes=deletes
+        )
+        print(
+            json.dumps(
+                {"rows_before": before, "updates": n_up, "rows_after": after}
+            )
+        )
         return 0
 
     if args.cmd == "text-index-build":

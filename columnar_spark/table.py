@@ -197,6 +197,73 @@ class Engine:
             )
             return self.spark.sql(rewritten)
 
+        # Index DDL — the reference daemon's CREATE/DROP surface over
+        # this engine's sidecar artifacts. One-row result echoing the
+        # artifact path, like the CLI's JSON contract.
+        #   CREATE INDEX ON t(col)
+        #   CREATE INDEX ON t(get_json_object(col, '$.path'))
+        #   CREATE TEXT INDEX ON t(text_col [, id_col])
+        #   DROP INDEX col ON t
+        m = _re.match(
+            r"^\s*CREATE\s+INDEX\s+ON\s+(\w+)\s*\(\s*"
+            r"(?:GET_JSON_OBJECT\s*\(\s*(\w+)\s*,\s*'(\$[^']*)'\s*\)|(\w+))"
+            r"\s*\)\s*;?\s*$",
+            query,
+            _re.IGNORECASE,
+        )
+        if m:
+            name = m.group(1)
+            base = f"{self.sf_dir}/{name}.parquet"
+            if m.group(2):
+                from columnar_spark.stats import write_json_field_index
+
+                col = write_json_field_index(self.spark, base, m.group(2), m.group(3))
+            else:
+                from columnar_spark.stats import write_value_index
+
+                col = m.group(4)
+                write_value_index(self.spark, base, col)
+            self._value_indexes.pop((name, col), None)  # re-adopt lazily
+            return self.spark.createDataFrame(
+                [("value_index", col, f"{base}.vidx/{col}")],
+                "kind: string, column: string, path: string",
+            )
+        m = _re.match(
+            r"^\s*CREATE\s+TEXT\s+INDEX\s+ON\s+(\w+)\s*\(\s*(\w+)\s*(?:,\s*(\w+)\s*)?\)\s*;?\s*$",
+            query,
+            _re.IGNORECASE,
+        )
+        if m:
+            from columnar_spark.operators.fulltext import write_text_index
+
+            base = f"{self.sf_dir}/{m.group(1)}.parquet"
+            write_text_index(
+                self.spark, base, text_col=m.group(2), id_col=m.group(3) or "doc_id"
+            )
+            return self.spark.createDataFrame(
+                [("text_index", m.group(2), f"{base}.ftidx")],
+                "kind: string, column: string, path: string",
+            )
+        m = _re.match(
+            r"^\s*DROP\s+INDEX\s+(\w+)\s+ON\s+(\w+)\s*;?\s*$", query, _re.IGNORECASE
+        )
+        if m:
+            import shutil
+
+            col, name = m.group(1), m.group(2)
+            base = f"{self.sf_dir}/{name}.parquet"
+            p = f"{base}.vidx/{col}"
+            import os
+
+            existed = os.path.isdir(p)
+            if existed:
+                shutil.rmtree(p)
+            self._value_indexes.pop((name, col), None)
+            return self.spark.createDataFrame(
+                [("value_index", col, p if existed else "absent")],
+                "kind: string, column: string, path: string",
+            )
+
         # SHOW INDEXES FROM <table>: every sidecar artifact beside the
         # table (value indexes, posting lists, text index, vector index,
         # rollup, stats, retained versions) — the indextool-style

@@ -129,3 +129,29 @@ def test_percolate_cli_and_engine_search(spark, tmp_path_factory, capsys):
     assert len(hits) == 3
     assert eng.search("docs", "fast scan", mode="phrase", k=5).count() >= 1
     assert eng.search("docs", "scan AND NOT vector", mode="boolean", k=5).count() == 5
+
+
+def test_json_index_build_and_merge_cli(spark, tmp_path_factory, capsys):
+    import pyspark.sql.functions as F
+
+    d = tmp_path_factory.mktemp("cli_json")
+    t = str(d / "events.parquet")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet").write.parquet(t)
+
+    assert main(["index-build", t, "--col", "props", "--json-path", "$.k"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["index"] == "props__j_k" and out["parent"] == "props"
+    from columnar_spark.stats import load_value_index
+
+    idx = load_value_index(spark, t, "props__j_k")
+    assert idx is not None and idx.count() > 0
+
+    # merge: update one row's props; the JSON index is invalidated
+    up = str(d / "up.parquet")
+    spark.read.parquet(t).limit(1).withColumn(
+        "props", F.lit('{"k": 31337}')
+    ).write.parquet(up)
+    assert main(["merge", t, "--updates", up, "--keys", "event_id"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows_after"] == out["rows_before"]
+    assert load_value_index(spark, t, "props__j_k") is None  # disabled

@@ -106,3 +106,53 @@ def test_rewritten_group_count_matches_plain_plan(eng2, q):
     assert got == want, sql
     plan = eng2.sql(sql)._jdf.queryExecution().executedPlan().toString()
     assert "lineitem.parquet" not in plan, sql
+
+
+# ------------------------------------------------ JSON per-field fuzz
+
+@pytest.fixture(scope="module")
+def eng_json(spark):
+    e = Engine(spark, SF)
+    e.register_views(["events"])
+    e.build_json_field_index("events", "props", "$.k")
+    return e
+
+
+_json_lit = st.sampled_from(["0", "7", "12", "99", "100", "zzz", ""])
+
+
+def _json_term(draw_col: str):
+    expr = f"get_json_object(props, '$.k')"
+    return st.one_of(
+        st.tuples(st.sampled_from(["=", "<>"]), _json_lit).map(
+            lambda t: f"{expr} {t[0]} '{t[1]}'"
+        ),
+        st.lists(_json_lit, min_size=1, max_size=3).map(
+            lambda vs: f"{expr} IN ({', '.join(repr(v) for v in vs)})"
+        ),
+        st.just(f"{expr} IS NOT NULL"),
+    )
+
+
+@st.composite
+def covered_json_query(draw):
+    n_terms = draw(st.integers(min_value=1, max_value=2))
+    terms = [draw(_json_term("props")) for _ in range(n_terms)]
+    return f"SELECT COUNT(*) AS n FROM events WHERE {' AND '.join(terms)}"
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sql=covered_json_query())
+def test_rewritten_json_field_count_matches_plain_plan(eng_json, sql):
+    """get_json_object predicates normalize into the virtual-column
+    convention and answer from the per-field index — ground truth is the
+    plain plan evaluating the same expression over the base table."""
+    rewritten = eng_json.sql(sql).first()["n"]
+    plain = eng_json.spark.sql(sql).first()["n"]
+    assert rewritten == plain, sql
+    plan = eng_json.sql(sql)._jdf.queryExecution().executedPlan().toString()
+    assert "events.parquet" not in plan, sql

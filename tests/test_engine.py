@@ -166,3 +166,43 @@ def test_show_indexes_lists_sidecars(spark, tmp_path):
     docs.limit(5).write.parquet(str(d / "bare.parquet"))
     rows2 = [r["kind"] for r in eng.sql("SHOW INDEXES FROM bare").collect()]
     assert rows2 == ["none"]
+
+
+def test_sql_index_ddl_roundtrip(spark, tmp_path):
+    """CREATE INDEX / CREATE TEXT INDEX / DROP INDEX through Engine.sql —
+    the reference daemon's DDL surface over the sidecar artifacts."""
+    import os
+
+    sf = str(tmp_path)
+    spark.read.parquet(f"{SF}/events.parquet").write.parquet(f"{sf}/events.parquet")
+    spark.read.parquet(f"{SF}/documents.parquet").write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    e = Engine(spark, sf)
+    e.register_views(["events"])
+
+    r = e.sql("CREATE INDEX ON events(event_type)").first()
+    assert r["kind"] == "value_index" and os.path.isdir(r["path"])
+    # the new index serves the covered count, no base scan
+    q = "SELECT COUNT(*) AS n FROM events WHERE event_type = 'click'"
+    d = e.sql(q)
+    assert "events.parquet" not in d._jdf.queryExecution().executedPlan().toString().replace(
+        "events.parquet.vidx", ""
+    )
+    assert d.first()["n"] == e.spark.sql(q).first()["n"]
+
+    r = e.sql("CREATE INDEX ON events(get_json_object(props, '$.k'))").first()
+    assert r["column"] == "props__j_k" and os.path.isdir(r["path"])
+
+    r = e.sql("CREATE TEXT INDEX ON documents(text, doc_id)").first()
+    assert r["kind"] == "text_index" and os.path.isdir(r["path"])
+
+    r = e.sql("DROP INDEX event_type ON events").first()
+    assert not os.path.isdir(f"{sf}/events.parquet.vidx/event_type")
+    # dropped: the covered count falls back to the base scan, same answer
+    d2 = e.sql(q)
+    assert d2.first()["n"] == e.spark.sql(q).first()["n"]
+
+    shown = {(x["kind"], x["column"]) for x in e.sql("SHOW INDEXES FROM events").collect()}
+    assert ("value_index", "props__j_k") in shown
+    assert ("value_index", "event_type") not in shown
