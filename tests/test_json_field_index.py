@@ -160,3 +160,40 @@ def test_writespec_json_fields_materializes_column(spark, tmp_path):
 
     man = load_manifest(spark, stats_path(p))
     assert "props__j_k" in man and man["props__j_k"]["ndv"] > 0
+
+
+def test_stream_ingest_maintains_json_field_index(spark, tmp_path):
+    """Structured-streaming ingest keeps the per-field JSON index in
+    lockstep across restart-resume, through the parent column — the
+    same foreachBatch merge contract as the text/vector/value sidecars."""
+    import shutil
+
+    from columnar_spark.stats import load_value_index, write_json_field_index
+    from columnar_spark.streaming.ingest import stream_ingest
+
+    dst = str(tmp_path / "ev.parquet")
+    src = tmp_path / "src"
+    src.mkdir()
+    stage = tmp_path / "stage"
+    ckpt = str(tmp_path / "ckpt")
+    schema = "event_id long, value double, props string"
+
+    def add(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(stage / name))
+        for j, f in enumerate(sorted((stage / name).glob("*.parquet"))):
+            shutil.copy(f, src / f"{name}_{j}.parquet")
+
+    add("b1", [(1, 1.0, '{"k": 5}'), (2, 2.0, '{"k": 5}')])
+    q = stream_ingest(spark, str(src), dst, ckpt, schema)
+    q.awaitTermination(120)
+    vname = write_json_field_index(spark, dst, "props", "$.k")
+
+    add("b2", [(3, 3.0, '{"k": 5}'), (4, 4.0, '{"k": 777}')])
+    q = stream_ingest(spark, str(src), dst, ckpt, schema)
+    q.awaitTermination(120)
+
+    got = {
+        (r["value"], r["cnt"])
+        for r in load_value_index(spark, dst, vname).collect()
+    }
+    assert got == {("5", 3), ("777", 1)}
