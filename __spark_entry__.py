@@ -526,7 +526,14 @@ GROUP BY event_type
 @_q("events_json_extract", _JSON_SQL)
 def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
-    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    # Serve from the ingest-materialized virtual column when the layout
+    # carries it (WriteSpec.json_fields — identical values by the write
+    # invariant, pinned in test_writespec_json_fields_materializes_column);
+    # raw corpora parse per row, same result.
+    if "props__j_k" in ev.columns:
+        k = F.col("props__j_k").cast("long")
+    else:
+        k = F.get_json_object(F.col("props"), "$.k").cast("long")
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(k).alias("sum_k"),

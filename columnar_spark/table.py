@@ -197,6 +197,41 @@ class Engine:
             )
             return self.spark.sql(rewritten)
 
+        # KNN SQL surface — the reference daemon's
+        #   SELECT <cols | knn_dist()> FROM t
+        #   WHERE KNN(vec_col, k, (v1, v2, ...)) [AND <residual pred>]
+        # form. Residual predicates pre-filter (filter-then-rank, the
+        # reference's filtered-KNN semantics); knn_dist() maps onto the
+        # result's dist column; deterministic id tie-break.
+        m = _re.match(
+            r"^\s*SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<table>\w+)\s+"
+            r"WHERE\s+KNN\s*\(\s*(?P<col>\w+)\s*,\s*(?P<k>\d+)\s*,\s*"
+            r"\(\s*(?P<vec>[-+\d.eE\s,]+?)\s*\)\s*\)\s*"
+            r"(?:AND\s+(?P<rest>.+?))?\s*;?\s*$",
+            query,
+            _re.IGNORECASE | _re.DOTALL,
+        )
+        if m:
+            from pyspark.sql import functions as _F
+
+            from columnar_spark.operators.knn import knn_topk
+
+            vec = [float(x) for x in m.group("vec").split(",")]
+            df = self.table(m.group("table"))
+            pre = _F.expr(m.group("rest")) if m.group("rest") else None
+            id_col = "vec_id" if "vec_id" in df.columns else df.columns[0]
+            out = knn_topk(
+                df, m.group("col"), vec, int(m.group("k")),
+                id_col=id_col, pre_filter=pre,
+            )
+            items = [s.strip() for s in m.group("sel").split(",")]
+            exprs = [
+                "dist AS knn_dist" if _re.fullmatch(r"KNN_DIST\s*\(\s*\)", s, _re.IGNORECASE)
+                else s
+                for s in items
+            ]
+            return out.selectExpr(*exprs)
+
         # Index DDL — the reference daemon's CREATE/DROP surface over
         # this engine's sidecar artifacts. One-row result echoing the
         # artifact path, like the CLI's JSON contract.
@@ -282,8 +317,13 @@ class Engine:
                 persisted_value_index_cols,
             )
 
+            from columnar_spark.stats import json_index_meta
+
             for c in persisted_value_index_cols(base):
-                rows.append(("value_index", c, f"{base}.vidx/{c}"))
+                jm = json_index_meta(base, c)
+                kind = "json_field_index" if jm else "value_index"
+                col = f"{jm['parent']}:{jm['json_path']}" if jm else c
+                rows.append((kind, col, f"{base}.vidx/{c}"))
             for c in persisted_posting_index_cols(base):
                 rows.append(("posting_index", c, f"{base}.pidx/{c}"))
             if os.path.isdir(f"{base}.ftidx"):

@@ -204,5 +204,39 @@ def test_sql_index_ddl_roundtrip(spark, tmp_path):
     assert d2.first()["n"] == e.spark.sql(q).first()["n"]
 
     shown = {(x["kind"], x["column"]) for x in e.sql("SHOW INDEXES FROM events").collect()}
-    assert ("value_index", "props__j_k") in shown
+    assert ("json_field_index", "props:$.k") in shown  # parent linkage surfaced
     assert ("value_index", "event_type") not in shown
+
+    # COUNT(DISTINCT json field) also routes through the normalized name
+    qd = "SELECT COUNT(DISTINCT get_json_object(props, '$.k')) AS d FROM events"
+    dd = e.sql(qd)
+    assert "events.parquet" not in dd._jdf.queryExecution().executedPlan().toString().replace(
+        "events.parquet.vidx", ""
+    )
+    assert dd.first()["d"] == e.spark.sql(qd).first()["d"]
+
+
+def test_sql_knn_surface(spark):
+    """SELECT ... WHERE KNN(col, k, (v...)) [AND pred] — the reference
+    daemon's KNN SQL form, filter-then-rank with deterministic ties."""
+    e = Engine(spark, SF)
+    emb = e.table("embeddings")
+    q = [float(v) for v in emb.filter(F.col("vec_id") == 3).first()["embedding"]]
+    vec = ", ".join(repr(v) for v in q)
+
+    rows = e.sql(
+        f"SELECT vec_id, label, knn_dist() FROM embeddings "
+        f"WHERE KNN(embedding, 5, ({vec}))"
+    ).collect()
+    assert len(rows) == 5
+    assert rows[0]["vec_id"] == 3 and abs(rows[0]["knn_dist"]) < 1e-9
+    dists = [r["knn_dist"] for r in rows]
+    assert dists == sorted(dists)
+
+    # residual predicate pre-filters (filtered-KNN semantics)
+    lab = rows[1]["label"]
+    got = e.sql(
+        f"SELECT vec_id, label FROM embeddings "
+        f"WHERE KNN(embedding, 4, ({vec})) AND label = {lab}"
+    ).collect()
+    assert got and all(r["label"] == lab for r in got)
