@@ -21,7 +21,7 @@ Spark-first:
   exercised by the declared queries in __spark_entry__.py
 """
 
-from columnar_spark.session import get_spark, tune
+from columnar_spark.session import ext_jar_path, get_spark, tune
 from columnar_spark.catalog import TABLES, load_tables
 from columnar_spark.filters import (
     Filter,
@@ -30,12 +30,18 @@ from columnar_spark.filters import (
     compile_filter,
     compile_filters,
 )
+from columnar_spark.stats import (
+    write_json_field_index,
+    write_posting_index,
+    write_value_index,
+)
 from columnar_spark.table import Engine
-from columnar_spark.writer import WriteSpec, check_table, write_table
+from columnar_spark.writer import WriteSpec, build_sf_layout, check_table, write_table
 
 __all__ = [
     "get_spark",
     "tune",
+    "ext_jar_path",
     "TABLES",
     "load_tables",
     "Filter",
@@ -47,6 +53,10 @@ __all__ = [
     "WriteSpec",
     "write_table",
     "check_table",
+    "build_sf_layout",
+    "write_value_index",
+    "write_posting_index",
+    "write_json_field_index",
 ]
 
 __version__ = "0.1.0"
