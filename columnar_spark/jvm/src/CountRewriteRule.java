@@ -79,17 +79,13 @@ public class CountRewriteRule extends Rule<LogicalPlan> {
         LogicalPlan child = skipAttributeOnlyProjects(agg.child());
         if (!(child instanceof Filter)) return null;
         Filter filter = (Filter) child;
-        Expression cond = filter.condition();
-
-        Attribute attr = singleColumnRef(cond);
-        if (attr == null) return null;
         String tablePath = relationPath(skipAttributeOnlyProjects(filter.child()));
         if (tablePath == null) return null;
-        Dataset<Row> idx = loadIndex(tablePath, attr);
-        if (idx == null) return null;
+        CondIndex ci = resolveCondIndex(tablePath, filter.condition());
+        if (ci == null) return null;
 
         Dataset<Row> result =
-                idx.filter(renderUnqualified(cond, attr))
+                ci.idx.filter(renderUnqualified(ci.cond, ci.attr))
                         .agg(
                                 functions.coalesce(functions.sum("cnt"), functions.lit(0L))
                                         .cast("long")
@@ -103,23 +99,29 @@ public class CountRewriteRule extends Rule<LogicalPlan> {
      * never matches NULL — identical to base-table GROUP BY. */
     private LogicalPlan rewriteGroupCount(Aggregate agg) {
         if (agg.groupingExpressions().size() != 1) return null;
-        if (!(agg.groupingExpressions().head() instanceof AttributeReference)) {
-            return null;
+        Expression g = agg.groupingExpressions().head();
+        AttributeReference gcol = null;  // plain-column grouping
+        JsonFieldRef jref = null;        // get_json_object grouping
+        String idxName;
+        if (g instanceof AttributeReference) {
+            gcol = (AttributeReference) g;
+            idxName = gcol.name();
+        } else {
+            jref = JsonFieldRef.of(g);
+            if (jref == null) return null;
+            idxName = jref.virtualName();
+            if (idxName == null) return null;
         }
-        AttributeReference gcol =
-                (AttributeReference) agg.groupingExpressions().head();
         if (agg.aggregateExpressions().size() != 2) return null;
         NamedExpression first = agg.aggregateExpressions().head();
-        // first output: the grouping attribute itself (possibly aliased)
+        // first output: the grouping expression itself (possibly aliased)
         String outName;
-        if (first instanceof AttributeReference
+        if (gcol != null
+                && first instanceof AttributeReference
                 && ((AttributeReference) first).exprId().equals(gcol.exprId())) {
             outName = first.name();
         } else if (first instanceof Alias
-                && ((Alias) first).child() instanceof AttributeReference
-                && ((AttributeReference) ((Alias) first).child())
-                        .exprId()
-                        .equals(gcol.exprId())) {
+                && ((Alias) first).child().semanticEquals(g)) {
             outName = ((Alias) first).name();
         } else {
             return null;
@@ -128,24 +130,72 @@ public class CountRewriteRule extends Rule<LogicalPlan> {
         if (cntAlias == null) return null;
 
         LogicalPlan child = skipAttributeOnlyProjects(agg.child());
+        // PullOutGroupingExpressions moves a complex grouping expression
+        // into a child Project as `expr AS _groupingexpression#N`; when
+        // the pulled-out expr is a get_json_object field reference,
+        // resolve the grouping through it.
+        if (gcol != null && child instanceof Project) {
+            Project proj = (Project) child;
+            JsonFieldRef found = null;
+            boolean clean = true;
+            scala.collection.Iterator<NamedExpression> it =
+                    proj.projectList().iterator();
+            while (it.hasNext()) {
+                NamedExpression item = it.next();
+                if (item instanceof Attribute) continue;
+                if (item instanceof Alias
+                        && ((Alias) item).exprId().equals(gcol.exprId())) {
+                    found = JsonFieldRef.of(((Alias) item).child());
+                    if (found == null) clean = false;
+                } else {
+                    clean = false;
+                }
+            }
+            if (found != null && clean) {
+                jref = found;
+                gcol = null;
+                idxName = jref.virtualName();
+                if (idxName == null) return null;
+                child = skipAttributeOnlyProjects(proj.child());
+            }
+        }
         Expression cond = null;
         if (child instanceof Filter) {
             cond = ((Filter) child).condition();
-            Attribute ref = singleColumnRef(cond);
-            if (ref == null || !ref.exprId().equals(gcol.exprId())) return null;
             child = skipAttributeOnlyProjects(((Filter) child).child());
         }
         String tablePath = relationPath(child);
         if (tablePath == null) return null;
-        Dataset<Row> idx = loadIndex(tablePath, gcol);
+        Dataset<Row> idx = loadIndexByName(tablePath, idxName);
         if (idx == null) return null;
 
         if (cond != null) {
-            idx = idx.filter(renderUnqualified(cond, gcol));
+            if (gcol != null) {
+                Attribute ref = singleColumnRef(cond);
+                if (ref == null || !ref.exprId().equals(gcol.exprId())) return null;
+                idx = idx.filter(renderUnqualified(cond, gcol));
+            } else {
+                // JSON grouping: the filter may reference the parent only
+                // through the SAME path; rebind those occurrences to the
+                // index attribute and require nothing else leaks through.
+                Attribute ref = singleColumnRef(cond);
+                if (ref == null || !ref.exprId().equals(jref.parent.exprId())) {
+                    return null;
+                }
+                AttributeReference rep = outputAttr(idx, idxName);
+                if (rep == null) return null;
+                Expression rebound =
+                        (Expression) cond.transformUp(new ReplaceJsonField(jref, rep));
+                AttributeSet refs = rebound.references();
+                if (refs.size() != 1) return null;
+                Attribute only = (Attribute) refs.iterator().next();
+                if (!only.exprId().equals(rep.exprId())) return null;
+                idx = idx.filter(renderUnqualified(rebound, rep));
+            }
         }
         Dataset<Row> result =
                 idx.select(
-                        functions.col(gcol.name()).alias(outName),
+                        functions.col(idxName).alias(outName),
                         functions.coalesce(functions.col("cnt"), functions.lit(0L))
                                 .cast("long")
                                 .alias(cntAlias.name()));
@@ -192,10 +242,82 @@ public class CountRewriteRule extends Rule<LogicalPlan> {
     /** The .vidx sidecar for (table, column) with `value` renamed to the
      * column name, or null when none exists. */
     private Dataset<Row> loadIndex(String tablePath, Attribute attr) {
-        File idxDir = new File(tablePath + ".vidx/" + attr.name());
+        return loadIndexByName(tablePath, attr.name());
+    }
+
+    private Dataset<Row> loadIndexByName(String tablePath, String name) {
+        File idxDir = new File(tablePath + ".vidx/" + name);
         if (!idxDir.isDirectory()) return null;
         return session.read().parquet(idxDir.getPath())
-                .withColumnRenamed("value", attr.name());
+                .withColumnRenamed("value", name);
+    }
+
+    /** The index frame's output attribute with the given name. */
+    private AttributeReference outputAttr(Dataset<Row> idx, String name) {
+        scala.collection.Iterator<Attribute> it =
+                idx.queryExecution().analyzed().output().iterator();
+        while (it.hasNext()) {
+            Attribute a = it.next();
+            if (a.name().equals(name) && a instanceof AttributeReference) {
+                return (AttributeReference) a;
+            }
+        }
+        return null;
+    }
+
+    /** First get_json_object(parent, '$...') occurrence over `parent`
+     * inside `e`, else null. */
+    private JsonFieldRef findJsonRef(Expression e, Attribute parent) {
+        JsonFieldRef r = JsonFieldRef.of(e);
+        if (r != null && r.parent.exprId().equals(parent.exprId())) return r;
+        scala.collection.Iterator<Expression> it = e.children().iterator();
+        while (it.hasNext()) {
+            JsonFieldRef k = findJsonRef(it.next(), parent);
+            if (k != null) return k;
+        }
+        return null;
+    }
+
+    /** Resolved index + rebound condition for a single-column filter:
+     * a direct `.vidx/<col>` sidecar, or — when the column only appears
+     * inside get_json_object(col, path) — the per-field JSON sidecar
+     * `.vidx/<virtualName>` (the same convention Engine.sql and
+     * stats.write_json_field_index share), with every such occurrence
+     * replaced by the index's attribute. Null when neither covers. */
+    private static final class CondIndex {
+        final Dataset<Row> idx;
+        final Expression cond;
+        final Attribute attr;
+
+        CondIndex(Dataset<Row> idx, Expression cond, Attribute attr) {
+            this.idx = idx;
+            this.cond = cond;
+            this.attr = attr;
+        }
+    }
+
+    private CondIndex resolveCondIndex(String tablePath, Expression cond) {
+        Attribute attr = singleColumnRef(cond);
+        if (attr == null) return null;
+        Dataset<Row> idx = loadIndex(tablePath, attr);
+        if (idx != null) return new CondIndex(idx, cond, attr);
+        JsonFieldRef jr = findJsonRef(cond, attr);
+        if (jr == null) return null;
+        String vname = jr.virtualName();
+        if (vname == null) return null;
+        idx = loadIndexByName(tablePath, vname);
+        if (idx == null) return null;
+        AttributeReference rep = outputAttr(idx, vname);
+        if (rep == null) return null;
+        Expression rebound =
+                (Expression) cond.transformUp(new ReplaceJsonField(jr, rep));
+        AttributeSet refs = rebound.references();
+        // any leftover reference means the parent column was used some
+        // other way (bare, or a different path) — not covered
+        if (refs.size() != 1) return null;
+        Attribute only = (Attribute) refs.iterator().next();
+        if (!only.exprId().equals(rep.exprId())) return null;
+        return new CondIndex(idx, rebound, rep);
     }
 
     /** Render the condition with the attribute's qualifier stripped (a

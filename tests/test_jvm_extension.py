@@ -80,6 +80,58 @@ assert df5.count() == 3
 assert spark.sql("SELECT l_linenumber, COUNT(*) AS n FROM li GROUP BY 1").count() == \
     src.select("l_linenumber").distinct().count()
 
+# 6. JSON per-field sidecar serves PLAIN-SQL get_json_object predicates
+#    and groupings — no materialized column in the table at all
+from columnar_spark.stats import write_json_field_index
+
+pe = f"{tmp}/events.parquet"
+esrc = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+esrc.write.parquet(pe)
+write_json_field_index(spark, pe, "props", "$.k")
+spark.read.parquet(pe).createOrReplaceTempView("ev")
+
+def ev_nohaz(plan):
+    return "events.parquet" not in plan.replace("events.parquet.vidx", "")
+
+q6 = "SELECT COUNT(*) AS n FROM ev WHERE get_json_object(props, '$.k') = '7'"
+d6 = spark.sql(q6)
+p6 = d6._jdf.queryExecution().executedPlan().toString()
+assert ".vidx" in p6 and ev_nohaz(p6), p6
+from pyspark.sql import functions as F
+
+assert d6.first()["n"] == esrc.filter(F.get_json_object("props", "$.k") == "7").count()
+
+q7 = (
+    "SELECT get_json_object(props, '$.k') AS k, COUNT(*) AS n FROM ev "
+    "WHERE get_json_object(props, '$.k') IS NOT NULL "
+    "GROUP BY get_json_object(props, '$.k')"
+)
+d7 = spark.sql(q7)
+p7 = d7._jdf.queryExecution().executedPlan().toString()
+assert ".vidx" in p7 and ev_nohaz(p7), p7
+got7 = sorted(map(tuple, d7.collect()))
+want7 = sorted(
+    map(
+        tuple,
+        esrc.filter(F.get_json_object("props", "$.k").isNotNull())
+        .groupBy(F.get_json_object("props", "$.k").alias("k"))
+        .count()
+        .collect(),
+    )
+)
+assert got7 == want7
+
+# mixed parent use / other path: untouched and correct
+q8 = "SELECT COUNT(*) AS n FROM ev WHERE get_json_object(props, '$.k') = '7' AND props IS NOT NULL"
+d8 = spark.sql(q8)
+assert ".vidx" not in d8._jdf.queryExecution().executedPlan().toString()
+assert d8.first()["n"] == esrc.filter(
+    (F.get_json_object("props", "$.k") == "7") & F.col("props").isNotNull()
+).count()
+assert ".vidx" not in spark.sql(
+    "SELECT COUNT(*) AS n FROM ev WHERE get_json_object(props, '$.zz') = '7'"
+)._jdf.queryExecution().executedPlan().toString()
+
 print("JVM-EXT-OK")
 """
 
