@@ -200,14 +200,19 @@ class Engine:
         # KNN SQL surface — the reference daemon's
         #   SELECT <cols | knn_dist()> FROM t
         #   WHERE KNN(vec_col, k, (v1, v2, ...)) [AND <residual pred>]
+        #   [OPTION mode=exact|index]
         # form. Residual predicates pre-filter (filter-then-rank, the
         # reference's filtered-KNN semantics); knn_dist() maps onto the
-        # result's dist column; deterministic id tie-break.
+        # result's dist column; deterministic id tie-break. mode=index
+        # serves the persisted IVF-PQ sidecar (partition-pruned probes +
+        # exact re-rank — approximate, like the reference's HNSW-backed
+        # SQL KNN); default is the exact scan-and-rank path.
         m = _re.match(
             r"^\s*SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<table>\w+)\s+"
             r"WHERE\s+KNN\s*\(\s*(?P<col>\w+)\s*,\s*(?P<k>\d+)\s*,\s*"
             r"\(\s*(?P<vec>[-+\d.eE\s,]+?)\s*\)\s*\)\s*"
-            r"(?:AND\s+(?P<rest>.+?))?\s*;?\s*$",
+            r"(?:AND\s+(?P<rest>.+?))?\s*"
+            r"(?:OPTION\s+mode\s*=\s*(?P<mode>exact|index)\s*)?;?\s*$",
             query,
             _re.IGNORECASE | _re.DOTALL,
         )
@@ -220,10 +225,38 @@ class Engine:
             df = self.table(m.group("table"))
             pre = _F.expr(m.group("rest")) if m.group("rest") else None
             id_col = "vec_id" if "vec_id" in df.columns else df.columns[0]
-            out = knn_topk(
-                df, m.group("col"), vec, int(m.group("k")),
-                id_col=id_col, pre_filter=pre,
-            )
+            mode = (m.group("mode") or "exact").lower()
+            if mode == "index":
+                from columnar_spark.operators.knn_index import (
+                    knn_query_indexed,
+                    load_vector_index,
+                )
+
+                idx = load_vector_index(f"{self.sf_dir}/{m.group('table')}.parquet")
+                if idx is None:
+                    raise ValueError(
+                        f"OPTION mode=index: no persisted vector index beside "
+                        f"{m.group('table')} — build one at ingest "
+                        "(knn_index.build_vector_index) or drop the option"
+                    )
+                if pre is not None:
+                    raise ValueError(
+                        "OPTION mode=index does not combine with residual "
+                        "predicates; use the exact path for filtered KNN"
+                    )
+                out = knn_query_indexed(
+                    self.spark, idx, vec, int(m.group("k"))
+                ).withColumnRenamed("id", id_col)
+                # re-attach requested payload columns by id (k-row left
+                # side — broadcastable), keep the distance order
+                out = out.join(df, id_col, "left").orderBy(
+                    _F.col("dist").asc(), _F.col(id_col).asc()
+                )
+            else:
+                out = knn_topk(
+                    df, m.group("col"), vec, int(m.group("k")),
+                    id_col=id_col, pre_filter=pre,
+                )
             items = [s.strip() for s in m.group("sel").split(",")]
             exprs = [
                 "dist AS knn_dist" if _re.fullmatch(r"KNN_DIST\s*\(\s*\)", s, _re.IGNORECASE)

@@ -240,3 +240,44 @@ def test_sql_knn_surface(spark):
         f"WHERE KNN(embedding, 4, ({vec})) AND label = {lab}"
     ).collect()
     assert got and all(r["label"] == lab for r in got)
+
+
+def test_sql_knn_index_option(spark, tmp_path):
+    """OPTION mode=index serves the persisted IVF-PQ sidecar (the
+    reference's index-backed SQL KNN); recall-gated vs the exact form,
+    payload columns re-attached, filtered+index combination refused."""
+    import pytest as _pytest
+
+    from columnar_spark.operators.knn_index import build_vector_index
+
+    src = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    p = str(tmp_path / "embeddings.parquet")
+    src.write.parquet(p)
+    build_vector_index(spark, src, p)
+    e = Engine(spark, str(tmp_path))
+    q = [float(v) for v in src.filter(F.col("vec_id") == 3).first()["embedding"]]
+    vs = ", ".join(repr(v) for v in q)
+
+    exact = e.sql(
+        f"SELECT vec_id, knn_dist() FROM embeddings WHERE KNN(embedding, 10, ({vs}))"
+    ).collect()
+    idxr = e.sql(
+        f"SELECT vec_id, label, knn_dist() FROM embeddings "
+        f"WHERE KNN(embedding, 10, ({vs})) OPTION mode=index"
+    ).collect()
+    assert len(idxr) == 10
+    assert idxr[0]["vec_id"] == 3  # self is nearest even through PQ+rerank
+    recall = len({r["vec_id"] for r in exact} & {r["vec_id"] for r in idxr}) / 10
+    assert recall >= 0.5, recall
+    assert all(r["label"] is not None for r in idxr)  # payload re-attached
+
+    with _pytest.raises(ValueError, match="residual"):
+        e.sql(
+            f"SELECT vec_id FROM embeddings "
+            f"WHERE KNN(embedding, 5, ({vs})) AND label = 1 OPTION mode=index"
+        )
+    with _pytest.raises(ValueError, match="no persisted vector index"):
+        e2 = Engine(spark, "/root/testdata/sf0.001")
+        e2.sql(
+            f"SELECT vec_id FROM embeddings WHERE KNN(embedding, 5, ({vs})) OPTION mode=index"
+        )
