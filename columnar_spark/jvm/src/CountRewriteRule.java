@@ -12,6 +12,8 @@ import org.apache.spark.sql.catalyst.expressions.Literal;
 import org.apache.spark.sql.catalyst.expressions.NamedExpression;
 import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression;
 import org.apache.spark.sql.catalyst.expressions.aggregate.Count;
+import org.apache.spark.sql.catalyst.expressions.aggregate.Max;
+import org.apache.spark.sql.catalyst.expressions.aggregate.Min;
 import org.apache.spark.sql.catalyst.plans.logical.Aggregate;
 import org.apache.spark.sql.catalyst.plans.logical.Filter;
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan;
@@ -65,32 +67,189 @@ public class CountRewriteRule extends Rule<LogicalPlan> {
     private LogicalPlan rewrite(LogicalPlan plan) {
         if (!(plan instanceof Aggregate)) return null;
         Aggregate agg = (Aggregate) plan;
-        if (agg.groupingExpressions().isEmpty()) return rewriteGlobalCount(agg);
+        if (agg.groupingExpressions().isEmpty()) return rewriteGlobalAggs(agg);
         return rewriteGroupCount(agg);
     }
 
-    /** SELECT COUNT(*) FROM t WHERE <single-col pred>  ->  sum(cnt) off
-     * the .vidx sidecar. */
-    private LogicalPlan rewriteGlobalCount(Aggregate agg) {
-        if (agg.aggregateExpressions().size() != 1) return null;
-        Alias alias = countStarAlias(agg.aggregateExpressions().head());
-        if (alias == null) return null;
+    // ------------------------------------------------- global aggregates
+
+    private static final int K_COUNT_STAR = 0;     // COUNT(*) / COUNT(1)
+    private static final int K_COUNT_COL = 1;      // COUNT(col), non-null
+    private static final int K_COUNT_DISTINCT = 2; // COUNT(DISTINCT col)
+    private static final int K_MIN = 3;
+    private static final int K_MAX = 4;
+
+    private static final class AggSpec {
+        final String name;
+        final int kind;
+        final Attribute attr; // null for COUNT_STAR
+
+        AggSpec(String name, int kind, Attribute attr) {
+            this.name = name;
+            this.kind = kind;
+            this.attr = attr;
+        }
+    }
+
+    /** An Alias over COUNT(*) / COUNT(col) / COUNT(DISTINCT col) /
+     * MIN(col) / MAX(col), else null. Every form is exactly derivable
+     * from the (value, cnt) sidecar: the index materializes one row per
+     * distinct value INCLUDING the NULL group, so sum(cnt) is the row
+     * count, the non-null rows are the distinct values, and min/max
+     * ignore NULL on both representations. */
+    private AggSpec parseGlobalAgg(NamedExpression ne) {
+        if (!(ne instanceof Alias)) return null;
+        Alias alias = (Alias) ne;
+        if (!(alias.child() instanceof AggregateExpression)) return null;
+        AggregateExpression ae = (AggregateExpression) alias.child();
+        if (ae.filter().isDefined()) return null;
+        Object fn = ae.aggregateFunction();
+        if (fn instanceof Count) {
+            Count cnt = (Count) fn;
+            if (cnt.children().size() != 1) return null;
+            Expression ch = cnt.children().head();
+            if (ch instanceof Literal) {
+                if (ae.isDistinct()) return null;
+                return new AggSpec(alias.name(), K_COUNT_STAR, null);
+            }
+            if (ch instanceof AttributeReference) {
+                int kind = ae.isDistinct() ? K_COUNT_DISTINCT : K_COUNT_COL;
+                return new AggSpec(alias.name(), kind, (Attribute) ch);
+            }
+            return null;
+        }
+        if (fn instanceof Min && ((Min) fn).child() instanceof AttributeReference) {
+            return new AggSpec(alias.name(), K_MIN, (Attribute) ((Min) fn).child());
+        }
+        if (fn instanceof Max && ((Max) fn).child() instanceof AttributeReference) {
+            return new AggSpec(alias.name(), K_MAX, (Attribute) ((Max) fn).child());
+        }
+        return null;
+    }
+
+    /** The sidecar-frame aggregate expression for one spec, under a
+     * temporary alias (final names are re-applied in output order at the
+     * end — SQL permits duplicate output names). */
+    private org.apache.spark.sql.Column specColumn(AggSpec s, String colName, String tmpName) {
+        org.apache.spark.sql.Column c;
+        switch (s.kind) {
+            case K_COUNT_STAR:
+                c = functions.coalesce(functions.sum("cnt"), functions.lit(0L)).cast("long");
+                break;
+            case K_COUNT_COL:
+                c = functions.coalesce(
+                                functions.sum(
+                                        functions.when(
+                                                functions.col(colName).isNotNull(),
+                                                functions.col("cnt"))),
+                                functions.lit(0L))
+                        .cast("long");
+                break;
+            case K_COUNT_DISTINCT:
+                c = functions.count(functions.col(colName)); // non-null index rows
+                break;
+            case K_MIN:
+                c = functions.min(functions.col(colName));
+                break;
+            default:
+                c = functions.max(functions.col(colName));
+        }
+        return c.alias(tmpName);
+    }
+
+    /** SELECT COUNT(*)/COUNT(col)/COUNT(DISTINCT col)/MIN(col)/MAX(col)...
+     * FROM t [WHERE <single-col pred>] -> served off the .vidx sidecars.
+     * With a filter, every referenced column must BE the filter column
+     * (one filtered index frame). Without one, each referenced column
+     * needs its own sidecar; the one-row per-column frames cross-join —
+     * the whole-table stats shape (reference CalcCount + minmax eval,
+     * secondary.cpp:531-551). */
+    private LogicalPlan rewriteGlobalAggs(Aggregate agg) {
+        int n = agg.aggregateExpressions().size();
+        if (n == 0) return null;
+        AggSpec[] specs = new AggSpec[n];
+        for (int i = 0; i < n; i++) {
+            specs[i] = parseGlobalAgg(agg.aggregateExpressions().apply(i));
+            if (specs[i] == null) return null;
+        }
 
         LogicalPlan child = skipAttributeOnlyProjects(agg.child());
-        if (!(child instanceof Filter)) return null;
-        Filter filter = (Filter) child;
-        String tablePath = relationPath(skipAttributeOnlyProjects(filter.child()));
+        Expression cond = null;
+        if (child instanceof Filter) {
+            cond = ((Filter) child).condition();
+            child = skipAttributeOnlyProjects(((Filter) child).child());
+        }
+        String tablePath = relationPath(child);
         if (tablePath == null) return null;
-        CondIndex ci = resolveCondIndex(tablePath, filter.condition());
-        if (ci == null) return null;
 
-        Dataset<Row> result =
-                ci.idx.filter(renderUnqualified(ci.cond, ci.attr))
-                        .agg(
-                                functions.coalesce(functions.sum("cnt"), functions.lit(0L))
-                                        .cast("long")
-                                        .alias(alias.name()));
-        return result.queryExecution().analyzed();
+        Dataset<Row> result;
+        if (cond != null) {
+            CondIndex ci = resolveCondIndex(tablePath, cond);
+            if (ci == null) return null;
+            // every column the aggregates touch must be the filter column
+            // (the JSON-rebound case serves COUNT(*) forms only: the agg
+            // list cannot reference the index's virtual attribute)
+            for (AggSpec s : specs) {
+                if (s.attr != null && !s.attr.exprId().equals(ci.attr.exprId())) return null;
+            }
+            String idxCol = ci.attr.name();
+            Dataset<Row> filtered = ci.idx.filter(renderUnqualified(ci.cond, ci.attr));
+            org.apache.spark.sql.Column[] rest =
+                    new org.apache.spark.sql.Column[n - 1];
+            for (int i = 1; i < n; i++) rest[i - 1] = specColumn(specs[i], idxCol, "__a" + i);
+            result = filtered.agg(specColumn(specs[0], idxCol, "__a0"), rest);
+        } else {
+            // group specs by referenced column, preserving first-seen order
+            java.util.LinkedHashMap<String, java.util.List<Integer>> byCol =
+                    new java.util.LinkedHashMap<>();
+            for (int i = 0; i < n; i++) {
+                String key = specs[i].attr == null ? null : specs[i].attr.name();
+                if (key != null) {
+                    byCol.computeIfAbsent(key, k -> new java.util.ArrayList<>()).add(i);
+                }
+            }
+            java.util.List<Integer> starIdx = new java.util.ArrayList<>();
+            for (int i = 0; i < n; i++) if (specs[i].attr == null) starIdx.add(i);
+            String starCol;
+            if (!byCol.isEmpty()) {
+                starCol = byCol.keySet().iterator().next();
+            } else {
+                starCol = anyIndexedColumn(tablePath); // pure COUNT(*) query
+                if (starCol == null) return null;
+            }
+            byCol.computeIfAbsent(starCol, k -> new java.util.ArrayList<>())
+                    .addAll(starIdx);
+            result = null;
+            for (java.util.Map.Entry<String, java.util.List<Integer>> e : byCol.entrySet()) {
+                Dataset<Row> idx = loadIndexByName(tablePath, e.getKey());
+                if (idx == null) return null;
+                java.util.List<Integer> is = e.getValue();
+                org.apache.spark.sql.Column[] rest =
+                        new org.apache.spark.sql.Column[is.size() - 1];
+                for (int j = 1; j < is.size(); j++) {
+                    rest[j - 1] = specColumn(specs[is.get(j)], e.getKey(), "__a" + is.get(j));
+                }
+                Dataset<Row> frame =
+                        idx.agg(specColumn(specs[is.get(0)], e.getKey(), "__a" + is.get(0)), rest);
+                result = result == null ? frame : result.crossJoin(frame);
+            }
+        }
+        org.apache.spark.sql.Column[] out = new org.apache.spark.sql.Column[n];
+        for (int i = 0; i < n; i++) out[i] = functions.col("__a" + i).alias(specs[i].name);
+        return result.select(out).queryExecution().analyzed();
+    }
+
+    /** Any column with a persisted .vidx sidecar (for filterless pure
+     * COUNT(*): every sidecar's cnt column sums to the row count). */
+    private String anyIndexedColumn(String tablePath) {
+        File dir = new File(tablePath + ".vidx");
+        File[] subs = dir.listFiles();
+        if (subs == null) return null;
+        java.util.Arrays.sort(subs); // deterministic pick
+        for (File f : subs) {
+            if (f.isDirectory() && !f.getName().startsWith("_")) return f.getName();
+        }
+        return null;
     }
 
     /** SELECT col, COUNT(*) FROM t [WHERE <pred on col>] GROUP BY col

@@ -132,6 +132,56 @@ assert ".vidx" not in spark.sql(
     "SELECT COUNT(*) AS n FROM ev WHERE get_json_object(props, '$.zz') = '7'"
 )._jdf.queryExecution().executedPlan().toString()
 
+# 9. global aggregate forms beyond COUNT(*): COUNT(col) / COUNT(DISTINCT
+#    col) / MIN / MAX served off the sidecars — incl. NULL semantics,
+#    multi-column stat queries (cross-joined one-row frames) and the
+#    filterless whole-table COUNT(*)
+from columnar_spark.stats import write_value_index as _wvi
+
+pn = f"{tmp}/nt.parquet"
+nsrc = spark.createDataFrame(
+    [(1, "a"), (2, None), (3, "b"), (4, "b"), (5, None), (6, "c")],
+    "x int, c string",
+)
+nsrc.write.parquet(pn)
+_wvi(spark, pn, "c")
+_wvi(spark, pn, "x")
+spark.read.parquet(pn).createOrReplaceTempView("nt")
+
+def nt_indexonly(d):
+    p = d._jdf.queryExecution().executedPlan().toString()
+    return ".vidx" in p and "nt.parquet" not in p.replace("nt.parquet.vidx", "")
+
+d9 = spark.sql("SELECT COUNT(DISTINCT c) AS ndv FROM nt")
+assert nt_indexonly(d9), d9._jdf.queryExecution().executedPlan().toString()
+assert d9.first()["ndv"] == 3  # NULLs excluded
+
+d10 = spark.sql("SELECT MIN(c) AS mn, MAX(c) AS mx, COUNT(c) AS nn, COUNT(*) AS n FROM nt")
+assert nt_indexonly(d10)
+assert tuple(d10.first()) == ("a", "c", 4, 6)  # count(c) skips NULL, count(*) doesn't
+
+d11 = spark.sql("SELECT MIN(x) AS mnx, MAX(c) AS mxc, COUNT(*) AS n FROM nt")
+assert nt_indexonly(d11)  # two sidecars, one-row frames cross-joined
+assert tuple(d11.first()) == (1, "c", 6)
+
+d12 = spark.sql("SELECT COUNT(*) AS n FROM nt")
+assert nt_indexonly(d12)  # filterless whole-table count off any sidecar
+assert d12.first()["n"] == 6
+
+d13 = spark.sql("SELECT COUNT(DISTINCT c) AS ndv, MIN(c) AS mn FROM nt WHERE c >= 'b'")
+assert nt_indexonly(d13)
+assert tuple(d13.first()) == (2, "b")
+
+# filtered form: aggregate on a DIFFERENT column than the filter -> no proof, untouched
+d14 = spark.sql("SELECT MIN(x) AS mn FROM nt WHERE c = 'b'")
+assert not nt_indexonly(d14)
+assert d14.first()["mn"] == 3
+
+# non-covered column falls through with a base scan, stays correct
+d15 = spark.sql("SELECT MIN(l_quantity) AS mn FROM li")
+assert ".vidx" not in d15._jdf.queryExecution().executedPlan().toString()
+assert d15.first()["mn"] == src.agg({"l_quantity": "min"}).first()[0]
+
 print("JVM-EXT-OK")
 """
 
