@@ -54,21 +54,61 @@ public class CountRewriteRule extends Rule<LogicalPlan> {
         this.session = session;
     }
 
+    /** Session-conf kill switch. Index MAINTENANCE queries (sidecar
+     * build/merge/audit) must see the BASE table — answering a rebuild
+     * or an audit from the very sidecar being rewritten would
+     * self-overwrite (FAILED_READ_FILE) or silently serve stale counts
+     * — so stats.py disables rewrites around those plans; it doubles as
+     * a production off switch. */
+    public static final String ENABLED_KEY = "spark.columnar_spark.rewrite.enabled";
+
     @Override
     public LogicalPlan apply(LogicalPlan plan) {
         try {
-            LogicalPlan rewritten = rewrite(plan);
-            return rewritten != null ? rewritten : plan;
+            if ("false".equalsIgnoreCase(session.conf().get(ENABLED_KEY, "true"))) {
+                return plan;
+            }
+            // Whole-tree transform, not root-only: the aggregate usually
+            // sits under a write command, LIMIT, or join input. Each
+            // eligible Aggregate(Filter(Relation)) subtree is replaced
+            // in place; pinOutput keeps the parents' references valid.
+            return (LogicalPlan) plan.transformUp(new RewriteAggSubtree(this));
         } catch (Throwable t) {
             return plan; // conservative: never fail a query over a rewrite
         }
     }
 
-    private LogicalPlan rewrite(LogicalPlan plan) {
-        if (!(plan instanceof Aggregate)) return null;
-        Aggregate agg = (Aggregate) plan;
+    /** The sidecar-served replacement for one Aggregate node, or null
+     * when not provably eligible. Package-visible for RewriteAggSubtree. */
+    LogicalPlan rewriteAggregate(Aggregate agg) {
         if (agg.groupingExpressions().isEmpty()) return rewriteGlobalAggs(agg);
         return rewriteGroupCount(agg);
+    }
+
+    /** Re-alias `rewritten`'s output onto `orig`'s attribute names and
+     * exprIds (position-wise) so any parent operator keeps resolving.
+     * Null when arity or a data type differs — caller must keep the
+     * original subtree. */
+    LogicalPlan pinOutput(Aggregate orig, LogicalPlan rewritten) {
+        scala.collection.immutable.Seq<Attribute> oldOut = orig.output();
+        scala.collection.immutable.Seq<Attribute> newOut = rewritten.output();
+        if (oldOut.size() != newOut.size()) return null;
+        java.util.List<NamedExpression> proj = new java.util.ArrayList<>();
+        for (int i = 0; i < oldOut.size(); i++) {
+            Attribute o = oldOut.apply(i);
+            Attribute nw = newOut.apply(i);
+            if (!o.dataType().equals(nw.dataType())) return null;
+            proj.add(
+                    new Alias(
+                            nw,
+                            o.name(),
+                            o.exprId(),
+                            scala.collection.immutable.Seq$.MODULE$.<String>empty(),
+                            scala.Option.<org.apache.spark.sql.types.Metadata>empty(),
+                            scala.collection.immutable.Seq$.MODULE$.<String>empty()));
+        }
+        return new Project(
+                scala.jdk.javaapi.CollectionConverters.asScala(proj).toSeq(), rewritten);
     }
 
     // ------------------------------------------------- global aggregates

@@ -28,10 +28,37 @@ All artifacts are plain DataFrames/parquet — rebuildable per batch
 
 from __future__ import annotations
 
+import contextlib
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from columnar_spark.filters import Filter, FilterType, compile_filter
+
+# Kill switch honored by the JVM Catalyst rule (CountRewriteRule.apply).
+# Index MAINTENANCE and AUDIT plans must read the BASE table: with the
+# rule live, a sidecar rebuild would be answered from the very sidecar
+# being overwritten (self-overwrite FAILED_READ_FILE, or a silently
+# stale rebuild after the base changed), and an audit's "live recount"
+# would compare the sidecar to itself. Wrap those plans in
+# `rewrites_disabled(spark)`.
+REWRITE_ENABLED_KEY = "spark.columnar_spark.rewrite.enabled"
+
+
+@contextlib.contextmanager
+def rewrites_disabled(spark: SparkSession):
+    try:
+        old = spark.conf.get(REWRITE_ENABLED_KEY)
+    except Exception:
+        old = None
+    spark.conf.set(REWRITE_ENABLED_KEY, "false")
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(REWRITE_ENABLED_KEY)
+        else:
+            spark.conf.set(REWRITE_ENABLED_KEY, old)
 
 
 def build_stats_manifest(df: DataFrame) -> DataFrame:
@@ -397,9 +424,10 @@ def write_value_index(spark: SparkSession, table_path: str, col: str, fmt: str =
     secondary/builder.cpp:849+ writes per-column SI files beside the
     columnar blob the same way)."""
     df = getattr(spark.read, fmt)(table_path)
-    build_value_index(df, col).write.mode("overwrite").parquet(
-        value_index_path(table_path, col)
-    )
+    with rewrites_disabled(spark):  # rebuild must scan the BASE table
+        build_value_index(df, col).write.mode("overwrite").parquet(
+            value_index_path(table_path, col)
+        )
 
 
 def load_value_index(spark: SparkSession, table_path: str, col: str) -> DataFrame | None:
@@ -430,7 +458,8 @@ def merge_value_index(spark: SparkSession, table_path: str, col: str, batch_df: 
         .groupBy("value")
         .agg(F.sum("cnt").cast("long").alias("cnt"))
     )
-    rows = merged.collect()  # value indexes are small by contract
+    with rewrites_disabled(spark):  # the batch count must NOT be served
+        rows = merged.collect()     # from the index being merged into
     out = spark.createDataFrame(rows, merged.schema)
     out.write.mode("overwrite").parquet(value_index_path(table_path, col))
     if jmeta is not None:  # the overwrite clears the dir — restore linkage
@@ -483,7 +512,8 @@ def write_json_field_index(
         vname, json_field_expr(parent, json_path)
     )
     p = value_index_path(table_path, vname)
-    build_value_index(df, vname).write.mode("overwrite").parquet(p)
+    with rewrites_disabled(spark):  # rebuild must scan the BASE table
+        build_value_index(df, vname).write.mode("overwrite").parquet(p)
     with open(os.path.join(p, "_meta.json"), "w") as f:
         json.dump({"parent": parent, "json_path": json_path}, f)
     return vname

@@ -67,6 +67,12 @@ class WriteSpec:
     # parquet row-group stats (zone-map skipping), dictionary encoding,
     # manifest rows, and can carry its own .vidx sidecar.
     json_fields: Sequence[tuple[str, str]] = field(default_factory=tuple)
+    # Columns to carry a (value, cnt) .vidx sidecar built at write time —
+    # the reference builds per-attribute secondary indexes as part of its
+    # ingest (secondary/builder.cpp:849+), so filtered COUNT / GROUP-BY /
+    # NDV / MIN/MAX queries are index-served from the first query on.
+    # Maintained incrementally on append, rebuilt on MERGE (stats.py).
+    value_index_cols: Sequence[str] = field(default_factory=tuple)
     # Z-order the cluster_by columns instead of lexicographic range
     # clustering: rows sort by the bit-interleaved rank of ALL cluster
     # keys, so row-group min/max zone maps stay tight on EVERY key, not
@@ -172,6 +178,11 @@ def write_table(df: DataFrame, path: str, spec: WriteSpec | None = None) -> None
     # Stats manifest sidecar — the D1-D5/E7 surface for the planner.
     manifest = build_stats_manifest(getattr(df.sparkSession.read, spec.format)(path))
     manifest.write.mode("overwrite").parquet(stats_path(path))
+    if spec.value_index_cols:
+        from columnar_spark.stats import write_value_index
+
+        for c in spec.value_index_cols:
+            write_value_index(df.sparkSession, path, c, fmt=spec.format)
 
 
 def stats_path(table_path: str) -> str:
@@ -225,13 +236,28 @@ def write_bucketed(
 # scans parallelize — single-row-group source files serialize every scan
 # on one core.
 _LAYOUT_SPECS: dict[str, WriteSpec] = {
-    "lineitem": WriteSpec(cluster_by=("l_shipdate",)),
-    "orders": WriteSpec(cluster_by=("o_orderdate",)),
+    # value_index_cols: the hot equality/NDV attributes get their (value,
+    # cnt) sidecars AT INGEST (the reference builds per-attribute SI as
+    # part of indexing, not lazily), so exact filtered COUNT / GROUP-BY
+    # counts / COUNT DISTINCT / MIN/MAX on them are index-only via the
+    # Engine facade and the JVM Catalyst rule from the first query on.
+    "lineitem": WriteSpec(
+        cluster_by=("l_shipdate",),
+        value_index_cols=("l_returnflag", "l_linestatus", "l_partkey", "l_suppkey"),
+    ),
+    "orders": WriteSpec(
+        cluster_by=("o_orderdate",),
+        value_index_cols=("o_orderpriority", "o_orderstatus"),
+    ),
     # events.props is the semi-structured column: materialize the $.k
     # field at ingest (parquet stats -> zone-map skipping) and index it
     # (write_json_field_index below) — the reference's JSON-attribute
     # flattening applied at the storage layer.
-    "events": WriteSpec(cluster_by=("ts",), json_fields=(("props", "$.k"),)),
+    "events": WriteSpec(
+        cluster_by=("ts",),
+        json_fields=(("props", "$.k"),),
+        value_index_cols=("event_type",),
+    ),
     "documents": WriteSpec(cluster_by=("doc_id",)),
     "embeddings": WriteSpec(cluster_by=("vec_id",)),
     "customer": WriteSpec(cluster_by=("c_custkey",)),
@@ -277,7 +303,7 @@ def build_sf_layout(
     # layout_v bumps when the ingest artifacts change (new sidecar
     # kinds), so a cached layout built by older code is invalidated even
     # though the SOURCE signature still matches.
-    signature = "layout_v5\n" + src_dir + "\n" + "\n".join(sig_parts) + "\n"
+    signature = "layout_v6\n" + src_dir + "\n" + "\n".join(sig_parts) + "\n"
 
     marker = os.path.join(dest_dir, _LAYOUT_MARKER)
     if os.path.exists(marker) and not force:
@@ -347,6 +373,18 @@ def check_table(
     errors: list[str] = []
     df = getattr(spark.read, spec.format)(path)
 
+    # The audit's counts and recounts must come from the BASE table —
+    # with the Catalyst extension live, a COUNT(*) or a value recount
+    # would be served from the very sidecar under audit (vacuous check).
+    from columnar_spark.stats import rewrites_disabled
+
+    with rewrites_disabled(spark):
+        return _check_table_body(spark, path, spec, errors, df)
+
+
+def _check_table_body(
+    spark: SparkSession, path: str, spec: WriteSpec, errors: list[str], df: DataFrame
+) -> list[str]:
     for c in spec.mva_cols:
         bad = df.filter(
             F.col(c).isNotNull() & (F.col(c) != F.array_sort(F.col(c)))

@@ -182,6 +182,55 @@ d15 = spark.sql("SELECT MIN(l_quantity) AS mn FROM li")
 assert ".vidx" not in d15._jdf.queryExecution().executedPlan().toString()
 assert d15.first()["mn"] == src.agg({"l_quantity": "min"}).first()[0]
 
+# 16. the aggregate is rarely the plan ROOT in production — the rule
+#     must fire as a join input and under a write command too (the
+#     subtree substitution pins original exprIds via a Project)
+def nt_gone(p):
+    return ".vidx" in p and "nt.parquet" not in p.replace("nt.parquet.vidx", "")
+
+d17 = spark.sql(
+    "SELECT l.l_returnflag, g.n FROM "
+    "(SELECT COUNT(*) AS n FROM nt WHERE c = 'b') g "
+    "CROSS JOIN (SELECT DISTINCT l_returnflag FROM li) l"
+)
+p17 = d17._jdf.queryExecution().executedPlan().toString()
+assert nt_gone(p17), p17
+assert sorted(r["n"] for r in d17.collect()) == [2, 2, 2]
+
+# 17. maintenance and audit plans must NOT be answered from the sidecar
+#     (stats.rewrites_disabled): (a) rebuilding an index after the base
+#     changed reflects the NEW base — without the guard the rebuild
+#     groupBy is rewritten onto the OLD sidecar (self-overwrite crash or
+#     silently stale counts); (b) check_table flags an out-of-sync
+#     sidecar — without the guard both the audit's COUNT(*) and its live
+#     recount would read the corrupt sidecar and agree with it.
+pm = f"{tmp}/mt.parquet"
+spark.createDataFrame([(1, "x"), (2, "y")], "i int, c string").write.parquet(pm)
+_wvi(spark, pm, "c")
+spark.createDataFrame(
+    [(1, "x"), (2, "x"), (3, "z")], "i int, c string"
+).write.mode("overwrite").parquet(pm)
+_wvi(spark, pm, "c")  # rebuild after base change
+idx = spark.read.parquet(pm + ".vidx/c")
+assert {(r["value"], r["cnt"]) for r in idx.collect()} == {("x", 2), ("z", 1)}
+
+from columnar_spark.writer import check_table
+
+spark.createDataFrame(
+    [("x", 99), ("z", 1)], "value string, cnt bigint"
+).write.mode("overwrite").parquet(pm + ".vidx/c")
+errs = check_table(spark, pm)
+assert any("value index" in e for e in errs), errs
+
+# Write sinks: DSv2 writes (noop / AppendData) pass the full plan —
+# write command over query — through the main optimizer, which is
+# exactly the transformUp path d17 just proved; V1 commands (parquet
+# CTAS/INSERT) optimize their inner query as its own ROOT QueryExecution
+# at run time, the shape sections 1-15 prove. Smoke the noop path:
+spark.sql("SELECT COUNT(DISTINCT c) AS ndv FROM nt").write.format("noop").mode(
+    "overwrite"
+).save()
+
 print("JVM-EXT-OK")
 """
 
