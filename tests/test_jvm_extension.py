@@ -222,6 +222,39 @@ spark.createDataFrame(
 errs = check_table(spark, pm)
 assert any("value index" in e for e in errs), errs
 
+# 18. differential fuzz: seeded random predicates over the indexed
+#     columns — the rewritten answer must equal the rule-off base scan
+#     for every COUNT/NDV/MIN/MAX form (null-handling, excludes, ranges)
+import random
+
+from columnar_spark.stats import rewrites_disabled
+
+rng = random.Random(20260814)
+vals = ["'a'", "'b'", "'c'", "'zz'", "NULL"]
+ops = ["=", "<>", ">=", "<", "IN ('a','b')", "IS NOT NULL", "IS NULL"]
+aggsets = [
+    "COUNT(*) AS n",
+    "COUNT(c) AS n",
+    "COUNT(DISTINCT c) AS n",
+    "MIN(c) AS n",
+    "MAX(c) AS n",
+    "COUNT(*) AS n, COUNT(DISTINCT c) AS d, MIN(c) AS mn, MAX(c) AS mx",
+]
+for _ in range(25):
+    op = rng.choice(ops)
+    pred = (
+        f"c {op}"
+        if op in ("IS NOT NULL", "IS NULL") or op.startswith("IN")
+        else f"c {op} {rng.choice(vals)}"
+    )
+    q = f"SELECT {rng.choice(aggsets)} FROM nt WHERE {pred}"
+    if rng.random() < 0.3:
+        q = q.split(" WHERE ")[0]  # filterless form
+    on = [tuple(r) for r in spark.sql(q).collect()]
+    with rewrites_disabled(spark):
+        off = [tuple(r) for r in spark.sql(q).collect()]
+    assert on == off, (q, on, off)
+
 # Write sinks: DSv2 writes (noop / AppendData) pass the full plan —
 # write command over query — through the main optimizer, which is
 # exactly the transformUp path d17 just proved; V1 commands (parquet
