@@ -81,13 +81,25 @@ def merge_into(
     kept = target.join(drop_keys, list(keys), "left_anti")
     merged = kept.unionByName(updates, allowMissingColumns=True)
 
-    tmp = path.rstrip("/") + ".merge.tmp"
-    merged.write.mode("overwrite").format(fmt).save(tmp)
-    swap_with_history(path, tmp, op="merge", fmt=fmt, n_rows_before=n_before)
-    # MERGE changes arbitrary rows, so persisted value indexes cannot be
-    # patched incrementally like appends — rebuild them from the merged
-    # table (the merge itself was already O(table), so this adds one
-    # aggregate pass per indexed column, not a new complexity class).
+    _rewrite_and_reindex(spark, path, merged, op="merge", fmt=fmt, n_rows_before=n_before)
+    return n_before, n_updates, getattr(spark.read, fmt)(path).count()
+
+
+def _rewrite_and_reindex(
+    spark, path: str, new_df: DataFrame, op: str, fmt: str, n_rows_before: int
+) -> None:
+    """Shared CoW tail for row-mutating DML (MERGE / DELETE / UPDATE):
+    write the rewritten table beside itself, swap with time-travel
+    history, then bring the sidecars back in line. Row mutation changes
+    arbitrary rows, so persisted value/posting indexes cannot be patched
+    incrementally like appends — they are rebuilt from the new table
+    (the rewrite was already O(table); this adds one aggregate pass per
+    indexed column, not a new complexity class). JSON field indexes are
+    INVALIDATED, not rebuilt: the mutation may rewrite the parent JSON
+    column, and the reference disables per-field indexes on JSON update
+    the same way (secondary.cpp:426-433) — re-enable explicitly with
+    stats.write_json_field_index."""
+    from columnar_spark.snapshots import swap_with_history
     from columnar_spark.stats import (
         invalidate_json_field_indexes,
         json_index_meta,
@@ -98,10 +110,9 @@ def merge_into(
         write_value_index,
     )
 
-    # JSON field indexes are INVALIDATED, not rebuilt: a MERGE rewrites
-    # the parent JSON column, and the reference disables per-field
-    # indexes on JSON update the same way (secondary.cpp:426-433) —
-    # re-enable explicitly with stats.write_json_field_index.
+    tmp = path.rstrip("/") + f".{op}.tmp"
+    new_df.write.mode("overwrite").format(fmt).save(tmp)
+    swap_with_history(path, tmp, op=op, fmt=fmt, n_rows_before=n_rows_before)
     invalidate_json_field_indexes(path)
     for c in persisted_value_index_cols(path):
         if json_index_meta(path, c) is not None:
@@ -111,4 +122,60 @@ def merge_into(
         idc = posting_index_id_col(path, c)
         if idc:
             write_posting_index(spark, path, c, idc, fmt)
-    return n_before, n_updates, getattr(spark.read, fmt)(path).count()
+
+
+def delete_where(spark, path: str, condition: str, fmt: str = "parquet") -> tuple[int, int]:
+    """Copy-on-write `DELETE FROM t WHERE cond`: rows where the predicate
+    evaluates TRUE are dropped; FALSE and NULL rows stay (SQL DELETE
+    semantics). The pre-delete table is retired as a time-travel
+    snapshot; sidecars are rebuilt. Returns (n_deleted, n_after)."""
+    from pyspark.sql import functions as F
+
+    target = getattr(spark.read, fmt)(path)
+    n_before = target.count()
+    kept = target.filter(~F.coalesce(F.expr(condition), F.lit(False)))
+    n_after = kept.count()
+    if n_after == n_before:
+        return 0, n_after  # no-op: keep the current version, no rewrite
+    _rewrite_and_reindex(spark, path, kept, op="delete", fmt=fmt, n_rows_before=n_before)
+    return n_before - n_after, getattr(spark.read, fmt)(path).count()
+
+
+def update_set(
+    spark,
+    path: str,
+    assignments: "dict[str, str]",
+    condition: str | None = None,
+    fmt: str = "parquet",
+) -> tuple[int, int]:
+    """Copy-on-write `UPDATE t SET col = expr, ... [WHERE cond]`: matched
+    rows (predicate TRUE; all rows when no predicate) get each assigned
+    column replaced by its expression evaluated on the OLD row (standard
+    UPDATE semantics — all assignments see the pre-update values);
+    unmatched rows pass through unchanged. Assignment expressions may
+    reference any column. Returns (n_matched, n_total)."""
+    from pyspark.sql import functions as F
+
+    target = getattr(spark.read, fmt)(path)
+    for c in assignments:
+        if c not in target.columns:
+            raise ValueError(f"UPDATE: unknown column {c!r}")
+    n_total = target.count()
+    match = (
+        F.coalesce(F.expr(condition), F.lit(False)) if condition else F.lit(True)
+    )
+    n_matched = target.filter(match).count()
+    updated = target.select(
+        *[
+            (
+                F.when(match, F.expr(assignments[c]).cast(target.schema[c].dataType))
+                .otherwise(F.col(c))
+                .alias(c)
+                if c in assignments
+                else F.col(c)
+            )
+            for c in target.columns
+        ]
+    )
+    _rewrite_and_reindex(spark, path, updated, op="update", fmt=fmt, n_rows_before=n_total)
+    return n_matched, getattr(spark.read, fmt)(path).count()

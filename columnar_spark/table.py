@@ -42,6 +42,7 @@ class Engine:
         self.sf_dir = sf_dir
         self._tables: dict[str, DataFrame] = {}
         self._value_indexes: dict[tuple[str, str], DataFrame] = {}
+        self._views: set[str] = set()
         self._manifests: dict[str, dict[str, dict]] = {}
         self._knn_indexes: dict[tuple[str, str], list[list[float]]] = {}
 
@@ -51,6 +52,18 @@ class Engine:
         if name not in self._tables:
             self._tables[name] = load_table(self.spark, self.sf_dir, name)
         return self._tables[name]
+
+    def _invalidate_table_caches(self, name: str) -> None:
+        """Drop cached frames after DML rewrote the table directory —
+        a cached DataFrame may pin the pre-swap file listing, and
+        adopted value indexes were rebuilt (or invalidated) on disk.
+        A registered temp view pins the old listing the same way, so
+        re-register it from the fresh directory."""
+        self._tables.pop(name, None)
+        for key in [k for k in self._value_indexes if k[0] == name]:
+            self._value_indexes.pop(key, None)
+        if name in self._views:
+            self.table(name).createOrReplaceTempView(name)
 
     # --------------------------------------------------------------- scan
 
@@ -157,7 +170,17 @@ class Engine:
     # ---------------------------------------------------------------- sql
 
     def register_views(self, names: Sequence[str] = ()) -> None:
-        """Expose tables as temp views for Engine.sql / spark.sql."""
+        """Expose tables as temp views for Engine.sql / spark.sql. With
+        no names, registers every `*.parquet` table in sf_dir."""
+        if not names:
+            import glob as _glob
+            import os as _os
+
+            names = [
+                _os.path.basename(p)[: -len(".parquet")]
+                for p in _glob.glob(f"{self.sf_dir}/*.parquet")
+            ]
+        self._views.update(names)
         for n in names:
             self.table(n).createOrReplaceTempView(n)
 
@@ -264,6 +287,68 @@ class Engine:
                 for s in items
             ]
             return out.selectExpr(*exprs)
+
+        # Row-mutating DML — the reference host's UPDATE/DELETE surface
+        # mapped onto the CoW machinery (operators/upsert.py): rewrite-
+        # then-swap with time-travel history, value/posting sidecars
+        # rebuilt, JSON field indexes invalidated (disable-on-update
+        # parity, secondary.cpp:426-433). One-row echo result.
+        m = _re.match(
+            r"^\s*DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.+?)\s*;?\s*$",
+            query,
+            _re.IGNORECASE | _re.DOTALL,
+        )
+        if m:
+            from columnar_spark.operators.upsert import delete_where
+
+            name = m.group(1)
+            n_del, n_rows = delete_where(
+                self.spark, f"{self.sf_dir}/{name}.parquet", m.group(2)
+            )
+            self._invalidate_table_caches(name)
+            return self.spark.createDataFrame(
+                [("delete", name, n_del, n_rows)],
+                "op: string, table: string, n_affected: bigint, n_rows: bigint",
+            )
+        m = _re.match(
+            r"^\s*UPDATE\s+(\w+)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*;?\s*$",
+            query,
+            _re.IGNORECASE | _re.DOTALL,
+        )
+        if m:
+            from columnar_spark.operators.upsert import update_set
+
+            name = m.group(1)
+            assignments: dict[str, str] = {}
+            # split the SET list on top-level commas only (expressions
+            # may contain calls like coalesce(a, b))
+            depth, start, parts = 0, 0, []
+            s = m.group(2)
+            for i, ch in enumerate(s):
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                elif ch == "," and depth == 0:
+                    parts.append(s[start:i])
+                    start = i + 1
+            parts.append(s[start:])
+            for part in parts:
+                am = _re.match(r"^\s*(\w+)\s*=\s*(.+?)\s*$", part, _re.DOTALL)
+                if not am:
+                    raise ValueError(f"UPDATE: cannot parse assignment {part!r}")
+                assignments[am.group(1)] = am.group(2)
+            n_match, n_rows = update_set(
+                self.spark,
+                f"{self.sf_dir}/{name}.parquet",
+                assignments,
+                m.group(3),
+            )
+            self._invalidate_table_caches(name)
+            return self.spark.createDataFrame(
+                [("update", name, n_match, n_rows)],
+                "op: string, table: string, n_affected: bigint, n_rows: bigint",
+            )
 
         # Index DDL — the reference daemon's CREATE/DROP surface over
         # this engine's sidecar artifacts. One-row result echoing the

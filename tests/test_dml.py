@@ -1,0 +1,95 @@
+"""Engine.sql row-mutating DML: DELETE FROM / UPDATE ... SET over the
+CoW machinery (operators/upsert.delete_where, update_set) — the
+reference host's UPDATE/DELETE surface. Pins SQL NULL semantics,
+old-value assignment visibility, time-travel history, and sidecar
+maintenance (value index rebuilt, JSON field index invalidated)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from columnar_spark.table import Engine
+
+
+@pytest.fixture()
+def eng(spark, tmp_path):
+    df = spark.createDataFrame(
+        [
+            (1, "a", 10, '{"k": "1"}'),
+            (2, "b", 20, '{"k": "2"}'),
+            (3, "b", None, '{"k": "1"}'),
+            (4, "c", 40, None),
+        ],
+        "id int, c string, v int, props string",
+    )
+    p = str(tmp_path / "t.parquet")
+    df.write.parquet(p)
+    from columnar_spark.stats import write_json_field_index, write_value_index
+
+    write_value_index(spark, p, "c")
+    write_json_field_index(spark, p, "props", "$.k")
+    e = Engine(spark, str(tmp_path))
+    e.register_views(["t"])
+    return e
+
+
+def _vidx(spark, tmp_path, col="c"):
+    return {
+        (r["value"], r["cnt"])
+        for r in spark.read.parquet(str(tmp_path / f"t.parquet.vidx/{col}")).collect()
+    }
+
+
+def test_sql_delete(spark, tmp_path, eng):
+    # v > 15 is NULL for id=3 — SQL DELETE drops only TRUE rows
+    res = eng.sql("DELETE FROM t WHERE v > 15").first()
+    assert (res["op"], res["n_affected"], res["n_rows"]) == ("delete", 2, 2)
+    left = {r["id"] for r in eng.sql("SELECT id FROM t").collect()}
+    assert left == {1, 3}
+    # value index rebuilt to match the surviving rows
+    assert _vidx(spark, tmp_path) == {("a", 1), ("b", 1)}
+    # JSON field index invalidated (disable-on-update parity)
+    assert not os.path.isdir(str(tmp_path / "t.parquet.vidx/props__k"))
+    # pre-delete table retired as a time-travel snapshot
+    from columnar_spark.snapshots import history, read_table
+
+    hist = history(str(tmp_path / "t.parquet"))
+    assert hist and hist[-1].op == "delete"
+    old = read_table(spark, str(tmp_path / "t.parquet"), version=hist[-1].version)
+    assert old.count() == 4
+
+
+def test_sql_delete_noop_keeps_version(tmp_path, eng):
+    from columnar_spark.snapshots import history
+
+    res = eng.sql("DELETE FROM t WHERE v > 1000").first()
+    assert (res["n_affected"], res["n_rows"]) == (0, 4)
+    assert history(str(tmp_path / "t.parquet")) == []
+
+
+def test_sql_update(spark, tmp_path, eng):
+    # assignments see OLD values: doubling v while also bumping id
+    res = eng.sql("UPDATE t SET v = v * 2, id = id + 100 WHERE c = 'b'").first()
+    assert (res["op"], res["n_affected"], res["n_rows"]) == ("update", 2, 4)
+    rows = {r["id"]: r["v"] for r in eng.sql("SELECT id, v FROM t").collect()}
+    assert rows == {1: 10, 102: 40, 103: None, 4: 40}  # NULL*2 stays NULL
+    assert _vidx(spark, tmp_path) == {("a", 1), ("b", 2), ("c", 1)}
+
+
+def test_sql_update_all_rows_and_funcs(spark, tmp_path, eng):
+    res = eng.sql("UPDATE t SET v = coalesce(v, 0)").first()
+    assert (res["n_affected"], res["n_rows"]) == (4, 4)
+    vals = sorted(r["v"] for r in eng.sql("SELECT v FROM t").collect())
+    assert vals == [0, 10, 20, 40]
+
+
+def test_sql_update_unknown_column_refused(eng):
+    with pytest.raises(ValueError, match="unknown column"):
+        eng.sql("UPDATE t SET nope = 1")
+
+
+def test_update_type_preserved(spark, tmp_path, eng):
+    eng.sql("UPDATE t SET v = v / 2 WHERE id = 2")  # div yields double; cast back
+    dt = dict(spark.read.parquet(str(tmp_path / "t.parquet")).dtypes)["v"]
+    assert dt == "int"
