@@ -288,6 +288,45 @@ class Engine:
             ]
             return out.selectExpr(*exprs)
 
+        # INSERT INTO — the append path with INCREMENTAL sidecar
+        # maintenance (streaming/ingest.append_batch: stats sketch merge,
+        # .vidx merge, vector-index code append — O(batch), no rebuild).
+        #   INSERT INTO t VALUES (...), (...)
+        #   INSERT INTO t SELECT ...
+        # Values/select bind to the target schema POSITIONALLY with a
+        # cast, standard SQL INSERT semantics.
+        m = _re.match(
+            r"^\s*INSERT\s+INTO\s+(\w+)\s+(VALUES\s+.+|SELECT\s+.+?)\s*;?\s*$",
+            query,
+            _re.IGNORECASE | _re.DOTALL,
+        )
+        if m:
+            from pyspark.sql import functions as _F
+
+            from columnar_spark.streaming.ingest import append_batch
+
+            name, body = m.group(1), m.group(2)
+            target = self.table(name)
+            batch = self.spark.sql(body)
+            if len(batch.columns) != len(target.columns):
+                raise ValueError(
+                    f"INSERT: {len(batch.columns)} values for "
+                    f"{len(target.columns)} columns of {name}"
+                )
+            batch = batch.select(
+                *[
+                    _F.col(b).cast(target.schema[t].dataType).alias(t)
+                    for b, t in zip(batch.columns, target.columns)
+                ]
+            )
+            n_ins = batch.count()
+            append_batch(batch, f"{self.sf_dir}/{name}.parquet")
+            self._invalidate_table_caches(name)
+            return self.spark.createDataFrame(
+                [("insert", name, n_ins, self.table(name).count())],
+                "op: string, table: string, n_affected: bigint, n_rows: bigint",
+            )
+
         # Row-mutating DML — the reference host's UPDATE/DELETE surface
         # mapped onto the CoW machinery (operators/upsert.py): rewrite-
         # then-swap with time-travel history, value/posting sidecars

@@ -89,6 +89,27 @@ def test_sql_update_unknown_column_refused(eng):
         eng.sql("UPDATE t SET nope = 1")
 
 
+def test_sql_insert_values_and_select(spark, tmp_path, eng):
+    res = eng.sql(
+        "INSERT INTO t VALUES (5, 'd', 50, NULL), (6, 'b', 60, '{\"k\": \"2\"}')"
+    ).first()
+    assert (res["op"], res["n_affected"], res["n_rows"]) == ("insert", 2, 6)
+    # incremental sidecar maintenance: the .vidx merged the batch counts
+    assert _vidx(spark, tmp_path) == {("a", 1), ("b", 3), ("c", 1), ("d", 1)}
+    # INSERT ... SELECT binds positionally with cast
+    res2 = eng.sql(
+        "INSERT INTO t SELECT id + 10, upper(c), v, props FROM t WHERE id = 1"
+    ).first()
+    assert (res2["n_affected"], res2["n_rows"]) == (1, 7)
+    got = eng.sql("SELECT c FROM t WHERE id = 11").first()["c"]
+    assert got == "A"
+
+
+def test_sql_insert_arity_refused(eng):
+    with pytest.raises(ValueError, match="INSERT"):
+        eng.sql("INSERT INTO t VALUES (1, 'x')")
+
+
 def test_update_type_preserved(spark, tmp_path, eng):
     eng.sql("UPDATE t SET v = v / 2 WHERE id = 2")  # div yields double; cast back
     dt = dict(spark.read.parquet(str(tmp_path / "t.parquet")).dtypes)["v"]
