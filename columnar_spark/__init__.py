@@ -35,6 +35,7 @@ from columnar_spark.stats import (
     write_posting_index,
     write_value_index,
 )
+from columnar_spark.operators.upsert import delete_where, merge_into, update_set
 from columnar_spark.table import Engine
 from columnar_spark.writer import WriteSpec, build_sf_layout, check_table, write_table
 
@@ -57,6 +58,9 @@ __all__ = [
     "write_value_index",
     "write_posting_index",
     "write_json_field_index",
+    "merge_into",
+    "delete_where",
+    "update_set",
 ]
 
 __version__ = "0.1.0"
