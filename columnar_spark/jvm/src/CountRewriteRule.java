@@ -10,10 +10,13 @@ import org.apache.spark.sql.catalyst.expressions.AttributeSet;
 import org.apache.spark.sql.catalyst.expressions.Expression;
 import org.apache.spark.sql.catalyst.expressions.Literal;
 import org.apache.spark.sql.catalyst.expressions.NamedExpression;
+import org.apache.spark.sql.catalyst.expressions.TruncTimestamp;
 import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression;
+import org.apache.spark.sql.catalyst.expressions.aggregate.Average;
 import org.apache.spark.sql.catalyst.expressions.aggregate.Count;
 import org.apache.spark.sql.catalyst.expressions.aggregate.Max;
 import org.apache.spark.sql.catalyst.expressions.aggregate.Min;
+import org.apache.spark.sql.catalyst.expressions.aggregate.Sum;
 import org.apache.spark.sql.catalyst.plans.logical.Aggregate;
 import org.apache.spark.sql.catalyst.plans.logical.Filter;
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan;
@@ -82,6 +85,8 @@ public class CountRewriteRule extends Rule<LogicalPlan> {
      * when not provably eligible. Package-visible for RewriteAggSubtree. */
     LogicalPlan rewriteAggregate(Aggregate agg) {
         if (agg.groupingExpressions().isEmpty()) return rewriteGlobalAggs(agg);
+        LogicalPlan rollup = rewriteRollup(agg);
+        if (rollup != null) return rollup;
         return rewriteGroupCount(agg);
     }
 
@@ -401,6 +406,286 @@ public class CountRewriteRule extends Rule<LogicalPlan> {
         return result.queryExecution().analyzed();
     }
 
+    // -------------------------------------------- materialized rollup
+
+    /** SELECT date_trunc('day'|'hour', ts) [, key], COUNT(*)/SUM/MIN/
+     * MAX/AVG(value)... FROM t GROUP BY ... served from the
+     * continuous-aggregate `.rollup` sidecar (merge-on-read over
+     * O(buckets x keys) partials) — the MV routing the Engine.sql
+     * facade does, as a Catalyst rule for plain spark.sql. Guards:
+     * session timezone must be UTC (the sidecar buckets with a 1-day/
+     * 1-hour epoch-aligned window, equal to date_trunc only in a fixed
+     * UTC zone); units beyond day/hour are refused (week/month window
+     * alignment differs from trunc); freshness gate — the partials'
+     * total row count must equal the table's stats-manifest row_count,
+     * else the sidecar is stale and the base plan stands. SUM serves
+     * the rollup's decimal-exact partial cast to the query's own
+     * result type (the base plan's double sum is itself
+     * partition-order-dependent). */
+    private LogicalPlan rewriteRollup(Aggregate agg) {
+        String tz = session.sessionState().conf().sessionLocalTimeZone();
+        if (!"UTC".equals(tz) && !"Etc/UTC".equals(tz)) return null;
+        int ng = agg.groupingExpressions().size();
+        if (ng < 1 || ng > 2) return null;
+        int n = agg.aggregateExpressions().size();
+        if (n <= ng) return null;
+
+        LogicalPlan child = skipAttributeOnlyProjects(agg.child());
+        // PullOutGroupingExpressions: the trunc expression lives in a
+        // child Project as `expr AS _groupingexpression#N`
+        java.util.Map<Object, Expression> pulled = new java.util.HashMap<>();
+        if (child instanceof Project) {
+            Project proj = (Project) child;
+            scala.collection.Iterator<NamedExpression> it = proj.projectList().iterator();
+            while (it.hasNext()) {
+                NamedExpression item = it.next();
+                if (item instanceof Attribute) continue;
+                if (item instanceof Alias) {
+                    pulled.put(((Alias) item).exprId(), ((Alias) item).child());
+                } else {
+                    return null;
+                }
+            }
+            child = skipAttributeOnlyProjects(proj.child());
+        }
+        if (child instanceof Filter) return null; // rollup has no residual filter
+        String tablePath = relationPath(child);
+        if (tablePath == null) return null;
+
+        File root = new File(tablePath + ".rollup");
+        File metaF = new File(root, "meta.json");
+        File parts = new File(root, "partials");
+        if (!metaF.isFile() || !parts.isDirectory()) return null;
+        String meta;
+        try {
+            meta = new String(
+                    java.nio.file.Files.readAllBytes(metaF.toPath()),
+                    java.nio.charset.StandardCharsets.UTF_8);
+        } catch (java.io.IOException e) {
+            return null;
+        }
+        String tsCol = jsonStr(meta, "ts_col");
+        String bucket = jsonStr(meta, "bucket");
+        String valueCol = jsonStr(meta, "value_col");
+        java.util.List<String> keys = jsonStrList(meta, "keys");
+        if (tsCol == null || bucket == null || valueCol == null) return null;
+
+        // resolve groupings: exactly one date_trunc over the meta ts
+        // column with the matching unit, plus at most one key attribute
+        Expression bucketGroup = null;
+        org.apache.spark.sql.types.DataType bucketType = null;
+        AttributeReference keyAttr = null;
+        scala.collection.Iterator<Expression> git = agg.groupingExpressions().iterator();
+        while (git.hasNext()) {
+            Expression g = git.next();
+            Expression resolved = g;
+            if (g instanceof AttributeReference
+                    && pulled.containsKey(((AttributeReference) g).exprId())) {
+                resolved = pulled.get(((AttributeReference) g).exprId());
+            }
+            if (resolved instanceof TruncTimestamp) {
+                TruncTimestamp tt = (TruncTimestamp) resolved;
+                if (bucketGroup != null) return null;
+                if (!(tt.format() instanceof Literal)) return null;
+                String unit = String.valueOf(((Literal) tt.format()).value())
+                        .toLowerCase();
+                String want = unit.equals("day") ? "1 day"
+                        : unit.equals("hour") ? "1 hour" : null;
+                if (want == null || !want.equals(bucket)) return null;
+                // the analyzer wraps a TIMESTAMP_NTZ column in a cast to
+                // TIMESTAMP for date_trunc; unwrap it (both engines label
+                // identically under the UTC guard above)
+                Expression tsExpr = tt.timestamp();
+                if (tsExpr instanceof org.apache.spark.sql.catalyst.expressions.Cast) {
+                    Expression inner =
+                            ((org.apache.spark.sql.catalyst.expressions.Cast) tsExpr).child();
+                    if (inner.dataType()
+                                    instanceof org.apache.spark.sql.types.TimestampNTZType
+                            || inner.dataType()
+                                    instanceof org.apache.spark.sql.types.TimestampType) {
+                        tsExpr = inner;
+                    }
+                }
+                if (!(tsExpr instanceof AttributeReference)) return null;
+                if (!((AttributeReference) tsExpr).name()
+                        .equalsIgnoreCase(tsCol)) return null;
+                bucketGroup = g;
+                bucketType = g.dataType();
+            } else if (g instanceof AttributeReference) {
+                if (keyAttr != null) return null;
+                keyAttr = (AttributeReference) g;
+            } else {
+                return null;
+            }
+        }
+        if (bucketGroup == null) return null;
+        if (keyAttr != null
+                && !(keys.size() == 1
+                        && keys.get(0).equalsIgnoreCase(keyAttr.name()))) {
+            return null; // a key the sidecar does not group by
+        }
+
+        // outputs: the ng grouping outputs first (same order), then
+        // only COUNT(*)/SUM/MIN/MAX/AVG over the sidecar's value column
+        String[] outKind = new String[n]; // "bucket"|"key"|fn
+        org.apache.spark.sql.types.DataType[] outType =
+                new org.apache.spark.sql.types.DataType[n];
+        for (int i = 0; i < n; i++) {
+            NamedExpression ne = agg.aggregateExpressions().apply(i);
+            Expression target =
+                    ne instanceof Alias ? ((Alias) ne).child() : (Expression) ne;
+            if (i < ng) {
+                Expression g = agg.groupingExpressions().apply(i);
+                boolean same =
+                        (target instanceof AttributeReference
+                                        && g instanceof AttributeReference
+                                        && ((AttributeReference) target).exprId()
+                                                .equals(((AttributeReference) g).exprId()))
+                                || target.semanticEquals(g);
+                if (!same) return null;
+                outKind[i] = g == bucketGroup ? "bucket" : "key";
+                continue;
+            }
+            if (!(ne instanceof Alias)
+                    || !(((Alias) ne).child() instanceof AggregateExpression)) {
+                return null;
+            }
+            AggregateExpression ae = (AggregateExpression) ((Alias) ne).child();
+            if (ae.isDistinct() || ae.filter().isDefined()) return null;
+            Object fn = ae.aggregateFunction();
+            if (fn instanceof Count) {
+                Count cnt = (Count) fn;
+                if (cnt.children().size() != 1
+                        || !(cnt.children().head() instanceof Literal)) return null;
+                outKind[i] = "count";
+            } else if (fn instanceof Sum && valueAttr(((Sum) fn).child(), valueCol)) {
+                outKind[i] = "sum";
+            } else if (fn instanceof Min && valueAttr(((Min) fn).child(), valueCol)) {
+                outKind[i] = "min";
+            } else if (fn instanceof Max && valueAttr(((Max) fn).child(), valueCol)) {
+                outKind[i] = "max";
+            } else if (fn instanceof Average
+                    && valueAttr(((Average) fn).child(), valueCol)) {
+                outKind[i] = "avg";
+            } else {
+                return null;
+            }
+            outType[i] = ae.dataType();
+        }
+
+        Dataset<Row> partials = session.read().parquet(parts.getPath());
+        // freshness gate vs the stats manifest — the two driver-side
+        // checks cost real jobs, so the verdict is cached per artifact
+        // mtimes (a rebuilt manifest or rollup bumps its directory's
+        // newest-file mtime and forces a recheck)
+        File statsDir = new File(tablePath + ".stats");
+        if (!statsDir.isDirectory()) return null;
+        if (!rollupFresh(tablePath, statsDir, parts)) return null;
+
+        // merge-on-read, then project the requested outputs in order
+        Dataset<Row> merged;
+        org.apache.spark.sql.Column[] maggs = new org.apache.spark.sql.Column[] {
+            functions.sum("cnt").cast("long").alias("cnt"),
+            functions.sum("sum_v").alias("sum_v"),
+            functions.min("min_v").alias("min_v"),
+            functions.max("max_v").alias("max_v"),
+        };
+        if (keyAttr != null) {
+            merged = partials.groupBy(
+                            functions.col("bucket_start"),
+                            functions.col(keyAttr.name()))
+                    .agg(maggs[0], maggs[1], maggs[2], maggs[3]);
+        } else {
+            merged = partials.groupBy(functions.col("bucket_start"))
+                    .agg(maggs[0], maggs[1], maggs[2], maggs[3]);
+        }
+        org.apache.spark.sql.Column[] out = new org.apache.spark.sql.Column[n];
+        for (int i = 0; i < n; i++) {
+            String name = agg.aggregateExpressions().apply(i).name();
+            org.apache.spark.sql.Column c;
+            switch (outKind[i]) {
+                case "bucket":
+                    c = functions.col("bucket_start").cast(bucketType);
+                    break;
+                case "key": c = functions.col(keyAttr.name()); break;
+                case "count": c = functions.col("cnt"); break;
+                case "sum": c = functions.col("sum_v").cast(outType[i]); break;
+                case "min": c = functions.col("min_v"); break;
+                case "max": c = functions.col("max_v"); break;
+                default:
+                    c = functions.col("sum_v").cast("double")
+                            .divide(functions.col("cnt")).cast(outType[i]);
+            }
+            out[i] = c.alias(name);
+        }
+        return merged.select(out).queryExecution().analyzed();
+    }
+
+    /** (manifestMtime, partialsMtime) -> freshness verdict, per table. */
+    private static final java.util.concurrent.ConcurrentHashMap<String, long[]>
+            FRESHNESS = new java.util.concurrent.ConcurrentHashMap<>();
+
+    private static long newestMtime(File dir) {
+        long m = dir.lastModified();
+        File[] fs = dir.listFiles();
+        if (fs != null) {
+            for (File f : fs) m = Math.max(m, f.lastModified());
+        }
+        return m;
+    }
+
+    private boolean rollupFresh(String tablePath, File statsDir, File parts) {
+        long sm = newestMtime(statsDir);
+        long pm = newestMtime(parts);
+        long[] cached = FRESHNESS.get(tablePath);
+        if (cached != null && cached[0] == sm && cached[1] == pm) {
+            return cached[2] == 1L;
+        }
+        Object rc = session.read().parquet(statsDir.getPath())
+                .select("row_count").first().get(0);
+        long rowCount = ((Number) rc).longValue();
+        Object total = session.read().parquet(parts.getPath())
+                .agg(functions.coalesce(functions.sum("cnt"), functions.lit(0L))
+                        .cast("long"))
+                .first()
+                .get(0);
+        boolean fresh = total != null && ((Number) total).longValue() == rowCount;
+        FRESHNESS.put(tablePath, new long[] {sm, pm, fresh ? 1L : 0L});
+        return fresh;
+    }
+
+    private boolean valueAttr(Expression e, String valueCol) {
+        return e instanceof AttributeReference
+                && ((AttributeReference) e).name().equalsIgnoreCase(valueCol);
+    }
+
+    /** Minimal field extraction from the sidecar's own flat meta.json
+     * (writer-controlled format; no JSON library in the extension). */
+    private String jsonStr(String json, String field) {
+        java.util.regex.Matcher m = java.util.regex.Pattern
+                .compile("\"" + field + "\"\\s*:\\s*\"([^\"]*)\"")
+                .matcher(json);
+        return m.find() ? m.group(1) : null;
+    }
+
+    private java.util.List<String> jsonStrList(String json, String field) {
+        java.util.List<String> out = new java.util.ArrayList<>();
+        java.util.regex.Matcher m = java.util.regex.Pattern
+                .compile("\"" + field + "\"\\s*:\\s*\\[([^\\]]*)\\]")
+                .matcher(json);
+        if (m.find()) {
+            java.util.regex.Matcher v = java.util.regex.Pattern
+                    .compile("\"([^\"]*)\"").matcher(m.group(1));
+            while (v.find()) out.add(v.group(1));
+        }
+        return out;
+    }
+
+
+    static void dbg(String msg) {
+        if (System.getenv("CSE_DEBUG") != null) System.err.println("[cse] " + msg);
+    }
+
     // ------------------------------------------------------------ helpers
 
     /** Alias over a plain COUNT(1)/COUNT(*) aggregate, else null. */
@@ -434,7 +719,10 @@ public class CountRewriteRule extends Rule<LogicalPlan> {
         HadoopFsRelation fs = (HadoopFsRelation) lr.relation();
         if (fs.location().rootPaths().size() != 1) return null;
         String tablePath = fs.location().rootPaths().head().toUri().getPath();
-        if (tablePath.contains(".vidx")) return null; // never fire on an index
+        // never fire on a sidecar artifact's own scan
+        if (tablePath.contains(".vidx")
+                || tablePath.contains(".rollup")
+                || tablePath.contains(".stats")) return null;
         return tablePath;
     }
 

@@ -31,6 +31,7 @@ public class RewriteAggSubtree extends AbstractPartialFunction<LogicalPlan, Logi
             LogicalPlan pinned = rule.pinOutput(agg, rewritten);
             return pinned == null ? p : pinned;
         } catch (Throwable t) {
+            if (System.getenv("CSE_DEBUG") != null) t.printStackTrace();
             return p; // conservative: never fail a query over a rewrite
         }
     }

@@ -255,6 +255,75 @@ for _ in range(25):
         off = [tuple(r) for r in spark.sql(q).collect()]
     assert on == off, (q, on, off)
 
+# 19. materialized-view routing: a time-bucketed GROUP BY over a table
+#     carrying a .rollup sidecar is served merge-on-read from the
+#     O(buckets x keys) partials — in PLAIN spark.sql. Freshness-gated
+#     on the stats manifest; stale sidecar -> base plan; week unit and
+#     filtered forms -> base plan.
+from columnar_spark.stats import rewrites_disabled as _rd
+from columnar_spark.streaming.rollup import write_rollup_sidecar
+from columnar_spark.writer import stats_path
+from columnar_spark.stats import build_stats_manifest
+
+pev = f"{tmp}/ev2.parquet"
+esrc2 = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+if dict(esrc2.dtypes).get("ts") in ("bigint", "long"):
+    esrc2 = esrc2.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+esrc2.write.parquet(pev)
+ev2 = spark.read.parquet(pev)
+write_rollup_sidecar(ev2, pev)
+build_stats_manifest(ev2).write.mode("overwrite").parquet(stats_path(pev))
+ev2.createOrReplaceTempView("ev2")
+
+q19 = (
+    "SELECT date_trunc('day', ts) AS d, event_type, COUNT(*) AS n, "
+    "SUM(value) AS s, MIN(value) AS mn, MAX(value) AS mx, AVG(value) AS av "
+    "FROM ev2 GROUP BY 1, 2"
+)
+d19 = spark.sql(q19)
+p19 = d19._jdf.queryExecution().executedPlan().toString()
+assert ".rollup" in p19 and "ev2.parquet" not in p19.replace(
+    "ev2.parquet.rollup", "").replace("ev2.parquet.stats", ""), p19
+with _rd(spark):
+    want19 = {tuple(r)[:2]: tuple(r)[2:] for r in spark.sql(q19).collect()}
+got19 = {tuple(r)[:2]: tuple(r)[2:] for r in d19.collect()}
+assert set(got19) == set(want19)
+for k in want19:
+    gn, gs, gmn, gmx, gav = got19[k]
+    wn, ws, wmn, wmx, wav = want19[k]
+    assert (gn, gmn, gmx) == (wn, wmn, wmx), k
+    assert abs(gs - ws) < 1e-6 and abs(gav - wav) < 1e-6, k  # decimal-exact vs double-order sum
+
+# bucket-only form rolls the keys up further
+q20 = "SELECT date_trunc('day', ts) AS d, COUNT(*) AS n FROM ev2 GROUP BY 1"
+d20 = spark.sql(q20)
+assert ".rollup" in d20._jdf.queryExecution().executedPlan().toString()
+with _rd(spark):
+    assert sorted(map(tuple, d20.collect())) == sorted(
+        map(tuple, spark.sql(q20).collect())
+    )
+
+# week bucketing does not match a 1-day sidecar; filters refuse routing
+for qno in (
+    "SELECT date_trunc('week', ts) AS d, COUNT(*) AS n FROM ev2 GROUP BY 1",
+    "SELECT date_trunc('day', ts) AS d, COUNT(*) AS n FROM ev2 "
+    "WHERE event_type = 'view' GROUP BY 1",
+):
+    assert ".rollup" not in spark.sql(qno)._jdf.queryExecution().executedPlan().toString(), qno
+
+# staleness: append rows and maintain the manifest (the engine's append
+# contract) WITHOUT updating the rollup -> the gate must refuse and the
+# fresh rows must appear in the answer
+extra = ev2.limit(7)
+extra.write.mode("append").parquet(pev)
+ev2b = spark.read.parquet(pev)
+with _rd(spark):
+    build_stats_manifest(ev2b).write.mode("overwrite").parquet(stats_path(pev))
+ev2b.createOrReplaceTempView("ev2")
+d21 = spark.sql(q20)
+assert ".rollup" not in d21._jdf.queryExecution().executedPlan().toString()
+assert sum(r["n"] for r in d21.collect()) == ev2b.count()
+
 # Write sinks: DSv2 writes (noop / AppendData) pass the full plan —
 # write command over query — through the main optimizer, which is
 # exactly the transformUp path d17 just proved; V1 commands (parquet
