@@ -607,7 +607,15 @@ class Engine:
                     return out
             except Exception:
                 pass  # unknown table/column or stats gap -> plain plan
-        return self.spark.sql(query)
+        try:
+            return self.spark.sql(query)
+        except Exception as e:
+            # UX: auto-register this engine's tables as views on the
+            # first unresolved-relation miss, then retry once.
+            if "TABLE_OR_VIEW_NOT_FOUND" in str(e):
+                self.register_views()
+                return self.spark.sql(query)
+            raise
 
     # -------------------------------------------------------------- stats
 
