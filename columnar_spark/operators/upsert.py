@@ -122,6 +122,94 @@ def _rewrite_and_reindex(
         idc = posting_index_id_col(path, c)
         if idc:
             write_posting_index(spark, path, c, idc, fmt)
+    _refresh_derived_sidecars(spark, path, fmt)
+
+
+def _refresh_derived_sidecars(spark, path: str, fmt: str) -> None:
+    """Bring the remaining sidecars in line with a rewritten table. Row
+    mutation invalidates EVERY derived artifact, not just the value
+    indexes: a stale stats manifest would mis-serve the whole-table
+    MIN/MAX/COUNT rewrites AND falsely validate the rollup freshness
+    gate (stale-vs-stale agree); a stale .ftidx keeps returning deleted
+    documents; a stale .knn returns deleted vectors. Each artifact
+    carries enough meta to rebuild faithfully; a rebuild that fails
+    removes the artifact instead (disable-on-update, the reference's
+    JSON-index behavior) so nothing serves stale data. All rebuild
+    plans run with rewrites disabled — they must read the base table."""
+    import json
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from columnar_spark.stats import build_stats_manifest, rewrites_disabled
+
+    new = getattr(spark.read, fmt)(path)
+    base = path.rstrip("/")
+    with rewrites_disabled(spark):
+        build_stats_manifest(new).write.mode("overwrite").parquet(base + ".stats")
+
+        rroot = base + ".rollup"
+        if os.path.isdir(rroot):
+            try:
+                with open(os.path.join(rroot, "meta.json")) as fh:
+                    meta = json.load(fh)
+                from columnar_spark.streaming.rollup import write_rollup_sidecar
+
+                df2 = new
+                if dict(df2.dtypes).get(meta["ts_col"]) in ("bigint", "long"):
+                    df2 = df2.withColumn(
+                        meta["ts_col"],
+                        F.timestamp_micros(F.expr(f"{meta['ts_col']} div 1000")),
+                    )
+                write_rollup_sidecar(
+                    df2,
+                    path,
+                    ts_col=meta["ts_col"],
+                    bucket=meta["bucket"],
+                    keys=meta["keys"],
+                    value_col=meta["value_col"],
+                )
+            except Exception:
+                shutil.rmtree(rroot, ignore_errors=True)
+
+        troot = base + ".ftidx"
+        if os.path.isdir(troot):
+            try:
+                with open(os.path.join(troot, "meta.json")) as fh:
+                    tmeta = json.load(fh)
+                from columnar_spark.operators.fulltext import write_text_index
+
+                write_text_index(
+                    spark,
+                    path,
+                    text_col=tmeta.get("text_col", "text"),
+                    id_col=tmeta.get("id_col", "doc_id"),
+                    fmt=fmt,
+                    analyzer=tmeta.get("analyzer"),
+                )
+            except Exception:
+                shutil.rmtree(troot, ignore_errors=True)
+
+        kroot = base + ".knn"
+        if os.path.isdir(kroot):
+            try:
+                km = spark.read.parquet(os.path.join(kroot, "meta.parquet")).first()
+                from columnar_spark.operators.knn_index import build_vector_index
+
+                build_vector_index(
+                    spark,
+                    new,
+                    path,
+                    vec_col=km["vec_col"],
+                    id_col=km["id_col"],
+                    metric=km["metric"],
+                    nlist=km["nlist"],
+                    m=km["m"],
+                    k=km["k"],
+                )
+            except Exception:
+                shutil.rmtree(kroot, ignore_errors=True)
 
 
 def delete_where(spark, path: str, condition: str, fmt: str = "parquet") -> tuple[int, int]:

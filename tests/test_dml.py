@@ -110,6 +110,46 @@ def test_sql_insert_arity_refused(eng):
         eng.sql("INSERT INTO t VALUES (1, 'x')")
 
 
+def test_dml_refreshes_derived_sidecars(spark, tmp_path):
+    """Row mutation must bring EVERY sidecar in line, not just .vidx:
+    the stats manifest (whole-table rewrites + rollup freshness gate
+    trust it), the rollup partials, and the text index."""
+    import json
+
+    from pyspark.sql import Row
+
+    from columnar_spark.operators.fulltext import bm25_search_indexed, write_text_index
+    from columnar_spark.streaming.rollup import write_rollup_sidecar
+
+    rows = [
+        Row(doc_id=i, text=("needle haystack" if i == 7 else "hay stack words"),
+            ts=f"2024-01-0{1 + i % 5} 10:00:00", value=float(i))
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows).withColumn("ts", F.col("ts").cast("timestamp"))
+    p = str(tmp_path / "d.parquet")
+    df.write.parquet(p)
+    from columnar_spark.stats import build_stats_manifest
+
+    build_stats_manifest(spark.read.parquet(p)).write.parquet(p + ".stats")
+    write_rollup_sidecar(spark.read.parquet(p), p, ts_col="ts", keys=(), value_col="value")
+    write_text_index(spark, p)
+    assert bm25_search_indexed(spark, p, "needle").count() == 1
+
+    e = Engine(spark, str(tmp_path))
+    res = e.sql("DELETE FROM d WHERE doc_id = 7").first()
+    assert res["n_affected"] == 1
+
+    # manifest reflects the new row count
+    man = spark.read.parquet(p + ".stats").select("row_count").first()["row_count"]
+    assert man == 9
+    # rollup partials re-tile the new table exactly (freshness holds)
+    total = spark.read.parquet(p + ".rollup/partials").agg(F.sum("cnt")).first()[0]
+    assert total == 9
+    # the text index no longer serves the deleted document
+    assert bm25_search_indexed(spark, p, "needle").count() == 0
+
+
 def test_update_type_preserved(spark, tmp_path, eng):
     eng.sql("UPDATE t SET v = v / 2 WHERE id = 2")  # div yields double; cast back
     dt = dict(spark.read.parquet(str(tmp_path / "t.parquet")).dtypes)["v"]
