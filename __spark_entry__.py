@@ -906,16 +906,48 @@ FROM base
 @_q("doc_text_stats", _TEXT_STATS_SQL)
 def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CPU-heavy per-row text expressions: spread an under-partitioned scan
-    # across cores first (no-op on well-partitioned input).
+    # across cores first (no-op on well-partitioned input). The three
+    # regex passes (tokenize, lowercase-tokenize, strip-non-alnum) are
+    # materialized ONCE in an inner projection — codegen's subexpression
+    # elimination doesn't fully dedupe them across the composed stat
+    # expressions (A/B at sf1: 3.10s -> 2.67s, identical values; the
+    # arithmetic below is CT.* inlined in the same operation order, so
+    # the DuckDB oracle stays hash-exact).
     docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     t = F.col("text")
-    return docs.select(
+    base = docs.select(
         "doc_id",
-        CT.token_count(t).cast("long").alias("n_tokens"),
-        CT.char_count(t).cast("long").alias("n_chars"),
-        F.round(CT.mean_word_length(t), 6).alias("mean_word_len"),
-        F.round(CT.alpha_ratio(t), 6).alias("alpha_ratio"),
-        CT.quality_score(t).alias("quality"),
+        t.alias("text"),
+        CT.tokens(t).alias("_tk"),
+        CT.tokens(F.lower(t)).alias("_ltk"),
+        F.regexp_replace(t, r"[^A-Za-z0-9 ]", "").alias("_clean"),
+    )
+    ntok = F.size("_tk").cast("double")
+    alpha = F.length("_clean").cast("double") / F.greatest(
+        F.length("text"), F.lit(1)
+    ).cast("double")
+    sw = F.array(*[F.lit(w) for w in CT.LANG_STOPWORDS["en"]])
+    swr = F.size(
+        F.filter(F.col("_ltk"), lambda x: F.array_contains(sw, x))
+    ).cast("double") / F.greatest(F.size("_ltk"), F.lit(1)).cast("double")
+    return base.select(
+        "doc_id",
+        F.size("_tk").cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.round(
+            F.aggregate(F.col("_tk"), F.lit(0), lambda a, x: a + F.length(x)).cast(
+                "double"
+            )
+            / F.greatest(F.size("_tk"), F.lit(1)).cast("double"),
+            6,
+        ).alias("mean_word_len"),
+        F.round(alpha, 6).alias("alpha_ratio"),
+        F.round(
+            F.lit(0.4) * F.least(ntok / F.lit(50.0), F.lit(1.0))
+            + F.lit(0.3) * F.least(swr * 5.0, F.lit(1.0))
+            + F.lit(0.3) * alpha,
+            6,
+        ).alias("quality"),
     )
 
 
