@@ -922,14 +922,9 @@ def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         CT.tokens(F.lower(t)).alias("_ltk"),
         F.regexp_replace(t, r"[^A-Za-z0-9 ]", "").alias("_clean"),
     )
-    ntok = F.size("_tk").cast("double")
     alpha = F.length("_clean").cast("double") / F.greatest(
         F.length("text"), F.lit(1)
     ).cast("double")
-    sw = F.array(*[F.lit(w) for w in CT.LANG_STOPWORDS["en"]])
-    swr = F.size(
-        F.filter(F.col("_ltk"), lambda x: F.array_contains(sw, x))
-    ).cast("double") / F.greatest(F.size("_ltk"), F.lit(1)).cast("double")
     return base.select(
         "doc_id",
         F.size("_tk").cast("long").alias("n_tokens"),
@@ -942,11 +937,8 @@ def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_word_len"),
         F.round(alpha, 6).alias("alpha_ratio"),
-        F.round(
-            F.lit(0.4) * F.least(ntok / F.lit(50.0), F.lit(1.0))
-            + F.lit(0.3) * F.least(swr * 5.0, F.lit(1.0))
-            + F.lit(0.3) * alpha,
-            6,
+        CT.quality_score_from(
+            F.col("text"), F.col("_tk"), F.col("_ltk"), alpha=alpha
         ).alias("quality"),
     )
 
@@ -1038,10 +1030,19 @@ def doc_lang_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # suite — spread an under-partitioned scan across cores first.
     docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     t = F.col("text")
-    return docs.select(
+    # one regex tokenization per variant (raw + lowered), shared by the
+    # five per-language scorers and the shingle fingerprint
+    base = docs.select(
         "doc_id",
-        CT.lang_id(t).alias("lang"),
-        CT.doc_fingerprint(t, shingle_k=3).alias("fingerprint"),
+        CT.tokens(t).alias("_tk"),
+        CT.tokens(F.lower(t)).alias("_ltk"),
+    )
+    return base.select(
+        "doc_id",
+        CT.lang_id(F.lit(""), lower_tokens=F.col("_ltk")).alias("lang"),
+        CT.doc_fingerprint(F.lit(""), shingle_k=3, toks=F.col("_tk")).alias(
+            "fingerprint"
+        ),
     )
 
 
@@ -2881,13 +2882,22 @@ def training_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     t = F.col("text")
-    toks = CT.tokens(t)
-    scored = docs.select(
+    # one regex tokenization per variant, shared by quality / lang-id /
+    # prefix / token count (same CSE rationale as doc_text_stats)
+    base = docs.select(
         "doc_id",
-        CT.quality_score(t).alias("quality"),
-        CT.lang_id(t).alias("lang"),
-        F.concat_ws(" ", F.slice(toks, 1, 2)).alias("prefix2"),
-        F.size(toks).cast("long").alias("n_tokens"),
+        t.alias("text"),
+        CT.tokens(t).alias("_tk"),
+        CT.tokens(F.lower(t)).alias("_ltk"),
+    )
+    scored = base.select(
+        "doc_id",
+        CT.quality_score_from(
+            F.col("text"), F.col("_tk"), F.col("_ltk")
+        ).alias("quality"),
+        CT.lang_id(F.lit(""), lower_tokens=F.col("_ltk")).alias("lang"),
+        F.concat_ws(" ", F.slice(F.col("_tk"), 1, 2)).alias("prefix2"),
+        F.size("_tk").cast("long").alias("n_tokens"),
     )
     qual = scored.filter(F.col("quality") >= 0.6)
     surv = exact_dedup(qual, ["prefix2"], "doc_id")
