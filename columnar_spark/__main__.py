@@ -408,10 +408,10 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "sql":
         from columnar_spark.table import Engine
 
-        from columnar_spark.catalog import TABLES
-
         eng = Engine(spark, args.sf_dir)
-        eng.register_views(TABLES)
+        # auto-discover: registers every *.parquet table actually present
+        # (the fixed catalog list crashed on dirs carrying a subset)
+        eng.register_views()
         rows = eng.sql(args.query).collect()
         for r in rows[:100]:
             print(json.dumps(r.asDict(), default=str))
