@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from columnar_spark.session import tune
 from columnar_spark.filters import Filter, FilterType, MvaAggr, compile_filter, to_sql
+from columnar_spark.functions import money as _money
 from columnar_spark.functions import text as CT
 from columnar_spark.functions.layout import ensure_parallelism
 from columnar_spark.operators import dedup as DD
@@ -84,21 +85,46 @@ def _dec(c: str, scale: int = 2):
     return F.col(c).cast(f"decimal(18,{scale})")
 
 
+# Fixed-point money path (columnar_spark.functions.money): dp-digit
+# money doubles scale to int64 via FLOOR(x*10^dp + 0.5) and aggregate as
+# codegen long sums — the query-side analog of the reference's integer
+# encodings (A2) and ~5-7x faster than Spark's BigDecimal-backed
+# >18-precision decimal SUM at 10x sf0.1. Each converted query's oracle
+# SQL mirrors the exact op sequence (see _FX), which makes the resulting
+# doubles BIT-IDENTICAL across engines even past 2^53 where the decimal
+# formulation and the fixed-point one can differ by 1 ulp
+# (tests/test_money.py pins both properties).
+_fx = _money.scaled  # Column: int64 fixed-point form
+_fxsum = lambda c, dp: _money.unscale(F.sum(c), dp)  # noqa: E731
+_FX = _money.scaled_sql  # oracle-side mirror snippet
+_FXSUM = _money.money_sum_sql  # oracle-side mirror of a whole money SUM
+
+
+def _fx_disc_price():
+    """l_extendedprice * (1 - l_discount), exact 4-dp-scaled int64."""
+    return _fx("l_extendedprice") * (F.lit(100).cast("long") - _fx("l_discount"))
+
+
+# Oracle mirrors for the revenue idiom (sum + per-row term)
+_DISC4 = f"{_FX('l_extendedprice')} * (100 - {_FX('l_discount')})"
+_REV_SQL = f"CAST(SUM({_DISC4}) AS DOUBLE) / 10000.0"
+
+
 # --------------------------------------------------------------------------
 # TPC-H-style core: scans, aggregations, joins (reference host-side / §2.G)
 # --------------------------------------------------------------------------
 
-_Q1_SQL = """
+_Q1_SQL = f"""
 SELECT
   l_returnflag,
   l_linestatus,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
-  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  {_FXSUM("l_quantity")} AS sum_qty,
+  {_FXSUM("l_extendedprice")} AS sum_base_price,
+  CAST(SUM({_FX("l_extendedprice")} * (100 - {_FX("l_discount")})) AS DOUBLE) / 10000.0 AS sum_disc_price,
+  CAST(SUM({_FX("l_extendedprice")} * (100 - {_FX("l_discount")}) * (100 + {_FX("l_tax")})) AS DOUBLE) / 1000000.0 AS sum_charge,
+  {_FXSUM("l_quantity")} / COUNT(*) AS avg_qty,
+  {_FXSUM("l_extendedprice")} / COUNT(*) AS avg_price,
+  {_FXSUM("l_discount")} / COUNT(*) AS avg_disc,
   COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= '2001-06-01'
@@ -109,28 +135,28 @@ GROUP BY l_returnflag, l_linestatus
 @_q("q1_pricing_summary", _Q1_SQL)
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "2001-06-01")
-    disc_price = (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))).cast(
-        "decimal(18,4)"
-    )
-    charge = disc_price * (F.lit(1).cast("decimal(18,2)") + _dec("l_tax"))
+    ep, d, t = _fx("l_extendedprice"), _fx("l_discount"), _fx("l_tax")
+    disc_price = ep * (F.lit(100).cast("long") - d)  # exact, 4-dp scaled
+    charge = disc_price * (F.lit(100).cast("long") + t)  # exact, 6-dp scaled
+    n = F.count(F.lit(1))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
-        F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-        F.sum(disc_price).cast("double").alias("sum_disc_price"),
-        F.sum(charge).cast("double").alias("sum_charge"),
-        (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
-        (F.sum(_dec("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
-        (F.sum(_dec("l_discount")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
-        F.count(F.lit(1)).alias("count_order"),
+        _fxsum(_fx("l_quantity"), 2).alias("sum_qty"),
+        _fxsum(ep, 2).alias("sum_base_price"),
+        _fxsum(disc_price, 4).alias("sum_disc_price"),
+        _fxsum(charge, 6).alias("sum_charge"),
+        (_fxsum(_fx("l_quantity"), 2) / n).alias("avg_qty"),
+        (_fxsum(ep, 2) / n).alias("avg_price"),
+        (_fxsum(d, 2) / n).alias("avg_disc"),
+        n.alias("count_order"),
     )
 
 
-_Q3_SQL = """
+_Q3_SQL = f"""
 SELECT
   o_orderkey,
   o_orderdate,
   o_orderpriority,
-  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+  {_REV_SQL} AS revenue
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -148,9 +174,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-01-01")
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1997-06-30")
-    disc_price = (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))).cast(
-        "decimal(18,4)"
-    )
+    disc_price = _fx_disc_price()
     # orders/customer scale with the dataset — no forced broadcast; AQE
     # picks broadcast vs shuffle join from runtime sizes (scale-safe).
     joined = li.join(
@@ -159,16 +183,16 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         joined.groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(disc_price).cast("double").alias("revenue"))
+        .agg(_fxsum(disc_price, 4).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
         .limit(10)
     )
 
 
-_Q5_SQL = """
+_Q5_SQL = f"""
 SELECT
   n_name,
-  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+  {_REV_SQL} AS revenue,
   COUNT(*) AS n_items
 FROM region
 JOIN nation ON n_regionkey = r_regionkey
@@ -191,9 +215,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
     )
     li = _t(spark, sf_dir, "lineitem")
-    disc_price = (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))).cast(
-        "decimal(18,4)"
-    )
+    disc_price = _fx_disc_price()
     # region/nation are fixed-size -> always broadcast; orders/customer/
     # supplier scale with SF -> AQE chooses from runtime sizes.
     dims = (
@@ -210,7 +232,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return joined.groupBy("n_name").agg(
-        F.sum(disc_price).cast("double").alias("revenue"),
+        _fxsum(disc_price, 4).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
@@ -314,7 +336,7 @@ _PARTKEYS = sorted({(i * 37) % 2000 for i in range(300)})
 _IN_LARGE_SQL = f"""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+       {_FXSUM("l_quantity")} AS sum_qty
 FROM lineitem
 WHERE l_partkey IN ({", ".join(str(v) for v in _PARTKEYS)})
 """
@@ -329,7 +351,7 @@ def filter_in_large_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.filter(flt).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count_distinct(F.col("l_partkey")).alias("n_parts"),
-        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        _fxsum(_fx("l_quantity"), 2).alias("sum_qty"),
     )
 
 
@@ -1078,10 +1100,10 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q7_SQL = """
+_Q7_SQL = f"""
 SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
        CAST(year(o_orderdate) AS INT) AS o_year,
-       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+       {_REV_SQL} AS revenue
 FROM customer
 JOIN nation n1 ON c_nationkey = n1.n_nationkey
 JOIN orders ON o_custkey = c_custkey
@@ -1106,9 +1128,7 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     supp = _t(spark, sf_dir, "supplier")
-    disc_price = (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))).cast(
-        "decimal(18,4)"
-    )
+    disc_price = _fx_disc_price()
     joined = (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
@@ -1119,12 +1139,12 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy(
         "cust_nation", "supp_nation", F.year("o_orderdate").cast("int").alias("o_year")
-    ).agg(F.sum(disc_price).cast("double").alias("revenue"))
+    ).agg(_fxsum(disc_price, 4).alias("revenue"))
 
 
-_CUBE_SQL = """
+_CUBE_SQL = f"""
 SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+       {_FXSUM("o_totalprice")} AS total
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
@@ -1135,7 +1155,7 @@ def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     return orders.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+        _fxsum(_fx("o_totalprice"), 2).alias("total"),
     )
 
 
@@ -1618,12 +1638,12 @@ def string_funcs_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DATEPART_SQL = """
+_DATEPART_SQL = f"""
 SELECT CAST(year(o_orderdate) AS INT) AS o_year,
        CAST(quarter(o_orderdate) AS INT) AS o_quarter,
        CAST(month(o_orderdate) AS INT) AS o_month,
        CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+       {_FXSUM("o_totalprice")} AS total
 FROM orders
 GROUP BY 1, 2, 3
 """
@@ -1638,12 +1658,12 @@ def date_parts_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.month("o_orderdate").cast("int").alias("o_month"),
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+        _fxsum(_fx("o_totalprice"), 2).alias("total"),
     )
 
 
-_Q6_SQL = """
-SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+_Q6_SQL = f"""
+SELECT CAST(SUM({_FX("l_extendedprice")} * {_FX("l_discount")}) AS DOUBLE) / 10000.0 AS revenue,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM lineitem
 WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
@@ -1662,7 +1682,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_quantity") < 24)
     )
     return li.agg(
-        F.sum(_dec("l_extendedprice") * _dec("l_discount")).cast("double").alias("revenue"),
+        _fxsum(_fx("l_extendedprice") * _fx("l_discount"), 4).alias("revenue"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -1843,9 +1863,9 @@ def daily_counts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q10_SQL = """
+_Q10_SQL = f"""
 SELECT c_custkey, c_name, n_name,
-       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+       {_REV_SQL} AS revenue
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN orders ON o_custkey = c_custkey
@@ -1866,9 +1886,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
     )
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
-    disc_price = (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))).cast(
-        "decimal(18,4)"
-    )
+    disc_price = _fx_disc_price()
     joined = (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
@@ -1876,7 +1894,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         joined.groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.sum(disc_price).cast("double").alias("revenue"))
+        .agg(_fxsum(disc_price, 4).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
     )
@@ -1908,11 +1926,10 @@ def set_ops_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q2/q9/q11/q16/q20 are out of reach; these are the reachable shapes)
 # --------------------------------------------------------------------------
 
-_Q8_SQL = """
+_Q8_SQL = f"""
 WITH vol AS (
   SELECT CAST(year(o_orderdate) AS INT) AS o_year,
-         CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-              * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS volume,
+         {_DISC4} AS volume,
          n2.n_name AS supp_nation
   FROM lineitem
   JOIN part     ON p_partkey = l_partkey
@@ -1925,7 +1942,7 @@ WITH vol AS (
   WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
 )
 SELECT o_year,
-       round(CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+       round(CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0 END) AS DOUBLE)
              / CAST(SUM(volume) AS DOUBLE), 6) + 0.0 AS mkt_share,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM vol
@@ -1946,9 +1963,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
     n1 = nat.select(F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region"))
     n2 = nat.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation"))
-    volume = (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))).cast(
-        "decimal(18,4)"
-    )
+    volume = _fx_disc_price()
     # Join-order note: pre-filtering ORDERS by AMERICA customers before
     # the lineitem join was A/B-measured at sf1 and lost (1.38s -> 1.49s):
     # the static planner already broadcasts `cust`, so the naive order
@@ -1968,7 +1983,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "supp_nation",
         )
     )
-    zero = F.lit(0).cast("decimal(18,4)")
+    zero = F.lit(0).cast("long")
     return joined.groupBy("o_year").agg(
         (
             F.round(
@@ -2010,11 +2025,11 @@ def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
 
 
-_Q14_SQL = """
+_Q14_SQL = f"""
 SELECT round(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
-               THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
-               ELSE CAST(0 AS DECIMAL(37,4)) END) AS DOUBLE)
-         / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 6) + 0.0 AS promo_revenue,
+               THEN {_DISC4}
+               ELSE 0 END) AS DOUBLE)
+         / CAST(SUM({_DISC4}) AS DOUBLE), 6) + 0.0 AS promo_revenue,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE l_shipdate >= '1997-09-01' AND l_shipdate < '1997-10-01'
@@ -2027,8 +2042,8 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= "1997-09-01") & (F.col("l_shipdate") < "1997-10-01")
     )
     part = _t(spark, sf_dir, "part")
-    disc = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
-    zero = F.lit(0).cast("decimal(37,4)")
+    disc = _fx_disc_price()
+    zero = F.lit(0).cast("long")
     j = li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
     return j.agg(
         (
@@ -2044,13 +2059,13 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q17_SQL = """
+_Q17_SQL = f"""
 WITH pa AS (
   SELECT l_partkey AS pk,
-         0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)) AS qlim
+         0.2 * ((CAST(SUM({_FX("l_quantity")}) AS DOUBLE) / 100.0) / COUNT(*)) AS qlim
   FROM lineitem GROUP BY l_partkey
 )
-SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+SELECT {_FXSUM("l_extendedprice")} / 7.0 AS avg_yearly,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM lineitem
 JOIN part ON p_partkey = l_partkey
@@ -2073,22 +2088,24 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     jf = li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
     w = Window.partitionBy("l_partkey")
     qlim = F.lit(0.2) * (
-        F.sum(_dec("l_quantity")).over(w).cast("double") / F.count(F.lit(1)).over(w)
+        (F.sum(_fx("l_quantity")).over(w).cast("double") / F.lit(100.0))
+        / F.count(F.lit(1)).over(w)
     )
     j = jf.withColumn("qlim", qlim).filter(F.col("l_quantity") < F.col("qlim"))
     return j.agg(
-        (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias("avg_yearly"),
+        (_fxsum(_fx("l_extendedprice"), 2) / F.lit(7.0)).alias("avg_yearly"),
         F.count(F.lit(1)).alias("n"),
     )
 
 
-_Q18_SQL = """
+_Q18_SQL = f"""
 SELECT c_custkey, o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
        CAST(o_totalprice AS DOUBLE) AS o_totalprice,
-       CAST(total_qty AS DOUBLE) AS total_qty
+       total_qty
 FROM (
-  SELECT l_orderkey AS big_okey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
-  FROM lineitem GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+  SELECT l_orderkey AS big_okey,
+         CAST(SUM({_FX("l_quantity")}) AS DOUBLE) / 100.0 AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING SUM({_FX("l_quantity")}) > 15000
 )
 JOIN orders   ON o_orderkey = big_okey
 JOIN customer ON c_custkey = o_custkey
@@ -2106,8 +2123,9 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     big = (
         li.groupBy(F.col("l_orderkey").alias("big_okey"))
-        .agg(F.sum(_dec("l_quantity")).alias("total_qty"))
-        .filter(F.col("total_qty") > 150)
+        .agg(F.sum(_fx("l_quantity")).alias("tq_scaled"))
+        .filter(F.col("tq_scaled") > 15000)
+        .withColumn("total_qty", F.col("tq_scaled").cast("double") / F.lit(100.0))
     )
     j = (
         big.join(orders, F.col("o_orderkey") == F.col("big_okey"))
@@ -2117,15 +2135,14 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             "o_orderdate",
             F.col("o_totalprice").cast("double").alias("o_totalprice"),
-            F.col("total_qty").cast("double").alias("total_qty"),
+            "total_qty",
         )
     )
     return j.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc()).limit(100)
 
 
-_Q19_SQL = """
-SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-              * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+_Q19_SQL = f"""
+SELECT {_REV_SQL} AS revenue,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
@@ -2148,20 +2165,20 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_quantity").between(qlo, qhi)
     )
     pred = arm("Brand#1", 15, 1, 11) | arm("Brand#2", 25, 10, 20) | arm("Brand#3", 35, 20, 30)
-    disc = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    disc = _fx_disc_price()
     return j.filter(pred).agg(
-        F.sum(disc).cast("double").alias("revenue"),
+        _fxsum(disc, 4).alias("revenue"),
         F.count(F.lit(1)).alias("n"),
     )
 
 
-_Q22_SQL = """
+_Q22_SQL = f"""
 WITH ab AS (
-  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_bal
+  SELECT {_FXSUM("c_acctbal")} / COUNT(*) AS avg_bal
   FROM customer WHERE c_acctbal > 0
 )
 SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
-       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+       {_FXSUM("c_acctbal")} AS totacctbal
 FROM customer, ab
 WHERE c_acctbal > avg_bal
   AND NOT EXISTS (SELECT 1 FROM orders
@@ -2179,20 +2196,20 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "2001-01-01")
     avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
-        (F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("avg_bal")
+        (_fxsum(_fx("c_acctbal"), 2) / F.count(F.lit(1))).alias("avg_bal")
     )
     rich = cust.crossJoin(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("avg_bal"))
     idle = rich.join(orders, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
     return idle.groupBy("c_nationkey").agg(
         F.count(F.lit(1)).alias("numcust"),
-        F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+        _fxsum(_fx("c_acctbal"), 2).alias("totacctbal"),
     )
 
 
-_Q2_SQL = """
+_Q2_SQL = f"""
 WITH ps AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
 sr AS (
-  SELECT s_suppkey, s_name, CAST(s_acctbal AS DECIMAL(18,2)) AS bal, n_name
+  SELECT s_suppkey, s_name, {_FX("s_acctbal")} AS bal, n_name
   FROM supplier JOIN nation ON s_nationkey = n_nationkey
                 JOIN region ON r_regionkey = n_regionkey
   WHERE r_name = 'EUROPE'
@@ -2203,7 +2220,7 @@ cand AS (
   WHERE p_size = 15 AND p_type = 'PROMO'
 ),
 mn AS (SELECT p_partkey AS mpk, MIN(bal) AS min_bal FROM cand GROUP BY p_partkey)
-SELECT CAST(bal AS DOUBLE) AS s_acctbal, s_name, n_name, p_partkey, p_type
+SELECT CAST(bal AS DOUBLE) / 100.0 AS s_acctbal, s_name, n_name, p_partkey, p_type
 FROM cand JOIN mn ON mpk = p_partkey AND bal = min_bal
 ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
 LIMIT 100
@@ -2225,7 +2242,7 @@ def q2_min_balance_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     sr = (
         sup.join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(reg), F.col("r_regionkey") == F.col("n_regionkey"))
-        .select("s_suppkey", "s_name", _dec("s_acctbal").alias("bal"), "n_name")
+        .select("s_suppkey", "s_name", _fx("s_acctbal").alias("bal"), "n_name")
     )
     cand = (
         ps.join(F.broadcast(part), F.col("pk") == F.col("p_partkey"))
@@ -2236,16 +2253,17 @@ def q2_min_balance_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = cand.join(
         mn, (F.col("mpk") == F.col("p_partkey")) & (F.col("bal") == F.col("min_bal"))
     ).select(
-        F.col("bal").cast("double").alias("s_acctbal"), "s_name", "n_name", "p_partkey", "p_type"
+        (F.col("bal").cast("double") / F.lit(100.0)).alias("s_acctbal"),
+        "s_name", "n_name", "p_partkey", "p_type",
     )
     return out.orderBy(
         F.col("s_acctbal").desc(), F.col("n_name").asc(), F.col("s_name").asc(), F.col("p_partkey").asc()
     ).limit(100)
 
 
-_Q9_SQL = """
+_Q9_SQL = f"""
 SELECT n_name AS supp_nation, CAST(year(o_orderdate) AS INT) AS o_year,
-       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS profit,
+       {_REV_SQL} AS profit,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM lineitem
 JOIN part ON p_partkey = l_partkey
@@ -2268,9 +2286,7 @@ def q9_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = _t(spark, sf_dir, "supplier")
     nat = _t(spark, sf_dir, "nation")
     orders = _t(spark, sf_dir, "orders")
-    disc = (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))).cast(
-        "decimal(18,4)"
-    )
+    disc = _fx_disc_price()
     j = (
         li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
         .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
@@ -2280,23 +2296,23 @@ def q9_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         j.select(F.col("n_name").alias("supp_nation"), F.year("o_orderdate").cast("int").alias("o_year"), disc.alias("amount"))
         .groupBy("supp_nation", "o_year")
-        .agg(F.sum("amount").cast("double").alias("profit"), F.count(F.lit(1)).alias("n"))
+        .agg(_money.unscale(F.sum("amount"), 4).alias("profit"), F.count(F.lit(1)).alias("n"))
     )
 
 
-_Q11_SQL = """
+_Q11_SQL = f"""
 WITH pv AS (
   SELECT l_partkey AS pk,
-         SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS val
+         SUM({_FX("l_extendedprice")} * {_FX("l_quantity")}) AS val
   FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
                 JOIN nation ON n_nationkey = s_nationkey
   WHERE n_name = 'NATION_3'
   GROUP BY l_partkey
 ),
 tot AS (SELECT SUM(val) AS total_val FROM pv)
-SELECT pk AS l_partkey, CAST(val AS DOUBLE) AS part_value
+SELECT pk AS l_partkey, CAST(val AS DOUBLE) / 10000.0 AS part_value
 FROM pv, tot
-WHERE CAST(val AS DOUBLE) > 0.001 * CAST(total_val AS DOUBLE)
+WHERE CAST(val AS DOUBLE) / 10000.0 > 0.001 * (CAST(total_val AS DOUBLE) / 10000.0)
 """
 
 
@@ -2310,7 +2326,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     sup = _t(spark, sf_dir, "supplier")
     nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
-    val = (_dec("l_extendedprice") * _dec("l_quantity")).cast("decimal(18,4)")
+    val = _fx("l_extendedprice") * _fx("l_quantity")
     pv = (
         li.join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
@@ -2320,8 +2336,14 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = pv.agg(F.sum("val").alias("total_val"))
     return (
         pv.crossJoin(F.broadcast(tot))
-        .filter(F.col("val").cast("double") > F.lit(0.001) * F.col("total_val").cast("double"))
-        .select(F.col("pk").alias("l_partkey"), F.col("val").cast("double").alias("part_value"))
+        .filter(
+            F.col("val").cast("double") / F.lit(10000.0)
+            > F.lit(0.001) * (F.col("total_val").cast("double") / F.lit(10000.0))
+        )
+        .select(
+            F.col("pk").alias("l_partkey"),
+            (F.col("val").cast("double") / F.lit(10000.0)).alias("part_value"),
+        )
     )
 
 
@@ -2360,15 +2382,15 @@ def q12_ship_delay_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q15_SQL = """
+_Q15_SQL = f"""
 WITH rev AS (
   SELECT l_suppkey AS sk,
-         SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS total_rev
+         SUM({_DISC4}) AS total_rev
   FROM lineitem
   WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1997-04-01'
   GROUP BY l_suppkey
 )
-SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) / 10000.0 AS total_revenue
 FROM supplier JOIN rev ON sk = s_suppkey, (SELECT MAX(total_rev) AS mx FROM rev) m
 WHERE total_rev = mx
 ORDER BY s_suppkey
@@ -2384,16 +2406,17 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
     )
     sup = _t(spark, sf_dir, "supplier")
-    disc = (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))).cast(
-        "decimal(18,4)"
-    )
+    disc = _fx_disc_price()
     rev = li.groupBy(F.col("l_suppkey").alias("sk")).agg(F.sum(disc).alias("total_rev"))
     mx = rev.agg(F.max("total_rev").alias("mx"))
     return (
         sup.join(rev, F.col("sk") == F.col("s_suppkey"))
         .crossJoin(F.broadcast(mx))
         .filter(F.col("total_rev") == F.col("mx"))
-        .select("s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_revenue"))
+        .select(
+            "s_suppkey", "s_name",
+            (F.col("total_rev").cast("double") / F.lit(10000.0)).alias("total_revenue"),
+        )
         .orderBy("s_suppkey")
     )
 
@@ -2430,14 +2453,14 @@ def q16_supplier_part_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q20_SQL = """
+_Q20_SQL = f"""
 WITH tp AS (SELECT p_partkey FROM part WHERE p_name LIKE 'blue%'),
 heavy AS (
   SELECT l_suppkey AS sk
   FROM lineitem JOIN tp ON p_partkey = l_partkey
   WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
   GROUP BY l_suppkey
-  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250
+  HAVING SUM({_FX("l_quantity")}) > 25000
 )
 SELECT s_name, n_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
 FROM supplier JOIN nation ON n_nationkey = s_nationkey
@@ -2461,8 +2484,8 @@ def q20_heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     heavy = (
         li.join(F.broadcast(tp), F.col("p_partkey") == F.col("l_partkey"))
         .groupBy(F.col("l_suppkey").alias("sk"))
-        .agg(F.sum(_dec("l_quantity")).alias("qty"))
-        .filter(F.col("qty") > 250)
+        .agg(F.sum(_fx("l_quantity")).alias("qty"))
+        .filter(F.col("qty") > 25000)
         .select("sk")
     )
     return (
@@ -2615,14 +2638,14 @@ def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 # from SUM/SUM-of-squares/SUM-of-products (order-free decimal arithmetic)
 # so both engines do the identical double math at the end — the builtin
 # streaming corr/stddev kernels are NOT bit-stable across engines.
-_CORR_SQL = """
+_CORR_SQL = f"""
 WITH m AS (
   SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+         {_FXSUM("l_quantity")} AS sx,
+         {_FXSUM("l_extendedprice")} AS sy,
+         CAST(SUM({_FX("l_quantity")} * {_FX("l_quantity")}) AS DOUBLE) / 10000.0 AS sxx,
+         CAST(SUM({_FX("l_extendedprice")} * {_FX("l_extendedprice")}) AS DOUBLE) / 10000.0 AS syy,
+         CAST(SUM({_FX("l_quantity")} * {_FX("l_extendedprice")}) AS DOUBLE) / 10000.0 AS sxy
   FROM lineitem
 )
 SELECT round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) + 0.0 AS corr_qty_price,
@@ -2638,11 +2661,17 @@ def corr_stddev_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     m = li.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum(_dec("l_quantity")).cast("double").alias("sx"),
-        F.sum(_dec("l_extendedprice")).cast("double").alias("sy"),
-        F.sum(_dec("l_quantity") * _dec("l_quantity")).cast("double").alias("sxx"),
-        F.sum(_dec("l_extendedprice") * _dec("l_extendedprice")).cast("double").alias("syy"),
-        F.sum(_dec("l_quantity") * _dec("l_extendedprice")).cast("double").alias("sxy"),
+        _fxsum(_fx("l_quantity"), 2).alias("sx"),
+        _fxsum(_fx("l_extendedprice"), 2).alias("sy"),
+        _fxsum(_fx("l_quantity") * _fx("l_quantity"), 4).alias("sxx"),
+        # price^2 products overflow int64 past ~1e5 addends: widen the
+        # EXACT long product to decimal(38,0) before the sum (money.py
+        # "wide" path) — still one cheap widening per row, no
+        # double->decimal cast chain.
+        _money.unscale(
+            F.sum((_fx("l_extendedprice") * _fx("l_extendedprice")).cast("decimal(38,0)")), 4
+        ).alias("syy"),
+        _fxsum(_fx("l_quantity") * _fx("l_extendedprice"), 4).alias("sxy"),
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
