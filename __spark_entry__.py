@@ -4,7 +4,8 @@ Declared queries for the engine in `columnar_spark/` (see SURVEY.md §2 for
 the reference-parity map). Every oracle-bearing query is engineered for
 cross-engine hash equality with DuckDB:
 
-- money/quantity aggregates go through exact DECIMAL(18,2) arithmetic and
+- money/quantity aggregates go through exact fixed-point int64 arithmetic
+  (columnar_spark.functions.money; DuckDB oracles mirror the op sequence) and
   are cast to double at the end (identical IEEE value in both engines);
 - computed float metrics (distances, ratios) use fixed left-to-right
   summation order on both sides and are rounded to 6 decimals identically;
@@ -451,11 +452,11 @@ def group_topk_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_RUNNING_SQL = """
+_RUNNING_SQL = f"""
 SELECT event_id, user_id, epoch_us(ts) AS ts_us,
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+       CAST(SUM({_FX("value")}) OVER (
            PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0 AS running_value
 FROM events
 """
 
@@ -470,13 +471,13 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ev.select(
         "event_id", "user_id", "ts_us",
-        F.sum(_dec("value")).over(w).cast("double").alias("running_value"),
+        (F.sum(_fx("value")).over(w).cast("double") / F.lit(100.0)).alias("running_value"),
     )
 
 
-_ROLLUP_SQL = """
+_ROLLUP_SQL = f"""
 SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+       {_FXSUM("value")} AS total_value
 FROM events
 GROUP BY ROLLUP (event_type)
 """
@@ -487,7 +488,7 @@ def agg_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     return ev.rollup("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(_dec("value")).cast("double").alias("total_value"),
+        _fxsum(_fx("value"), 2).alias("total_value"),
     )
 
 
@@ -564,10 +565,10 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BUCKET_SQL = """
+_BUCKET_SQL = f"""
 SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
        CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+       {_FXSUM("value")} AS total_value
 FROM events
 GROUP BY 1, 2
 """
@@ -594,19 +595,21 @@ def time_bucket_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             and rows is not None
             and (partials.agg(F.sum("cnt")).first()[0] or 0) == rows
         ):
+            from columnar_spark.streaming.rollup import unscale_sum_v
+
             merged = merge_rollup(partials, keys=("event_type",))
             return merged.select(
                 F.to_date("bucket_start").alias("day"),
                 F.col("event_type"),
                 F.col("cnt").cast("long").alias("n"),
-                F.col("sum_v").cast("double").alias("total_value"),
+                unscale_sum_v(merged).alias("total_value"),
             )
     ev = _events(spark, sf_dir)
     return ev.groupBy(
         F.to_date(F.timestamp_micros(F.col("ts_us"))).alias("day"), F.col("event_type")
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(_dec("value")).cast("double").alias("total_value"),
+        _fxsum(_fx("value"), 2).alias("total_value"),
     )
 
 
@@ -1190,12 +1193,12 @@ def rowid_pseudo_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_STREAM_WIN_SQL = """
+_STREAM_WIN_SQL = f"""
 SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
        CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY AS window_end,
        event_type,
        CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+       {_FXSUM("value")} AS total_value
 FROM events
 GROUP BY 1, 2, 3
 """
@@ -1814,7 +1817,7 @@ def media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_GAPFILL_SQL = """
+_GAPFILL_SQL = f"""
 WITH bounds AS (
   SELECT CAST(date_trunc('day', MIN(ts)) AS DATE) AS lo,
          CAST(date_trunc('day', MAX(ts)) AS DATE) AS hi
@@ -1826,7 +1829,7 @@ grid AS (
 daily AS (
   SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
          CAST(COUNT(*) AS BIGINT) AS n_events,
-         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         {_FXSUM("value")} AS total_value
   FROM events WHERE event_type = 'purchase' GROUP BY 1
 )
 SELECT g.day,
@@ -1853,7 +1856,7 @@ def daily_counts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(_dec("value")).cast("double").alias("total_value"),
+            _fxsum(_fx("value"), 2).alias("total_value"),
         )
     )
     return grid.join(daily, "day", "left").select(
@@ -2577,9 +2580,9 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Analytic-function coverage: RANGE frames, rank family, statistical aggs
 # --------------------------------------------------------------------------
 
-_MAVG_SQL = """
+_MAVG_SQL = f"""
 SELECT event_id, user_id, ts_us,
-       round(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+       round((CAST(SUM({_FX("value")}) OVER w AS DOUBLE) / 100.0)
              / COUNT(*) OVER w, 6) + 0.0 AS mavg_1h
 FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events)
 WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
@@ -2603,7 +2606,11 @@ def window_moving_avg_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts_us",
         (
-            F.round(F.sum(_dec("value")).over(w).cast("double") / F.count(F.lit(1)).over(w), 6)
+            F.round(
+                (F.sum(_fx("value")).over(w).cast("double") / F.lit(100.0))
+                / F.count(F.lit(1)).over(w),
+                6,
+            )
             + F.lit(0.0)
         ).alias("mavg_1h"),
     )
@@ -3356,13 +3363,13 @@ def temperature_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CROLLUP_SQL = """
+_CROLLUP_SQL = f"""
 SELECT
   (epoch_us(ts) // 86400000000) * 86400000000 AS bucket_start_us,
   event_type,
   CAST(COUNT(*) AS BIGINT) AS cnt,
-  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
-  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value,
+  {_FXSUM("value")} AS sum_value,
+  {_FXSUM("value")} / COUNT(*) AS avg_value,
   MIN(value) AS min_value,
   MAX(value) AS max_value
 FROM events

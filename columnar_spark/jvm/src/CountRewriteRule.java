@@ -599,6 +599,22 @@ public class CountRewriteRule extends Rule<LogicalPlan> {
             merged = partials.groupBy(functions.col("bucket_start"))
                     .agg(maggs[0], maggs[1], maggs[2], maggs[3]);
         }
+        // sum_v encoding dispatch: current sidecars store the exact
+        // fixed-point int64 sum (SUM(FLOOR(value*100+0.5)),
+        // functions/money.py); legacy sidecars stored a decimal sum.
+        // The scaled form unscales through DECIMAL(38,2) so decimal-
+        // typed query outputs stay exact.
+        boolean scaledSum = false;
+        for (org.apache.spark.sql.types.StructField f : merged.schema().fields()) {
+            if (f.name().equals("sum_v")) {
+                scaledSum = f.dataType() instanceof org.apache.spark.sql.types.LongType
+                        || f.dataType() instanceof org.apache.spark.sql.types.IntegerType;
+            }
+        }
+        org.apache.spark.sql.Column sumV = scaledSum
+                ? functions.col("sum_v").cast("decimal(38,2)")
+                        .divide(functions.lit(100))
+                : functions.col("sum_v");
         org.apache.spark.sql.Column[] out = new org.apache.spark.sql.Column[n];
         for (int i = 0; i < n; i++) {
             String name = agg.aggregateExpressions().apply(i).name();
@@ -609,11 +625,11 @@ public class CountRewriteRule extends Rule<LogicalPlan> {
                     break;
                 case "key": c = functions.col(keyAttr.name()); break;
                 case "count": c = functions.col("cnt"); break;
-                case "sum": c = functions.col("sum_v").cast(outType[i]); break;
+                case "sum": c = sumV.cast(outType[i]); break;
                 case "min": c = functions.col("min_v"); break;
                 case "max": c = functions.col("max_v"); break;
                 default:
-                    c = functions.col("sum_v").cast("double")
+                    c = sumV.cast("double")
                             .divide(functions.col("cnt")).cast(outType[i]);
             }
             out[i] = c.alias(name);

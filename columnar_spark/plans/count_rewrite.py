@@ -453,7 +453,7 @@ def rollup_route_df(partials: DataFrame, meta: dict, rw: RollupRewrite) -> DataF
         elif arg.lower() != vcol:
             return None
 
-    from columnar_spark.streaming.rollup import merge_rollup
+    from columnar_spark.streaming.rollup import merge_rollup, unscale_sum_v
 
     merged = merge_rollup(partials, keys=meta["keys"] if rw.key else ())
     cols = [F.col("bucket_start").alias(rw.bucket_alias)]
@@ -463,11 +463,11 @@ def rollup_route_df(partials: DataFrame, meta: dict, rw: RollupRewrite) -> DataF
         if fn == "COUNT":
             cols.append(F.col("cnt").cast("long").alias(alias))
         elif fn == "SUM":
-            cols.append(F.col("sum_v").cast("double").alias(alias))
+            cols.append(unscale_sum_v(merged).alias(alias))
         elif fn == "MIN":
             cols.append(F.col("min_v").alias(alias))
         elif fn == "MAX":
             cols.append(F.col("max_v").alias(alias))
         elif fn == "AVG":
-            cols.append((F.col("sum_v").cast("double") / F.col("cnt")).alias(alias))
+            cols.append((unscale_sum_v(merged) / F.col("cnt")).alias(alias))
     return merged.select(*cols)

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from columnar_spark.functions import money
+
 from columnar_spark.stats import (
     build_stats_sketch,
     manifest_from_sketch,
@@ -163,7 +165,7 @@ def windowed_counts(
         F.window(F.col(ts_col), window).alias("win"), *[F.col(c) for c in group_cols]
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        money.unscale(F.sum(money.scaled(F.col("value"))), 2).alias("total_value"),
     ).select(
         F.col("win.start").alias("window_start"),
         F.col("win.end").alias("window_end"),

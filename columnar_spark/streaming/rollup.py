@@ -24,16 +24,36 @@ reference's analog is host-side time-bucket analytics over its RT
 segments; the E9 index-maintenance contract (secondary.cpp:391-434) is
 the per-batch sidecar-refresh pattern this extends.
 
-Decimal sums: `value` accumulates as DECIMAL(18,2) exactly (the
-cross-engine parity recipe) and finalizes to double.
+Fixed-point sums: `value` (2-dp money-style doubles) accumulates as a
+scaled int64 — FLOOR(x*100+0.5), functions/money.py — so partials stay
+exact, merge with plain long addition inside whole-stage codegen, and
+finalize to double by one division (the cross-engine parity recipe: the
+oracle mirrors the op sequence bit-for-bit). Legacy sidecars whose
+sum_v is decimal are still served — `unscale_sum_v` dispatches on the
+stored type.
 """
 
 from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from columnar_spark.functions import money
+
+# sum_v scale: partials store SUM(FLOOR(value*100+0.5)) as int64.
+SUM_SCALE = 2
+
+
+def unscale_sum_v(df: DataFrame, col: str = "sum_v") -> Column:
+    """sum_v back to value units as double — type-dispatched so rollup
+    sidecars written before the fixed-point change (decimal sum_v) are
+    still read correctly."""
+    dt = dict(df.dtypes).get(col, "bigint")
+    if dt in ("bigint", "long", "int"):
+        return money.unscale(F.col(col), SUM_SCALE)
+    return F.col(col).cast("double")
 
 
 def rollup_partials(
@@ -55,7 +75,7 @@ def rollup_partials(
     estimate exactly as for the exact aggregates."""
     aggs = [
         F.count(F.lit(1)).alias("cnt"),
-        F.sum(F.col(value_col).cast("decimal(18,2)")).alias("sum_v"),
+        F.sum(money.scaled(F.col(value_col), SUM_SCALE)).alias("sum_v"),
         F.min(F.col(value_col)).alias("min_v"),
         F.max(F.col(value_col)).alias("max_v"),
     ]
@@ -90,12 +110,13 @@ def finalize_rollup(merged: DataFrame) -> DataFrame:
     """User-facing view: exact decimal sum -> double, plus avg (and the
     HLL distinct estimate when the rollup tracks one)."""
     state_cols = ("bucket_start", "cnt", "sum_v", "min_v", "max_v", "ndv_sketch")
+    sum_value = unscale_sum_v(merged)
     cols = [
         F.col("bucket_start"),
         *[F.col(c) for c in merged.columns if c not in state_cols],
         F.col("cnt"),
-        F.col("sum_v").cast("double").alias("sum_value"),
-        (F.col("sum_v").cast("double") / F.col("cnt")).alias("avg_value"),
+        sum_value.alias("sum_value"),
+        (sum_value / F.col("cnt")).alias("avg_value"),
         F.col("min_v").alias("min_value"),
         F.col("max_v").alias("max_value"),
     ]
@@ -192,6 +213,7 @@ def write_rollup_sidecar(
                 "bucket": bucket,
                 "keys": list(keys),
                 "value_col": value_col,
+                "sum_encoding": f"int64_scaled_1e{SUM_SCALE}",
             },
             f,
         )

@@ -303,7 +303,7 @@ def build_sf_layout(
     # layout_v bumps when the ingest artifacts change (new sidecar
     # kinds), so a cached layout built by older code is invalidated even
     # though the SOURCE signature still matches.
-    signature = "layout_v6\n" + src_dir + "\n" + "\n".join(sig_parts) + "\n"
+    signature = "layout_v7\n" + src_dir + "\n" + "\n".join(sig_parts) + "\n"
 
     marker = os.path.join(dest_dir, _LAYOUT_MARKER)
     if os.path.exists(marker) and not force:
