@@ -82,10 +82,6 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.withColumn("ts_us", ts_us)
 
 
-def _dec(c: str, scale: int = 2):
-    return F.col(c).cast(f"decimal(18,{scale})")
-
-
 # Fixed-point money path (columnar_spark.functions.money): dp-digit
 # money doubles scale to int64 via FLOOR(x*10^dp + 0.5) and aggregate as
 # codegen long sums — the query-side analog of the reference's integer
@@ -579,7 +575,7 @@ def time_bucket_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-bucketed aggregate, MV-routed when the layout carries a
     fresh `.rollup` sidecar (ingested layouts do): the result comes from
     O(buckets x keys) partials via the associative merge algebra —
-    decimal-exact sums, identical to the scan plan (freshness gate:
+    fixed-point-exact sums, identical to the scan plan (freshness gate:
     rollup total count == stats-manifest row count)."""
     from columnar_spark.stats import row_count_from_sidecar
     from columnar_spark.streaming.rollup import load_rollup_sidecar, merge_rollup
@@ -2403,7 +2399,7 @@ ORDER BY s_suppkey
 @_q("q15_top_supplier", _Q15_SQL)
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15: top supplier by quarterly revenue — the view + scalar
-    MAX subquery, decimal-exact equality against the 1-row broadcast
+    MAX subquery, fixed-point-exact equality against the 1-row broadcast
     max (ties all surface, like the spec)."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
@@ -2593,7 +2589,7 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
 @_q("window_moving_avg_range", _MAVG_SQL)
 def window_moving_avg_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE frame (time-interval window): 1-hour trailing mean per user.
-    Decimal sum over the frame is order-free, so ties in ts_us (peer rows)
+    The fixed-point sum over the frame is order-free, so ties in ts_us (peer rows)
     hash-match cross-engine."""
     ev = _events(spark, sf_dir)
     w = (
@@ -2641,8 +2637,8 @@ def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Statistical aggregates from exact decimal moments: corr/stddev computed
-# from SUM/SUM-of-squares/SUM-of-products (order-free decimal arithmetic)
+# Statistical aggregates from exact fixed-point moments: corr/stddev computed
+# from SUM/SUM-of-squares/SUM-of-products (order-free integer arithmetic)
 # so both engines do the identical double math at the end — the builtin
 # streaming corr/stddev kernels are NOT bit-stable across engines.
 _CORR_SQL = f"""
