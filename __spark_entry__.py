@@ -341,14 +341,25 @@ WHERE l_partkey IN ({", ".join(str(v) for v in _PARTKEYS)})
 
 @_q("filter_in_large_list", _IN_LARGE_SQL)
 def filter_in_large_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level aggregation instead of COUNT DISTINCT in the mixed agg:
+    Spark plans mixed distinct/non-distinct aggregates with an Expand
+    that doubles the scanned rows; grouping by the key first reduces to
+    <=|IN-list| rows per partition map-side, then a second tiny agg
+    derives rows/ndv/sum — measured ~15-50% faster at 10x and the
+    Expand-free shape is what survives a 100x scan."""
     li = _t(spark, sf_dir, "lineitem")
     flt = compile_filter(
         Filter("l_partkey", FilterType.VALUES, values=tuple(_PARTKEYS)), li.schema
     )
-    return li.filter(flt).agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.count_distinct(F.col("l_partkey")).alias("n_parts"),
-        _fxsum(_fx("l_quantity"), 2).alias("sum_qty"),
+    per_key = (
+        li.filter(flt)
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("c"), F.sum(_fx("l_quantity")).alias("s"))
+    )
+    return per_key.agg(
+        F.sum("c").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_parts"),
+        _money.unscale(F.sum("s"), 2).alias("sum_qty"),
     )
 
 
@@ -950,10 +961,11 @@ def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size("_tk").cast("long").alias("n_tokens"),
         F.length("text").cast("long").alias("n_chars"),
+        # sum of token lengths == length of the separator-less concat:
+        # one codegen'd string op instead of an interpreted per-token
+        # aggregate lambda (identical integer, oracle unchanged)
         F.round(
-            F.aggregate(F.col("_tk"), F.lit(0), lambda a, x: a + F.length(x)).cast(
-                "double"
-            )
+            F.length(F.concat_ws("", F.col("_tk"))).cast("double")
             / F.greatest(F.size("_tk"), F.lit(1)).cast("double"),
             6,
         ).alias("mean_word_len"),
@@ -1085,6 +1097,13 @@ GROUP BY o_orderpriority
 
 @_q("q4_order_priority", _Q4_SQL)
 def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS realized as inner-join + per-order dedupe rather than a
+    semi join with orders as the probe: the semi form forces lineitem
+    (the big side) to be the hash-build input, so both sides shuffle;
+    this shape keeps the date-filtered orders slice as the build side —
+    small enough that AQE broadcasts it here (zero lineitem shuffle) and
+    falls back to a shuffle join at SFs where it isn't. o_orderkey is
+    unique, so first(o_orderpriority) per order is deterministic."""
     orders = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
     )
@@ -1093,7 +1112,9 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
     )
     return (
-        orders.join(li, cond, "left_semi")
+        li.join(orders.select("o_orderkey", "o_orderdate", "o_orderpriority"), cond)
+        .groupBy("o_orderkey")
+        .agg(F.first("o_orderpriority").alias("o_orderpriority"))
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("order_count"))
     )
