@@ -134,7 +134,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "2001-06-01")
     ep, d, t = _fx("l_extendedprice"), _fx("l_discount"), _fx("l_tax")
     disc_price = ep * (F.lit(100).cast("long") - d)  # exact, 4-dp scaled
-    charge = disc_price * (F.lit(100).cast("long") + t)  # exact, 6-dp scaled
+    # charge is ~1.2e11 per row at 6-dp scale: an int64 sum overflows at
+    # ~7.6e7 rows in one group (sf~50 for q1's six groups), so the exact
+    # long product widens to decimal(38,0) before the sum (money.py
+    # "wide" path; DuckDB's SUM(BIGINT) is already 128-bit, so the
+    # mirror is unchanged)
+    charge = (disc_price * (F.lit(100).cast("long") + t)).cast("decimal(38,0)")
     n = F.count(F.lit(1))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         _fxsum(_fx("l_quantity"), 2).alias("sum_qty"),
@@ -2695,7 +2700,11 @@ def corr_stddev_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         _money.unscale(
             F.sum((_fx("l_extendedprice") * _fx("l_extendedprice")).cast("decimal(38,0)")), 4
         ).alias("syy"),
-        _fxsum(_fx("l_quantity") * _fx("l_extendedprice"), 4).alias("sxy"),
+        # qty*price is ~5.5e10 per row: whole-table int64 sum overflows
+        # at ~1.7e8 rows (sf~170) — widen like syy
+        _money.unscale(
+            F.sum((_fx("l_quantity") * _fx("l_extendedprice")).cast("decimal(38,0)")), 4
+        ).alias("sxy"),
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")

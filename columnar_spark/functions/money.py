@@ -39,10 +39,12 @@ exceeds tens of millions of rows. For whole-table sums at 100-TB scale
 (sf >~ 30 equivalent), pass `wide=True`: the per-row scaled long is
 aggregated in decimal(38,0) — still integer-exact, still a single cheap
 long->decimal widening per row (NOT the double->decimal cast chain),
-with an envelope of 1e38. Spark raises on long-sum overflow under ANSI
-mode (`spark.sql.ansi.enabled=true`), which production sessions should
-set; the default session leaves the fast path unchecked exactly like
-the reference's int64 aggregation does.
+with an envelope of 1e38. Spark 4 runs ANSI mode by default, so a
+long-sum overflow past the envelope FAILS LOUDLY (ARITHMETIC_OVERFLOW)
+rather than wrapping — the fast path is never silently wrong; pick
+`wide=True` where the addend budget can be exceeded
+(tests/test_money.py::test_product_chain_beyond_int64_needs_wide pins
+both behaviors).
 """
 
 from __future__ import annotations

@@ -162,3 +162,65 @@ def test_mirror_bit_identical_past_2pow53(spark):
     ).fetchone()[0]
     assert got > 2**53 / 100.0  # the regime under test
     assert _bits(got) == _bits(want)
+
+
+def _charge_fixture(rng_seed, lo, hi, n):
+    rng = random.Random(rng_seed)
+    return [
+        (
+            round(rng.uniform(lo, hi), 2),
+            round(rng.uniform(0.0, 0.10), 2),
+            round(rng.uniform(0.0, 0.08), 2),
+        )
+        for _ in range(n)
+    ]
+
+
+def _charge_duckdb(rows):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (price DOUBLE, disc DOUBLE, tax DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?,?,?)", rows)
+    ep_s, d_s, t_s = (
+        money.scaled_sql("price"),
+        money.scaled_sql("disc"),
+        money.scaled_sql("tax"),
+    )
+    return con.execute(
+        f"SELECT CAST(SUM({ep_s} * (100 - {d_s}) * (100 + {t_s})) AS DOUBLE)"
+        " / 1000000.0 AS s FROM t"
+    ).fetchone()[0]
+
+
+def _charge_spark(spark, rows, *, wide):
+    df = spark.createDataFrame(rows, "price double, disc double, tax double")
+    ep, d, t = money.scaled("price"), money.scaled("disc"), money.scaled("tax")
+    charge6 = ep * (F.lit(100).cast("long") - d) * (F.lit(100).cast("long") + t)
+    if wide:
+        charge6 = charge6.cast("decimal(38,0)")
+    return df.agg(money.unscale(F.sum(charge6), 6).alias("s")).collect()[0]["s"]
+
+
+def test_product_chain_mirror_bit_identical_past_2pow53(spark):
+    """The q1 charge form (ep_c * (100-d_c) * (100+t_c), 6-dp scaled):
+    DuckDB mirror stays bit-identical when the scaled sum is past 2^53
+    but inside the int64 envelope."""
+    rows = _charge_fixture(7, 1e7, 9e7, 3000)  # sum ~1e17: >2^53, <9.2e18
+    got = _charge_spark(spark, rows, wide=False)
+    want = _charge_duckdb(rows)
+    assert got > 2**53 / 1e6
+    assert _bits(got) == _bits(want)
+
+
+def test_product_chain_beyond_int64_needs_wide(spark):
+    """Past the int64 envelope (~7.6e7 worst-case charge addends) the
+    long sum overflows — LOUDLY under Spark 4's default ANSI mode
+    (ARITHMETIC_OVERFLOW), never silently wrong — while DuckDB's
+    hugeint sum is unbounded. The wide decimal(38,0) path (q1's
+    sum_charge, corr's sxy) stays exact and bit-matches DuckDB. Pins
+    both the failure mode and the fix."""
+    rows = _charge_fixture(11, 1e9, 9e9, 3000)  # sum ~1.5e19 > 9.2e18
+    want = _charge_duckdb(rows)
+    with pytest.raises(Exception, match="ARITHMETIC_OVERFLOW|overflow"):
+        _charge_spark(spark, rows, wide=False)
+    wide = _charge_spark(spark, rows, wide=True)
+    assert _bits(wide) == _bits(want)  # decimal(38,0) stays exact
