@@ -156,3 +156,26 @@ def test_backfill_repairs_bucket_range(spark, tmp_path):
     assert [e.op for e in history(rollup)] == ["backfill-rollup"]
     restore(rollup, 1)
     assert _collect_view(read_rollup(spark, rollup)) == before
+
+
+def test_legacy_decimal_sidecar_still_serves(spark, tmp_path):
+    """Sidecars written before the fixed-point change stored sum_v as a
+    decimal; unscale_sum_v type-dispatches on the stored schema so they
+    finalize to the same values as a current scaled-long sidecar."""
+    ev = _events_df(spark, 500)
+    current = rollup_partials(ev)
+    # simulate the legacy layout: same groups, decimal sum of the raw value
+    legacy = ev.groupBy(
+        F.window(F.col("ts"), "1 day").start.alias("bucket_start"),
+        F.col("event_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_v"),
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"),
+    )
+    legacy_path = str(tmp_path / "legacy_partials")
+    legacy.write.parquet(legacy_path)
+    got = _collect_view(finalize_rollup(merge_rollup(spark.read.parquet(legacy_path))))
+    want = _collect_view(finalize_rollup(merge_rollup(current)))
+    assert got == want
