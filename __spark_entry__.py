@@ -4656,6 +4656,130 @@ def search_join_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Corpus statistics: collocations, keywords, vocabulary health
+# --------------------------------------------------------------------------
+
+# lift/score are exact rationals in a pinned IEEE op order (multiply /
+# divide only — the PMI/tf-idf logs are monotone wrappers that would add
+# libm cross-engine skew), so both oracles hash-match bit-identically
+# (the functions/money.py convention).
+_COLLOC_SQL = """
+WITH toks AS (
+  SELECT list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT unnest(CASE WHEN len(t) < 2 THEN CAST([] AS VARCHAR[])
+         ELSE list_transform(generate_series(1, len(t) - 1),
+                             i -> t[i] || ' ' || t[i + 1]) END) AS g
+  FROM toks
+),
+pc AS (SELECT g, COUNT(*) AS c_ab FROM grams GROUP BY g),
+uc AS (
+  SELECT w, COUNT(*) AS c
+  FROM (SELECT unnest(t) AS w FROM toks)
+  GROUP BY w
+),
+tot AS (SELECT (SELECT SUM(c) FROM uc) AS n_uni,
+               (SELECT SUM(c_ab) FROM pc) AS n_bi)
+SELECT string_split(g, ' ')[1] AS w1,
+       string_split(g, ' ')[2] AS w2,
+       CAST(c_ab AS BIGINT) AS c_ab,
+       CAST(u1.c AS BIGINT) AS c_a,
+       CAST(u2.c AS BIGINT) AS c_b,
+       ((CAST(c_ab AS DOUBLE) * CAST(n_uni AS DOUBLE)) / CAST(n_bi AS DOUBLE))
+       * (CAST(n_uni AS DOUBLE)
+          / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE))) AS lift
+FROM pc
+JOIN uc u1 ON string_split(g, ' ')[1] = u1.w
+JOIN uc u2 ON string_split(g, ' ')[2] = u2.w
+CROSS JOIN tot
+WHERE c_ab >= 5
+ORDER BY lift DESC, w1 ASC, w2 ASC
+LIMIT 50
+"""
+
+
+@_q("bigram_collocations_docs", _COLLOC_SQL)
+def bigram_collocations_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 bigram collocations by lift (min_count=5): the boilerplate /
+    template-phrase detector of the curation family. Whitespace tokens
+    cannot contain spaces, so the oracle's 'w1 w2' gram string splits
+    back losslessly."""
+    from columnar_spark.operators.collocations import bigram_collocations
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    return bigram_collocations(docs, "text", min_count=5, k=50)
+
+
+_TFIDF_SQL = """
+WITH tf AS (
+  SELECT doc_id, w AS term, COUNT(*) AS tf
+  FROM (SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> x <> '')) AS w
+        FROM documents)
+  GROUP BY doc_id, w
+),
+dfq AS (SELECT term, COUNT(*) AS dfreq FROM tf GROUP BY term),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+       CAST(dfreq AS BIGINT) AS dfreq, score
+FROM (
+  SELECT tf.doc_id, tf.term, tf.tf, dfq.dfreq,
+         (CAST(tf.tf AS DOUBLE) * CAST(n_docs AS DOUBLE))
+         / CAST(dfq.dfreq AS DOUBLE) AS score,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY (CAST(tf.tf AS DOUBLE) * CAST(n_docs AS DOUBLE))
+                    / CAST(dfq.dfreq AS DOUBLE) DESC, tf.term ASC) AS rn
+  FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN nd
+)
+WHERE rn <= 5
+"""
+
+
+@_q("tfidf_keywords_docs", _TFIDF_SQL)
+def tfidf_keywords_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 keywords by the rational tf-idf variant
+    (tf * n_docs / df — log-free, bit-identical cross-engine).
+    Deterministic cutoff: row_number over (score DESC, term ASC)."""
+    from columnar_spark.operators.collocations import tfidf_keywords
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    return tfidf_keywords(docs, "doc_id", "text", k=5)
+
+
+_VOCAB_SQL = """
+WITH uc AS (
+  SELECT w, COUNT(*) AS c
+  FROM (SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                                  x -> x <> '')) AS w
+        FROM documents)
+  GROUP BY w
+)
+SELECT CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS type_token_ratio,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       / CAST(COUNT(*) AS DOUBLE) AS hapax_ratio
+FROM uc
+"""
+
+
+@_q("vocab_stats_docs", _VOCAB_SQL)
+def vocab_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary health in one row: token/type/hapax counts,
+    type-token ratio, hapax share — the drift signal tracked across
+    training-data dumps."""
+    from columnar_spark.operators.collocations import vocab_stats
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    return vocab_stats(docs, "text")
+
+
+# --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
 
