@@ -4779,6 +4779,46 @@ def vocab_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_stats(docs, "text")
 
 
+_DRIFT_SQL = """
+WITH counts AS (
+  SELECT w,
+         SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_a,
+         SUM(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS c_b
+  FROM (SELECT lang,
+               unnest(list_filter(string_split_regex(text, '\\s+'),
+                                  x -> x <> '')) AS w
+        FROM documents WHERE lang IN ('en', 'fr'))
+  GROUP BY w
+),
+tot AS (SELECT SUM(c_a) AS ta, SUM(c_b) AS tb FROM counts)
+SELECT
+  CAST(SUM(CASE WHEN c_a > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_types_a,
+  CAST(SUM(CASE WHEN c_b > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_types_b,
+  CAST(SUM(CASE WHEN c_a > 0 AND c_b > 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_shared,
+  CAST(COUNT(*) AS BIGINT) AS n_union,
+  CAST(SUM(CASE WHEN c_a > 0 AND c_b > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS jaccard_types,
+  0.5 * (CAST(SUM(ABS(CAST(c_a AS HUGEINT) * tb
+                      - CAST(c_b AS HUGEINT) * ta)) AS DOUBLE)
+         / (CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE))) AS tv_distance
+FROM counts CROSS JOIN tot
+GROUP BY ta, tb
+"""
+
+
+@_q("vocab_drift_langs", _DRIFT_SQL)
+def vocab_drift_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-distribution drift between the en and fr document slices:
+    total-variation distance (exact integer numerators summed wide —
+    decimal(38,0) / HUGEINT — then one pinned division) + type-set
+    Jaccard. The cross-dump 'did the corpus change?' report row."""
+    from columnar_spark.operators.collocations import vocab_drift
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    return vocab_drift(docs, "lang", "en", "fr", "text")
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------

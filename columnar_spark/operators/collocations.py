@@ -157,6 +157,69 @@ def tfidf_keywords(
     )
 
 
+def vocab_drift(
+    df: DataFrame,
+    group_col: str,
+    a: str,
+    b: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Unigram-distribution drift between two corpus slices (langs,
+    sources, dump vintages): total-variation distance plus type-set
+    overlap — the curation dashboard's "did this dump change?" row.
+
+        TV(p, q) = 0.5 * sum_w |p_w - q_w|
+
+    KL/JS need logs; TV is exactly rational: |c_a/ta - c_b/tb| =
+    |c_a*tb - c_b*ta| / (ta*tb), so the numerators are INTEGERS summed
+    exactly (decimal(38,0) — immune to int64 overflow at any corpus
+    size; DuckDB mirrors with HUGEINT) and ONE pinned division+scale at
+    the end makes the double bit-identical cross-engine.
+
+    One filtered scan, one token-keyed shuffle, vocabulary-sized
+    aggregate state, one-row totals broadcast. Output: type counts per
+    slice, shared/union types, Jaccard of type sets, TV distance.
+    """
+    tk = CT.tokens(F.col(text_col))
+    counts = (
+        df.filter(F.col(group_col).isin(a, b))
+        .select(F.col(group_col).alias("_g"), F.explode(tk).alias("w"))
+        .groupBy("w")
+        .agg(
+            F.sum(F.when(F.col("_g") == a, 1).otherwise(0)).alias("c_a"),
+            F.sum(F.when(F.col("_g") == b, 1).otherwise(0)).alias("c_b"),
+        )
+    )
+    tot = counts.agg(F.sum("c_a").alias("ta"), F.sum("c_b").alias("tb"))
+    j = counts.crossJoin(F.broadcast(tot))
+    dec = "decimal(38,0)"
+    num = F.abs(
+        F.col("c_a").cast(dec) * F.col("tb").cast(dec)
+        - F.col("c_b").cast(dec) * F.col("ta").cast(dec)
+    )
+    n_shared = F.sum(F.when((F.col("c_a") > 0) & (F.col("c_b") > 0), 1).otherwise(0))
+    return (
+        j.groupBy("ta", "tb")
+        .agg(
+            F.sum(F.when(F.col("c_a") > 0, 1).otherwise(0)).cast("long").alias("n_types_a"),
+            F.sum(F.when(F.col("c_b") > 0, 1).otherwise(0)).cast("long").alias("n_types_b"),
+            n_shared.cast("long").alias("n_shared"),
+            F.count(F.lit(1)).alias("n_union"),
+            (
+                n_shared.cast("double") / F.count(F.lit(1)).cast("double")
+            ).alias("jaccard_types"),
+            (
+                F.lit(0.5)
+                * (
+                    F.sum(num).cast("double")
+                    / (F.col("ta").cast("double") * F.col("tb").cast("double"))
+                )
+            ).alias("tv_distance"),
+        )
+        .drop("ta", "tb")
+    )
+
+
 def vocab_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-row corpus vocabulary health report: total tokens, distinct
     types, hapax legomena (frequency-1 types), type-token ratio and

@@ -18,6 +18,7 @@ import pytest
 from columnar_spark.operators.collocations import (
     bigram_collocations,
     tfidf_keywords,
+    vocab_drift,
     vocab_stats,
 )
 
@@ -133,6 +134,71 @@ def test_collocations_fuzz_vs_reference(spark, seed):
     assert [g[:5] for g in got] == [w[:5] for w in want]
     for g, w in zip(got, want):
         assert _bits(g[5]) == _bits(w[5])
+
+
+def _ref_drift(rows, a, b):
+    ca, cb = Counter(), Counter()
+    for g, t in rows:
+        (ca if g == a else cb).update(_tok(t))
+    ta, tb = sum(ca.values()), sum(cb.values())
+    words = set(ca) | set(cb)
+    s_num = sum(abs(ca[w] * tb - cb[w] * ta) for w in words)
+    tv = 0.5 * (float(s_num) / (float(ta) * float(tb)))
+    shared = sum(1 for w in words if ca[w] > 0 and cb[w] > 0)
+    return (
+        len(ca),
+        len(cb),
+        shared,
+        len(words),
+        float(shared) / float(len(words)),
+        tv,
+    )
+
+
+def test_vocab_drift_matches_reference(spark):
+    rows = [
+        ("en", "the cat sat on the mat"),
+        ("en", "the dog sat"),
+        ("fr", "le chat sat sur le tapis"),
+        ("fr", "le chien"),
+        ("de", "der hund ignored entirely"),
+    ]
+    df = spark.createDataFrame(rows, "lang string, text string")
+    got = tuple(vocab_drift(df, "lang", "en", "fr").collect()[0])
+    want = _ref_drift([r for r in rows if r[0] in ("en", "fr")], "en", "fr")
+    assert got[:4] == want[:4]
+    assert _bits(got[4]) == _bits(want[4])
+    assert _bits(got[5]) == _bits(want[5])
+
+
+def test_vocab_drift_identical_slices_is_zero(spark):
+    rows = [("a", "x y z x"), ("b", "x y z x")]
+    df = spark.createDataFrame(rows, "g string, text string")
+    r = vocab_drift(df, "g", "a", "b").collect()[0]
+    assert r.tv_distance == 0.0 and r.jaccard_types == 1.0
+    assert r.n_shared == r.n_union == 3
+
+
+def test_vocab_drift_disjoint_slices_is_one(spark):
+    rows = [("a", "x y"), ("b", "p q r")]
+    df = spark.createDataFrame(rows, "g string, text string")
+    r = vocab_drift(df, "g", "a", "b").collect()[0]
+    assert r.tv_distance == 1.0 and r.n_shared == 0
+
+
+def test_vocab_drift_fuzz_vs_reference(spark):
+    rng = random.Random(99)
+    vocab = [f"w{i}" for i in range(25)]
+    rows = [
+        (rng.choice(["a", "b"]), " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30))))
+        for _ in range(150)
+    ]
+    df = spark.createDataFrame(rows, "g string, text string")
+    got = tuple(vocab_drift(df, "g", "a", "b").collect()[0])
+    want = _ref_drift(rows, "a", "b")
+    assert got[:4] == want[:4]
+    assert _bits(got[4]) == _bits(want[4])
+    assert _bits(got[5]) == _bits(want[5])
 
 
 def test_empty_and_single_token_docs(spark):
