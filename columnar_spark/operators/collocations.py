@@ -229,7 +229,15 @@ def vocab_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     Exact integer counts; the two ratios are single IEEE divisions.
     One explode + one token-keyed shuffle, then a one-row aggregate.
     """
-    uc = _unigram_counts(df, CT.tokens(F.col(text_col)))
+    return vocab_stats_from_counts(_unigram_counts(df, CT.tokens(F.col(text_col))))
+
+
+def vocab_stats_from_counts(uc: DataFrame) -> DataFrame:
+    """The report aggregate over a (w, c) unigram-count frame — shared
+    by batch `vocab_stats` and the streaming monitor's merge-on-read
+    path (streaming/vocab.vocab_report), which is what makes the
+    streamed report bit-identical to the batch one: identical counts in,
+    identical pinned divisions out."""
     hapax = F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
     return uc.agg(
         F.sum("c").alias("n_tokens"),

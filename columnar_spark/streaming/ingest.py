@@ -120,6 +120,13 @@ def append_batch(
     loaded = load_text_index(ss, dst_path)
     if loaded is not None and loaded[2]["text_col"] in out.columns:
         append_to_text_index(ss, dst_path, out, batch_id=batch_id)
+    # Vocabulary monitor sidecar: fold the batch's unigram counts in as
+    # a delta segment (O(batch tokens), replay-safe via atomic rename).
+    from columnar_spark.streaming.vocab import append_vocab_delta, vocab_meta
+
+    vm = vocab_meta(dst_path)
+    if vm is not None and vm["text_col"] in out.columns:
+        append_vocab_delta(ss, dst_path, out, batch_id=batch_id)
 
 
 def stream_ingest(

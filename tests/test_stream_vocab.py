@@ -1,0 +1,109 @@
+"""Streaming vocabulary monitor: batch-parity (streamed report is
+BIT-identical to batch vocab_stats over the same rows), at-least-once
+replay safety, compaction invariance, and the append_batch hookup."""
+
+from __future__ import annotations
+
+import os
+import struct
+
+from pyspark.sql import functions as F
+
+from columnar_spark.operators.collocations import vocab_stats
+from columnar_spark.streaming.vocab import (
+    append_vocab_delta,
+    compact_vocab,
+    init_vocab_monitor,
+    vocab_report,
+)
+
+DOCS = [
+    (1, "the cat sat on the mat"),
+    (2, "a dog sat"),
+    (3, "the quick brown fox jumps over a lazy dog"),
+    (4, "scan scan scan scan"),
+    (5, "vector vector join table row column"),
+    (6, ""),
+    (7, "solo"),
+]
+
+
+def _bits(x: float) -> int:
+    return struct.unpack("<q", struct.pack("<d", x))[0]
+
+
+def _rows_equal_bitwise(a, b):
+    assert (a.n_tokens, a.n_types, a.n_hapax) == (b.n_tokens, b.n_types, b.n_hapax)
+    assert _bits(a.type_token_ratio) == _bits(b.type_token_ratio)
+    assert _bits(a.hapax_ratio) == _bits(b.hapax_ratio)
+
+
+def _full(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_streamed_report_bit_identical_to_batch(spark, tmp_path):
+    full = _full(spark)
+    p = str(tmp_path / "docs.parquet")
+    full.limit(0).write.parquet(p)
+    init_vocab_monitor(spark, p, "text")
+    for i, lo in enumerate(range(1, 8, 3)):
+        chunk = full.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 3))
+        assert append_vocab_delta(spark, p, chunk, batch_id=i) is True
+    got = vocab_report(spark, p).collect()[0]
+    want = vocab_stats(full, "text").collect()[0]
+    _rows_equal_bitwise(got, want)
+
+
+def test_replayed_batch_is_noop(spark, tmp_path):
+    full = _full(spark)
+    p = str(tmp_path / "docs.parquet")
+    full.limit(0).write.parquet(p)
+    init_vocab_monitor(spark, p, "text")
+    chunk = full.filter(F.col("doc_id") <= 4)
+    assert append_vocab_delta(spark, p, chunk, batch_id=11) is True
+    before = vocab_report(spark, p).collect()[0]
+    # foreachBatch retry: same epoch id, must not double-count
+    assert append_vocab_delta(spark, p, chunk, batch_id=11) is False
+    _rows_equal_bitwise(vocab_report(spark, p).collect()[0], before)
+
+
+def test_compaction_preserves_report_and_sweeps_orphans(spark, tmp_path):
+    full = _full(spark)
+    p = str(tmp_path / "docs.parquet")
+    full.limit(0).write.parquet(p)
+    init_vocab_monitor(spark, p, "text")
+    append_vocab_delta(spark, p, full.filter(F.col("doc_id") <= 3), batch_id=0)
+    append_vocab_delta(spark, p, full.filter(F.col("doc_id") > 3), batch_id=1)
+    # a crashed attempt's orphaned stage dir
+    os.makedirs(str(tmp_path / "docs.parquet.vocab" / "_tmp_dead"), exist_ok=True)
+    before = vocab_report(spark, p).collect()[0]
+    # 3 segments fold: the (empty) bootstrap base_0 plus the two deltas
+    assert compact_vocab(spark, p) == 3
+    segs = [
+        s
+        for s in os.listdir(str(tmp_path / "docs.parquet.vocab"))
+        if not s.startswith("meta")
+    ]
+    assert len(segs) == 1 and segs[0].startswith("base_")
+    _rows_equal_bitwise(vocab_report(spark, p).collect()[0], before)
+    # post-compaction appends keep merging
+    append_vocab_delta(spark, p, full.filter(F.col("doc_id") == 5), batch_id=2)
+    r = vocab_report(spark, p).collect()[0]
+    want = vocab_stats(
+        full.union(full.filter(F.col("doc_id") == 5)), "text"
+    ).collect()[0]
+    _rows_equal_bitwise(r, want)
+
+
+def test_init_bootstraps_existing_rows_and_append_batch_maintains(spark, tmp_path):
+    full = _full(spark)
+    p = str(tmp_path / "docs.parquet")
+    full.filter(F.col("doc_id") <= 3).write.parquet(p)
+    init_vocab_monitor(spark, p, "text")  # bootstrap base from 3 rows
+    from columnar_spark.streaming.ingest import append_batch
+
+    append_batch(full.filter(F.col("doc_id") > 3), p, batch_id=0)
+    got = vocab_report(spark, p).collect()[0]
+    want = vocab_stats(spark.read.parquet(p), "text").collect()[0]
+    _rows_equal_bitwise(got, want)
