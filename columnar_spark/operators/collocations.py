@@ -190,6 +190,14 @@ def vocab_drift(
             F.sum(F.when(F.col("_g") == b, 1).otherwise(0)).alias("c_b"),
         )
     )
+    return vocab_drift_from_counts(counts)
+
+
+def vocab_drift_from_counts(counts: DataFrame) -> DataFrame:
+    """The drift aggregate over a (w, c_a, c_b) paired-count frame —
+    shared by batch `vocab_drift` and the streaming monitor's
+    drift-since-snapshot path (streaming/vocab.drift_since), making the
+    streamed report bit-identical to the batch one over the same rows."""
     tot = counts.agg(F.sum("c_a").alias("ta"), F.sum("c_b").alias("tb"))
     j = counts.crossJoin(F.broadcast(tot))
     dec = "decimal(38,0)"

@@ -141,6 +141,31 @@ def vocab_report(spark: SparkSession, dst_path: str) -> DataFrame:
     return vocab_stats_from_counts(vocab_counts(spark, dst_path))
 
 
+def snapshot_counts(spark: SparkSession, dst_path: str, dest: str) -> None:
+    """Freeze the monitor's current merged unigram counts at `dest`
+    (atomic rename, so a crashed snapshot is never half-visible) — the
+    baseline side of drift-since alerting."""
+    stage = dest + f"._tmp_{uuid.uuid4().hex}"
+    vocab_counts(spark, dst_path).coalesce(1).write.mode("overwrite").parquet(stage)
+    os.rename(stage, dest)
+
+
+def drift_since(spark: SparkSession, dst_path: str, snapshot_dir: str) -> DataFrame:
+    """Distribution drift of the live monitor vs a frozen snapshot:
+    total-variation distance + type-set Jaccard (the one-row alerting
+    signal — "did the corpus change since the last approved dump?").
+    Bit-identical to batch vocab_drift over the corresponding rows;
+    exact rationals per the collocations module's pinned-op contract."""
+    from columnar_spark.operators.collocations import vocab_drift_from_counts
+
+    snap = spark.read.parquet(snapshot_dir).select(
+        "w", F.col("c").alias("c_a")
+    )
+    cur = vocab_counts(spark, dst_path).select("w", F.col("c").alias("c_b"))
+    counts = snap.join(cur, "w", "full_outer").fillna(0, ["c_a", "c_b"])
+    return vocab_drift_from_counts(counts)
+
+
 def compact_vocab(spark: SparkSession, dst_path: str) -> int:
     """Fold all committed segments into one base segment, then sweep the
     old segments and any crashed-attempt `_tmp_*` stages. Returns the

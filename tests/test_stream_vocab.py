@@ -96,6 +96,34 @@ def test_compaction_preserves_report_and_sweeps_orphans(spark, tmp_path):
     _rows_equal_bitwise(r, want)
 
 
+def test_drift_since_snapshot_matches_batch_vocab_drift(spark, tmp_path):
+    from columnar_spark.operators.collocations import vocab_drift
+    from columnar_spark.streaming.vocab import drift_since, snapshot_counts
+
+    full = _full(spark)
+    old = full.filter(F.col("doc_id") <= 4)
+    p = str(tmp_path / "docs.parquet")
+    full.limit(0).write.parquet(p)
+    init_vocab_monitor(spark, p, "text")
+    append_vocab_delta(spark, p, old, batch_id=0)
+    snap = str(tmp_path / "snap_counts")
+    snapshot_counts(spark, p, snap)
+    append_vocab_delta(spark, p, full.filter(F.col("doc_id") > 4), batch_id=1)
+
+    got = drift_since(spark, p, snap).collect()[0]
+    # batch equivalent: slice 'a' = the snapshot rows, slice 'b' = all
+    both = old.withColumn("g", F.lit("a")).union(full.withColumn("g", F.lit("b")))
+    want = vocab_drift(both, "g", "a", "b").collect()[0]
+    assert (got.n_types_a, got.n_types_b, got.n_shared, got.n_union) == (
+        want.n_types_a,
+        want.n_types_b,
+        want.n_shared,
+        want.n_union,
+    )
+    assert _bits(got.jaccard_types) == _bits(want.jaccard_types)
+    assert _bits(got.tv_distance) == _bits(want.tv_distance)
+
+
 def test_init_bootstraps_existing_rows_and_append_batch_maintains(spark, tmp_path):
     full = _full(spark)
     p = str(tmp_path / "docs.parquet")
