@@ -4819,6 +4819,27 @@ def vocab_drift_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_drift(docs, "lang", "en", "fr", "text")
 
 
+@_q("bpe_train_fertility_docs")
+def bpe_train_fertility_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training pipeline end-to-end: distributed weighted
+    word-count extraction -> bounded-state BPE merge training
+    (deterministic tie-breaking) -> distributed Arrow-batch encode ->
+    one-row fertility report. No SQL oracle by nature (the trainer is
+    an iterative algorithm); determinism + the trainer/encoder
+    self-consistency invariant are pinned in tests/test_bpe.py."""
+    from columnar_spark.operators.bpe import (
+        bpe_fertility_stats,
+        train_bpe,
+        word_counts,
+    )
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    merges = train_bpe(word_counts(docs, "text"), n_merges=64, min_pair_count=2)
+    return bpe_fertility_stats(docs, merges, "text").withColumn(
+        "n_merges_learned", F.lit(len(merges)).cast("long")
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
