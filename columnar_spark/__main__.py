@@ -147,6 +147,27 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("table_path")
     sp.add_argument("--version", type=int, required=True)
 
+    sp = sub.add_parser("vocab-monitor-init")
+    sp.add_argument("table_path")
+    sp.add_argument("--text-col", default="text")
+
+    sp = sub.add_parser("vocab-report")
+    sp.add_argument("table_path")
+
+    sp = sub.add_parser("corpus-stats")
+    sp.add_argument("table_path")
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--top-collocations", type=int, default=0)
+    sp.add_argument("--min-count", type=int, default=5)
+
+    sp = sub.add_parser("bpe-train")
+    sp.add_argument("table_path")
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--n-merges", type=int, default=1000)
+    sp.add_argument("--min-pair-count", type=int, default=2)
+    sp.add_argument("--out", default=None, help="write merges JSON here")
+    sp.add_argument("--stats", action="store_true", help="also print fertility")
+
     args = p.parse_args(argv)
 
     # snapshot bookkeeping is pure driver-side file I/O — no session
@@ -403,6 +424,62 @@ def main(argv: list[str] | None = None) -> int:
             for r in hits.select("id", dist_col).collect()
         ]
         print(json.dumps(out))
+        return 0
+
+    if args.cmd == "vocab-monitor-init":
+        from columnar_spark.streaming.vocab import init_vocab_monitor
+
+        init_vocab_monitor(spark, args.table_path, text_col=args.text_col)
+        print(json.dumps({"monitor": args.table_path + ".vocab", "text_col": args.text_col}))
+        return 0
+
+    if args.cmd == "vocab-report":
+        from columnar_spark.streaming.vocab import vocab_report
+
+        row = vocab_report(spark, args.table_path).collect()[0]
+        print(json.dumps(row.asDict(), default=str))
+        return 0
+
+    if args.cmd == "corpus-stats":
+        from columnar_spark.operators.collocations import (
+            bigram_collocations,
+            vocab_stats,
+        )
+
+        df = spark.read.parquet(args.table_path)
+        out = vocab_stats(df, args.text_col).collect()[0].asDict()
+        if args.top_collocations:
+            out["collocations"] = [
+                r.asDict()
+                for r in bigram_collocations(
+                    df, args.text_col, min_count=args.min_count, k=args.top_collocations
+                ).collect()
+            ]
+        print(json.dumps(out, default=str))
+        return 0
+
+    if args.cmd == "bpe-train":
+        from columnar_spark.operators.bpe import (
+            bpe_fertility_stats,
+            train_bpe,
+            word_counts,
+        )
+
+        df = spark.read.parquet(args.table_path)
+        merges = train_bpe(
+            word_counts(df, args.text_col),
+            n_merges=args.n_merges,
+            min_pair_count=args.min_pair_count,
+        )
+        if args.out:
+            with open(args.out, "w") as fh:
+                json.dump([list(m) for m in merges], fh)
+        res = {"n_merges_learned": len(merges), "out": args.out}
+        if args.stats:
+            res["fertility"] = bpe_fertility_stats(
+                df, merges, args.text_col
+            ).collect()[0].asDict()
+        print(json.dumps(res, default=str))
         return 0
 
     if args.cmd == "sql":

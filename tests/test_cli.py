@@ -155,3 +155,43 @@ def test_json_index_build_and_merge_cli(spark, tmp_path_factory, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["rows_after"] == out["rows_before"]
     assert load_value_index(spark, t, "props__j_k") is None  # disabled
+
+
+def test_corpus_stats_and_bpe_train(spark, tmp_path_factory, capsys):
+    d = tmp_path_factory.mktemp("cli_corpus")
+    t = str(d / "docs.parquet")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(
+        80
+    ).write.parquet(t)
+
+    assert main(["corpus-stats", t, "--top-collocations", "2", "--min-count", "2"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_tokens"] > 0 and len(out["collocations"]) == 2
+    assert {"w1", "w2", "lift"} <= set(out["collocations"][0])
+
+    merges_path = str(d / "merges.json")
+    assert main(["bpe-train", t, "--n-merges", "10", "--out", merges_path,
+                 "--stats"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_merges_learned"] == 10
+    assert out["fertility"]["n_words"] > 0
+    assert len(json.load(open(merges_path))) == 10
+
+
+def test_vocab_monitor_cli_roundtrip(spark, tmp_path_factory, capsys):
+    d = tmp_path_factory.mktemp("cli_vocab")
+    t = str(d / "docs.parquet")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(
+        40
+    ).write.parquet(t)
+
+    assert main(["vocab-monitor-init", t]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["monitor"].endswith(".vocab")
+
+    assert main(["vocab-report", t]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    from columnar_spark.operators.collocations import vocab_stats
+
+    want = vocab_stats(spark.read.parquet(t), "text").collect()[0]
+    assert rep["n_tokens"] == want.n_tokens and rep["n_types"] == want.n_types
