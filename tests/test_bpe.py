@@ -110,3 +110,36 @@ def test_fertility_stats(spark):
     )
     assert r.n_pieces == want_pieces
     assert r.fertility == float(want_pieces) / 4.0
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis fuzz: encoder equivalences on arbitrary (incl. unseen) words
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_word = st.text(alphabet="abcde", min_size=1, max_size=12)
+_corpus = st.lists(
+    st.tuples(_word, st.integers(min_value=1, max_value=50)),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(corpus=_corpus, probe=_word)
+def test_fuzz_concat_invariant_and_sequential_equivalence(corpus, probe):
+    """(a) the pieces of ANY word concatenate back to word + END marker;
+    (b) greedy lowest-rank encoding equals applying the merge list in
+    rank order — the classic equivalence, pinned for unseen words too."""
+    from columnar_spark.operators.bpe import _merge_word
+
+    merges = train_bpe(corpus, n_merges=25, min_pair_count=1)
+    ranks = {p: i for i, p in enumerate(merges)}
+    pieces = encode_word(probe, ranks)
+    assert "".join(pieces) == probe + END
+    sym = tuple(probe) + (END,)
+    for pair in merges:
+        sym = _merge_word(sym, pair)
+    assert tuple(pieces) == sym
