@@ -33,8 +33,19 @@ def tokens(text: Column) -> Column:
     unnecessary — and array HOFs (F.filter) evaluate interpreted
     lambdas per element while trim/split/CASE stay in whole-stage
     codegen (~18% measured on the 10x documents scan). Equivalent for
-    ALL inputs, not just canonical ones."""
-    trimmed = F.trim(text)
+    ALL inputs, not just canonical ones.
+
+    The trim must strip the same class the split matches: F.trim only
+    removes 0x20, so 'tab foo' would leak a leading '' token (and break
+    the DuckDB-oracle equivalence, whose list_filter drops empties) —
+    hence btrim over the explicit Java \\s set [ \\t\\n\\x0B\\f\\r] —
+    a char-set scan of the two ends, cheaper in principle than a
+    ^\\s+|\\s+$ regexp pass and A/B-indistinguishable from the old
+    F.trim on the sf0.1 text queries. Any Python-side
+    mirror of this tokenizer must split on exactly that ASCII class
+    (operators/bpe._py_tokens), NOT str.split(), which also breaks on
+    Unicode spaces like NBSP."""
+    trimmed = F.btrim(text, F.lit(" \t\n\x0b\f\r"))
     return F.when(
         F.length(trimmed) == 0, F.array().cast("array<string>")
     ).otherwise(F.split(trimmed, r"\s+"))

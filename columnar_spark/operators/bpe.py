@@ -37,6 +37,7 @@ row, taken to a real trainer/encoder).
 
 from __future__ import annotations
 
+import re
 from collections import Counter
 from collections.abc import Iterator
 
@@ -46,6 +47,19 @@ from pyspark.sql import functions as F
 from ..functions import text as CT
 
 END = "</w>"  # end-of-word marker (Sennrich et al. 2016 convention)
+
+# Exact Python mirror of functions.text.tokens: Java regex \s is the
+# ASCII class [ \t\n\x0B\f\r]. Python's str.split() must NOT be used —
+# it also splits on Unicode spaces (NBSP etc.) the JVM tokenizer keeps
+# inside words, which would make training (JVM word_counts) and
+# encoding (Python) disagree on what a word is.
+_JAVA_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+_JAVA_WS_EDGE = " \t\n\x0b\f\r"
+
+
+def _py_tokens(s: str) -> list[str]:
+    s = s.strip(_JAVA_WS_EDGE)
+    return _JAVA_WS.split(s) if s else []
 
 # Driver-side training state is vocabulary-bounded, not corpus-bounded,
 # but "vocabulary" can still be pathological (random bytes); refuse
@@ -119,19 +133,47 @@ def train_bpe(
     vocab: list[tuple[tuple[str, ...], int]] = [
         (tuple(w) + (END,), c) for w, c in rows if w
     ]
+    # Incremental trainer (the actual Sennrich/sentencepiece structure):
+    # pair counts and a pair -> {word ids} index are maintained across
+    # merges, so each merge touches ONLY the words containing the merged
+    # pair — O(affected words), not O(vocabulary) per merge. The naive
+    # recount-everything form lives in tests as the parity oracle.
+    pc: Counter = Counter()
+    where: dict[tuple[str, str], set[int]] = {}
+    for i, (sym, cnt) in enumerate(vocab):
+        for j in range(len(sym) - 1):
+            p = (sym[j], sym[j + 1])
+            pc[p] += cnt
+            where.setdefault(p, set()).add(i)
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
-        pc = _pair_counts(vocab)
         if not pc:
             break
-        # max by (count, reversed lexicographic) == highest count,
-        # lexicographically smallest pair on ties
-        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
-        if best[1] < min_pair_count:
+        # highest count, lexicographically smallest pair on ties —
+        # the determinism contract
+        pair = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pc[pair] < min_pair_count:
             break
-        pair = best[0]
         merges.append(pair)
-        vocab = [(_merge_word(s, pair), c) for s, c in vocab]
+        for i in sorted(where.get(pair, ())):
+            old, cnt = vocab[i]
+            new = _merge_word(old, pair)
+            vocab[i] = (new, cnt)
+            old_pairs = Counter(zip(old, old[1:]))
+            new_pairs = Counter(zip(new, new[1:]))
+            for p, k in (old_pairs - new_pairs).items():
+                pc[p] -= k * cnt
+                if pc[p] <= 0:
+                    del pc[p]
+                if p not in new_pairs:
+                    s = where.get(p)
+                    if s is not None:
+                        s.discard(i)
+                        if not s:
+                            del where[p]
+            for p, k in (new_pairs - old_pairs).items():
+                pc[p] += k * cnt
+                where.setdefault(p, set()).add(i)
     return merges
 
 
@@ -187,7 +229,7 @@ def apply_bpe(
                 return []
             s = text.lower() if lowercase else text
             pieces: list[str] = []
-            for w in s.split():
+            for w in _py_tokens(s):
                 got = cache.get(w)
                 if got is None:
                     got = cache[w] = encode_word(w, ranks)

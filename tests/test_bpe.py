@@ -143,3 +143,51 @@ def test_fuzz_concat_invariant_and_sequential_equivalence(corpus, probe):
     for pair in merges:
         sym = _merge_word(sym, pair)
     assert tuple(pieces) == sym
+
+
+def _naive_train(rows, n_merges, min_pair_count=1):
+    """Recount-everything reference trainer (the pre-optimization form)."""
+    from columnar_spark.operators.bpe import _merge_word, _pair_counts
+
+    vocab = [(tuple(w) + (END,), c) for w, c in rows if w]
+    merges = []
+    for _ in range(n_merges):
+        pc = _pair_counts(vocab)
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_pair_count:
+            break
+        merges.append(best[0])
+        vocab = [(_merge_word(s, best[0]), c) for s, c in vocab]
+    return merges
+
+
+@settings(max_examples=40, deadline=None)
+@given(corpus=_corpus)
+def test_fuzz_incremental_trainer_equals_naive(corpus):
+    assert train_bpe(corpus, n_merges=20, min_pair_count=1) == _naive_train(
+        corpus, 20, 1
+    )
+
+
+def test_py_tokens_mirrors_jvm_tokens(spark):
+    from columnar_spark.operators.bpe import _py_tokens
+
+    nasty = [
+        "\tfoo bar\n",
+        "a b",  # NBSP: ONE token to Java \s, two to str.split()
+        "  x\ty \x0b z\r",
+        "",
+        " \t ",
+        "plain words here",
+    ]
+    df = spark.createDataFrame([(s,) for s in nasty], "text string")
+    from columnar_spark.functions import text as CT
+
+    jvm = [
+        r["tk"]
+        for r in df.select(CT.tokens(F.col("text")).alias("tk")).collect()
+    ]
+    assert jvm == [_py_tokens(s) for s in nasty]
+    assert jvm[1] == ["a b"]  # the NBSP word stays whole on BOTH sides
