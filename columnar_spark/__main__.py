@@ -16,6 +16,10 @@
     python -m columnar_spark restore TABLE_PATH --version N
     python -m columnar_spark index-build TABLE_PATH --col C
     python -m columnar_spark diff    TABLE_PATH [--from V] [--to V] --keys K1,K2
+    python -m columnar_spark corpus-stats TABLE_PATH [--top-collocations N]
+    python -m columnar_spark vocab-monitor-init TABLE_PATH [--force]
+    python -m columnar_spark vocab-report TABLE_PATH
+    python -m columnar_spark bpe-train TABLE_PATH [--n-merges N] [--out F] [--stats]
 
 `ingest` builds the clustered multi-split layout + stats sidecars (+ the
 persisted KNN index for the embeddings table); `check` runs the storage
@@ -150,6 +154,8 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("vocab-monitor-init")
     sp.add_argument("table_path")
     sp.add_argument("--text-col", default="text")
+    sp.add_argument("--force", action="store_true",
+                    help="rebuild an existing monitor from the current table")
 
     sp = sub.add_parser("vocab-report")
     sp.add_argument("table_path")
@@ -429,7 +435,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "vocab-monitor-init":
         from columnar_spark.streaming.vocab import init_vocab_monitor
 
-        init_vocab_monitor(spark, args.table_path, text_col=args.text_col)
+        init_vocab_monitor(
+            spark, args.table_path, text_col=args.text_col, force=args.force
+        )
         print(json.dumps({"monitor": args.table_path + ".vocab", "text_col": args.text_col}))
         return 0
 
