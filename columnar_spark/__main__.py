@@ -50,6 +50,10 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("table_path")
     sp.add_argument("--format", default="parquet", choices=["parquet", "csv", "json", "orc"])
     sp.add_argument("--cluster-by", default=None, help="comma-separated sort columns")
+    sp.add_argument("--quarantine", default=None,
+                    help="csv/json only: divert malformed records to this parquet "
+                         "dir instead of failing (requires an existing table for "
+                         "the declared schema)")
 
     sp = sub.add_parser("check")
     sp.add_argument("table_path")
@@ -358,12 +362,35 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 reader = reader.option("inferSchema", "true")
             reader = reader.option("header", "true")
-        batch = getattr(reader, args.format)(args.src)
+        if args.quarantine is not None:
+            import os
+
+            if args.format not in ("csv", "json"):
+                print(json.dumps({"error": "--quarantine applies to csv/json"}))
+                return 1
+            if not os.path.isdir(args.table_path):
+                print(json.dumps({"error": "--quarantine needs an existing table "
+                                           "to declare the schema"}))
+                return 1
+            from columnar_spark.sources.readers import read_source_quarantined
+
+            batch, bad = read_source_quarantined(
+                spark, args.src, args.format,
+                schema=spark.read.parquet(args.table_path).schema,
+                quarantine_path=args.quarantine,
+            )
+            n_bad = bad.count()
+        else:
+            batch = getattr(reader, args.format)(args.src)
+            n_bad = None
         spec = WriteSpec(
             cluster_by=tuple(args.cluster_by.split(",")) if args.cluster_by else ()
         )
         append_batch(batch, args.table_path, spec)
-        print(json.dumps({"appended": batch.count(), "dest": args.table_path}))
+        out = {"appended": batch.count(), "dest": args.table_path}
+        if n_bad is not None:
+            out["quarantined"] = n_bad
+        print(json.dumps(out))
         return 0
 
     if args.cmd == "check":

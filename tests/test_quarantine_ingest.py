@@ -70,3 +70,21 @@ def test_counts_reconcile(spark, tmp_path):
 def test_parquet_rejected(spark, tmp_path):
     with pytest.raises(ValueError, match="csv/json"):
         read_source_quarantined(spark, "x", "parquet", attrs=[("id", "int64")])
+
+
+def test_cli_append_with_quarantine(spark, tmp_path, capsys):
+    import json as _json
+
+    from columnar_spark.__main__ import main
+
+    t = str(tmp_path / "t.parquet")
+    spark.createDataFrame([(1, 2.0)], "id long, v double").write.parquet(t)
+    src = tmp_path / "batch.jsonl"
+    src.write_text('{"id": 2, "v": 3.5}\nbroken line\n{"id": 3, "v": 1.5}\n')
+    q = str(tmp_path / "quar")
+    rc = main(["append", str(src), t, "--format", "json", "--quarantine", q])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["appended"] == 2 and out["quarantined"] == 1
+    assert spark.read.parquet(t).count() == 3
+    assert spark.read.parquet(q).count() == 1
