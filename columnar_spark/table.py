@@ -220,6 +220,93 @@ class Engine:
             )
             return self.spark.sql(rewritten)
 
+        # Fulltext MATCH SQL surface — the daemon's most-used query shape:
+        #   SELECT <cols | WEIGHT()> FROM t
+        #   WHERE MATCH('<terms>') [AND <attr pred>] [LIMIT n]
+        #   [OPTION mode=bm25|boolean|phrase]
+        # BM25-ranked by default with WEIGHT() mapped to the score;
+        # attribute predicates compose filter-then-rank (the daemon's
+        # attribute-filter semantics); LIMIT is the ranked cutoff (default
+        # 10, like the daemon). Plain MATCH with no residual serves from
+        # the persisted .ftidx sidecar when the table carries one;
+        # boolean/phrase modes expose the match DSL with the engine's
+        # deterministic id-ordered cutoff (WEIGHT() is a ranking concept —
+        # requesting it outside bm25 mode is refused loudly).
+        m = _re.match(
+            r"^\s*SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<table>\w+)\s+"
+            r"WHERE\s+MATCH\s*\(\s*'(?P<q>[^']*)'\s*\)\s*"
+            r"(?:AND\s+(?P<rest>.+?))?\s*"
+            r"(?:LIMIT\s+(?P<k>\d+)\s*)?"
+            r"(?:OPTION\s+mode\s*=\s*(?P<mode>bm25|boolean|phrase)\s*)?;?\s*$",
+            query,
+            _re.IGNORECASE | _re.DOTALL,
+        )
+        if m:
+            from pyspark.sql import functions as _F
+
+            from columnar_spark.operators import fulltext as FT
+
+            table, q = m.group("table"), m.group("q")
+            mode = (m.group("mode") or "bm25").lower()
+            k = int(m.group("k") or 10)
+            rest = m.group("rest")
+            df = self.table(table)
+            id_col = "doc_id" if "doc_id" in df.columns else df.columns[0]
+            if rest is None and mode in ("bm25", "boolean", "phrase"):
+                # sidecar-aware path (identical results, parity pinned)
+                ranked = self.search(table, q, k=k, mode=mode, id_col=id_col)
+            else:
+                base = df.filter(_F.expr(rest)) if rest else df
+                if mode == "bm25":
+                    ranked = FT.bm25_search(base, q, k=k, id_col=id_col)
+                elif mode == "boolean":
+                    ranked = (
+                        FT.match_boolean(base, q, id_col=id_col)
+                        .orderBy(id_col)
+                        .limit(k)
+                    )
+                else:
+                    ranked = (
+                        FT.phrase_match(base, q, id_col=id_col)
+                        .orderBy(id_col)
+                        .limit(k)
+                    )
+            has_score = "score" in ranked.columns
+            hits = ranked.select(
+                _F.col("doc_id").alias(id_col)
+                if "doc_id" in ranked.columns
+                else _F.col(id_col),
+                *([_F.col("score")] if has_score else []),
+            )
+            joined = _F.broadcast(hits).join(df, id_col)
+            out_cols, order = [], []
+            for item in [s.strip() for s in m.group("sel").split(",")]:
+                am = _re.fullmatch(
+                    r"(?P<expr>.+?)(?:\s+AS\s+(?P<alias>\w+))?",
+                    item,
+                    _re.IGNORECASE | _re.DOTALL,
+                )
+                expr, alias = am.group("expr").strip(), am.group("alias")
+                if _re.fullmatch(r"WEIGHT\s*\(\s*\)", expr, _re.IGNORECASE):
+                    if not has_score:
+                        raise ValueError(
+                            "WEIGHT() is the bm25 rank — boolean/phrase "
+                            "matches carry no score (drop WEIGHT() or use "
+                            "OPTION mode=bm25)"
+                        )
+                    out_cols.append(_F.col("score").alias(alias or "weight"))
+                elif expr == "*":
+                    out_cols.extend(_F.col(c) for c in df.columns)
+                else:
+                    out_cols.append(
+                        _F.col(expr).alias(alias) if alias else _F.col(expr)
+                    )
+            if has_score:
+                order = [_F.col("score").desc(), _F.col(id_col).asc()]
+            else:
+                order = [_F.col(id_col).asc()]
+            return joined.orderBy(*order).select(*out_cols)
+
         # KNN SQL surface — the reference daemon's
         #   SELECT <cols | knn_dist()> FROM t
         #   WHERE KNN(vec_col, k, (v1, v2, ...)) [AND <residual pred>]

@@ -1,0 +1,94 @@
+"""Engine.sql MATCH() surface — the daemon's fulltext query shape:
+WEIGHT() ranking, attribute-predicate composition (filter-then-rank),
+LIMIT cutoff, boolean/phrase OPTION modes, sidecar parity."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from columnar_spark.operators import fulltext as FT
+from columnar_spark.table import Engine
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def eng(spark):
+    return Engine(spark, SF)
+
+
+def test_match_bm25_weight_and_limit(eng, spark):
+    got = eng.sql(
+        "SELECT doc_id, WEIGHT() FROM documents WHERE MATCH('vector scan') LIMIT 5"
+    ).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    want = FT.bm25_search(docs, "vector scan", k=5).collect()
+    assert [(r.doc_id, r.weight) for r in got] == [(r.doc_id, r.score) for r in want]
+
+
+def test_match_with_attribute_predicate_filters_then_ranks(eng, spark):
+    got = eng.sql(
+        "SELECT doc_id, WEIGHT(), lang FROM documents "
+        "WHERE MATCH('vector scan') AND lang = 'en' LIMIT 5"
+    ).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    want = FT.bm25_search(
+        docs.filter(F.col("lang") == "en"), "vector scan", k=5
+    ).collect()
+    assert [(r.doc_id, r.weight) for r in got] == [(r.doc_id, r.score) for r in want]
+    assert all(r.lang == "en" for r in got)
+
+
+def test_match_star_and_alias(eng, spark):
+    got = eng.sql(
+        "SELECT *, WEIGHT() AS w FROM documents WHERE MATCH('vector') LIMIT 3"
+    )
+    base_cols = spark.read.parquet(f"{SF}/documents.parquet").columns
+    assert got.columns == base_cols + ["w"]
+    rows = got.collect()
+    assert len(rows) == 3
+    assert rows[0].w >= rows[1].w >= rows[2].w
+
+
+def test_match_boolean_mode_deterministic_cutoff(eng, spark):
+    got = eng.sql(
+        "SELECT doc_id FROM documents WHERE MATCH('vector AND scan') "
+        "LIMIT 7 OPTION mode=boolean"
+    ).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    want = (
+        FT.match_boolean(docs, "vector AND scan")
+        .orderBy("doc_id")
+        .limit(7)
+        .collect()
+    )
+    assert [r.doc_id for r in got] == [r.doc_id for r in want]
+
+
+def test_weight_refused_outside_bm25(eng):
+    with pytest.raises(ValueError, match="WEIGHT"):
+        eng.sql(
+            "SELECT doc_id, WEIGHT() FROM documents WHERE MATCH('vector') "
+            "OPTION mode=boolean"
+        )
+
+
+def test_match_serves_persisted_sidecar(spark, tmp_path):
+    d = tmp_path
+    t = str(d / "documents.parquet")
+    spark.read.parquet(f"{SF}/documents.parquet").limit(200).write.parquet(t)
+    FT.write_text_index(spark, t)
+    e = Engine(spark, str(d))
+    got = e.sql(
+        "SELECT doc_id, WEIGHT() FROM documents WHERE MATCH('vector scan') LIMIT 5"
+    ).collect()
+    want = FT.bm25_search(
+        spark.read.parquet(t), "vector scan", k=5
+    ).collect()
+    assert [(r.doc_id, r.weight) for r in got] == [(r.doc_id, r.score) for r in want]
+
+
+def test_non_match_sql_unaffected(eng):
+    row = eng.sql("SELECT COUNT(*) AS n FROM region").collect()[0]
+    assert row.n == 5
