@@ -295,6 +295,35 @@ class Engine:
                             "OPTION mode=bm25)"
                         )
                     out_cols.append(_F.col("score").alias(alias or "weight"))
+                elif _re.fullmatch(r"HIGHLIGHT\s*\(\s*\)", expr, _re.IGNORECASE):
+                    # snippet around the earliest query-term occurrence,
+                    # matched terms wrapped in <b></b> (the daemon's
+                    # HIGHLIGHT contract). Runs on the k-row result page
+                    # only — the array HOF never touches the corpus.
+                    terms = [
+                        t.lower()
+                        for t in q.replace('"', " ").split()
+                        if t.upper() not in ("AND", "OR", "NOT")
+                        and t not in ("(", ")")
+                    ]
+                    if not terms:
+                        raise ValueError("HIGHLIGHT() needs at least one query term")
+                    text_lc = _F.lower(_F.col("text"))
+                    locs = _F.array(
+                        *[_F.locate(t, text_lc) for t in terms]
+                    )
+                    off = _F.array_min(_F.filter(locs, lambda x: x > 0))
+                    start = _F.greatest(off - _F.lit(20), _F.lit(1))
+                    raw = _F.when(
+                        off.isNotNull(),
+                        _F.substring(_F.col("text"), start.cast("int"), 96),
+                    ).otherwise(_F.substring(_F.col("text"), 1, 96))
+                    pat = "(?i)(" + "|".join(_re.escape(t) for t in terms) + ")"
+                    out_cols.append(
+                        _F.regexp_replace(raw, pat, "<b>$1</b>").alias(
+                            alias or "highlight"
+                        )
+                    )
                 elif expr == "*":
                     out_cols.extend(_F.col(c) for c in df.columns)
                 else:

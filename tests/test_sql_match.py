@@ -92,3 +92,30 @@ def test_match_serves_persisted_sidecar(spark, tmp_path):
 def test_non_match_sql_unaffected(eng):
     row = eng.sql("SELECT COUNT(*) AS n FROM region").collect()[0]
     assert row.n == 5
+
+
+def test_match_highlight(eng):
+    rows = eng.sql(
+        "SELECT doc_id, HIGHLIGHT(), WEIGHT() FROM documents "
+        "WHERE MATCH('vector scan') LIMIT 4"
+    ).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert "<b>" in r.highlight and "</b>" in r.highlight
+        inner = r.highlight.split("<b>")[1].split("</b>")[0].lower()
+        assert inner in ("vector", "scan")
+
+
+def test_match_highlight_alias_and_wraps_all_terms(eng, spark):
+    rows = eng.sql(
+        "SELECT doc_id, HIGHLIGHT() AS snip FROM documents "
+        "WHERE MATCH('vector') LIMIT 2"
+    ).collect()
+    docs = {r.doc_id: r.text for r in
+            spark.read.parquet(f"{SF}/documents.parquet").collect()}
+    for r in rows:
+        assert "vector" in docs[r.doc_id].lower()
+        # every visible occurrence of the term inside the snippet is wrapped
+        assert "<b>" in r.snip
+        stripped = r.snip.replace("<b>", "").replace("</b>", "")
+        assert "vector" in stripped.lower()
