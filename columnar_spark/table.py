@@ -237,6 +237,7 @@ class Engine:
             r"WHERE\s+MATCH\s*\(\s*'(?P<q>[^']*)'\s*\)\s*"
             r"(?:AND\s+(?P<rest>.+?))?\s*"
             r"(?:LIMIT\s+(?P<k>\d+)\s*)?"
+            r"(?:FACET\s+(?P<facets>\w+(?:\s*,\s*\w+)*)\s*)?"
             r"(?:OPTION\s+mode\s*=\s*(?P<mode>bm25|boolean|phrase)\s*)?;?\s*$",
             query,
             _re.IGNORECASE | _re.DOTALL,
@@ -252,6 +253,20 @@ class Engine:
             rest = m.group("rest")
             df = self.table(table)
             id_col = "doc_id" if "doc_id" in df.columns else df.columns[0]
+            if m.group("facets"):
+                # FACET clause — the daemon returns the main page plus
+                # facet result sets; one DataFrame per query means this
+                # surface returns THE FACET FRAME (facet, value, cnt)
+                # over the full matching set (not just the page), the
+                # single-frame adaptation. Terms-match semantics
+                # (min_should_match=1), so only the default bm25 mode.
+                if mode != "bm25":
+                    raise ValueError("FACET supports the default bm25 mode only")
+                cols = [c.strip() for c in m.group("facets").split(",")]
+                base = df.filter(_F.expr(rest)) if rest else df
+                return FT.facet_counts(base, q, cols, id_col=id_col).orderBy(
+                    "facet", "value"
+                )
             if rest is None and mode in ("bm25", "boolean", "phrase"):
                 # sidecar-aware path (identical results, parity pinned)
                 ranked = self.search(table, q, k=k, mode=mode, id_col=id_col)

@@ -119,3 +119,39 @@ def test_match_highlight_alias_and_wraps_all_terms(eng, spark):
         assert "<b>" in r.snip
         stripped = r.snip.replace("<b>", "").replace("</b>", "")
         assert "vector" in stripped.lower()
+
+
+def test_match_facet_clause(eng, spark):
+    got = eng.sql(
+        "SELECT doc_id FROM documents WHERE MATCH('vector scan') FACET lang"
+    ).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    want = (
+        FT.facet_counts(docs, "vector scan", ["lang"])
+        .orderBy("facet", "value")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert all(r.facet == "lang" and r.cnt > 0 for r in got)
+
+
+def test_match_facet_with_predicate_and_multi_col(eng, spark):
+    got = eng.sql(
+        "SELECT doc_id FROM documents WHERE MATCH('vector') AND lang = 'en' "
+        "FACET lang, source"
+    ).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").filter(F.col("lang") == "en")
+    want = (
+        FT.facet_counts(docs, "vector", ["lang", "source"])
+        .orderBy("facet", "value")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_match_facet_refused_outside_bm25(eng):
+    with pytest.raises(ValueError, match="FACET"):
+        eng.sql(
+            "SELECT doc_id FROM documents WHERE MATCH('vector') "
+            "FACET lang OPTION mode=boolean"
+        )
