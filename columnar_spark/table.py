@@ -220,6 +220,47 @@ class Engine:
             )
             return self.spark.sql(rewritten)
 
+        # CALL surface — the daemon's stored-procedure-style helpers:
+        #   CALL SUGGEST('word', 'table')    -> Levenshtein did-you-mean
+        #   CALL QSUGGEST('prefix', 'table') -> prefix autocomplete
+        #   CALL KEYWORDS('text', 'table')   -> tokenizer/analyzer output
+        m = _re.match(
+            r"^\s*CALL\s+(?P<fn>SUGGEST|QSUGGEST|KEYWORDS)\s*\(\s*"
+            r"'(?P<arg>[^']*)'\s*,\s*'(?P<table>\w+)'\s*\)\s*;?\s*$",
+            query,
+            _re.IGNORECASE,
+        )
+        if m:
+            from columnar_spark.operators import fulltext as FT
+
+            fn = m.group("fn").upper()
+            arg, table = m.group("arg"), m.group("table")
+            df = self.table(table)
+            path = f"{self.sf_dir}/{table}.parquet"
+            loaded = FT.load_text_index(self.spark, path)
+            postings = loaded[0] if loaded else None
+            if fn == "SUGGEST":
+                return FT.spell_suggest(df, arg, postings=postings)
+            if fn == "QSUGGEST":
+                return FT.keyword_suggest(df, arg, postings=postings)
+            # KEYWORDS: the daemon echoes each query token with its
+            # normalized (analyzed) form — the index's analyzer when the
+            # table carries one, identity otherwise.
+            analyzer = loaded[2].get("analyzer") if loaded else None
+            toks = [t for t in arg.split() if t]
+            pairs = []
+            for t in toks:
+                if analyzer:
+                    # per-token so an analyzer-dropped stopword shows as
+                    # '' rather than misaligning the echo
+                    a = FT.analyze_query_terms([t.lower()], analyzer)
+                    pairs.append((t, a[0] if a else ""))
+                else:
+                    pairs.append((t, t.lower()))
+            return self.spark.createDataFrame(
+                pairs or [("", "")], "keyword: string, normalized: string"
+            )
+
         # Fulltext MATCH SQL surface — the daemon's most-used query shape:
         #   SELECT <cols | WEIGHT()> FROM t
         #   WHERE MATCH('<terms>') [AND <attr pred>] [LIMIT n]
@@ -620,6 +661,8 @@ class Engine:
                 rows.append(("vector_index", "—", f"{base}.knn"))
             if os.path.isdir(f"{base}.rollup"):
                 rows.append(("rollup", "—", f"{base}.rollup"))
+            if os.path.isdir(f"{base}.vocab"):
+                rows.append(("vocab_monitor", "—", f"{base}.vocab"))
             if os.path.isdir(f"{base}.stats"):
                 rows.append(("stats_manifest", "—", f"{base}.stats"))
             vdir = f"{base}.versions"

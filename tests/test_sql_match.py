@@ -155,3 +155,33 @@ def test_match_facet_refused_outside_bm25(eng):
             "SELECT doc_id FROM documents WHERE MATCH('vector') "
             "FACET lang OPTION mode=boolean"
         )
+
+
+def test_call_suggest_and_qsuggest(eng, spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    got = eng.sql("CALL SUGGEST('vectr', 'documents')").collect()
+    want = FT.spell_suggest(docs, "vectr").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert any("vector" in tuple(map(str, r)) for r in got)
+
+    got = eng.sql("CALL QSUGGEST('vec', 'documents')").collect()
+    want = FT.keyword_suggest(docs, "vec").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_call_keywords_plain_and_analyzed(eng, spark, tmp_path):
+    rows = eng.sql("CALL KEYWORDS('Vector SCAN', 'documents')").collect()
+    assert [(r.keyword, r.normalized) for r in rows] == [
+        ("Vector", "vector"),
+        ("SCAN", "scan"),
+    ]
+    # against a stemmed/stopworded sidecar the normalized form follows
+    # the index's analyzer (stopwords echo as '')
+    t = str(tmp_path / "documents.parquet")
+    spark.read.parquet(f"{SF}/documents.parquet").limit(100).write.parquet(t)
+    FT.write_text_index(spark, t, analyzer={"stem": True, "stopwords": ["the"]})
+    e = Engine(spark, str(tmp_path))
+    rows = e.sql("CALL KEYWORDS('the tables', 'documents')").collect()
+    assert rows[0].keyword == "the" and rows[0].normalized == ""
+    # the sidecar's s-stemmer strips the plural
+    assert rows[1].keyword == "tables" and rows[1].normalized == "table"
