@@ -628,6 +628,26 @@ class Engine:
                 "kind: string, column: string, path: string",
             )
 
+        # SHOW TABLES: the sf_dir's table inventory with row counts from
+        # the stats manifests (metadata-only — no scan).
+        if _re.match(r"^\s*SHOW\s+TABLES\s*;?\s*$", query, _re.IGNORECASE):
+            import glob as _glob
+            import os
+
+            rows = []
+            for p in sorted(_glob.glob(f"{self.sf_dir}/*.parquet")):
+                name = os.path.basename(p)[: -len(".parquet")]
+                try:
+                    from columnar_spark.stats import row_count_from_sidecar
+
+                    n = row_count_from_sidecar(p)
+                except Exception:  # noqa: BLE001 — stats sidecar optional
+                    n = None
+                rows.append((name, -1 if n is None else int(n)))
+            return self.spark.createDataFrame(
+                rows or [("(empty)", -1)], "table: string, row_count: long"
+            )
+
         # SHOW INDEXES FROM <table>: every sidecar artifact beside the
         # table (value indexes, posting lists, text index, vector index,
         # rollup, stats, retained versions) — the indextool-style

@@ -185,3 +185,8 @@ def test_call_keywords_plain_and_analyzed(eng, spark, tmp_path):
     assert rows[0].keyword == "the" and rows[0].normalized == ""
     # the sidecar's s-stemmer strips the plural
     assert rows[1].keyword == "tables" and rows[1].normalized == "table"
+
+
+def test_show_tables(eng):
+    rows = {r.table: r.row_count for r in eng.sql("SHOW TABLES").collect()}
+    assert "region" in rows and "documents" in rows and "lineitem" in rows
