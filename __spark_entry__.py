@@ -4819,6 +4819,25 @@ def vocab_drift_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_drift(docs, "lang", "en", "fr", "text")
 
 
+_MATCH_SQL = _BM25_SQL  # the MATCH surface must reproduce the BM25 oracle
+
+
+@_q("sql_match_surface", _MATCH_SQL)
+def sql_match_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daemon's MATCH SQL form end-to-end through Engine.sql:
+    `SELECT doc_id, WEIGHT() FROM documents WHERE MATCH('...') LIMIT 15`
+    must hash-match the same DuckDB BM25 oracle as bm25_search_docs —
+    the parser, WEIGHT() mapping, sidecar dispatch and ranked cutoff all
+    sit between the SQL string and the scores."""
+    from columnar_spark.table import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.sql(
+        f"SELECT doc_id, WEIGHT() AS score FROM documents "
+        f"WHERE MATCH('{_FT_QUERY}') LIMIT 15"
+    )
+
+
 @_q("bpe_train_fertility_docs")
 def bpe_train_fertility_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-training pipeline end-to-end: distributed weighted
