@@ -637,25 +637,22 @@ public class CountRewriteRule extends Rule<LogicalPlan> {
         return merged.select(out).queryExecution().analyzed();
     }
 
-    /** (manifestMtime, partialsMtime) -> freshness verdict, per table. */
+    /** Cached freshness verdict per table, keyed on a RECURSIVE content
+     * signature (file count + total bytes + newest mtime ms) of both the
+     * stats and partials dirs — shallow mtimes alone miss nested-subdir
+     * updates and same-second rewrites (fs mtime granularity can be 1s;
+     * a rewrite rarely also preserves file count AND total bytes). */
     private static final java.util.concurrent.ConcurrentHashMap<String, long[]>
             FRESHNESS = new java.util.concurrent.ConcurrentHashMap<>();
 
-    private static long newestMtime(File dir) {
-        long m = dir.lastModified();
-        File[] fs = dir.listFiles();
-        if (fs != null) {
-            for (File f : fs) m = Math.max(m, f.lastModified());
-        }
-        return m;
-    }
-
     private boolean rollupFresh(String tablePath, File statsDir, File parts) {
-        long sm = newestMtime(statsDir);
-        long pm = newestMtime(parts);
+        long[] ss = dirSignature(statsDir);
+        long[] ps = dirSignature(parts);
         long[] cached = FRESHNESS.get(tablePath);
-        if (cached != null && cached[0] == sm && cached[1] == pm) {
-            return cached[2] == 1L;
+        if (cached != null
+                && cached[0] == ss[0] && cached[1] == ss[1] && cached[2] == ss[2]
+                && cached[3] == ps[0] && cached[4] == ps[1] && cached[5] == ps[2]) {
+            return cached[6] == 1L;
         }
         Object rc = session.read().parquet(statsDir.getPath())
                 .select("row_count").first().get(0);
@@ -666,7 +663,9 @@ public class CountRewriteRule extends Rule<LogicalPlan> {
                 .first()
                 .get(0);
         boolean fresh = total != null && ((Number) total).longValue() == rowCount;
-        FRESHNESS.put(tablePath, new long[] {sm, pm, fresh ? 1L : 0L});
+        FRESHNESS.put(tablePath, new long[] {
+            ss[0], ss[1], ss[2], ps[0], ps[1], ps[2], fresh ? 1L : 0L
+        });
         return fresh;
     }
 
@@ -751,8 +750,66 @@ public class CountRewriteRule extends Rule<LogicalPlan> {
     private Dataset<Row> loadIndexByName(String tablePath, String name) {
         File idxDir = new File(tablePath + ".vidx/" + name);
         if (!idxDir.isDirectory()) return null;
+        if (!indexFresh(tablePath, idxDir)) return null;
         return session.read().parquet(idxDir.getPath())
                 .withColumnRenamed("value", name);
+    }
+
+    /** Freshness gate for a value-index sidecar: the `_table_sig.json`
+     * the index writer recorded (stats.table_signature — regular-file
+     * count, total bytes, newest mtime in ms of the table data dir) must
+     * match the table's CURRENT signature, else the table was rewritten
+     * outside the framework's append/DML paths and the sidecar counts
+     * describe dead data — refuse to serve (the base plan stands, which
+     * is always correct). A sidecar without a recorded signature
+     * (pre-signature layout) is served as before; every current writer
+     * records one. Pure filesystem metadata — no Spark jobs. */
+    private boolean indexFresh(String tablePath, File idxDir) {
+        File sigFile = new File(idxDir, "_table_sig.json");
+        if (!sigFile.isFile()) return true; // legacy index: no signal
+        String sig;
+        try {
+            sig = new String(
+                    java.nio.file.Files.readAllBytes(sigFile.toPath()),
+                    java.nio.charset.StandardCharsets.UTF_8);
+        } catch (java.io.IOException e) {
+            return false;
+        }
+        Long files = jsonLong(sig, "files");
+        Long bytes = jsonLong(sig, "bytes");
+        Long mtime = jsonLong(sig, "max_mtime_ms");
+        if (files == null || bytes == null || mtime == null) return false;
+        long[] live = dirSignature(new File(tablePath));
+        return live[0] == files && live[1] == bytes && live[2] == mtime;
+    }
+
+    /** {regular-file count, total bytes, newest mtime ms} of a directory
+     * tree — the Java twin of stats.table_signature. */
+    private static long[] dirSignature(File dir) {
+        long[] acc = new long[] {0L, 0L, 0L};
+        walkSignature(dir, acc);
+        return acc;
+    }
+
+    private static void walkSignature(File dir, long[] acc) {
+        File[] fs = dir.listFiles();
+        if (fs == null) return;
+        for (File f : fs) {
+            if (f.isDirectory()) {
+                walkSignature(f, acc);
+            } else {
+                acc[0] += 1;
+                acc[1] += f.length();
+                acc[2] = Math.max(acc[2], f.lastModified());
+            }
+        }
+    }
+
+    private Long jsonLong(String json, String field) {
+        java.util.regex.Matcher m = java.util.regex.Pattern
+                .compile("\"" + field + "\"\\s*:\\s*(-?\\d+)")
+                .matcher(json);
+        return m.find() ? Long.valueOf(m.group(1)) : null;
     }
 
     /** The index frame's output attribute with the given name. */

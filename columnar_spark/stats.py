@@ -402,6 +402,43 @@ def manifest_from_sketch(sk: DataFrame) -> DataFrame:
 
 # ----------------------------------------- persisted value-index sidecar
 
+def table_signature(table_path: str) -> dict:
+    """Cheap content signature of the table's data directory: regular-file
+    count, total bytes, and the newest mtime in whole milliseconds.
+    Recorded into each value-index sidecar at (re)build/merge time
+    (`_table_sig.json`) and re-checked by the Catalyst rewrite rule before
+    serving a count from the sidecar — the freshness gate that keeps a
+    table overwritten OUTSIDE the framework's append/DML paths from being
+    silently answered with stale index counts (the reference invalidates
+    secondary artifacts on any segment rewrite, secondary.cpp:391-434).
+    Pure filesystem metadata — no Spark job; the Java side
+    (CountRewriteRule.tableSig) computes the identical triple."""
+    import os
+
+    files = 0
+    total = 0
+    newest = 0
+    for root, _dirs, names in os.walk(table_path):
+        for n in names:
+            p = os.path.join(root, n)
+            try:
+                st = os.stat(p)
+            except OSError:
+                continue
+            files += 1
+            total += st.st_size
+            newest = max(newest, st.st_mtime_ns // 1_000_000)
+    return {"files": files, "bytes": total, "max_mtime_ms": newest}
+
+
+def _write_table_sig(table_path: str, index_dir: str) -> None:
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "_table_sig.json"), "w") as f:
+        json.dump(table_signature(table_path), f)
+
+
 def value_index_path(table_path: str, col: str) -> str:
     return table_path.rstrip("/") + f".vidx/{col}"
 
@@ -428,6 +465,7 @@ def write_value_index(spark: SparkSession, table_path: str, col: str, fmt: str =
         build_value_index(df, col).write.mode("overwrite").parquet(
             value_index_path(table_path, col)
         )
+    _write_table_sig(table_path, value_index_path(table_path, col))
 
 
 def load_value_index(spark: SparkSession, table_path: str, col: str) -> DataFrame | None:
@@ -468,6 +506,9 @@ def merge_value_index(spark: SparkSession, table_path: str, col: str, batch_df: 
 
         with open(os.path.join(value_index_path(table_path, col), "_meta.json"), "w") as f:
             json.dump(jmeta, f)
+    # merge runs AFTER the batch's table append, so the signature taken
+    # now matches the table state the merged counts describe
+    _write_table_sig(table_path, value_index_path(table_path, col))
 
 
 # ------------------------------------------- JSON per-field indexes (A11
@@ -516,6 +557,7 @@ def write_json_field_index(
         build_value_index(df, vname).write.mode("overwrite").parquet(p)
     with open(os.path.join(p, "_meta.json"), "w") as f:
         json.dump({"parent": parent, "json_path": json_path}, f)
+    _write_table_sig(table_path, p)
     return vname
 
 

@@ -31,6 +31,7 @@ reference's block granularity (buildertraits.h:34-35).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from typing import Sequence
 
@@ -175,6 +176,15 @@ def write_table(df: DataFrame, path: str, spec: WriteSpec | None = None) -> None
     if spec.partition_by:
         w = w.partitionBy(*spec.partition_by)
     getattr(w, spec.format)(path)
+    # An overwrite invalidates every derived artifact. Remove the sidecars
+    # this write does not regenerate (value/posting/text/vector/rollup/
+    # vocab/ingest-ledger) so no reader — in particular the Catalyst
+    # count-rewrite rule — can serve counts for the PREVIOUS table
+    # contents (the reference likewise drops secondary artifacts on any
+    # segment rewrite, secondary.cpp:391-434). `.versions` snapshots are
+    # deliberately kept: they describe named historical states, not the
+    # current one.
+    drop_stale_sidecars(path)
     # Stats manifest sidecar — the D1-D5/E7 surface for the planner.
     manifest = build_stats_manifest(getattr(df.sparkSession.read, spec.format)(path))
     manifest.write.mode("overwrite").parquet(stats_path(path))
@@ -183,6 +193,37 @@ def write_table(df: DataFrame, path: str, spec: WriteSpec | None = None) -> None
 
         for c in spec.value_index_cols:
             write_value_index(df.sparkSession, path, c, fmt=spec.format)
+
+
+#: every sidecar suffix derived from table CONTENT (all are stale after an
+#: overwrite); `.stats` is re-derived by write_table itself right after.
+SIDECAR_SUFFIXES = (
+    ".stats",
+    ".stats_sketch",
+    ".vidx",
+    ".pidx",
+    ".ftidx",
+    ".knn",
+    ".rollup",
+    ".vocab",
+    ".ingest",
+)
+
+
+def drop_stale_sidecars(path: str) -> list[str]:
+    """Remove all content-derived sidecar artifacts of `path`. Returns the
+    suffixes removed. Called by write_table after an overwrite; also the
+    manual escape hatch after any out-of-band table rewrite."""
+    import shutil
+
+    removed = []
+    base = path.rstrip("/")
+    for suf in SIDECAR_SUFFIXES:
+        p = base + suf
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+            removed.append(suf)
+    return removed
 
 
 def stats_path(table_path: str) -> str:

@@ -333,6 +333,48 @@ spark.sql("SELECT COUNT(DISTINCT c) AS ndv FROM nt").write.format("noop").mode(
     "overwrite"
 ).save()
 
+# 22. value-index freshness gate. (a) An overwrite OUTSIDE the framework
+#     (plain df.write) leaves the sidecar in place but its recorded
+#     _table_sig.json no longer matches the table dir -> the rule must
+#     refuse the index and the base plan must answer with the NEW data.
+#     (b) write_table overwrite drops every sidecar it does not
+#     regenerate, so even a legacy no-sig index can never serve stale.
+import os
+
+ps = f"{tmp}/st.parquet"
+spark.createDataFrame([(1, "x"), (2, "y"), (3, "y")], "i int, c string").write.parquet(ps)
+_wvi(spark, ps, "c")
+assert os.path.exists(ps + ".vidx/c/_table_sig.json")
+spark.read.parquet(ps).createOrReplaceTempView("st")
+d22 = spark.sql("SELECT COUNT(*) AS n FROM st WHERE c = 'y'")
+assert ".vidx" in d22._jdf.queryExecution().executedPlan().toString()
+assert d22.first()["n"] == 2
+
+spark.createDataFrame(
+    [(1, "y"), (2, "y"), (3, "y"), (4, "y")], "i int, c string"
+).write.mode("overwrite").parquet(ps)  # out-of-band rewrite, sidecar untouched
+spark.read.parquet(ps).createOrReplaceTempView("st")
+d23 = spark.sql("SELECT COUNT(*) AS n FROM st WHERE c = 'y'")
+p23 = d23._jdf.queryExecution().executedPlan().toString()
+assert ".vidx" not in p23, p23  # stale sig -> index refused
+assert d23.first()["n"] == 4    # base plan, NEW data
+
+from columnar_spark.writer import WriteSpec, write_table
+
+pw = f"{tmp}/wt.parquet"
+w1 = spark.createDataFrame([(1, "a"), (2, "b")], "i int, c string")
+write_table(w1, pw, WriteSpec(value_index_cols=("c",)))
+os.makedirs(pw + ".ftidx", exist_ok=True)  # a sidecar the next write won't regenerate
+spark.read.parquet(pw).createOrReplaceTempView("wt")
+assert spark.sql("SELECT COUNT(*) AS n FROM wt WHERE c = 'a'").first()["n"] == 1
+w2 = spark.createDataFrame([(1, "a"), (2, "a"), (3, "a")], "i int, c string")
+write_table(w2, pw, WriteSpec(value_index_cols=("c",)))
+assert not os.path.isdir(pw + ".ftidx")  # stale sidecar removed by the overwrite
+spark.read.parquet(pw).createOrReplaceTempView("wt")
+d24 = spark.sql("SELECT COUNT(*) AS n FROM wt WHERE c = 'a'")
+assert ".vidx" in d24._jdf.queryExecution().executedPlan().toString()
+assert d24.first()["n"] == 3  # regenerated index serves the NEW counts
+
 print("JVM-EXT-OK")
 """
 
