@@ -341,18 +341,66 @@ def percentiles_auto(
 
     out = None
     if small:
-        aggs = []
-        for col in small:
-            arr = ", ".join(repr(float(q)) for q, _ in spec[col])
-            aggs.append(F.expr(f"percentile({col}, array({arr}))").alias(f"__p_{col}"))
-        agged = df.agg(*aggs)
-        out = agged.select(
-            *[
-                F.col(f"__p_{col}")[i].alias(n)
-                for col in small
-                for i, (_, n) in enumerate(spec[col])
-            ]
-        )
+        # Exact order statistics via builtin percentile_disc probes, then
+        # the engine's ONE interpolation recipe (1-f)*v_lo + f*v_hi
+        # applied outside. Spark's builtin interpolating `percentile`
+        # computes lo + f*(hi-lo) instead, which differs by one ULP on
+        # rounding edges (hypothesis-found: two equal bracketing values
+        # can interpolate to a DIFFERENT double than either) — so every
+        # tier now shares the symmetric recipe the oracles pin.
+        #
+        # Rank pinning: the value at 0-based sorted position r is
+        # percentile_disc at q=(r+0.5)/n — the midpoint keeps q*n a full
+        # half-unit away from the rank boundaries, so double rounding can
+        # never slip a rank. Two shared scans: one count pass (codegen),
+        # one probe pass with ALL small columns' disc probes in a single
+        # aggregate.
+        import math
+
+        cnt_row = df.agg(
+            *[F.count(F.col(c).cast("double")).alias(f"__n_{i}") for i, c in enumerate(small)]
+        ).first()
+        aggs, sel = [], []
+        k = 0
+        for i, col in enumerate(small):
+            n = int(cnt_row[f"__n_{i}"])
+            for q, name in spec[col]:
+                if n == 0:
+                    sel.append(F.lit(None).cast("double").alias(name))
+                    continue
+                pos = float(q) * (n - 1)  # the same IEEE product every tier uses
+                r0 = math.floor(pos)
+                frac = pos - r0
+                q0 = (r0 + 0.5) / n
+                lo_name = f"__lo_{k}"
+                aggs.append(
+                    F.expr(
+                        f"percentile_disc({q0!r}) WITHIN GROUP "
+                        f"(ORDER BY CAST({col} AS DOUBLE))"
+                    ).alias(lo_name)
+                )
+                if frac == 0.0:
+                    sel.append(F.col(lo_name).alias(name))
+                else:
+                    q1 = (math.ceil(pos) + 0.5) / n
+                    hi_name = f"__hi_{k}"
+                    aggs.append(
+                        F.expr(
+                            f"percentile_disc({q1!r}) WITHIN GROUP "
+                            f"(ORDER BY CAST({col} AS DOUBLE))"
+                        ).alias(hi_name)
+                    )
+                    sel.append(
+                        (
+                            F.lit(1.0 - frac) * F.col(lo_name)
+                            + F.lit(frac) * F.col(hi_name)
+                        ).alias(name)
+                    )
+                k += 1
+        if aggs:
+            out = df.agg(*aggs).select(*sel)
+        else:  # every small column empty: literal NULL row
+            out = df.sparkSession.range(1).select(*sel)
     for col in medium:
         # sketch-bracketed exact path: two scans, no sort, no
         # value-counts shuffle (measured 0.7s -> ~0.3s on the 583k-ndv

@@ -72,7 +72,7 @@ def test_auto_path_flips_on_ndv(spark):
     hi = percentiles_auto(li, spec, ndv={"l_extendedprice": 10_000}, ndv_threshold=100)
     lo_plan = lo._jdf.queryExecution().optimizedPlan().toString()
     hi_plan = hi._jdf.queryExecution().optimizedPlan().toString()
-    assert "percentile(" in lo_plan and "__pid" not in lo_plan
+    assert "percentile_disc(" in lo_plan and "__pid" not in lo_plan
     assert "__pid" in hi_plan.replace(" ", "")
     assert math.isclose(lo.first()["m"], hi.first()["m"], rel_tol=1e-12)
 
