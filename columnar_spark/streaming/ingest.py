@@ -11,11 +11,27 @@ Spark-first equivalent: Structured Streaming file source ->
 windowed aggregation covers the reference's host-side time-bucket
 analytics over late data.
 
+Replay safety (foreachBatch sinks run AT LEAST once): one per-table
+ledger (`<table>.ingest/meta.json`) gates the WHOLE batch —
+a batch id already in `applied_batches` is a complete no-op, the table
+append itself is idempotent (staged write, files renamed in under
+batch-derived names a retry first sweeps), and a retry of a batch whose
+previous attempt crashed MID-application (ledger `inflight` marker)
+rebuilds the derived sidecars from the table instead of re-merging —
+the one recovery that cannot double-count. The text-index and vocab
+sidecars keep their own applied-batch staging (stage-then-commit) and
+are consistent under either path.
+
 Scale posture: foreachBatch bodies are plain DataFrame jobs (no driver
-loops); state for windowed aggs is bounded by the watermark.
+loops); state for windowed aggs is bounded by the watermark; the ledger
+is O(#batches) JSON metadata, no data-plane cost.
 """
 
 from __future__ import annotations
+
+import json
+import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -31,12 +47,83 @@ from columnar_spark.stats import (
 from columnar_spark.writer import WriteSpec, normalize, stats_path
 
 
+def ingest_ledger_path(dst_path: str) -> str:
+    return dst_path.rstrip("/") + ".ingest"
+
+
+def _load_ledger(dst_path: str) -> dict:
+    mp = os.path.join(ingest_ledger_path(dst_path), "meta.json")
+    if not os.path.exists(mp):
+        return {"applied_batches": {}, "inflight": None}
+    with open(mp) as f:
+        return json.load(f)
+
+
+def _commit_ledger(dst_path: str, meta: dict) -> None:
+    """Atomic rename — the transaction point for the whole batch."""
+    root = ingest_ledger_path(dst_path)
+    os.makedirs(root, exist_ok=True)
+    tmp = os.path.join(root, "meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(root, "meta.json"))
+
+
+def _rebuild_sidecars(ss: SparkSession, dst_path: str) -> None:
+    """Crash recovery: a previous attempt died mid-application, so the
+    incremental merges cannot know which sidecars already absorbed the
+    batch. Rebuild every count-derived sidecar from the (now idempotent-
+    appended) table — O(table) once, the same bootstrap paths first-time
+    ingest uses. The text/vocab sidecars are NOT rebuilt: their own
+    applied-batch staging makes the incremental call retry-exact."""
+    from columnar_spark.operators.knn_index import (
+        build_vector_index,
+        load_vector_index,
+    )
+    from columnar_spark.stats import (
+        json_index_meta,
+        persisted_posting_index_cols,
+        persisted_value_index_cols,
+        posting_index_id_col,
+        write_json_field_index,
+        write_posting_index,
+        write_value_index,
+    )
+
+    full = ss.read.parquet(dst_path)
+    sk = build_stats_sketch(full)
+    rows = sk.collect()
+    sdf = ss.createDataFrame(rows, sk.schema)
+    sdf.coalesce(1).write.mode("overwrite").parquet(sketch_path(dst_path))
+    manifest_from_sketch(sdf).coalesce(1).write.mode("overwrite").parquet(
+        stats_path(dst_path)
+    )
+    for c in persisted_value_index_cols(dst_path):
+        jm = json_index_meta(dst_path, c)
+        if jm is not None:
+            write_json_field_index(ss, dst_path, jm["parent"], jm["json_path"])
+        else:
+            write_value_index(ss, dst_path, c)
+    for c in persisted_posting_index_cols(dst_path):
+        idc = posting_index_id_col(dst_path, c)
+        if idc:
+            write_posting_index(ss, dst_path, c, idc)
+    vidx = load_vector_index(dst_path)
+    if vidx is not None and vidx.vec_col in full.columns:
+        store_vectors = "vec" in ss.read.parquet(vidx.vectors_path).columns
+        build_vector_index(
+            ss, full, dst_path,
+            vec_col=vidx.vec_col, id_col=vidx.id_col, metric=vidx.metric,
+            nlist=vidx.nlist, m=vidx.m, k=vidx.k, store_vectors=store_vectors,
+        )
+
+
 def append_batch(
     batch_df: DataFrame,
     dst_path: str,
     spec: WriteSpec | None = None,
     batch_id: int | None = None,
-) -> None:
+) -> bool:
     """Append one batch to a table with full sidecar maintenance: the
     normalized rows land in the table, the stats sketch/manifest merge
     in the batch's contribution (O(batch), mergeable HLL + associative
@@ -44,89 +131,146 @@ def append_batch(
     index — the batch's codes append with the existing centroids/
     codebooks (no retrain). One contract shared by batch CLI appends and
     the streaming foreachBatch sink, mirroring the reference's
-    storage-plus-sidecars rebuild unit (secondary.cpp:391-434, E9)."""
-    import os
+    storage-plus-sidecars rebuild unit (secondary.cpp:391-434, E9).
 
+    With `batch_id` (the streaming epoch id) the ENTIRE application is
+    replay-safe through the per-table ledger (module docstring); returns
+    True if the batch was applied, False if it was skipped as already
+    applied. Without one (ad-hoc CLI appends — no retry semantics to
+    defend against) the batch applies unconditionally."""
     spec = spec or WriteSpec()
+    ss = batch_df.sparkSession
+
+    ledger = None
+    crashed = False
+    if batch_id is not None:
+        ledger = _load_ledger(dst_path)
+        if str(batch_id) in ledger.get("applied_batches", {}):
+            return False
+        # an inflight marker means SOME batch's previous attempt died
+        # between first effect and commit — sidecar state is unknown
+        crashed = ledger.get("inflight") is not None
+        ledger["inflight"] = str(batch_id)
+        _commit_ledger(dst_path, ledger)
+
     out = normalize(batch_df, spec)
     # Align column order with the existing table: JSON/CSV readers order
     # columns alphabetically/by header, and while Spark merges parquet
     # schemas by name, stricter readers expect one field order per table.
     if os.path.isdir(dst_path):
-        existing = batch_df.sparkSession.read.parquet(dst_path).columns
+        existing = ss.read.parquet(dst_path).columns
         if set(existing) <= set(out.columns):
             out = out.select(*existing, *[c for c in out.columns if c not in existing])
-    out.write.mode("append").option("compression", spec.compression).parquet(dst_path)
-    ss = batch_df.sparkSession
-    sp = sketch_path(dst_path)
-    if os.path.isdir(sp):
-        merged = merge_sketches(ss.read.parquet(sp), build_stats_sketch(out))
+
+    if batch_id is None:
+        out.write.mode("append").option("compression", spec.compression).parquet(
+            dst_path
+        )
+        appended = out
     else:
-        # first sidecar for this table: the table may have pre-existing
-        # rows the batch sketch wouldn't cover — bootstrap from the full
-        # post-append table (one-time O(table); every later append merges
-        # O(batch)). For a brand-new table this reads exactly the batch.
-        merged = build_stats_sketch(ss.read.parquet(dst_path))
-    # materialize before overwriting the path the plan reads from
-    rows = merged.collect()  # n_columns tiny rows
-    merged_df = ss.createDataFrame(rows, merged.schema)
-    merged_df.coalesce(1).write.mode("overwrite").parquet(sp)
-    manifest_from_sketch(merged_df).coalesce(1).write.mode("overwrite").parquet(
-        stats_path(dst_path)
-    )
-    # Same contract for the vector sidecar: encode the batch with the
-    # EXISTING centroids/codebooks and append its codes — rebuild
-    # happens at compaction, like the reference's segment rebuilds.
-    from columnar_spark.operators.knn_index import (
-        append_to_vector_index,
-        load_vector_index,
-    )
+        # Idempotent table append: stage the batch, then rename its files
+        # into the table under batch-derived names; a retry first sweeps
+        # any files a crashed attempt left, so the rows land exactly once
+        # no matter how many times the sink is re-invoked.
+        stage = os.path.join(ingest_ledger_path(dst_path), "stage", str(batch_id))
+        out.write.mode("overwrite").option("compression", spec.compression).parquet(
+            stage
+        )
+        prefix = f"part-ingest-b{batch_id}-"
+        os.makedirs(dst_path, exist_ok=True)
+        for name in os.listdir(dst_path):
+            if name.startswith(prefix):
+                os.remove(os.path.join(dst_path, name))
+        moved = []
+        for name in sorted(os.listdir(stage)):
+            if name.startswith(("_", ".")):
+                continue
+            tgt = os.path.join(dst_path, prefix + name)
+            os.replace(os.path.join(stage, name), tgt)
+            moved.append(tgt)
+        shutil.rmtree(stage, ignore_errors=True)
+        # sidecars merge from the COMMITTED rows, not a re-evaluation of
+        # the batch plan (same principle as the text index counting its
+        # written delta)
+        appended = ss.read.parquet(*moved) if moved else None
 
-    vidx = load_vector_index(dst_path)
-    if vidx is not None and vidx.vec_col in out.columns:
-        append_to_vector_index(ss, out, dst_path)
-    # Persisted value-index sidecars (A11 artifact): fold the batch's
-    # value counts in — O(index + batch-ndv), same merge contract.
-    from columnar_spark.stats import (
-        json_index_meta,
-        merge_posting_index,
-        merge_value_index,
-        persisted_posting_index_cols,
-        persisted_value_index_cols,
-        posting_index_id_col,
-    )
+    if crashed:
+        _rebuild_sidecars(ss, dst_path)
+    elif appended is not None:
+        sp = sketch_path(dst_path)
+        if os.path.isdir(sp):
+            merged = merge_sketches(ss.read.parquet(sp), build_stats_sketch(appended))
+        else:
+            # first sidecar for this table: the table may have pre-existing
+            # rows the batch sketch wouldn't cover — bootstrap from the full
+            # post-append table (one-time O(table); every later append merges
+            # O(batch)). For a brand-new table this reads exactly the batch.
+            merged = build_stats_sketch(ss.read.parquet(dst_path))
+        # materialize before overwriting the path the plan reads from
+        rows = merged.collect()  # n_columns tiny rows
+        merged_df = ss.createDataFrame(rows, merged.schema)
+        merged_df.coalesce(1).write.mode("overwrite").parquet(sp)
+        manifest_from_sketch(merged_df).coalesce(1).write.mode("overwrite").parquet(
+            stats_path(dst_path)
+        )
+        # Same contract for the vector sidecar: encode the batch with the
+        # EXISTING centroids/codebooks and append its codes — rebuild
+        # happens at compaction, like the reference's segment rebuilds.
+        from columnar_spark.operators.knn_index import (
+            append_to_vector_index,
+            load_vector_index,
+        )
 
-    for c in persisted_value_index_cols(dst_path):
-        jmeta = json_index_meta(dst_path, c)
-        if c in out.columns or (jmeta is not None and jmeta["parent"] in out.columns):
-            # JSON field indexes merge from the parent column (the
-            # virtual field is computed inside merge_value_index)
-            merge_value_index(ss, dst_path, c, out)
-    for c in persisted_posting_index_cols(dst_path):
-        idc = posting_index_id_col(dst_path, c)
-        if c in out.columns and idc and idc in out.columns:
-            merge_posting_index(ss, dst_path, c, out, idc)
-    # Inverted-text sidecar: append the batch's postings/lengths with
-    # the persisted analyzer — O(batch tokens), same append-only merge
-    # contract as the vector and value sidecars.
-    from columnar_spark.operators.fulltext import (
-        append_to_text_index,
-        load_text_index,
-    )
+        vidx = load_vector_index(dst_path)
+        if vidx is not None and vidx.vec_col in appended.columns:
+            append_to_vector_index(ss, appended, dst_path)
+        # Persisted value-index sidecars (A11 artifact): fold the batch's
+        # value counts in — O(index + batch-ndv), same merge contract.
+        from columnar_spark.stats import (
+            json_index_meta,
+            merge_posting_index,
+            merge_value_index,
+            persisted_posting_index_cols,
+            persisted_value_index_cols,
+            posting_index_id_col,
+        )
 
-    # batch_id (the streaming epoch id) makes the merge replay-safe:
-    # foreachBatch sinks run at-least-once, and a retried batch must
-    # not double-index (stage-then-commit inside append_to_text_index).
-    loaded = load_text_index(ss, dst_path)
-    if loaded is not None and loaded[2]["text_col"] in out.columns:
-        append_to_text_index(ss, dst_path, out, batch_id=batch_id)
-    # Vocabulary monitor sidecar: fold the batch's unigram counts in as
-    # a delta segment (O(batch tokens), replay-safe via atomic rename).
-    from columnar_spark.streaming.vocab import append_vocab_delta, vocab_meta
+        for c in persisted_value_index_cols(dst_path):
+            jmeta = json_index_meta(dst_path, c)
+            if c in appended.columns or (
+                jmeta is not None and jmeta["parent"] in appended.columns
+            ):
+                # JSON field indexes merge from the parent column (the
+                # virtual field is computed inside merge_value_index)
+                merge_value_index(ss, dst_path, c, appended)
+        for c in persisted_posting_index_cols(dst_path):
+            idc = posting_index_id_col(dst_path, c)
+            if c in appended.columns and idc and idc in appended.columns:
+                merge_posting_index(ss, dst_path, c, appended, idc)
 
-    vm = vocab_meta(dst_path)
-    if vm is not None and vm["text_col"] in out.columns:
-        append_vocab_delta(ss, dst_path, out, batch_id=batch_id)
+    # Inverted-text + vocab sidecars: their own applied-batch staging
+    # makes these calls retry-exact under BOTH the incremental and the
+    # crash-recovery path — already-committed appends skip themselves.
+    if appended is not None:
+        from columnar_spark.operators.fulltext import (
+            append_to_text_index,
+            load_text_index,
+        )
+
+        loaded = load_text_index(ss, dst_path)
+        if loaded is not None and loaded[2]["text_col"] in appended.columns:
+            append_to_text_index(ss, dst_path, appended, batch_id=batch_id)
+        from columnar_spark.streaming.vocab import append_vocab_delta, vocab_meta
+
+        vm = vocab_meta(dst_path)
+        if vm is not None and vm["text_col"] in appended.columns:
+            append_vocab_delta(ss, dst_path, appended, batch_id=batch_id)
+
+    if batch_id is not None:
+        ledger["applied_batches"][str(batch_id)] = "applied"
+        ledger["inflight"] = None
+        _commit_ledger(dst_path, ledger)
+    return True
 
 
 def stream_ingest(

@@ -1,0 +1,124 @@
+"""Replay safety of the ingest unit (foreachBatch runs AT LEAST once):
+the per-table ledger must make a retried batch a complete no-op across
+the table parquet AND every sidecar — not just the text index — and a
+retry of a batch whose previous attempt crashed mid-application must
+converge to exactly-once state via the sidecar rebuild path."""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from columnar_spark.stats import (
+    load_value_index,
+    write_value_index,
+)
+from columnar_spark.streaming.ingest import (
+    append_batch,
+    ingest_ledger_path,
+)
+from columnar_spark.writer import WriteSpec, write_table
+
+
+def _mk_table(spark, tmp_path, n=40):
+    p = f"{tmp_path}/t.parquet"
+    df = spark.range(n).select(
+        F.col("id").alias("i"),
+        (F.col("id") % 4).cast("string").alias("c"),
+        F.concat(F.lit("doc text word"), F.col("id")).alias("text"),
+    )
+    write_table(df, p, WriteSpec())
+    write_value_index(spark, p, "c")
+    return p
+
+
+def _batch(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("i"),
+        (F.col("id") % 4).cast("string").alias("c"),
+        F.concat(F.lit("doc text word"), F.col("id")).alias("text"),
+    )
+
+
+def _state(spark, p):
+    rows = spark.read.parquet(p).count()
+    man = {
+        r["column"]: r["row_count"]
+        for r in spark.read.parquet(p + ".stats").collect()
+    }
+    vidx = {
+        (r["value"], r["cnt"]) for r in load_value_index(spark, p, "c").collect()
+    }
+    return rows, man, vidx
+
+
+def test_retry_of_committed_batch_is_a_full_noop(spark, tmp_path):
+    p = _mk_table(spark, tmp_path)
+    b = _batch(spark, 40, 55)
+    assert append_batch(b, p, batch_id=7) is True
+    state1 = _state(spark, p)
+    assert state1[0] == 55
+    # the at-least-once retry: sink re-invoked with the same epoch id
+    assert append_batch(b, p, batch_id=7) is False
+    assert _state(spark, p) == state1
+    # a DIFFERENT batch still applies
+    assert append_batch(_batch(spark, 55, 60), p, batch_id=8) is True
+    assert _state(spark, p)[0] == 60
+
+
+def test_crashed_attempt_retry_converges_exactly_once(spark, tmp_path):
+    """Simulate a crash mid-application: the previous attempt appended
+    the table files and merged the value index, then died before the
+    ledger commit. The retry must (a) not double the table rows —
+    batch-derived file names are swept — and (b) rebuild the sidecars so
+    counts match a one-shot application exactly."""
+    p = _mk_table(spark, tmp_path)
+
+    # ---- crashed first attempt, reproduced by hand: table files land
+    # under the batch prefix and the vidx double-merges, no ledger commit
+    b = _batch(spark, 40, 50)
+    stage = f"{tmp_path}/stage"
+    b.write.parquet(stage)
+    moved = 0
+    for name in sorted(os.listdir(stage)):
+        if name.startswith(("_", ".")):
+            continue
+        os.replace(
+            os.path.join(stage, name), os.path.join(p, f"part-ingest-b9-{name}")
+        )
+        moved += 1
+    assert moved >= 1
+    from columnar_spark.stats import merge_value_index
+
+    merge_value_index(spark, p, "c", b)  # sidecar absorbed the batch once
+    root = ingest_ledger_path(p)
+    os.makedirs(root, exist_ok=True)
+    with open(os.path.join(root, "meta.json"), "w") as f:
+        json.dump({"applied_batches": {}, "inflight": "9"}, f)
+
+    # ---- the retry
+    assert append_batch(b, p, batch_id=9) is True
+    rows, man, vidx = _state(spark, p)
+    assert rows == 50  # no duplicate table rows
+    assert all(v == 50 for v in man.values())  # manifest rebuilt, not re-merged
+    # value index equals a from-scratch build (no double counts)
+    assert vidx == {
+        (str(k), 50 // 4 + (1 if k < 50 % 4 else 0)) for k in range(4)
+    }
+    led = json.load(open(os.path.join(root, "meta.json")))
+    assert led["inflight"] is None and "9" in led["applied_batches"]
+
+    # and a second retry after the successful recovery is a no-op
+    assert append_batch(b, p, batch_id=9) is False
+    assert _state(spark, p)[0] == 50
+
+
+def test_ledger_survives_distinct_batches_and_orders(spark, tmp_path):
+    p = _mk_table(spark, tmp_path, n=10)
+    for bid, (lo, hi) in enumerate([(10, 14), (14, 20), (20, 21)]):
+        assert append_batch(_batch(spark, lo, hi), p, batch_id=bid) is True
+    # replay the WHOLE epoch sequence (checkpoint lost, source replayed)
+    for bid, (lo, hi) in enumerate([(10, 14), (14, 20), (20, 21)]):
+        assert append_batch(_batch(spark, lo, hi), p, batch_id=bid) is False
+    rows, man, _ = _state(spark, p)
+    assert rows == 21 and all(v == 21 for v in man.values())
