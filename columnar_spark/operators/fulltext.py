@@ -474,6 +474,17 @@ def compact_text_index(spark: SparkSession, table_path: str, fmt: str = "parquet
         fmt=fmt,
         analyzer=meta.get("analyzer"),
     )
+    # Carry the replay ledger forward: the rebuild's fresh meta.json must
+    # keep applied_batches, or a foreachBatch retry of an epoch committed
+    # BEFORE the compaction (stream restart whose checkpoint commit
+    # failed) would re-index documents the rebuilt base already contains,
+    # silently skewing tf/df/avgdl. The attempt names the map pointed to
+    # are gone with the deltas — only the batch-id keys gate replays.
+    if meta.get("applied_batches"):
+        with open(f"{root}/meta.json") as f:
+            fresh = json.load(f)
+        fresh["applied_batches"] = meta["applied_batches"]
+        _commit_text_meta(root, fresh)
     removed = 0
     for sub in ("postings_delta", "lengths_delta"):
         d = f"{root}/{sub}"

@@ -364,7 +364,18 @@ class Engine:
                     ]
                     if not terms:
                         raise ValueError("HIGHLIGHT() needs at least one query term")
-                    text_lc = _F.lower(_F.col("text"))
+                    # snippet source column: the text index's registered
+                    # text_col when a sidecar exists (a table whose text
+                    # lives under another name must not fail — or worse,
+                    # highlight an unrelated 'text' column); bare 'text'
+                    # only as the no-sidecar fallback
+                    from columnar_spark.operators.fulltext import (
+                        load_text_index as _lti,
+                    )
+
+                    _loaded = _lti(self.spark, f"{self.sf_dir}/{table}.parquet")
+                    tcol = _loaded[2]["text_col"] if _loaded is not None else "text"
+                    text_lc = _F.lower(_F.col(tcol))
                     locs = _F.array(
                         *[_F.locate(t, text_lc) for t in terms]
                     )
@@ -372,8 +383,8 @@ class Engine:
                     start = _F.greatest(off - _F.lit(20), _F.lit(1))
                     raw = _F.when(
                         off.isNotNull(),
-                        _F.substring(_F.col("text"), start.cast("int"), 96),
-                    ).otherwise(_F.substring(_F.col("text"), 1, 96))
+                        _F.substring(_F.col(tcol), start.cast("int"), 96),
+                    ).otherwise(_F.substring(_F.col(tcol), 1, 96))
                     pat = "(?i)(" + "|".join(_re.escape(t) for t in terms) + ")"
                     out_cols.append(
                         _F.regexp_replace(raw, pat, "<b>$1</b>").alias(

@@ -89,6 +89,32 @@ def test_match_serves_persisted_sidecar(spark, tmp_path):
     assert [(r.doc_id, r.weight) for r in got] == [(r.doc_id, r.score) for r in want]
 
 
+def test_match_highlight_respects_indexed_text_col(spark, tmp_path):
+    """HIGHLIGHT() must snippet the text index's registered text column,
+    not a hardcoded 'text' — a table whose prose lives under another
+    name (here 'body', plus a decoy 'text' column) fails or mis-snips
+    otherwise."""
+    d = tmp_path
+    t = str(d / "documents.parquet")
+    (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .limit(50)
+        .withColumnRenamed("text", "body")
+        .withColumn("text", F.lit("decoy column with no query terms"))
+        .write.parquet(t)
+    )
+    FT.write_text_index(spark, t, text_col="body")
+    e = Engine(spark, str(d))
+    rows = e.sql(
+        "SELECT doc_id, HIGHLIGHT() FROM documents WHERE MATCH('vector scan') LIMIT 3"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert "<b>" in r.highlight  # snips the indexed column, not the decoy
+        inner = r.highlight.split("<b>")[1].split("</b>")[0].lower()
+        assert inner in ("vector", "scan")
+
+
 def test_non_match_sql_unaffected(eng):
     row = eng.sql("SELECT COUNT(*) AS n FROM region").collect()[0]
     assert row.n == 5

@@ -45,6 +45,23 @@ def test_committed_batch_id_makes_retry_noop(spark, tmp_path):
     assert FT.check_text_index(spark, p) == []
 
 
+def test_compaction_preserves_applied_batches(spark, tmp_path):
+    """A retry arriving AFTER a compaction (stream restart whose
+    checkpoint commit failed) must still be a no-op: the rebuilt
+    meta.json carries the applied-batch ledger forward."""
+    p, half2 = _build(spark, tmp_path, "compact_ledger")
+    assert FT.append_to_text_index(spark, p, half2, batch_id=3) is True
+    FT.compact_text_index(spark, p)
+    meta = FT.load_text_index(spark, p)[2]
+    assert "3" in meta.get("applied_batches", {})
+    assert meta["deltas"] == [] if "deltas" in meta else True
+    # the post-compaction retry of the already-applied epoch
+    assert FT.append_to_text_index(spark, p, half2, batch_id=3) is False
+    postings, lengths, meta2 = FT.load_text_index(spark, p)
+    assert meta2["n_docs"] == 6 and lengths.count() == 6
+    assert FT.check_text_index(spark, p) == []
+
+
 def test_crash_before_commit_is_invisible_then_retry_applies_once(
     spark, tmp_path, monkeypatch
 ):
