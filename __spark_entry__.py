@@ -913,6 +913,45 @@ def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_REPEATED_SPANS_SQL = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g AS (
+  SELECT doc_id, i, array_to_string(toks[i:i+7], ' ') AS gram
+  FROM d, LATERAL (SELECT unnest(generate_series(1, len(toks)-8+1)) AS i) t
+),
+rep AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+spans AS (SELECT g.doc_id, g.i AS s, g.i+7 AS e FROM g JOIN rep USING(gram)),
+m AS (
+  SELECT doc_id, s, e,
+         CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY s
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   IS NULL
+              OR s > max(e) OVER (PARTITION BY doc_id ORDER BY s
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+              THEN 1 ELSE 0 END AS brk
+  FROM spans),
+isl AS (SELECT doc_id, s, e,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY s
+                              ROWS UNBOUNDED PRECEDING) AS grp
+        FROM m)
+SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start,
+       CAST(max(e) AS BIGINT) AS span_end
+FROM isl GROUP BY doc_id, grp
+"""
+
+
+@_q("repeated_spans_docs", _REPEATED_SPANS_SQL)
+def repeated_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-granular (ExactSubstr) dedup detector — Lee et al. 2021:
+    merged token spans covered by 8-grams occurring more than once
+    corpus-wide. The declared form keys the count shuffle on the gram
+    STRING so the DuckDB oracle is hash-exact; production strips use
+    hash_grams=True (8-byte xxhash64 shuffle keys) via
+    DD.strip_repeated_spans."""
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    return DD.repeated_spans(docs, "text", "doc_id", n=8)
+
+
 # --------------------------------------------------------------------------
 # Text analysis (north-star training-data ops)
 # --------------------------------------------------------------------------

@@ -543,3 +543,187 @@ def embedding_neardup_pairs(
         F.col("r.__id").alias("id_b"),
         F.round(cosine_sim(F.col("l.__v"), F.col("r.__v")), 6).alias("cos_sim"),
     ).filter(F.col("cos_sim") >= threshold)
+
+
+# --------------------------- repeated substring spans (ExactSubstr dedup)
+#
+# The substring-granular dedup of Lee et al., "Deduplicating Training Data
+# Makes Language Models Better" (2021): any substring of >= N tokens that
+# occurs more than once in the corpus is repeated content (boilerplate,
+# licenses, mirrored paragraphs) and should be cut from the training text.
+# The paper builds a corpus-wide suffix array; the Spark-first form works
+# at token n-gram granularity, which detects exactly the same >=n-token
+# repeats (every repeated substring of length >= n contains a repeated
+# n-gram at each offset, so the union of repeated n-gram windows IS the
+# repeated-substring coverage, quantized to n-token resolution).
+#
+# Scale design: one groupBy on the gram key with map-side combine, then a
+# join of occurrences against the (rare) repeated grams — the corpus
+# never self-joins. Islands merge per doc under a doc-partitioned window
+# (state bounded by doc length). `hash_grams=True` swaps the shuffle key
+# from the gram STRING to xxhash64(gram) — 8-byte keys at 100 TB; the
+# string form is kept for the DuckDB-portable oracle.
+
+
+def repeated_span_grams(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    hash_grams: bool = False,
+) -> DataFrame:
+    """(__id, __s, __key): every n-token window of every doc, 1-based
+    start position, keyed by the gram text (or its xxhash64)."""
+    toks = F.split(F.col(text_col), " ")  # literal single-space split:
+    # exactly string_split(text, ' ') in ANSI SQL — the oracle contract
+    base = df.select(F.col(id_col).alias("__id"), toks.alias("__toks")).filter(
+        F.size("__toks") >= n
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("__toks") - F.lit(n - 1)),
+        lambda i: F.array_join(F.slice("__toks", i, n), " "),
+    )
+    g = (
+        base.select("__id", F.posexplode(grams).alias("__p", "__gram"))
+        .select(
+            "__id",
+            (F.col("__p") + 1).alias("__s"),
+            (F.xxhash64("__gram") if hash_grams else F.col("__gram")).alias("__key"),
+        )
+    )
+    return g
+
+
+def repeated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    keep_first: bool = False,
+    hash_grams: bool = False,
+) -> DataFrame:
+    """Merged (doc, span_start, span_end) token intervals covered by
+    n-grams that occur more than once corpus-wide (including twice within
+    one doc — self-repetition is repetition). 1-based inclusive token
+    positions. keep_first=True exempts each gram's globally first
+    occurrence (ordered by (id, position)) so one copy of every repeated
+    passage survives a subsequent strip."""
+    rep = _repeated_occurrences(df, text_col, id_col, n, hash_grams)
+    if keep_first:
+        rep = rep.filter(~F.col("__is_first"))
+    return _merged_spans(rep, n, id_col)
+
+
+def _repeated_occurrences(
+    df: DataFrame, text_col: str, id_col: str, n: int, hash_grams: bool
+) -> DataFrame:
+    """(__id, __s, __is_first) for every occurrence of a gram that
+    repeats corpus-wide; __is_first marks the gram's globally first
+    occurrence (ordered by (id, position))."""
+    g = repeated_span_grams(df, text_col, id_col, n, hash_grams)
+    cnts = (
+        g.groupBy("__key")
+        .agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.min(F.struct("__id", "__s")).alias("__first"),
+        )
+        .filter(F.col("__cnt") > 1)
+    )
+    return g.join(cnts, "__key").select(
+        "__id",
+        "__s",
+        (
+            (F.col("__id") == F.col("__first.__id"))
+            & (F.col("__s") == F.col("__first.__s"))
+        ).alias("__is_first"),
+    )
+
+
+def _merged_spans(occ: DataFrame, n: int, id_col: str) -> DataFrame:
+    """Union of [__s, __s+n-1] windows merged into maximal intervals —
+    gaps-and-islands per doc: a window start past the running max end
+    (+1: token-adjacent coverage is one contiguous cut) breaks a group.
+    Doc-partitioned window; state bounded by doc length."""
+    sp = occ.select("__id", "__s", (F.col("__s") + F.lit(n - 1)).alias("__e"))
+    wo = Window.partitionBy("__id").orderBy("__s")
+    wprev = wo.rowsBetween(Window.unboundedPreceding, -1)
+    sp = (
+        sp.withColumn("__maxe", F.max("__e").over(wprev))
+        .withColumn(
+            "__brk",
+            F.when(
+                F.col("__maxe").isNull() | (F.col("__s") > F.col("__maxe") + 1), 1
+            ).otherwise(0),
+        )
+        .withColumn("__grp", F.sum("__brk").over(wo))
+    )
+    return (
+        sp.groupBy("__id", "__grp")
+        .agg(
+            F.min("__s").cast("long").alias("span_start"),
+            F.max("__e").cast("long").alias("span_end"),
+        )
+        .select(F.col("__id").alias(id_col), "span_start", "span_end")
+    )
+
+
+def strip_repeated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    keep_first: bool = True,
+    hash_grams: bool = True,
+) -> DataFrame:
+    """Rewrite `text_col` with every repeated span's tokens removed.
+    keep_first=True is the paper's keep-one-occurrence policy: tokens
+    inside a gram's globally FIRST occurrence are protected, so exactly
+    one copy of every repeated passage survives — including
+    self-overlapping repeats inside a single doc, where the cut windows
+    overlap the surviving copy. Pure codegen rewrite: the per-doc span
+    lists join on (repeated docs only) and an indexed array filter drops
+    covered-but-unprotected tokens — no UDF, no driver-side pass."""
+    occ = _repeated_occurrences(df, text_col, id_col, n, hash_grams)
+    cut = occ.filter(~F.col("__is_first")) if keep_first else occ
+    spans = _merged_spans(cut, n, id_col)
+    agg = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__cut")
+    )
+    joined = df.join(agg, id_col, "left")
+    if keep_first:
+        protect = _merged_spans(occ.filter(F.col("__is_first")), n, id_col)
+        pagg = protect.groupBy(id_col).agg(
+            F.collect_list(F.struct("span_start", "span_end")).alias("__protect")
+        )
+        joined = joined.join(pagg, id_col, "left")
+    else:
+        joined = joined.withColumn(
+            "__protect",
+            F.lit(None).cast("array<struct<span_start:long,span_end:long>>"),
+        )
+
+    def _covered(spans_col):
+        def pred(i):
+            return F.exists(
+                F.coalesce(
+                    spans_col,
+                    F.array().cast("array<struct<span_start:long,span_end:long>>"),
+                ),
+                lambda sp: (i + 1 >= sp["span_start"]) & (i + 1 <= sp["span_end"]),
+            )
+
+        return pred
+
+    in_cut = _covered(F.col("__cut"))
+    in_protect = _covered(F.col("__protect"))
+    toks = F.split(F.col(text_col), " ")
+    kept = F.filter(toks, lambda x, i: ~in_cut(i) | in_protect(i))
+    return (
+        joined.withColumn(
+            text_col,
+            F.when(F.col("__cut").isNotNull(), F.array_join(kept, " ")).otherwise(
+                F.col(text_col)
+            ),
+        )
+        .drop("__cut", "__protect")
+    )
