@@ -267,3 +267,78 @@ def update_set(
     )
     _rewrite_and_reindex(spark, path, updated, op="update", fmt=fmt, n_rows_before=n_total)
     return n_matched, getattr(spark.read, fmt)(path).count()
+
+
+def truncate_table(spark, path: str, fmt: str = "parquet") -> int:
+    """`TRUNCATE TABLE t` — empty the table, keep the schema. CoW like
+    every other mutation (the pre-truncate table is retired as a
+    time-travel snapshot — the reference daemon's TRUNCATE drops RT
+    segments the same unceremonious way, but a snapshot costs one
+    rename); sidecars rebuild to their empty forms. Returns the number
+    of rows removed."""
+    target = getattr(spark.read, fmt)(path)
+    n_before = target.count()
+    _rewrite_and_reindex(
+        spark, path, target.limit(0), op="truncate", fmt=fmt, n_rows_before=n_before
+    )
+    return n_before
+
+
+def alter_add_column(
+    spark,
+    path: str,
+    col: str,
+    dtype: str,
+    default: str | None = None,
+    fmt: str = "parquet",
+) -> int:
+    """`ALTER TABLE t ADD COLUMN c type [DEFAULT expr]` — CoW rewrite
+    with the new column appended (NULL-filled unless a default
+    expression is given; the expression may reference existing columns).
+    Sidecars rebuild against the new schema. Returns the row count."""
+    from pyspark.sql import functions as F
+
+    target = getattr(spark.read, fmt)(path)
+    if col in target.columns:
+        raise ValueError(f"ALTER: column {col!r} already exists")
+    n = target.count()
+    value = F.expr(default) if default is not None else F.lit(None)
+    new_df = target.withColumn(col, value.cast(dtype))
+    _rewrite_and_reindex(spark, path, new_df, op="alter_add", fmt=fmt, n_rows_before=n)
+    return n
+
+
+def alter_drop_column(spark, path: str, col: str, fmt: str = "parquet") -> int:
+    """`ALTER TABLE t DROP COLUMN c` — CoW rewrite without the column.
+    Any persisted value/posting index keyed by the column (or JSON field
+    index rooted at it) is removed first — rebuilding it against the new
+    schema would fail, and the reference likewise drops attribute
+    indexes with their attribute. Returns the row count."""
+    import shutil
+
+    from columnar_spark.stats import (
+        json_index_meta,
+        persisted_posting_index_cols,
+        persisted_value_index_cols,
+        posting_index_path,
+        value_index_path,
+    )
+
+    target = getattr(spark.read, fmt)(path)
+    if col not in target.columns:
+        raise ValueError(f"ALTER: unknown column {col!r}")
+    for c in persisted_value_index_cols(path):
+        jm = json_index_meta(path, c)
+        keyed_by = jm["parent"] if jm else c
+        if keyed_by == col:
+            shutil.rmtree(value_index_path(path, c), ignore_errors=True)
+    for c in persisted_posting_index_cols(path):
+        from columnar_spark.stats import posting_index_id_col
+
+        if c == col or posting_index_id_col(path, c) == col:
+            shutil.rmtree(posting_index_path(path, c), ignore_errors=True)
+    n = target.count()
+    _rewrite_and_reindex(
+        spark, path, target.drop(col), op="alter_drop", fmt=fmt, n_rows_before=n
+    )
+    return n

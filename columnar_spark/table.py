@@ -639,6 +639,159 @@ class Engine:
                 "kind: string, column: string, path: string",
             )
 
+        # Table-level DDL/maintenance — the daemon's TRUNCATE / DROP
+        # TABLE / ALTER TABLE / OPTIMIZE verbs over the CoW machinery
+        # (operators/upsert.py) and the compaction pass (writer.py).
+        m = _re.match(
+            r"^\s*TRUNCATE\s+(?:TABLE\s+)?(\w+)\s*;?\s*$", query, _re.IGNORECASE
+        )
+        if m:
+            from columnar_spark.operators.upsert import truncate_table
+
+            name = m.group(1)
+            n = truncate_table(self.spark, f"{self.sf_dir}/{name}.parquet")
+            self._invalidate_table_caches(name)
+            return self.spark.createDataFrame(
+                [("truncate", name, n, 0)],
+                "op: string, table: string, n_affected: bigint, n_rows: bigint",
+            )
+        m = _re.match(
+            r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*$",
+            query,
+            _re.IGNORECASE,
+        )
+        if m:
+            import os
+            import shutil
+
+            from columnar_spark.writer import drop_stale_sidecars
+
+            name = m.group(1)
+            base = f"{self.sf_dir}/{name}.parquet"
+            existed = os.path.isdir(base)
+            if not existed and "IF EXISTS" not in query.upper():
+                raise ValueError(f"DROP TABLE: no table {name!r}")
+            dropped = drop_stale_sidecars(base)
+            for extra in (".versions", ".compact.tmp"):
+                shutil.rmtree(base + extra, ignore_errors=True)
+            if existed:
+                shutil.rmtree(base)
+            self._invalidate_table_caches(name)
+            return self.spark.createDataFrame(
+                [("drop_table", name, int(existed), len(dropped))],
+                "op: string, table: string, n_affected: bigint, n_rows: bigint",
+            )
+        m = _re.match(
+            r"^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+(\w+)\s+([\w()<>,\s]+?)"
+            r"(?:\s+DEFAULT\s+(.+?))?\s*;?\s*$",
+            query,
+            _re.IGNORECASE | _re.DOTALL,
+        )
+        if m:
+            from columnar_spark.operators.upsert import alter_add_column
+
+            name = m.group(1)
+            n = alter_add_column(
+                self.spark,
+                f"{self.sf_dir}/{name}.parquet",
+                m.group(2),
+                m.group(3).strip(),
+                m.group(4),
+            )
+            self._invalidate_table_caches(name)
+            return self.spark.createDataFrame(
+                [("alter_add", name, n, n)],
+                "op: string, table: string, n_affected: bigint, n_rows: bigint",
+            )
+        m = _re.match(
+            r"^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMN\s+(\w+)\s*;?\s*$",
+            query,
+            _re.IGNORECASE,
+        )
+        if m:
+            from columnar_spark.operators.upsert import alter_drop_column
+
+            name = m.group(1)
+            n = alter_drop_column(
+                self.spark, f"{self.sf_dir}/{name}.parquet", m.group(2)
+            )
+            self._invalidate_table_caches(name)
+            return self.spark.createDataFrame(
+                [("alter_drop", name, n, n)],
+                "op: string, table: string, n_affected: bigint, n_rows: bigint",
+            )
+        m = _re.match(
+            r"^\s*OPTIMIZE\s+(?:TABLE\s+|INDEX\s+)?(\w+)\s*;?\s*$",
+            query,
+            _re.IGNORECASE,
+        )
+        if m:
+            import os
+
+            from columnar_spark.writer import compact_table
+
+            name = m.group(1)
+            base = f"{self.sf_dir}/{name}.parquet"
+            before, after = compact_table(self.spark, base)
+            if os.path.isdir(base + ".ftidx"):
+                from columnar_spark.operators.fulltext import compact_text_index
+
+                compact_text_index(self.spark, base)
+            self._invalidate_table_caches(name)
+            return self.spark.createDataFrame(
+                [("optimize", name, before, after)],
+                "op: string, table: string, files_before: bigint, files_after: bigint",
+            )
+        m = _re.match(
+            r"^\s*SHOW\s+CREATE\s+TABLE\s+(\w+)\s*;?\s*$", query, _re.IGNORECASE
+        )
+        if m:
+            import os
+
+            name = m.group(1)
+            df = self.table(name)
+            base = f"{self.sf_dir}/{name}.parquet"
+            cols = ",\n  ".join(
+                f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+            )
+            from columnar_spark.stats import (
+                json_index_meta,
+                persisted_value_index_cols,
+            )
+
+            clauses = []
+            for c in persisted_value_index_cols(base):
+                jm = json_index_meta(base, c)
+                if jm:
+                    clauses.append(
+                        f"INDEX (get_json_object({jm['parent']}, '{jm['json_path']}'))"
+                    )
+                else:
+                    clauses.append(f"INDEX ({c})")
+            if os.path.isdir(base + ".ftidx"):
+                from columnar_spark.operators.fulltext import load_text_index
+
+                lt = load_text_index(self.spark, base)
+                if lt is not None:
+                    clauses.append(
+                        f"TEXT INDEX ({lt[2]['text_col']}, "
+                        f"{lt[2].get('id_col', 'doc_id')})"
+                    )
+            if os.path.isdir(base + ".knn"):
+                from columnar_spark.operators.knn_index import load_vector_index
+
+                vi = load_vector_index(base)
+                if vi is not None:
+                    clauses.append(
+                        f"VECTOR INDEX ({vi.vec_col}) "
+                        f"WITH (metric='{vi.metric}', nlist={vi.nlist}, m={vi.m})"
+                    )
+            tail = ("\n  , " + "\n  , ".join(clauses)) if clauses else ""
+            ddl = f"CREATE TABLE {name} (\n  {cols}{tail}\n)"
+            return self.spark.createDataFrame(
+                [(name, ddl)], "table: string, create_table: string"
+            )
+
         # SHOW TABLES: the sf_dir's table inventory with row counts from
         # the stats manifests (metadata-only — no scan).
         if _re.match(r"^\s*SHOW\s+TABLES\s*;?\s*$", query, _re.IGNORECASE):

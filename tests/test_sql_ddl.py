@@ -1,0 +1,114 @@
+"""Engine.sql table-level DDL/maintenance verbs — the daemon surface:
+TRUNCATE, DROP TABLE, ALTER TABLE ADD/DROP COLUMN, OPTIMIZE,
+SHOW CREATE TABLE. All mutations ride the CoW machinery (time-travel
+snapshot, sidecars rebuilt or disabled)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from columnar_spark.stats import write_value_index
+from columnar_spark.table import Engine
+
+
+def _mk(spark, tmp_path, name="t", n=30):
+    p = f"{tmp_path}/{name}.parquet"
+    spark.range(n).select(
+        F.col("id").alias("i"),
+        (F.col("id") % 3).cast("string").alias("c"),
+        F.concat(F.lit("text body "), F.col("id")).alias("text"),
+    ).write.parquet(p)
+    from columnar_spark.stats import build_stats_manifest
+
+    build_stats_manifest(spark.read.parquet(p)).write.mode("overwrite").parquet(
+        p + ".stats"
+    )
+    return Engine(spark, str(tmp_path)), p
+
+
+def test_truncate_keeps_schema_drops_rows(spark, tmp_path):
+    eng, p = _mk(spark, tmp_path)
+    write_value_index(spark, p, "c")
+    row = eng.sql("TRUNCATE TABLE t").first()
+    assert (row.op, row.n_affected, row.n_rows) == ("truncate", 30, 0)
+    df = spark.read.parquet(p)
+    assert df.count() == 0
+    assert df.columns == ["i", "c", "text"]
+    # sidecars follow: the rebuilt value index is empty, manifest says 0
+    vidx = spark.read.parquet(p + ".vidx/c")
+    assert vidx.count() == 0
+    man = spark.read.parquet(p + ".stats")
+    assert man.select("row_count").first()[0] == 0
+    # the pre-truncate table survives as a snapshot
+    assert os.path.isdir(p + ".versions")
+
+
+def test_drop_table_removes_data_and_every_sidecar(spark, tmp_path):
+    eng, p = _mk(spark, tmp_path)
+    write_value_index(spark, p, "c")
+    os.makedirs(p + ".ftidx", exist_ok=True)
+    row = eng.sql("DROP TABLE t").first()
+    assert row.op == "drop_table" and row.n_affected == 1
+    for suffix in ("", ".stats", ".vidx", ".ftidx"):
+        assert not os.path.isdir(p + suffix), suffix
+    # IF EXISTS on a missing table is a quiet no-op; bare DROP raises
+    assert eng.sql("DROP TABLE IF EXISTS t").first().n_affected == 0
+    with pytest.raises(ValueError):
+        eng.sql("DROP TABLE t")
+
+
+def test_alter_add_column_with_default(spark, tmp_path):
+    eng, p = _mk(spark, tmp_path)
+    row = eng.sql("ALTER TABLE t ADD COLUMN twice bigint DEFAULT i * 2").first()
+    assert row.op == "alter_add" and row.n_affected == 30
+    df = spark.read.parquet(p)
+    assert df.columns == ["i", "c", "text", "twice"]
+    assert df.filter(F.col("twice") != F.col("i") * 2).count() == 0
+    # NULL-filled without a default
+    eng.sql("ALTER TABLE t ADD COLUMN note string")
+    df = spark.read.parquet(p)
+    assert df.filter(F.col("note").isNotNull()).count() == 0
+    with pytest.raises(ValueError):
+        eng.sql("ALTER TABLE t ADD COLUMN i int")  # duplicate
+
+
+def test_alter_drop_column_removes_its_index(spark, tmp_path):
+    eng, p = _mk(spark, tmp_path)
+    write_value_index(spark, p, "c")
+    row = eng.sql("ALTER TABLE t DROP COLUMN c").first()
+    assert row.op == "alter_drop"
+    df = spark.read.parquet(p)
+    assert df.columns == ["i", "text"]
+    assert not os.path.isdir(p + ".vidx/c")
+    with pytest.raises(ValueError):
+        eng.sql("ALTER TABLE t DROP COLUMN nope")
+
+
+def test_optimize_compacts_fragmented_table(spark, tmp_path):
+    eng, p = _mk(spark, tmp_path, n=10)
+    # fragment: a file per micro-append
+    for k in range(6):
+        spark.range(10 * k + 100, 10 * k + 110).select(
+            F.col("id").alias("i"),
+            (F.col("id") % 3).cast("string").alias("c"),
+            F.concat(F.lit("text body "), F.col("id")).alias("text"),
+        ).coalesce(1).write.mode("append").parquet(p)
+    files_before = len([f for f in os.listdir(p) if f.endswith(".parquet")])
+    assert files_before >= 6
+    row = eng.sql("OPTIMIZE TABLE t").first()
+    assert row.op == "optimize" and row.files_after < row.files_before
+    assert spark.read.parquet(p).count() == 70
+
+
+def test_show_create_table_lists_schema_and_indexes(spark, tmp_path):
+    eng, p = _mk(spark, tmp_path)
+    write_value_index(spark, p, "c")
+    from columnar_spark.operators.fulltext import write_text_index
+
+    write_text_index(spark, p, text_col="text", id_col="i")
+    ddl = eng.sql("SHOW CREATE TABLE t").first().create_table
+    assert ddl.startswith("CREATE TABLE t (")
+    assert "i bigint" in ddl and "text string" in ddl
+    assert "INDEX (c)" in ddl
+    assert "TEXT INDEX (text, i)" in ddl
