@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "heavy_hitters_users",
     "bm25_search_docs",
     "hybrid_search_rrf",
+    "repeated_spans_docs",
 ]
 
 
