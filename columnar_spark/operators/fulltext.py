@@ -345,9 +345,11 @@ def write_text_index(
     _commit_text_meta(
         root,
         {
+            # empty table (CREATE TABLE pre-registration, TRUNCATE):
+            # zeroed counters, appends take it from here
             "n_docs": int(n),
-            "total_dl": int(total),
-            "avgdl": total / n,
+            "total_dl": int(total or 0),
+            "avgdl": (total / n) if n else 0.0,
             "text_col": text_col,
             "id_col": id_col,
             "analyzer": analyzer,
@@ -362,13 +364,26 @@ def load_text_index(spark: SparkSession, table_path: str):
     segments listed in meta['deltas'] — delta dirs not (yet) listed in
     meta are uncommitted leftovers of a failed append attempt and are
     invisible (meta.json is the commit point; see append_to_text_index)."""
+    import glob as _glob
+
     root = text_index_path(table_path)
     if not os.path.isdir(f"{root}/postings"):
         return None
     with open(f"{root}/meta.json") as f:
         meta = json.load(f)
-    postings = spark.read.parquet(f"{root}/postings")
-    lengths = spark.read.parquet(f"{root}/lengths")
+    if _glob.glob(f"{root}/postings/**/*.parquet", recursive=True):
+        postings = spark.read.parquet(f"{root}/postings")
+        lengths = spark.read.parquet(f"{root}/lengths")
+    else:
+        # zero-row base segment (CREATE TABLE pre-registration): a
+        # partitioned write of 0 rows leaves no files to infer a schema
+        # from — derive correctly-typed empty frames from the table
+        id_col = meta.get("id_col", "doc_id")
+        empty = spark.read.parquet(table_path).limit(0)
+        postings = build_positional_postings(
+            empty, id_col, meta["text_col"], meta.get("analyzer")
+        ).withColumn("tb", F.pmod(F.xxhash64("term"), F.lit(N_TERM_BUCKETS)).cast("int"))
+        lengths = doc_lengths(empty, id_col, meta["text_col"], meta.get("analyzer"))
     for a in meta.get("deltas", []):
         postings = postings.unionByName(
             spark.read.parquet(f"{root}/postings_delta/{a}")

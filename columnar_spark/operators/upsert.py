@@ -100,6 +100,20 @@ def _rewrite_and_reindex(
     the same way (secondary.cpp:426-433) — re-enable explicitly with
     stats.write_json_field_index."""
     from columnar_spark.snapshots import swap_with_history
+
+    tmp = path.rstrip("/") + f".{op}.tmp"
+    new_df.write.mode("overwrite").format(fmt).save(tmp)
+    swap_with_history(path, tmp, op=op, fmt=fmt, n_rows_before=n_rows_before)
+    reindex_table(spark, path, fmt)
+
+
+def reindex_table(spark, path: str, fmt: str = "parquet") -> None:
+    """Bring EVERY sidecar in line with the table's current contents —
+    the shared tail of all row mutations, and the public repair entry
+    for any out-of-band rewrite (RESTORE, manual overwrite). JSON field
+    indexes are invalidated, not rebuilt (disable-on-update,
+    secondary.cpp:426-433); plain value/posting indexes rebuild; the
+    stats/rollup/text/vector artifacts refresh or disable themselves."""
     from columnar_spark.stats import (
         invalidate_json_field_indexes,
         json_index_meta,
@@ -110,9 +124,6 @@ def _rewrite_and_reindex(
         write_value_index,
     )
 
-    tmp = path.rstrip("/") + f".{op}.tmp"
-    new_df.write.mode("overwrite").format(fmt).save(tmp)
-    swap_with_history(path, tmp, op=op, fmt=fmt, n_rows_before=n_rows_before)
     invalidate_json_field_indexes(path)
     for c in persisted_value_index_cols(path):
         if json_index_meta(path, c) is not None:

@@ -639,6 +639,169 @@ class Engine:
                 "kind: string, column: string, path: string",
             )
 
+        # CREATE TABLE t (col type, ..., [INDEX (col)], [TEXT INDEX
+        # (text_col, id_col)]) — an empty table with pre-registered
+        # sidecars; accepts exactly what SHOW CREATE TABLE emits
+        # (round-trip pinned by test). Vector indexes need training data
+        # and are deliberately NOT creatable empty.
+        m = _re.match(
+            r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*\((.+)\)\s*;?\s*$",
+            query,
+            _re.IGNORECASE | _re.DOTALL,
+        )
+        if m:
+            import os
+
+            name, body = m.group(1), m.group(2)
+            base = f"{self.sf_dir}/{name}.parquet"
+            if os.path.isdir(base):
+                if "IF NOT EXISTS" in query.upper():
+                    return self.spark.createDataFrame(
+                        [("create_table", name, 0, 0)],
+                        "op: string, table: string, n_affected: bigint, n_rows: bigint",
+                    )
+                raise ValueError(f"CREATE TABLE: {name!r} already exists")
+            # split on top-level commas (types like decimal(10,2) nest)
+            depth, start, items = 0, 0, []
+            for i, ch in enumerate(body):
+                if ch in "(<":
+                    depth += 1
+                elif ch in ")>":
+                    depth -= 1
+                elif ch == "," and depth == 0:
+                    items.append(body[start:i])
+                    start = i + 1
+            items.append(body[start:])
+            cols, vidx_cols, jidx, tidx = [], [], [], None
+            for item in (s.strip() for s in items):
+                if not item:
+                    continue
+                im = _re.fullmatch(
+                    r"INDEX\s*\(\s*GET_JSON_OBJECT\s*\(\s*(\w+)\s*,\s*'(\$[^']*)'\s*\)\s*\)",
+                    item,
+                    _re.IGNORECASE,
+                )
+                if im:
+                    jidx.append((im.group(1), im.group(2)))
+                    continue
+                im = _re.fullmatch(r"INDEX\s*\(\s*(\w+)\s*\)", item, _re.IGNORECASE)
+                if im:
+                    vidx_cols.append(im.group(1))
+                    continue
+                im = _re.fullmatch(
+                    r"TEXT\s+INDEX\s*\(\s*(\w+)\s*(?:,\s*(\w+)\s*)?\)",
+                    item,
+                    _re.IGNORECASE,
+                )
+                if im:
+                    tidx = (im.group(1), im.group(2) or "doc_id")
+                    continue
+                im = _re.fullmatch(r"VECTOR\s+INDEX\s*\(.*", item, _re.IGNORECASE | _re.DOTALL)
+                if im:
+                    continue  # needs training data; register at first build
+                cm = _re.fullmatch(r"(\w+)\s+(.+)", item, _re.DOTALL)
+                if not cm:
+                    raise ValueError(f"CREATE TABLE: cannot parse {item!r}")
+                cols.append(f"{cm.group(1)} {cm.group(2).strip()}")
+            if not cols:
+                raise ValueError("CREATE TABLE needs at least one column")
+            empty = self.spark.createDataFrame([], ", ".join(cols))
+            empty.write.parquet(base)
+            from columnar_spark.stats import build_stats_manifest
+
+            build_stats_manifest(self.spark.read.parquet(base)).write.mode(
+                "overwrite"
+            ).parquet(f"{base}.stats")
+            from columnar_spark.stats import (
+                write_json_field_index,
+                write_value_index,
+            )
+
+            for c in vidx_cols:
+                write_value_index(self.spark, base, c)
+            for parent, jpath in jidx:
+                write_json_field_index(self.spark, base, parent, jpath)
+            if tidx is not None:
+                from columnar_spark.operators.fulltext import write_text_index
+
+                write_text_index(self.spark, base, text_col=tidx[0], id_col=tidx[1])
+            self._invalidate_table_caches(name)
+            return self.spark.createDataFrame(
+                [("create_table", name, 1, 0)],
+                "op: string, table: string, n_affected: bigint, n_rows: bigint",
+            )
+
+        # SHOW VERSIONS FROM t — the CoW time-travel log as a result set.
+        m = _re.match(
+            r"^\s*SHOW\s+VERSIONS\s+FROM\s+(\w+)\s*;?\s*$", query, _re.IGNORECASE
+        )
+        if m:
+            from columnar_spark.snapshots import history
+
+            rows = [
+                (e.version, e.op, -1 if e.n_rows is None else int(e.n_rows), e.ts_unix)
+                for e in history(f"{self.sf_dir}/{m.group(1)}.parquet")
+            ]
+            return self.spark.createDataFrame(
+                rows or [(-1, "(none)", -1, 0.0)],
+                "version: long, op: string, n_rows_retired: long, ts: double",
+            )
+
+        # RESTORE TABLE t VERSION AS OF n — roll back to a retained
+        # snapshot (the displaced table retires as a new version), then
+        # reindex: every sidecar rebuilds against the restored contents
+        # (a restore is an arbitrary rewrite — serving the pre-restore
+        # sidecars would be exactly the staleness the freshness gates
+        # exist to catch).
+        m = _re.match(
+            r"^\s*RESTORE\s+TABLE\s+(\w+)\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$",
+            query,
+            _re.IGNORECASE,
+        )
+        if m:
+            from columnar_spark.operators.upsert import reindex_table
+            from columnar_spark.snapshots import restore
+
+            name, version = m.group(1), int(m.group(2))
+            base = f"{self.sf_dir}/{name}.parquet"
+            retired_as = restore(base, version)
+            reindex_table(self.spark, base)
+            self._invalidate_table_caches(name)
+            return self.spark.createDataFrame(
+                [("restore", name, version, retired_as)],
+                "op: string, table: string, restored_version: bigint, retired_as: bigint",
+            )
+
+        # CALL SNIPPETS('text', 'table', 'query terms') — highlight the
+        # GIVEN text with the table's analyzer-aware term wrapping (the
+        # daemon's CALL SNIPPETS over explicit data). One row per input.
+        m = _re.match(
+            r"^\s*CALL\s+SNIPPETS\s*\(\s*'(?P<data>[^']*)'\s*,\s*'(?P<table>\w+)'\s*,"
+            r"\s*'(?P<q>[^']*)'\s*\)\s*;?\s*$",
+            query,
+            _re.IGNORECASE,
+        )
+        if m:
+            from pyspark.sql import functions as _F
+
+            terms = [t.lower() for t in m.group("q").split() if t]
+            if not terms:
+                raise ValueError("CALL SNIPPETS needs at least one query term")
+            pat = "(?i)(" + "|".join(_re.escape(t) for t in terms) + ")"
+            one = self.spark.createDataFrame(
+                [(m.group("data"),)], "data: string"
+            )
+            text_lc = _F.lower(_F.col("data"))
+            locs = _F.array(*[_F.locate(t, text_lc) for t in terms])
+            off = _F.array_min(_F.filter(locs, lambda x: x > 0))
+            start = _F.greatest(off - _F.lit(20), _F.lit(1))
+            raw = _F.when(
+                off.isNotNull(), _F.substring(_F.col("data"), start.cast("int"), 96)
+            ).otherwise(_F.substring(_F.col("data"), 1, 96))
+            return one.select(
+                _F.regexp_replace(raw, pat, "<b>$1</b>").alias("snippet")
+            )
+
         # Table-level DDL/maintenance — the daemon's TRUNCATE / DROP
         # TABLE / ALTER TABLE / OPTIMIZE verbs over the CoW machinery
         # (operators/upsert.py) and the compaction pass (writer.py).

@@ -112,3 +112,64 @@ def test_show_create_table_lists_schema_and_indexes(spark, tmp_path):
     assert "i bigint" in ddl and "text string" in ddl
     assert "INDEX (c)" in ddl
     assert "TEXT INDEX (text, i)" in ddl
+
+
+def test_create_table_roundtrips_show_create(spark, tmp_path):
+    eng, p = _mk(spark, tmp_path)
+    write_value_index(spark, p, "c")
+    from columnar_spark.operators.fulltext import write_text_index
+
+    write_text_index(spark, p, text_col="text", id_col="i")
+    ddl = eng.sql("SHOW CREATE TABLE t").first().create_table
+    # re-create under a new name from the emitted DDL
+    ddl2 = ddl.replace("CREATE TABLE t", "CREATE TABLE t2", 1)
+    row = eng.sql(ddl2).first()
+    assert (row.op, row.n_affected, row.n_rows) == ("create_table", 1, 0)
+    p2 = f"{tmp_path}/t2.parquet"
+    df2 = spark.read.parquet(p2)
+    assert df2.columns == ["i", "c", "text"] and df2.count() == 0
+    assert df2.schema == spark.read.parquet(p).schema
+    assert os.path.isdir(p2 + ".vidx/c")
+    assert os.path.isdir(p2 + ".ftidx")
+    # the empty text index accepts appends from zero
+    from columnar_spark.streaming.ingest import append_batch
+
+    append_batch(spark.read.parquet(p).limit(5), p2, batch_id=0)
+    from columnar_spark.operators.fulltext import load_text_index
+
+    assert load_text_index(spark, p2)[2]["n_docs"] == 5
+    # IF NOT EXISTS is quiet; bare CREATE on an existing table raises
+    assert eng.sql(
+        ddl2.replace("CREATE TABLE t2", "CREATE TABLE IF NOT EXISTS t2", 1)
+    ).first().n_affected == 0
+    with pytest.raises(ValueError):
+        eng.sql(ddl2)
+
+
+def test_show_versions_and_restore(spark, tmp_path):
+    eng, p = _mk(spark, tmp_path)
+    write_value_index(spark, p, "c")
+    eng.sql("DELETE FROM t WHERE i >= 10")
+    assert spark.read.parquet(p).count() == 10
+    vers = eng.sql("SHOW VERSIONS FROM t").collect()
+    assert len(vers) == 1 and vers[0].op == "delete"
+    v = vers[0].version
+    row = eng.sql(f"RESTORE TABLE t VERSION AS OF {v}").first()
+    assert row.op == "restore" and row.restored_version == v
+    assert spark.read.parquet(p).count() == 30
+    # sidecars reindexed against the restored contents
+    vidx = {(r["value"], r["cnt"]) for r in spark.read.parquet(p + ".vidx/c").collect()}
+    assert vidx == {("0", 10), ("1", 10), ("2", 10)}
+    # the displaced (deleted) table retired as a new version
+    assert len(eng.sql("SHOW VERSIONS FROM t").collect()) == 2
+
+
+def test_call_snippets_highlights_given_text(spark, tmp_path):
+    eng, _ = _mk(spark, tmp_path)
+    snip = eng.sql(
+        "CALL SNIPPETS('the vector scan engine runs fast', 't', 'vector fast')"
+    ).first().snippet
+    assert "<b>vector</b>" in snip and "<b>fast</b>" in snip
+    # no match: leading window, no markup
+    snip2 = eng.sql("CALL SNIPPETS('nothing here', 't', 'zzz')").first().snippet
+    assert snip2 == "nothing here"
