@@ -64,11 +64,14 @@ def stream_decontaminate(
         report = contamination_report(
             batch_df, None, id_col, text_col, n, benchmark_grams=bench_grams
         )
+        from columnar_spark.streaming.ingest import idempotent_append
+
         flagged = report.persist()
         try:
-            flagged.write.mode("append").parquet(report_path)
+            # replay-safe appends: both outputs land exactly once per epoch
+            idempotent_append(flagged, report_path, batch_id)
             clean = batch_df.join(flagged.select(id_col), [id_col], "left_anti")
-            clean.write.mode("append").parquet(clean_path)
+            idempotent_append(clean, clean_path, batch_id)
         finally:
             flagged.unpersist()
 

@@ -69,6 +69,43 @@ def _commit_ledger(dst_path: str, meta: dict) -> None:
     os.replace(tmp, os.path.join(root, "meta.json"))
 
 
+def idempotent_append(
+    df: DataFrame,
+    dst_path: str,
+    batch_id: int | None,
+    compression: str = "snappy",
+    stage_root: str | None = None,
+    prefix: str | None = None,
+) -> list[str]:
+    """Exactly-once parquet append for at-least-once foreachBatch sinks,
+    with no ledger: the batch stages beside the target, any files a
+    previous attempt of the SAME batch left behind are swept, and the
+    staged files rename in under batch-derived names — every retry
+    converges on one final file set. Returns the committed file paths.
+    With batch_id=None (no retry semantics to defend against) this is a
+    plain append."""
+    if batch_id is None:
+        df.write.mode("append").option("compression", compression).parquet(dst_path)
+        return []
+    stage_root = stage_root or dst_path.rstrip("/") + ".stage"
+    stage = os.path.join(stage_root, str(batch_id))
+    df.write.mode("overwrite").option("compression", compression).parquet(stage)
+    pre = prefix or f"part-b{batch_id}-"
+    os.makedirs(dst_path, exist_ok=True)
+    for name in os.listdir(dst_path):
+        if name.startswith(pre):
+            os.remove(os.path.join(dst_path, name))
+    moved = []
+    for name in sorted(os.listdir(stage)):
+        if name.startswith(("_", ".")):
+            continue
+        tgt = os.path.join(dst_path, pre + name)
+        os.replace(os.path.join(stage, name), tgt)
+        moved.append(tgt)
+    shutil.rmtree(stage, ignore_errors=True)
+    return moved
+
+
 def _rebuild_sidecars(ss: SparkSession, dst_path: str) -> None:
     """Crash recovery: a previous attempt died mid-application, so the
     incremental merges cannot know which sidecars already absorbed the
@@ -168,27 +205,18 @@ def append_batch(
         )
         appended = out
     else:
-        # Idempotent table append: stage the batch, then rename its files
-        # into the table under batch-derived names; a retry first sweeps
-        # any files a crashed attempt left, so the rows land exactly once
-        # no matter how many times the sink is re-invoked.
-        stage = os.path.join(ingest_ledger_path(dst_path), "stage", str(batch_id))
-        out.write.mode("overwrite").option("compression", spec.compression).parquet(
-            stage
+        # Idempotent table append (idempotent_append): stage the batch,
+        # sweep any files a crashed attempt left, rename in under
+        # batch-derived names — the rows land exactly once no matter how
+        # many times the sink is re-invoked.
+        moved = idempotent_append(
+            out,
+            dst_path,
+            batch_id,
+            compression=spec.compression,
+            stage_root=os.path.join(ingest_ledger_path(dst_path), "stage"),
+            prefix=f"part-ingest-b{batch_id}-",
         )
-        prefix = f"part-ingest-b{batch_id}-"
-        os.makedirs(dst_path, exist_ok=True)
-        for name in os.listdir(dst_path):
-            if name.startswith(prefix):
-                os.remove(os.path.join(dst_path, name))
-        moved = []
-        for name in sorted(os.listdir(stage)):
-            if name.startswith(("_", ".")):
-                continue
-            tgt = os.path.join(dst_path, prefix + name)
-            os.replace(os.path.join(stage, name), tgt)
-            moved.append(tgt)
-        shutil.rmtree(stage, ignore_errors=True)
         # sidecars merge from the COMMITTED rows, not a re-evaluation of
         # the batch plan (same principle as the text index counting its
         # written delta)

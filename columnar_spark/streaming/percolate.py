@@ -33,9 +33,13 @@ def stream_percolate(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        percolate(batch_df, stored, id_col=id_col, text_col=text_col).write.mode(
-            "append"
-        ).parquet(out_path)
+        from columnar_spark.streaming.ingest import idempotent_append
+
+        idempotent_append(  # replay-safe append
+            percolate(batch_df, stored, id_col=id_col, text_col=text_col),
+            out_path,
+            batch_id,
+        )
 
     writer = stream.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir

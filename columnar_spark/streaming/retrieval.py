@@ -55,7 +55,9 @@ def stream_retrieval(
             q_id_col=q_id_col,
             q_vec_col=q_vec_col,
         )
-        out.write.mode("append").parquet(out_path)
+        from columnar_spark.streaming.ingest import idempotent_append
+
+        idempotent_append(out, out_path, batch_id)  # replay-safe append
 
     writer = stream.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir

@@ -133,11 +133,20 @@ def append_rollup_batch(
     keys: Sequence[str] = ("event_type",),
     value_col: str = "value",
     distinct_col: str | None = None,
+    batch_id: int | None = None,
 ) -> None:
-    """One micro-batch's contribution: compute partials, append."""
-    rollup_partials(batch_df, ts_col, bucket, keys, value_col, distinct_col).write.mode(
-        "append"
-    ).parquet(rollup_path)
+    """One micro-batch's contribution: compute partials, append.
+    With a batch_id (the streaming epoch) the append is replay-safe —
+    staged files rename in under batch-derived names a retry sweeps
+    first (idempotent_append), so an at-least-once foreachBatch retry
+    cannot double-count the partials."""
+    from columnar_spark.streaming.ingest import idempotent_append
+
+    idempotent_append(
+        rollup_partials(batch_df, ts_col, bucket, keys, value_col, distinct_col),
+        rollup_path,
+        batch_id,
+    )
 
 
 def stream_rollup(
@@ -159,7 +168,8 @@ def stream_rollup(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         append_rollup_batch(
-            batch_df, rollup_path, ts_col, bucket, keys, value_col, distinct_col
+            batch_df, rollup_path, ts_col, bucket, keys, value_col, distinct_col,
+            batch_id=batch_id,
         )
 
     writer = stream.writeStream.foreachBatch(sink).option(

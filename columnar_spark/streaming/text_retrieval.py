@@ -54,7 +54,9 @@ def stream_text_retrieval(
             out = bm25_batch_search(
                 corpus, queries, k, id_col=id_col, text_col=text_col
             )
-        out.write.mode("append").parquet(out_path)
+        from columnar_spark.streaming.ingest import idempotent_append
+
+        idempotent_append(out, out_path, batch_id)  # replay-safe append
 
     writer = stream.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir
