@@ -83,7 +83,12 @@ def idempotent_append(
     staged files rename in under batch-derived names — every retry
     converges on one final file set. Returns the committed file paths.
     With batch_id=None (no retry semantics to defend against) this is a
-    plain append."""
+    plain append.
+
+    Single-stream contract: epoch ids are unique within ONE streaming
+    query's checkpoint. Two different queries appending to the same
+    destination would collide on batch-derived names — give each its
+    own `prefix` (e.g. a query name) if that topology is ever needed."""
     if batch_id is None:
         df.write.mode("append").option("compression", compression).parquet(dst_path)
         return []
