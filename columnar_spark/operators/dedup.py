@@ -633,21 +633,20 @@ def _repeated_occurrences(
     repeats corpus-wide; __is_first marks the gram's globally first
     occurrence (ordered by (id, position))."""
     g = repeated_span_grams(df, text_col, id_col, n, hash_grams)
-    cnts = (
-        g.groupBy("__key")
-        .agg(
-            F.count(F.lit(1)).alias("__cnt"),
-            F.min(F.struct("__id", "__s")).alias("__first"),
+    # gram-partitioned window count/min: one shuffle of the occurrences
+    # and ONE evaluation of the tokenize+gram pipeline (a groupBy+join
+    # back onto g would re-derive it on both join sides — the same trap
+    # minhash_dedup's representative election had)
+    wk = Window.partitionBy("__key")
+    first = F.min(F.struct(F.col("__id"), F.col("__s"))).over(wk)
+    return (
+        g.withColumn("__cnt", F.count(F.lit(1)).over(wk))
+        .withColumn(
+            "__is_first",
+            (F.col("__id") == first["__id"]) & (F.col("__s") == first["__s"]),
         )
         .filter(F.col("__cnt") > 1)
-    )
-    return g.join(cnts, "__key").select(
-        "__id",
-        "__s",
-        (
-            (F.col("__id") == F.col("__first.__id"))
-            & (F.col("__s") == F.col("__first.__s"))
-        ).alias("__is_first"),
+        .select("__id", "__s", "__is_first")
     )
 
 
