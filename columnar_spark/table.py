@@ -198,11 +198,74 @@ class Engine:
             parse_covered_count,
         )
 
+        import re as _re
+
+        # EXPLAIN <any Engine.sql statement> — the daemon's EXPLAIN
+        # QUERY analog: the inner statement goes through the SAME
+        # dispatch (rewrites, MATCH/KNN forms, verbs that return result
+        # frames), and the FORMATTED physical plan comes back as a
+        # result set — so a user can see whether a count was served
+        # index-only, a rollup routed, a join broadcast.
+        m = _re.match(r"^\s*EXPLAIN\s+(.+)$", query, _re.IGNORECASE | _re.DOTALL)
+        if m:
+            inner = self.sql(m.group(1))
+            jqe = inner._jdf.queryExecution()
+            try:
+                jvm = self.spark._jvm
+                plan = jqe.explainString(
+                    jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                        "formatted"
+                    )
+                )
+            except Exception:  # noqa: BLE001 — fall back to the default render
+                plan = jqe.toString()
+            return self.spark.createDataFrame([(plan,)], "plan: string")
+
+        # CALL PQ('queries_table', 'document text' [, 'boolean']) — the
+        # daemon's percolate call: stored queries are the table, the
+        # GIVEN document is the probe. The stored-queries table is small
+        # by contract (it broadcasts inside the operator); returns the
+        # matching query_ids.
+        m = _re.match(
+            r"^\s*CALL\s+PQ\s*\(\s*'(?P<table>\w+)'\s*,\s*'(?P<data>[^']*)'\s*"
+            r"(?:,\s*'(?P<mode>and|boolean)'\s*)?\)\s*;?\s*$",
+            query,
+            _re.IGNORECASE,
+        )
+        if m:
+            from pyspark.sql import functions as _F
+
+            from columnar_spark.operators.fulltext import (
+                percolate,
+                percolate_boolean,
+            )
+
+            qdf = self.table(m.group("table"))
+            qid_col = "query_id" if "query_id" in qdf.columns else qdf.columns[0]
+            qtext_col = (
+                "query_text" if "query_text" in qdf.columns else qdf.columns[1]
+            )
+            stored = [
+                (str(r[qid_col]), r[qtext_col])
+                for r in qdf.select(qid_col, qtext_col).collect()
+            ]
+            probe = self.spark.createDataFrame(
+                [(0, m.group("data"))], "doc_id: long, text: string"
+            )
+            fn = (
+                percolate_boolean
+                if (m.group("mode") or "").lower() == "boolean"
+                else percolate
+            )
+            return (
+                fn(probe, stored)
+                .select("query_id")
+                .orderBy(_F.col("query_id").asc())
+            )
+
         # Time-travel syntax: `FROM <table> VERSION AS OF <n>` reads the
         # retained snapshot (snapshots.read_table) through a temp view —
         # the Delta SQL surface over this engine's COW version log.
-        import re as _re
-
         m = _re.search(
             r"\bFROM\s+(\w+)\s+VERSION\s+AS\s+OF\s+(\d+)\b", query, _re.IGNORECASE
         )

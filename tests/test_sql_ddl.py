@@ -173,3 +173,33 @@ def test_call_snippets_highlights_given_text(spark, tmp_path):
     # no match: leading window, no markup
     snip2 = eng.sql("CALL SNIPPETS('nothing here', 't', 'zzz')").first().snippet
     assert snip2 == "nothing here"
+
+
+def test_explain_verb_shows_physical_plan(spark, tmp_path):
+    eng, p = _mk(spark, tmp_path)
+    write_value_index(spark, p, "c")
+    eng.register_views(["t"])
+    plan = eng.sql("EXPLAIN SELECT COUNT(*) AS n FROM t WHERE c = '1'").first().plan
+    assert "Physical Plan" in plan or "Scan" in plan
+    # the index-only rewrite is visible through EXPLAIN
+    assert ".vidx" in plan
+    # and a verb-result frame explains too
+    plan2 = eng.sql("EXPLAIN SHOW TABLES").first().plan
+    assert "Scan" in plan2 or "LocalTableScan" in plan2
+
+
+def test_call_pq_percolates_stored_queries(spark, tmp_path):
+    eng, _ = _mk(spark, tmp_path)
+    qp = f"{tmp_path}/alerts.parquet"
+    spark.createDataFrame(
+        [("q1", "disk error"), ("q2", "panic"), ("q3", "error")],
+        "query_id string, query_text string",
+    ).write.parquet(qp)
+    got = [r.query_id for r in eng.sql(
+        "CALL PQ('alerts', 'a disk error occurred in the pod')"
+    ).collect()]
+    assert got == ["q1", "q3"]  # AND semantics: all terms must appear
+    got_b = [r.query_id for r in eng.sql(
+        "CALL PQ('alerts', 'kernel panic but no test', 'boolean')"
+    ).collect()]
+    assert "q2" in got_b and "q1" not in got_b
