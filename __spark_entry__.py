@@ -2637,6 +2637,49 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang")
 
 
+_SPLITS_SQL = """
+WITH g AS (
+  SELECT doc_id,
+         min(doc_id) OVER (
+           PARTITION BY array_to_string(
+             (list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))[1:2], ' ')
+         ) AS grp
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN substr(md5(CAST(grp AS VARCHAR) || 'split-v1'), 1, 4) < 'e666' THEN 'train'
+       WHEN substr(md5(CAST(grp AS VARCHAR) || 'split-v1'), 1, 4) < 'f333' THEN 'val'
+       ELSE 'test' END AS split,
+  CAST(grp AS BIGINT) AS grp
+FROM g
+"""
+
+
+@_q("leakage_safe_splits", _SPLITS_SQL)
+def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment that hashes the DUP-CLUSTER id (here the
+    exact-dup group over the 2-token prefix, the same clustering
+    dedup_exact_groups uses) instead of the row id — every member of a
+    duplicate cluster lands in the same split, so train/eval
+    contamination through duplication is structurally impossible.
+    Deterministic md5 gate (sampling.assign_splits), engine-portable."""
+    from pyspark.sql import Window as _W
+
+    from columnar_spark.operators.sampling import assign_splits
+
+    docs = _t(spark, sf_dir, "documents")
+    grp = F.min("doc_id").over(
+        _W.partitionBy(F.concat_ws(" ", F.slice(CT.tokens(F.col("text")), 1, 2)))
+    )
+    base = docs.select("doc_id", grp.cast("long").alias("grp"))
+    out = assign_splits(
+        base, "doc_id",
+        {"train": 0.9, "val": 0.05, "test": 0.05},
+        salt="split-v1", group_col="grp",
+    )
+    return out.select("doc_id", "split", "grp")
+
+
 # --------------------------------------------------------------------------
 # Analytic-function coverage: RANGE frames, rank family, statistical aggs
 # --------------------------------------------------------------------------

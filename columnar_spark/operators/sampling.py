@@ -116,3 +116,48 @@ def weighted_sample(
     df: DataFrame, key_col: str, weight: Column, salt: str = ""
 ) -> DataFrame:
     return df.filter(weighted_sample_gate(F.col(key_col), weight, salt))
+
+
+def split_label(key: Column, weights: dict[str, float], salt: str = "") -> Column:
+    """Deterministic split label for a key: the md5 hash-gate position
+    (sample_gate's 4-hex bucket space) against the cumulative weight
+    boundaries, labels assigned in the dict's insertion order. Same
+    engine-portability contract as sample_gate — a DuckDB CASE over
+    substring(md5(...),1,4) reproduces the exact assignment."""
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    h = F.substring(F.md5(F.concat(key.cast("string"), F.lit(salt))), 1, 4)
+    labels = list(weights)
+    col = None
+    acc = 0.0
+    for label in labels[:-1]:
+        acc += weights[label] / total
+        thresh = format(min(int(acc * _BUCKETS), _BUCKETS), "04x")
+        branch = F.when(h < F.lit(thresh), F.lit(label))
+        col = branch if col is None else col.when(h < F.lit(thresh), F.lit(label))
+    last = F.lit(labels[-1])
+    return col.otherwise(last) if col is not None else last
+
+
+def assign_splits(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float],
+    salt: str = "",
+    group_col: str | None = None,
+    out_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: the split label hashes the
+    GROUP key (a dup-cluster id — e.g. exact_dedup's survivor id or
+    minhash_dedup's keep_id) when `group_col` is given, else the row's
+    own key — so every member of a duplicate cluster lands in the SAME
+    split and train/eval contamination through duplication is
+    structurally impossible (the leakage mode benchmark-decontamination
+    papers flag for random per-row splits). Deterministic, auditable,
+    engine-portable (md5 gate), and a pure scan projection — no shuffle,
+    no state, works identically on 100 TB."""
+    key = F.col(group_col) if group_col else F.col(key_col)
+    return df.withColumn(out_col, split_label(key, weights, salt))

@@ -123,3 +123,57 @@ def test_weighted_gate_portable_and_monotone(spark, keys, w):
         ).collect()
     }
     assert kept <= kept2
+
+
+def test_assign_splits_cluster_coherent_and_proportional(spark):
+    """Leakage safety: every dup-cluster lands in ONE split; global
+    proportions track the weights; same salt -> same assignment."""
+    from pyspark.sql import functions as F
+
+    from columnar_spark.operators.sampling import assign_splits
+
+    n = 4000
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 700).alias("grp"),  # 700 clusters, ~5.7 rows each
+    )
+    out = assign_splits(
+        df, "k", {"train": 0.8, "val": 0.1, "test": 0.1},
+        salt="s1", group_col="grp",
+    )
+    # one split per cluster
+    assert (
+        out.groupBy("grp").agg(F.countDistinct("split").alias("d"))
+        .filter(F.col("d") > 1).count() == 0
+    )
+    # proportions within tolerance (700 clusters hashing independently)
+    frac = {
+        r["split"]: r["count"] / n for r in out.groupBy("split").count().collect()
+    }
+    assert abs(frac["train"] - 0.8) < 0.08 and abs(frac.get("val", 0) - 0.1) < 0.05
+    # determinism
+    again = assign_splits(
+        df, "k", {"train": 0.8, "val": 0.1, "test": 0.1},
+        salt="s1", group_col="grp",
+    )
+    assert out.exceptAll(again).count() == 0 and again.exceptAll(out).count() == 0
+    # a different salt reshuffles (at least one cluster moves)
+    moved = assign_splits(
+        df, "k", {"train": 0.8, "val": 0.1, "test": 0.1},
+        salt="s2", group_col="grp",
+    )
+    assert moved.exceptAll(out).count() > 0
+
+
+def test_split_label_covers_degenerate_weights(spark):
+    from pyspark.sql import functions as F
+
+    from columnar_spark.operators.sampling import assign_splits
+
+    df = spark.range(100).select(F.col("id").alias("k"))
+    one = assign_splits(df, "k", {"all": 1.0})
+    assert one.filter(F.col("split") != "all").count() == 0
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        assign_splits(df, "k", {})
