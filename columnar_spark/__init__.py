@@ -35,9 +35,23 @@ from columnar_spark.stats import (
     write_posting_index,
     write_value_index,
 )
-from columnar_spark.operators.upsert import delete_where, merge_into, update_set
+from columnar_spark.operators.upsert import (
+    alter_add_column,
+    alter_drop_column,
+    delete_where,
+    merge_into,
+    reindex_table,
+    truncate_table,
+    update_set,
+)
 from columnar_spark.table import Engine
-from columnar_spark.writer import WriteSpec, build_sf_layout, check_table, write_table
+from columnar_spark.writer import (
+    WriteSpec,
+    build_sf_layout,
+    check_table,
+    drop_stale_sidecars,
+    write_table,
+)
 
 __all__ = [
     "get_spark",
@@ -58,9 +72,14 @@ __all__ = [
     "write_value_index",
     "write_posting_index",
     "write_json_field_index",
-    "merge_into",
     "delete_where",
+    "merge_into",
     "update_set",
+    "truncate_table",
+    "alter_add_column",
+    "alter_drop_column",
+    "reindex_table",
+    "drop_stale_sidecars",
 ]
 
 __version__ = "0.1.0"
