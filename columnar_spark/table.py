@@ -208,6 +208,18 @@ class Engine:
         # index-only, a rollup routed, a join broadcast.
         m = _re.match(r"^\s*EXPLAIN\s+(.+)$", query, _re.IGNORECASE | _re.DOTALL)
         if m:
+            # the dispatch EXECUTES mutating verbs to build their echo
+            # frame — explaining one would silently run it; refuse
+            if _re.match(
+                r"^\s*(INSERT|DELETE|UPDATE|MERGE|CREATE|DROP|ALTER|"
+                r"TRUNCATE|OPTIMIZE|RESTORE)\b",
+                m.group(1),
+                _re.IGNORECASE,
+            ):
+                raise ValueError(
+                    "EXPLAIN of a mutating statement is refused — running "
+                    "it is the only way to produce its result frame"
+                )
             inner = self.sql(m.group(1))
             jqe = inner._jdf.queryExecution()
             try:

@@ -203,3 +203,11 @@ def test_call_pq_percolates_stored_queries(spark, tmp_path):
         "CALL PQ('alerts', 'kernel panic but no test', 'boolean')"
     ).collect()]
     assert "q2" in got_b and "q1" not in got_b
+
+
+def test_explain_refuses_mutating_statements(spark, tmp_path):
+    eng, p = _mk(spark, tmp_path)
+    before = spark.read.parquet(p).count()
+    with pytest.raises(ValueError):
+        eng.sql("EXPLAIN DELETE FROM t WHERE i > 5")
+    assert spark.read.parquet(p).count() == before  # nothing executed
