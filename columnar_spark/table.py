@@ -822,6 +822,48 @@ class Engine:
                 "version: long, op: string, n_rows_retired: long, ts: double",
             )
 
+        # SHOW CHANGES FROM t BETWEEN <v1> AND <v2|LIVE> KEY (k[, k])
+        # — the Delta-CDF-style change feed between two retained table
+        # states (snapshots.table_changes): inserts/deletes/update
+        # pre+post rows per key.
+        m = _re.match(
+            r"^\s*SHOW\s+CHANGES\s+FROM\s+(\w+)\s+BETWEEN\s+(\d+)\s+AND\s+"
+            r"(\d+|LIVE)\s+KEY\s*\(\s*([\w,\s]+)\)\s*;?\s*$",
+            query,
+            _re.IGNORECASE,
+        )
+        if m:
+            from columnar_spark.snapshots import table_changes
+
+            v_to = None if m.group(3).upper() == "LIVE" else int(m.group(3))
+            keys = [k.strip() for k in m.group(4).split(",") if k.strip()]
+            return table_changes(
+                self.spark,
+                f"{self.sf_dir}/{m.group(1)}.parquet",
+                int(m.group(2)),
+                v_to,
+                keys,
+            )
+
+        # VACUUM t [RETAIN n] — drop all but the newest n retained
+        # snapshots (default 1); returns the removed version numbers.
+        m = _re.match(
+            r"^\s*VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+))?\s*;?\s*$",
+            query,
+            _re.IGNORECASE,
+        )
+        if m:
+            from columnar_spark.snapshots import vacuum
+
+            removed = vacuum(
+                f"{self.sf_dir}/{m.group(1)}.parquet",
+                retain_last=int(m.group(2) or 1),
+            )
+            return self.spark.createDataFrame(
+                [(m.group(1), len(removed), ",".join(map(str, removed)))],
+                "table: string, n_removed: bigint, removed_versions: string",
+            )
+
         # RESTORE TABLE t VERSION AS OF n — roll back to a retained
         # snapshot (the displaced table retires as a new version), then
         # reindex: every sidecar rebuilds against the restored contents

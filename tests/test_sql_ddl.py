@@ -211,3 +211,25 @@ def test_explain_refuses_mutating_statements(spark, tmp_path):
     with pytest.raises(ValueError):
         eng.sql("EXPLAIN DELETE FROM t WHERE i > 5")
     assert spark.read.parquet(p).count() == before  # nothing executed
+
+
+def test_show_changes_and_vacuum(spark, tmp_path):
+    eng, p = _mk(spark, tmp_path)
+    eng.sql("DELETE FROM t WHERE i >= 25")       # retires the 30-row state
+    eng.sql("UPDATE t SET c = 'Z' WHERE i = 3")  # retires the 25-row state
+    vers = {r.op: r.version for r in eng.sql("SHOW VERSIONS FROM t").collect()}
+    pre_update = vers["update"]
+    changes = eng.sql(
+        f"SHOW CHANGES FROM t BETWEEN {pre_update} AND LIVE KEY (i)"
+    ).collect()
+    kinds = {}
+    for r in changes:
+        kinds.setdefault(r["_change_type"], []).append(r["i"])
+    assert kinds.get("update_preimage") == [3] and kinds.get("update_postimage") == [3]
+    assert "insert" not in kinds and "delete" not in kinds
+    # versions 0 and 1 both retained; vacuum to the newest one
+    assert len(eng.sql("SHOW VERSIONS FROM t").collect()) == 2
+    row = eng.sql("VACUUM t RETAIN 1").first()
+    assert row.n_removed == 1 and row.removed_versions != ""
+    remaining = eng.sql("SHOW VERSIONS FROM t").collect()
+    assert len(remaining) == 1 and remaining[0].op == "update"  # newest kept
