@@ -811,15 +811,31 @@ class Engine:
             r"^\s*SHOW\s+VERSIONS\s+FROM\s+(\w+)\s*;?\s*$", query, _re.IGNORECASE
         )
         if m:
-            from columnar_spark.snapshots import history
+            import os
 
+            from columnar_spark.snapshots import _versions_root, history
+
+            base = f"{self.sf_dir}/{m.group(1)}.parquet"
             rows = [
-                (e.version, e.op, -1 if e.n_rows is None else int(e.n_rows), e.ts_unix)
-                for e in history(f"{self.sf_dir}/{m.group(1)}.parquet")
+                (
+                    e.version,
+                    e.op,
+                    -1 if e.n_rows is None else int(e.n_rows),
+                    e.ts_unix,
+                    # vacuum reclaims data dirs but keeps the log as an
+                    # audit trail: only `retained` versions are readable
+                    os.path.isdir(
+                        os.path.join(
+                            _versions_root(base), f"v{e.version:06d}", "data"
+                        )
+                    ),
+                )
+                for e in history(base)
             ]
             return self.spark.createDataFrame(
-                rows or [(-1, "(none)", -1, 0.0)],
-                "version: long, op: string, n_rows_retired: long, ts: double",
+                rows or [(-1, "(none)", -1, 0.0, False)],
+                "version: long, op: string, n_rows_retired: long, "
+                "ts: double, retained: boolean",
             )
 
         # SHOW CHANGES FROM t BETWEEN <v1> AND <v2|LIVE> KEY (k[, k])

@@ -231,5 +231,7 @@ def test_show_changes_and_vacuum(spark, tmp_path):
     assert len(eng.sql("SHOW VERSIONS FROM t").collect()) == 2
     row = eng.sql("VACUUM t RETAIN 1").first()
     assert row.n_removed == 1 and row.removed_versions != ""
-    remaining = eng.sql("SHOW VERSIONS FROM t").collect()
-    assert len(remaining) == 1 and remaining[0].op == "update"  # newest kept
+    # the log is an audit trail: both entries stay listed, but only the
+    # newest remains retained (readable/restorable)
+    remaining = {r.op: r.retained for r in eng.sql("SHOW VERSIONS FROM t").collect()}
+    assert remaining == {"delete": False, "update": True}
