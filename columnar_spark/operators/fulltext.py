@@ -357,6 +357,18 @@ def write_text_index(
     )
 
 
+def text_index_meta(table_path: str) -> dict | None:
+    """The sidecar's meta.json alone (text_col/id_col/analyzer/counters)
+    — one json.load, no DataFrame construction. Use this when only the
+    metadata is needed (snippet column resolution, SHOW CREATE TABLE);
+    load_text_index builds postings/lengths frames per delta segment."""
+    mp = f"{text_index_path(table_path)}/meta.json"
+    if not os.path.exists(mp):
+        return None
+    with open(mp) as f:
+        return json.load(f)
+
+
 def load_text_index(spark: SparkSession, table_path: str):
     """-> (postings, lengths, meta) or None if no sidecar exists.
 

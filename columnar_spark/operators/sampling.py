@@ -135,9 +135,17 @@ def split_label(key: Column, weights: dict[str, float], salt: str = "") -> Colum
     acc = 0.0
     for label in labels[:-1]:
         acc += weights[label] / total
-        thresh = format(min(int(acc * _BUCKETS), _BUCKETS), "04x")
-        branch = F.when(h < F.lit(thresh), F.lit(label))
-        col = branch if col is None else col.when(h < F.lit(thresh), F.lit(label))
+        buckets = min(int(acc * _BUCKETS), _BUCKETS)
+        # a full-bucket boundary would format as the 5-char '10000',
+        # which sorts BELOW most 4-hex prefixes — the always-true
+        # condition must be explicit (sample_gate has the same guard)
+        cond = (
+            F.lit(True)
+            if buckets >= _BUCKETS
+            else h < F.lit(format(buckets, "04x"))
+        )
+        branch = F.when(cond, F.lit(label))
+        col = branch if col is None else col.when(cond, F.lit(label))
     last = F.lit(labels[-1])
     return col.otherwise(last) if col is not None else last
 

@@ -212,7 +212,7 @@ class Engine:
             # frame — explaining one would silently run it; refuse
             if _re.match(
                 r"^\s*(INSERT|DELETE|UPDATE|MERGE|CREATE|DROP|ALTER|"
-                r"TRUNCATE|OPTIMIZE|RESTORE)\b",
+                r"TRUNCATE|OPTIMIZE|RESTORE|VACUUM)\b",
                 m.group(1),
                 _re.IGNORECASE,
             ):
@@ -253,6 +253,12 @@ class Engine:
             )
 
             qdf = self.table(m.group("table"))
+            if len(qdf.columns) < 2:
+                raise ValueError(
+                    "CALL PQ: the stored-queries table needs (query_id, "
+                    f"query_text) columns; {m.group('table')!r} has "
+                    f"{qdf.columns}"
+                )
             qid_col = "query_id" if "query_id" in qdf.columns else qdf.columns[0]
             qtext_col = (
                 "query_text" if "query_text" in qdf.columns else qdf.columns[1]
@@ -443,13 +449,14 @@ class Engine:
                     # text_col when a sidecar exists (a table whose text
                     # lives under another name must not fail — or worse,
                     # highlight an unrelated 'text' column); bare 'text'
-                    # only as the no-sidecar fallback
+                    # only as the no-sidecar fallback. Meta-only read —
+                    # no postings/lengths frames for a column name.
                     from columnar_spark.operators.fulltext import (
-                        load_text_index as _lti,
+                        text_index_meta as _tim,
                     )
 
-                    _loaded = _lti(self.spark, f"{self.sf_dir}/{table}.parquet")
-                    tcol = _loaded[2]["text_col"] if _loaded is not None else "text"
+                    _meta = _tim(f"{self.sf_dir}/{table}.parquet")
+                    tcol = _meta["text_col"] if _meta is not None else "text"
                     text_lc = _F.lower(_F.col(tcol))
                     locs = _F.array(
                         *[_F.locate(t, text_lc) for t in terms]
@@ -720,17 +727,17 @@ class Engine:
         # (round-trip pinned by test). Vector indexes need training data
         # and are deliberately NOT creatable empty.
         m = _re.match(
-            r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*\((.+)\)\s*;?\s*$",
+            r"^\s*CREATE\s+TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?(\w+)\s*\((.+)\)\s*;?\s*$",
             query,
             _re.IGNORECASE | _re.DOTALL,
         )
         if m:
             import os
 
-            name, body = m.group(1), m.group(2)
+            name, body = m.group(2), m.group(3)
             base = f"{self.sf_dir}/{name}.parquet"
             if os.path.isdir(base):
-                if "IF NOT EXISTS" in query.upper():
+                if m.group("ine"):
                     return self.spark.createDataFrame(
                         [("create_table", name, 0, 0)],
                         "op: string, table: string, n_affected: bigint, n_rows: bigint",
@@ -906,8 +913,12 @@ class Engine:
             )
 
         # CALL SNIPPETS('text', 'table', 'query terms') — highlight the
-        # GIVEN text with the table's analyzer-aware term wrapping (the
-        # daemon's CALL SNIPPETS over explicit data). One row per input.
+        # GIVEN text (the daemon's CALL SNIPPETS over explicit data).
+        # The table argument is validated and supplies the analyzer when
+        # its text index has one: analyzed term forms (stems) join the
+        # raw terms in the wrap set, so queries that MATCH through the
+        # analyzer also mark up their literal occurrences here. One row
+        # per input; matching is raw-substring over the given text.
         m = _re.match(
             r"^\s*CALL\s+SNIPPETS\s*\(\s*'(?P<data>[^']*)'\s*,\s*'(?P<table>\w+)'\s*,"
             r"\s*'(?P<q>[^']*)'\s*\)\s*;?\s*$",
@@ -917,9 +928,19 @@ class Engine:
         if m:
             from pyspark.sql import functions as _F
 
+            from columnar_spark.operators.fulltext import (
+                analyze_query_terms,
+                text_index_meta,
+            )
+
+            self.table(m.group("table"))  # validate the table exists
             terms = [t.lower() for t in m.group("q").split() if t]
             if not terms:
                 raise ValueError("CALL SNIPPETS needs at least one query term")
+            meta = text_index_meta(f"{self.sf_dir}/{m.group('table')}.parquet")
+            if meta is not None and meta.get("analyzer"):
+                analyzed = analyze_query_terms(terms, meta["analyzer"])
+                terms = sorted({*terms, *[t for t in analyzed if t]})
             pat = "(?i)(" + "|".join(_re.escape(t) for t in terms) + ")"
             one = self.spark.createDataFrame(
                 [(m.group("data"),)], "data: string"
@@ -952,7 +973,7 @@ class Engine:
                 "op: string, table: string, n_affected: bigint, n_rows: bigint",
             )
         m = _re.match(
-            r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*$",
+            r"^\s*DROP\s+TABLE\s+(?P<ie>IF\s+EXISTS\s+)?(\w+)\s*;?\s*$",
             query,
             _re.IGNORECASE,
         )
@@ -962,10 +983,10 @@ class Engine:
 
             from columnar_spark.writer import drop_stale_sidecars
 
-            name = m.group(1)
+            name = m.group(2)
             base = f"{self.sf_dir}/{name}.parquet"
             existed = os.path.isdir(base)
-            if not existed and "IF EXISTS" not in query.upper():
+            if not existed and not m.group("ie"):
                 raise ValueError(f"DROP TABLE: no table {name!r}")
             dropped = drop_stale_sidecars(base)
             for extra in (".versions", ".compact.tmp"):

@@ -557,6 +557,18 @@ def compact_table(
         [f for f in os.listdir(path) if f.endswith((".parquet", ".orc"))]
     )
     compact_vector_index(spark, path)
+    # Compaction changes the table dir's file signature without changing
+    # its CONTENTS, so persisted value-index counts stay exact — but the
+    # freshness gate compares signatures, and a stale recorded signature
+    # would refuse the index forever. Re-record, don't rebuild.
+    from columnar_spark.stats import (
+        _write_table_sig,
+        persisted_value_index_cols,
+        value_index_path,
+    )
+
+    for c in persisted_value_index_cols(path):
+        _write_table_sig(path, value_index_path(path, c))
     return files_before, files_after
 
 

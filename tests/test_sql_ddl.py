@@ -235,3 +235,61 @@ def test_show_changes_and_vacuum(spark, tmp_path):
     # newest remains retained (readable/restorable)
     remaining = {r.op: r.retained for r in eng.sql("SHOW VERSIONS FROM t").collect()}
     assert remaining == {"delete": False, "update": True}
+
+
+def test_review_fixes_round5(spark, tmp_path):
+    """Regressions pinned from the round-5 code review: EXPLAIN VACUUM
+    must not execute; IF [NOT] EXISTS tolerates arbitrary whitespace;
+    CALL PQ rejects a 1-column queries table with a clear error;
+    OPTIMIZE keeps the value-index freshness signature valid."""
+    eng, p = _mk(spark, tmp_path)
+    eng.sql("DELETE FROM t WHERE i >= 20")
+    assert len(eng.sql("SHOW VERSIONS FROM t").collect()) == 1
+    with pytest.raises(ValueError):
+        eng.sql("EXPLAIN VACUUM t")
+    assert eng.sql("SHOW VERSIONS FROM t").first().retained  # nothing vacuumed
+
+    # whitespace-insensitive IF NOT EXISTS / IF EXISTS
+    assert eng.sql(
+        "CREATE TABLE IF NOT\n  EXISTS t (i int)"
+    ).first().n_affected == 0
+    assert eng.sql("DROP TABLE IF\n EXISTS nope").first().n_affected == 0
+
+    # 1-column stored-queries table -> contract error, not IndexError
+    spark.range(3).selectExpr("CAST(id AS STRING) AS q").write.parquet(
+        f"{tmp_path}/oneq.parquet"
+    )
+    with pytest.raises(ValueError, match="query_id"):
+        eng.sql("CALL PQ('oneq', 'some doc')")
+
+
+def test_optimize_preserves_index_freshness(spark, tmp_path):
+    """Compaction rewrites the table files without changing contents;
+    the recorded value-index signature must be refreshed, not left to
+    fail the freshness gate forever."""
+    import json
+
+    eng, p = _mk(spark, tmp_path, n=10)
+    for k in range(5):
+        spark.range(100 + k, 101 + k).selectExpr(
+            "id AS i", "CAST(id % 3 AS STRING) AS c", "'text body x' AS text"
+        ).coalesce(1).write.mode("append").parquet(p)
+    write_value_index(spark, p, "c")
+    eng.sql("OPTIMIZE TABLE t")
+    from columnar_spark.stats import table_signature
+
+    sig = json.load(open(p + ".vidx/c/_table_sig.json"))
+    assert sig == table_signature(p)  # gate-valid after the rewrite
+
+
+def test_split_label_full_weight_boundary(spark):
+    """A non-final cumulative weight of 1.0 formats as 5 hex chars and
+    would break the fixed-width compare — the always-true guard must
+    assign everything to that label."""
+    from pyspark.sql import functions as F
+
+    from columnar_spark.operators.sampling import assign_splits
+
+    df = spark.range(200).select(F.col("id").alias("k"))
+    out = assign_splits(df, "k", {"train": 1.0, "test": 0.0})
+    assert out.filter(F.col("split") != "train").count() == 0
