@@ -485,6 +485,34 @@ class Engine:
                 order = [_F.col(id_col).asc()]
             return joined.orderBy(*order).select(*out_cols)
 
+        # FACET on a PLAIN select (no MATCH): the daemon supports FACET
+        # after any SELECT — same single-frame adaptation as the MATCH
+        # form: the facet frame (facet, value, cnt) over the WHERE-
+        # filtered set.
+        m = _re.match(
+            r"^\s*SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<table>\w+)\s*"
+            r"(?:WHERE\s+(?P<rest>(?:(?!MATCH\s*\().)+?)\s*)?"
+            r"FACET\s+(?P<facets>\w+(?:\s*,\s*\w+)*)\s*;?\s*$",
+            query,
+            _re.IGNORECASE | _re.DOTALL,
+        )
+        if m:
+            from pyspark.sql import functions as _F
+
+            df = self.table(m.group("table"))
+            base = df.filter(_F.expr(m.group("rest"))) if m.group("rest") else df
+            parts = [
+                base.groupBy(
+                    _F.lit(c.strip()).alias("facet"),
+                    _F.col(c.strip()).cast("string").alias("value"),
+                ).agg(_F.count(_F.lit(1)).alias("cnt"))
+                for c in m.group("facets").split(",")
+            ]
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out.orderBy("facet", "value")
+
         # KNN SQL surface — the reference daemon's
         #   SELECT <cols | knn_dist()> FROM t
         #   WHERE KNN(vec_col, k, (v1, v2, ...)) [AND <residual pred>]

@@ -216,3 +216,25 @@ def test_call_keywords_plain_and_analyzed(eng, spark, tmp_path):
 def test_show_tables(eng):
     rows = {r.table: r.row_count for r in eng.sql("SHOW TABLES").collect()}
     assert "region" in rows and "documents" in rows and "lineitem" in rows
+
+
+def test_plain_select_facet(eng, spark):
+    """FACET after a plain (non-MATCH) SELECT — the daemon allows FACET
+    on any query; single-frame adaptation returns the facet counts over
+    the WHERE-filtered set."""
+    got = {
+        (r.facet, r.value): r.cnt
+        for r in eng.sql(
+            "SELECT doc_id FROM documents WHERE lang = 'en' FACET source"
+        ).collect()
+    }
+    docs = spark.read.parquet(f"{SF}/documents.parquet").filter(F.col("lang") == "en")
+    want = {
+        ("source", str(r["source"])): r["count"]
+        for r in docs.groupBy("source").count().collect()
+    }
+    assert got == want
+    # multi-column, no WHERE
+    two = eng.sql("SELECT doc_id FROM documents FACET lang, source").collect()
+    facets = {r.facet for r in two}
+    assert facets == {"lang", "source"}
