@@ -492,12 +492,14 @@ class Engine:
         m = _re.match(
             r"^\s*SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<table>\w+)\s*"
             r"(?:WHERE\s+(?P<rest>(?:(?!MATCH\s*\().)+?)\s*)?"
-            r"FACET\s+(?P<facets>\w+(?:\s*,\s*\w+)*)\s*;?\s*$",
+            r"FACET\s+(?P<facets>\w+(?:\s*,\s*\w+)*)\s*"
+            r"(?:LIMIT\s+(?P<fk>\d+)\s*)?;?\s*$",
             query,
             _re.IGNORECASE | _re.DOTALL,
         )
         if m:
             from pyspark.sql import functions as _F
+            from pyspark.sql import Window as _W
 
             df = self.table(m.group("table"))
             base = df.filter(_F.expr(m.group("rest"))) if m.group("rest") else df
@@ -511,6 +513,17 @@ class Engine:
             out = parts[0]
             for p in parts[1:]:
                 out = out.unionByName(p)
+            if m.group("fk"):
+                # the daemon's FACET ... LIMIT n: top-n values PER facet
+                # by count (deterministic value tie-break)
+                w = _W.partitionBy("facet").orderBy(
+                    _F.col("cnt").desc(), _F.col("value").asc()
+                )
+                out = (
+                    out.withColumn("__rn", _F.row_number().over(w))
+                    .filter(_F.col("__rn") <= int(m.group("fk")))
+                    .drop("__rn")
+                )
             return out.orderBy("facet", "value")
 
         # KNN SQL surface — the reference daemon's

@@ -238,3 +238,15 @@ def test_plain_select_facet(eng, spark):
     two = eng.sql("SELECT doc_id FROM documents FACET lang, source").collect()
     facets = {r.facet for r in two}
     assert facets == {"lang", "source"}
+
+
+def test_plain_facet_with_limit(eng, spark):
+    rows = eng.sql("SELECT doc_id FROM documents FACET source LIMIT 2").collect()
+    assert len(rows) == 2 and all(r.facet == "source" for r in rows)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    full = sorted(
+        ((r["count"], str(r["source"])) for r in docs.groupBy("source").count().collect()),
+        key=lambda t: (-t[0], t[1]),
+    )
+    want_vals = sorted(v for _, v in full[:2])
+    assert sorted(r.value for r in rows) == want_vals
