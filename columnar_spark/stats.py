@@ -439,6 +439,29 @@ def _write_table_sig(table_path: str, index_dir: str) -> None:
         json.dump(table_signature(table_path), f)
 
 
+def index_is_fresh(table_path: str, index_dir: str) -> bool:
+    """Python twin of CountRewriteRule.indexFresh: the `_table_sig.json`
+    recorded by the index writer must match the table's CURRENT signature,
+    else the table was rewritten outside the framework's append/DML paths
+    and the sidecar describes dead data — refuse to serve it (the base
+    scan stands, which is always correct). A sidecar without a recorded
+    signature (pre-signature layout) is served as before; every current
+    writer records one. Pure filesystem metadata — no Spark job."""
+    import json
+    import os
+
+    sp = os.path.join(index_dir, "_table_sig.json")
+    if not os.path.isfile(sp):
+        return True  # legacy index: no signal
+    try:
+        with open(sp) as f:
+            rec = json.load(f)
+    except (OSError, ValueError):
+        return False
+    live = table_signature(table_path)
+    return all(rec.get(k) == live[k] for k in ("files", "bytes", "max_mtime_ms"))
+
+
 def value_index_path(table_path: str, col: str) -> str:
     return table_path.rstrip("/") + f".vidx/{col}"
 
@@ -468,11 +491,24 @@ def write_value_index(spark: SparkSession, table_path: str, col: str, fmt: str =
     _write_table_sig(table_path, value_index_path(table_path, col))
 
 
-def load_value_index(spark: SparkSession, table_path: str, col: str) -> DataFrame | None:
+def load_value_index(
+    spark: SparkSession, table_path: str, col: str, *, check_fresh: bool = True
+) -> DataFrame | None:
+    """The persisted (value, cnt) sidecar for `col`, or None when absent
+    — or when STALE (table signature mismatch), so query-serving callers
+    (Engine._get_value_index, Engine.sql count rewrites) fall back to the
+    base scan exactly like the JVM CountRewriteRule. Maintenance paths
+    that must read the sidecar regardless (merge_value_index runs after
+    the table append so the sig is legitimately behind; the storage
+    checker validates content itself) pass check_fresh=False."""
     import os
 
     p = value_index_path(table_path, col)
-    return spark.read.parquet(p) if os.path.isdir(p) else None
+    if not os.path.isdir(p):
+        return None
+    if check_fresh and not index_is_fresh(table_path, p):
+        return None
+    return spark.read.parquet(p)
 
 
 def merge_value_index(spark: SparkSession, table_path: str, col: str, batch_df: DataFrame) -> None:
@@ -480,7 +516,9 @@ def merge_value_index(spark: SparkSession, table_path: str, col: str, batch_df: 
     persisted index — O(index + batch-ndv) work, no table re-scan; counts
     are associative so batch boundaries are invisible (same contract as
     the stats sketch and the rollup partials)."""
-    existing = load_value_index(spark, table_path, col)
+    # check_fresh=False: merge runs AFTER the batch's table append, so the
+    # recorded signature is legitimately one step behind right now.
+    existing = load_value_index(spark, table_path, col, check_fresh=False)
     if existing is None:
         return
     # JSON field index: the batch carries the PARENT column; compute the
@@ -623,13 +661,23 @@ def write_posting_index(
     build_posting_index(df, col, id_col).write.mode("overwrite").parquet(p)
     with open(os.path.join(p, "_meta.json"), "w") as f:
         json.dump({"id_col": id_col}, f)
+    _write_table_sig(table_path, p)
 
 
-def load_posting_index(spark: SparkSession, table_path: str, col: str) -> DataFrame | None:
+def load_posting_index(
+    spark: SparkSession, table_path: str, col: str, *, check_fresh: bool = True
+) -> DataFrame | None:
+    """Same freshness contract as load_value_index: a stale sidecar
+    (table rewritten outside the framework's paths) is treated as absent
+    so the base scan serves the query."""
     import os
 
     p = posting_index_path(table_path, col)
-    return spark.read.parquet(p) if os.path.isdir(p) else None
+    if not os.path.isdir(p):
+        return None
+    if check_fresh and not index_is_fresh(table_path, p):
+        return None
+    return spark.read.parquet(p)
 
 
 def posting_index_id_col(table_path: str, col: str) -> str | None:
@@ -649,7 +697,9 @@ def merge_posting_index(
     """Incremental maintenance: fold one batch's postings in —
     concat + re-sort per touched value, O(index + batch) like the value
     index. Sorted-postings invariant is preserved by construction."""
-    existing = load_posting_index(spark, table_path, col)
+    # check_fresh=False: merge runs AFTER the batch's table append (same
+    # one-step-behind signature situation as merge_value_index).
+    existing = load_posting_index(spark, table_path, col, check_fresh=False)
     if existing is None:
         return
     delta = build_posting_index(batch_df, col, id_col)
@@ -670,3 +720,6 @@ def merge_posting_index(
     out.write.mode("overwrite").parquet(p)
     with open(os.path.join(p, "_meta.json"), "w") as f:
         json.dump({"id_col": id_col}, f)
+    # merge runs AFTER the batch's table append, so the signature taken
+    # now matches the table state the merged postings describe
+    _write_table_sig(table_path, p)

@@ -135,12 +135,15 @@ class Engine:
         from columnar_spark.stats import load_value_index, persisted_value_index_cols
 
         table_path = f"{self.sf_dir}/{name}.parquet"
-        cols = persisted_value_index_cols(table_path)
-        for c in cols:
+        adopted = []
+        for c in persisted_value_index_cols(table_path):
+            # load_value_index refuses stale sidecars (signature gate) —
+            # only actually-adopted columns are reported
             idx = load_value_index(self.spark, table_path, c)
             if idx is not None:
                 self._value_indexes[(name, c)] = idx
-        return cols
+                adopted.append(c)
+        return adopted
 
     def _get_value_index(self, name: str, col: str):
         """In-session index, or lazily adopt the on-disk .vidx sidecar

@@ -476,7 +476,9 @@ def _check_table_body(
 
     n = df.count()
     for c in persisted_value_index_cols(path):
-        idx = load_value_index(spark, path, c)
+        # check_fresh=False: the checker validates sidecar CONTENT against
+        # a live recount below, which subsumes the signature gate.
+        idx = load_value_index(spark, path, c, check_fresh=False)
         if c not in df.columns:
             errors.append(f"value index {c}: column absent from table")
             continue

@@ -117,6 +117,58 @@ def test_check_table_audits_value_index(spark, tmp_path):
     assert any("column absent" in e for e in errs)
 
 
+def test_stale_sidecar_not_served_python_surface(spark, tmp_path):
+    """Freshness gate on the PYTHON load path (twin of the JVM
+    CountRewriteRule.indexFresh): a table rewritten OUTSIDE the
+    framework's append/DML paths must not be answered from the stale
+    sidecar — load_value_index / load_posting_index return None and the
+    base scan serves the query."""
+    from columnar_spark.stats import load_posting_index, write_posting_index
+
+    path = str(tmp_path / "stale.parquet")
+    spark.createDataFrame(
+        [(i, ["a", "b"][i % 2]) for i in range(10)], "k: long, s: string"
+    ).write.parquet(path)
+    write_value_index(spark, path, "s")
+    write_posting_index(spark, path, "s", "k")
+    assert load_value_index(spark, path, "s") is not None
+    assert load_posting_index(spark, path, "s") is not None
+
+    # out-of-band rewrite: plain spark.write overwrite, no index maintenance
+    spark.createDataFrame([(1, "zzz")], "k: long, s: string").write.mode(
+        "overwrite"
+    ).parquet(path)
+    assert load_value_index(spark, path, "s") is None  # stale → refused
+    assert load_posting_index(spark, path, "s") is None
+    # maintenance/checker paths may still read the bytes explicitly
+    assert load_value_index(spark, path, "s", check_fresh=False) is not None
+
+    # Engine.sql falls back to the base scan and stays correct
+    import shutil
+
+    sf = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(sf, exist_ok=True)
+    tpath = f"{sf}/t.parquet"
+    spark.createDataFrame(
+        [(i, ["a", "b"][i % 2]) for i in range(10)], "k: long, s: string"
+    ).write.parquet(tpath)
+    write_value_index(spark, tpath, "s")
+    spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "c")], "k: long, s: string"
+    ).write.mode("overwrite").parquet(tpath)
+    eng = Engine(spark, sf)
+    assert eng.load_persisted_value_indexes("t") == []  # refused at adopt
+    eng.register_views(["t"])
+    got = {
+        (r[0], r[1])
+        for r in eng.sql("SELECT s, COUNT(*) AS n FROM t GROUP BY s").collect()
+    }
+    assert got == {("a", 2), ("c", 1)}  # live data, not the stale index
+    shutil.rmtree(sf)
+
+
 def test_posting_index_sidecar_lifecycle(spark, tmp_path):
     from columnar_spark.stats import (
         build_posting_index,
