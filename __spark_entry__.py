@@ -3818,6 +3818,58 @@ def equidepth_histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GRAPH_INDEX_CACHE: dict[str, str] = {}
+
+
+def _graph_sidecar_for(spark: SparkSession, sf_dir: str) -> str | None:
+    """The persisted HNSW sidecar for `<sf_dir>/embeddings.parquet`:
+    the on-disk artifact when the ingested layout carries a fresh one,
+    else a session-cached shadow build (testdata mounts are read-only).
+    Either way queries are served from a STANDING artifact — built once,
+    searched many times (knn/knn.cpp Load-then-Search)."""
+    from columnar_spark.operators.hnsw_index import (
+        build_graph_index,
+        load_graph_index_meta,
+    )
+
+    table = f"{sf_dir}/embeddings.parquet"
+    if load_graph_index_meta(table) is not None:
+        return None  # default location is live — no override needed
+    cached = _GRAPH_INDEX_CACHE.get(table)
+    if cached is not None and load_graph_index_meta(table, index_path=cached) is not None:
+        return cached
+    import tempfile
+
+    shadow = tempfile.mkdtemp(prefix="knn-graph-") + "/emb.knn-graph"
+    build_graph_index(
+        spark, spark.read.parquet(table), table, num_parts=4, index_path=shadow
+    )
+    _GRAPH_INDEX_CACHE[table] = shadow
+    return shadow
+
+
+@_q("knn_graph_cosine")  # graph ANN (approximate) — rows-only; recall
+def knn_graph_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:  # gate in tests/test_hnsw_index.py
+    """Graph ANN served from the PERSISTED HNSW sidecar
+    (operators/hnsw_index.py — knn/knn.cpp:643-790 Save / :557-640 Load
+    parity): per-part sub-graphs are loaded (not rebuilt) inside
+    applyInPandas with an executor-side reconstruction cache, searched
+    with one beam walk each, and merged by a global top-k. The 100 TB
+    serving shape for a standing corpus queried repeatedly — zero
+    training or graph construction at query time."""
+    from columnar_spark.operators.hnsw_index import knn_query_graph
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(v) for v in emb.filter(F.col("vec_id") == _KNN_QID).first()["embedding"]]
+    shadow = _graph_sidecar_for(spark, sf_dir)
+    hits = knn_query_graph(
+        spark, f"{sf_dir}/embeddings.parquet", qvec, _KNN_K, ef=64,
+        index_path=shadow,
+    )
+    out = hits.join(emb.select("vec_id", "label"), "vec_id")
+    return out.select("vec_id", "label", F.round(F.col("dist"), 6).alias("dist"))
+
+
 @_q("knn_rp_l2")  # numpy-seeded JL matrix — no SQL equivalent; rows-only
 def knn_rp_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dimensionality-reduction rung of the compression ladder
@@ -5000,6 +5052,7 @@ _DRIVER_PRIORITY = [
     # (knn_b1_cosine moved post-50 in r4 to admit json_field_counts; it
     # stays hash-verified in the local 133-run)
     "knn_b1_cosine",
+    "knn_graph_cosine",
     "knn_ivf_cosine", "minhash_dedup_assign", "simhash_dedup_assign",
     "embedding_neardup_lsh", "q9_nation_profit", "knn_q8_cosine", "knn_pq_l2",
     "knn_ivfpq_cosine", "histogram_quantity", "knn_self_join_ivf",

@@ -431,6 +431,59 @@ class HnswIndex:
         return [(self._labels[n], d) for d, n in top]
 
 
+def index_to_rows(index: HnswIndex) -> list[tuple[int, int, list[float], list[list[int]]]]:
+    """Serialize the graph as plain rows (node, label, vec, links) —
+    links[level] is the node's adjacency at that level, list length =
+    node's top level + 1. Together with (entry, max_level, metric, M,
+    ef_construction) this is the complete index state: the same
+    save-everything contract as the reference's index Save
+    (knn/knn.cpp:643-790 writes vectors + graph + entry point), but as
+    parquet-friendly rows instead of a private binary format."""
+    return [
+        (
+            node,
+            int(index._labels[node]),
+            [float(x) for x in index._vecs[node]],
+            [list(lv) for lv in index._graph[node]],
+        )
+        for node in range(len(index._vecs))
+    ]
+
+
+def index_from_rows(
+    rows: "Sequence[tuple[int, int, Sequence[float], Sequence[Sequence[int]]]]",
+    metric: str,
+    M: int,
+    ef_construction: int,
+    entry: int,
+    max_level: int,
+    seed: int = 42,
+) -> HnswIndex:
+    """Reconstruct a searchable index from serialized rows (the Load half
+    of knn/knn.cpp:557-640). O(n) with ZERO distance computations — vs
+    the O(n log n) beam-search build — which is what makes a persisted
+    graph worth serving from. Searches on the reconstruction are
+    bit-identical to the original (pinned by test). `seed` re-arms the
+    level-sampling RNG so subsequent add()s (incremental append) are
+    deterministic given (seed, existing size)."""
+    rows = sorted(rows, key=lambda r: r[0])
+    if [r[0] for r in rows] != list(range(len(rows))):
+        raise ValueError("graph rows must be a contiguous 0..n-1 node range")
+    if not rows:
+        raise ValueError("empty graph state")
+    dim = len(rows[0][2])
+    index = HnswIndex(dim, metric, M, ef_construction, seed)
+    for _node, label, vec, links in rows:
+        v = np.asarray(vec, dtype=np.float32)
+        index._vecs.append(v)
+        index._norms.append(float(np.linalg.norm(v)) or 1e-30)
+        index._labels.append(int(label))
+        index._graph.append([list(map(int, lv)) for lv in links])
+    index._entry = int(entry)
+    index._max_level = int(max_level)
+    return index
+
+
 def build_index(
     ids: Sequence[int],
     vectors: np.ndarray,
