@@ -1419,17 +1419,34 @@ def knn_b1_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle-bearing: sign-bit packing and bit_count(xor) hamming are
     fully deterministic (no training), so DuckDB replicates the exact
     candidate shortlist (ham, id order) and the re-ranked result
-    hash-matches end to end."""
+    hash-matches end to end. Ingested layouts with a fresh .knn sidecar
+    serve the SAME result index-only: sign bits are scale-invariant, so
+    the at-rest b1 codes (built from normalized vectors) equal the
+    on-the-fly ones, the candidate scan reads the 8-byte b1 column
+    alone (32x less than float32), and the exact re-rank joins the
+    shortlist back to the base table's raw floats (pinned identical in
+    tests/test_knn_index.py)."""
+    from columnar_spark.operators.knn_index import (
+        knn_query_indexed_b1,
+        load_vector_index,
+    )
     from columnar_spark.operators.quantize import binarize_vectors, knn_topk_b1
 
     emb = _t(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()["embedding"])
     qvec = [float(v) for v in emb.filter(F.col("vec_id") == _KNN_QID).first()["embedding"]]
-    b1 = binarize_vectors(emb, "embedding", dim)
-    out = knn_topk_b1(
-        b1, "embedding_b1", qvec, _KNN_K, id_col="vec_id", vec_col="embedding",
-        rerank_factor=16,
-    )
+    idx = load_vector_index(f"{sf_dir}/embeddings.parquet")
+    if idx is not None and idx.has_b1:
+        out = knn_query_indexed_b1(
+            spark, idx, qvec, _KNN_K, rerank_df=emb, rerank_factor=16
+        ).withColumnRenamed("id", "vec_id")
+        out = out.join(emb.select("vec_id", "label"), "vec_id")
+    else:
+        dim = len(emb.select("embedding").first()["embedding"])
+        b1 = binarize_vectors(emb, "embedding", dim)
+        out = knn_topk_b1(
+            b1, "embedding_b1", qvec, _KNN_K, id_col="vec_id", vec_col="embedding",
+            rerank_factor=16,
+        )
     return out.select("vec_id", "label", (F.round(F.col("dist"), 6) + F.lit(0.0)).alias("dist"))
 
 

@@ -10,12 +10,23 @@ Artifact layout, `<table>.parquet.knn/`:
                       IVF table. Tiny; loaded driver-side via pyarrow.
 - `codebooks.parquet` — (subspace, code, centroid array<float>): the
                       residual-PQ codebooks. Tiny; driver-side.
-- `vectors/`        — (id, pq_code, vec) hive-PARTITIONED BY
+- `quantizers.parquet` — (kind, params array<double>): the scalar/
+                      binary quantizer ladder trained at build time —
+                      'q8' holds the clipped [lo, hi] bounds, 'b1'
+                      marks sign-bit packing (empty params = zero
+                      threshold, the oracle-bearing form). Reference
+                      stores the quantized vectors INSIDE the index
+                      (knn/quantizer.cpp:45-641); here the codes are
+                      at-rest COLUMNS of the code dataset.
+- `vectors/`        — (id, pq_code, b1, q8, vec) hive-PARTITIONED BY
                       `ivf_cluster`: a probe's cluster filter prunes
-                      whole directories before any file opens. The
-                      float vector rides along for exact re-rank; drop
-                      it (store_vectors=False) for the pure-ADC 32x
-                      footprint.
+                      whole directories before any file opens; parquet
+                      column pruning means a BIT1 pre-rank reads the
+                      8-byte-per-64-dims `b1` column only — 32x less
+                      than float32 — and q8 reads 4x less. The float
+                      vector rides along for exact re-rank; drop it
+                      (store_vectors=False) for the pure-code
+                      footprint and re-rank from the base table.
 
 Query path (`knn_query_indexed`): load centroids/codebooks driver-side
 (no Spark job), pick nprobe lists, scan ONLY those partitions, ADC-score
@@ -61,6 +72,9 @@ class VectorIndex:
     centroids: list[list[float]]
     codebooks: list[list[list[float]]]
     path: str
+    # at-rest quantizer ladder (None on pre-ladder artifacts)
+    q8_bounds: "tuple[float, float] | None" = None
+    has_b1: bool = False
 
     @property
     def vectors_path(self) -> str:
@@ -80,6 +94,8 @@ def build_vector_index(
     max_iter: int = 8,
     seed: int = 42,
     store_vectors: bool = True,
+    store_b1: bool = True,
+    store_q8: bool = True,
 ) -> str:
     """Train and persist the IVF-PQ index for `df[vec_col]`. Returns the
     artifact path. Idempotent per content only in the sense of
@@ -96,6 +112,11 @@ def build_vector_index(
     centroids, codebooks = train_ivfpq(
         base, vec_col, dim, nlist=nlist, m=m, k=k, max_iter=max_iter, seed=seed
     )
+    q8_bounds = None
+    if store_q8:
+        from columnar_spark.operators.quantize import train_quantizer
+
+        q8_bounds = train_quantizer(base, vec_col)
 
     out = knn_index_path(table_path)
     os.makedirs(out, exist_ok=True)
@@ -125,11 +146,26 @@ def build_vector_index(
     book_df.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(out, "codebooks.parquet")
     )
+    quant_rows = []
+    if q8_bounds is not None:
+        quant_rows.append(("q8", [float(q8_bounds[0]), float(q8_bounds[1])]))
+    if store_b1:
+        quant_rows.append(("b1", []))
+    if quant_rows:
+        spark.createDataFrame(
+            quant_rows, "kind: string, params: array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out, "quantizers.parquet")
+        )
 
     _write_codes(
         base, centroids, codebooks, vec_col, id_col, store_vectors,
-        os.path.join(out, "vectors"), mode="overwrite",
+        os.path.join(out, "vectors"), mode="overwrite", dim=dim,
+        store_b1=store_b1, q8_bounds=q8_bounds,
     )
+    from columnar_spark.stats import _write_table_sig
+
+    _write_table_sig(table_path, out)
     return out
 
 
@@ -142,17 +178,32 @@ def _write_codes(
     store_vectors: bool,
     vectors_path: str,
     mode: str,
+    dim: int | None = None,
+    store_b1: bool = False,
+    q8_bounds: "tuple[float, float] | None" = None,
 ) -> None:
-    """Assign coarse clusters, residual-PQ-encode, and write the code
-    dataset hive-partitioned by cluster. Shared by the initial build and
-    incremental appends so both produce byte-identical codes for the
-    same (centroids, codebooks, vectors)."""
+    """Assign coarse clusters, residual-PQ-encode, add the at-rest
+    scalar/binary codes, and write the code dataset hive-partitioned by
+    cluster. Shared by the initial build and incremental appends so both
+    produce byte-identical codes for the same (centroids, codebooks,
+    quantizer params, vectors)."""
     tagged = assign_clusters(base, vec_col, centroids, "ivf_cluster")
     tagged = residual_col(tagged, vec_col, centroids, "ivf_cluster")
     tagged = encode_vectors(tagged, "__ivfpq_res", codebooks, "pq_code").drop(
         "__ivfpq_res"
     )
     cols = [F.col(id_col).alias("id"), F.col("pq_code"), F.col("ivf_cluster")]
+    if store_b1:
+        from columnar_spark.operators.quantize import binarize_expr
+
+        d = dim if dim is not None else len(centroids[0])
+        cols.append(binarize_expr(F.col(vec_col), d).alias("b1"))
+    if q8_bounds is not None:
+        from columnar_spark.operators.quantize import quantize_expr
+
+        cols.append(
+            quantize_expr(F.col(vec_col), q8_bounds[0], q8_bounds[1]).alias("q8")
+        )
     if store_vectors:
         cols.append(F.col(vec_col).alias("vec"))
     (
@@ -181,7 +232,9 @@ def append_to_vector_index(
     degrades only if its distribution shifts; rebuild via
     `build_vector_index` on compaction, exactly like the reference's
     segment-rebuild story."""
-    index = load_vector_index(table_path)
+    # check_fresh=False: append runs AFTER the batch's table append, so
+    # the recorded signature is legitimately one step behind right now
+    index = load_vector_index(table_path, check_fresh=False)
     if index is None:
         raise ValueError(f"no vector index at {knn_index_path(table_path)}")
     base = df_new
@@ -189,21 +242,36 @@ def append_to_vector_index(
         base = df_new.withColumn(
             index.vec_col, unit_vector(F.col(index.vec_col)).cast("array<float>")
         )
-    store_vectors = "vec" in spark.read.parquet(index.vectors_path).columns
+    existing_cols = spark.read.parquet(index.vectors_path).columns
     _write_codes(
         base, index.centroids, index.codebooks, index.vec_col, index.id_col,
-        store_vectors, index.vectors_path, mode="append",
+        "vec" in existing_cols, index.vectors_path, mode="append",
+        dim=index.dim, store_b1="b1" in existing_cols,
+        q8_bounds=index.q8_bounds if "q8" in existing_cols else None,
     )
+    from columnar_spark.stats import _write_table_sig
+
+    _write_table_sig(table_path, index.path)
     return index
 
 
-def load_vector_index(table_path: str) -> VectorIndex | None:
+def load_vector_index(
+    table_path: str, *, check_fresh: bool = True
+) -> VectorIndex | None:
     """Driver-side artifact load (pyarrow — centroids/codebooks are KBs;
-    no Spark job). None when the table has no index: callers fall back
-    to on-the-fly training, same contract as the stats sidecar."""
+    no Spark job). None when the table has no index — or when STALE
+    under the shared `_table_sig` gate (table rewritten outside the
+    framework's paths): callers fall back to on-the-fly training, same
+    contract as the stats sidecar. Maintenance paths (append, checker)
+    pass check_fresh=False."""
     out = knn_index_path(table_path)
     if not os.path.isdir(os.path.join(out, "vectors")):
         return None
+    if check_fresh:
+        from columnar_spark.stats import index_is_fresh
+
+        if not index_is_fresh(table_path, out):
+            return None
     try:
         import pyarrow.parquet as pq
 
@@ -220,12 +288,20 @@ def load_vector_index(table_path: str) -> VectorIndex | None:
         books: list[list[list[float]]] = [[] for _ in range(m)]
         for r in sorted(books_rows, key=lambda r: (r["subspace"], r["code"])):
             books[r["subspace"]].append([float(x) for x in r["centroid"]])
+        q8_bounds = None
+        has_b1 = False
+        if os.path.isdir(os.path.join(out, "quantizers.parquet")):
+            for r in _read("quantizers.parquet").to_pylist():
+                if r["kind"] == "q8":
+                    q8_bounds = (float(r["params"][0]), float(r["params"][1]))
+                elif r["kind"] == "b1":
+                    has_b1 = True
         return VectorIndex(
             vec_col=meta["vec_col"], id_col=meta["id_col"], metric=meta["metric"],
             nlist=meta["nlist"], m=m, k=meta["k"], dim=meta["dim"],
             normalized=meta["normalized"],
             centroids=[[float(x) for x in r["centroid"]] for r in cents],
-            codebooks=books, path=out,
+            codebooks=books, path=out, q8_bounds=q8_bounds, has_b1=has_b1,
         )
     except Exception:
         return None
@@ -239,7 +315,8 @@ def check_vector_index(spark: SparkSession, table_path: str) -> list[str]:
     clean): meta/codebook shape agreement, code-width per row, and
     id-set equality between the table and the code dataset (appends and
     merges must keep them in lockstep)."""
-    index = load_vector_index(table_path)
+    # the checker validates content directly — read even a stale sidecar
+    index = load_vector_index(table_path, check_fresh=False)
     if index is None:
         return []  # no sidecar, nothing to check
     errors: list[str] = []
@@ -258,6 +335,15 @@ def check_vector_index(spark: SparkSession, table_path: str) -> list[str]:
     bad_width = codes.filter(F.size("pq_code") != index.m).count()
     if bad_width:
         errors.append(f"pq_code: {bad_width} rows have width != m={index.m}")
+    if "b1" in codes.columns:
+        n_words = (index.dim + 63) // 64
+        bad_b1 = codes.filter(F.size("b1") != n_words).count()
+        if bad_b1:
+            errors.append(f"b1: {bad_b1} rows have width != {n_words} words")
+    if "q8" in codes.columns:
+        bad_q8 = codes.filter(F.size("q8") != index.dim).count()
+        if bad_q8:
+            errors.append(f"q8: {bad_q8} rows have width != dim={index.dim}")
     bad_cluster = codes.filter(
         (F.col("ivf_cluster") < 0) | (F.col("ivf_cluster") >= index.nlist)
     ).count()
@@ -275,6 +361,77 @@ def check_vector_index(spark: SparkSession, table_path: str) -> list[str]:
     if orphans:
         errors.append(f"index has {orphans} orphan ids not in table")
     return errors
+
+
+def knn_query_indexed_b1(
+    spark: SparkSession,
+    index: VectorIndex,
+    query_vec: Sequence[float],
+    topk: int,
+    rerank_df: DataFrame | None = None,
+    rerank_factor: int = 16,
+    nprobe: int | None = None,
+    asym: bool = False,
+) -> DataFrame:
+    """Top-k via the AT-REST BIT1 codes (quantizer.cpp:45-641 parity at
+    rest, not just at query time): the candidate scan reads ONLY the
+    `b1` column of the code dataset — 8 bytes per 64 dims, a 32x read
+    cut vs float32, visible as ReadSchema pruning in the plan — ranks by
+    hamming popcount (or the asymmetric 4-bit-query estimate with
+    asym=True), and exact re-ranks the k*rerank_factor shortlist.
+
+    Re-rank source: `rerank_df` (the BASE table — id_col/vec_col from
+    meta) when given, else the stored `vec` column. The shortlist join
+    is a broadcast of <= k*rerank_factor ids, so the float column is
+    touched for the shortlist only. Optional IVF pruning composes: with
+    `nprobe`, only the nearest coarse lists' partitions are scanned
+    (PartitionFilters + ReadSchema pruning together)."""
+    import math
+
+    from columnar_spark.operators.quantize import knn_topk_b1, knn_topk_b1q4
+
+    if not index.has_b1:
+        raise ValueError("index has no at-rest b1 codes (store_b1=False build)")
+    q = [float(x) for x in query_vec]
+    if index.normalized:
+        nrm = math.sqrt(sum(x * x for x in q)) or 1.0
+        q = [x / nrm for x in q]
+
+    vectors = spark.read.parquet(index.vectors_path)
+    if nprobe is not None:
+        dists = sorted(
+            range(index.nlist),
+            key=lambda c: sum(
+                (a - b) ** 2 for a, b in zip(index.centroids[c], q)
+            ),
+        )[: max(1, nprobe)]
+        vectors = vectors.filter(F.col("ivf_cluster").isin(dists))
+
+    codes = vectors.select("id", "b1")
+    pre = knn_topk_b1q4 if asym else knn_topk_b1
+    # vec_col=None returns the raw code-ranked order; ask for the full
+    # k*rerank_factor shortlist in one TakeOrdered over the b1-only scan
+    shortlist = pre(
+        codes, "b1", q, topk * rerank_factor, id_col="id", vec_col=None
+    ).select("id")
+    if rerank_df is not None:
+        pool = rerank_df.select(
+            F.col(index.id_col).alias("id"),
+            F.col(index.vec_col).alias("vec"),
+        )
+    else:
+        if "vec" not in vectors.columns:
+            raise ValueError(
+                "no stored vectors in the index and no rerank_df given"
+            )
+        pool = vectors.select("id", "vec")
+    cand = pool.join(F.broadcast(shortlist), "id")
+    from columnar_spark.operators.knn import knn_topk
+
+    # q is on the unit sphere for cosine indexes; pass the ORIGINAL query
+    # against the rerank pool's raw/normalized vectors consistently
+    rq = [float(x) for x in query_vec] if rerank_df is not None else q
+    return knn_topk(cand, "vec", rq, topk, metric=index.metric, id_col="id")
 
 
 def knn_query_indexed(

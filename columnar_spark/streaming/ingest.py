@@ -150,7 +150,7 @@ def _rebuild_sidecars(ss: SparkSession, dst_path: str) -> None:
         idc = posting_index_id_col(dst_path, c)
         if idc:
             write_posting_index(ss, dst_path, c, idc)
-    vidx = load_vector_index(dst_path)
+    vidx = load_vector_index(dst_path, check_fresh=False)  # rebuilding anyway
     if vidx is not None and vidx.vec_col in full.columns:
         store_vectors = "vec" in ss.read.parquet(vidx.vectors_path).columns
         build_vector_index(
@@ -254,7 +254,9 @@ def append_batch(
             load_vector_index,
         )
 
-        vidx = load_vector_index(dst_path)
+        # check_fresh=False: the table append above legitimately moved the
+        # signature ahead of the sidecar's recorded one
+        vidx = load_vector_index(dst_path, check_fresh=False)
         if vidx is not None and vidx.vec_col in appended.columns:
             append_to_vector_index(ss, appended, dst_path)
         # Persisted value-index sidecars (A11 artifact): fold the batch's

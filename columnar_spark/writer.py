@@ -565,12 +565,19 @@ def compact_table(
     # would refuse the index forever. Re-record, don't rebuild.
     from columnar_spark.stats import (
         _write_table_sig,
+        persisted_posting_index_cols,
         persisted_value_index_cols,
+        posting_index_path,
         value_index_path,
     )
 
     for c in persisted_value_index_cols(path):
         _write_table_sig(path, value_index_path(path, c))
+    for c in persisted_posting_index_cols(path):
+        _write_table_sig(path, posting_index_path(path, c))
+    for side in (path.rstrip("/") + ".knn", path.rstrip("/") + ".knn-graph"):
+        if os.path.isdir(side):
+            _write_table_sig(path, side)
     return files_before, files_after
 
 
@@ -586,7 +593,8 @@ def compact_vector_index(spark: SparkSession, path: str) -> bool:
 
     from columnar_spark.operators.knn_index import load_vector_index
 
-    index = load_vector_index(path)
+    # compaction just changed the table's file signature — read anyway
+    index = load_vector_index(path, check_fresh=False)
     if index is None:
         return False
     vp = index.vectors_path

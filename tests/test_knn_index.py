@@ -203,3 +203,105 @@ def test_compact_vector_index_preserves_codes(spark, tmp_path_factory):
     assert check_vector_index(spark, t) == []
     # idempotent: already compact -> no-op
     assert compact_vector_index(spark, t) is False
+
+
+def test_at_rest_quantized_codes_and_b1_serving(spark, indexed):
+    """F4 at rest (quantizer.cpp parity): the build stores b1 sign-bit
+    words and int8 q8 codes as columns of the code dataset with the
+    trained quantizer params in the artifact; the BIT1 probe reads ONLY
+    the b1 column (ReadSchema pruning = the 32x read cut) and the
+    re-ranked result is IDENTICAL to the on-the-fly BIT1 path."""
+    from columnar_spark.operators.knn_index import knn_query_indexed_b1
+    from columnar_spark.operators.quantize import binarize_vectors, knn_topk_b1
+
+    table, emb = indexed
+    idx = load_vector_index(table)
+    assert idx.has_b1 and idx.q8_bounds is not None
+    lo, hi = idx.q8_bounds
+    assert lo < hi
+
+    codes = spark.read.parquet(idx.vectors_path)
+    assert "b1" in codes.columns and "q8" in codes.columns
+    dim = idx.dim
+    assert codes.filter(F.size("b1") != (dim + 63) // 64).count() == 0
+    assert codes.filter(F.size("q8") != dim).count() == 0
+
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
+
+    # served from the at-rest codes, re-ranked on the BASE table floats
+    got = knn_query_indexed_b1(
+        spark, idx, q, 10, rerank_df=emb, rerank_factor=16
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # the code scan reads b1 only — never pq_code/q8/vec from the sidecar
+    import re
+
+    schemas = re.findall(r"ReadSchema: (struct<[^>]*>)", plan)
+    side_scan = [s for s in schemas if "b1" in s]
+    assert side_scan and all("q8" not in s and "pq_code" not in s for s in side_scan), schemas
+
+    # identical to the on-the-fly path: sign bits are scale-invariant,
+    # so the sidecar's normalized-vector b1 == raw-vector b1, and the
+    # exact re-rank runs on the same raw floats either way
+    b1_fly = binarize_vectors(emb, "embedding", dim)
+    want = knn_topk_b1(
+        b1_fly, "embedding_b1", q, 10, id_col="vec_id", vec_col="embedding",
+        rerank_factor=16,
+    )
+    got_rows = [(r["id"], round(r["dist"], 6)) for r in got.collect()]
+    want_rows = [(r["vec_id"], round(r["dist"], 6)) for r in want.collect()]
+    assert got_rows == want_rows
+
+    # asymmetric variant serves from the same at-rest codes
+    got_asym = knn_query_indexed_b1(
+        spark, idx, q, 10, rerank_df=emb, rerank_factor=16, asym=True
+    ).collect()
+    assert len(got_asym) == 10
+
+    # IVF pruning composes with the b1 scan
+    pruned = knn_query_indexed_b1(
+        spark, idx, q, 10, rerank_df=emb, nprobe=2
+    )
+    pplan = pruned._jdf.queryExecution().executedPlan().toString()
+    pfs = re.findall(r"PartitionFilters: \[([^\]]*)\]", pplan)
+    # several scans exist (rerank pool has no partition filter); the
+    # sidecar's b1 scan must carry the cluster pruning
+    assert any("ivf_cluster" in pf for pf in pfs), pfs
+
+
+def test_append_extends_quantized_codes(spark, tmp_path_factory):
+    """Appends encode with the PERSISTED quantizer params — no retrain,
+    byte-identical codes for the same vectors."""
+    from columnar_spark.operators.knn_index import (
+        append_to_vector_index,
+        check_vector_index,
+    )
+
+    emb = spark.read.parquet(SRC)
+    first = emb.where(F.col("vec_id") % 2 == 0)
+    rest = emb.where(F.col("vec_id") % 2 == 1)
+    root = tmp_path_factory.mktemp("vidx_q")
+    t = str(root / "t.parquet")
+    emb.write.parquet(t)  # table holds everything; index built on half
+    build_vector_index(spark, first, t, nlist=4, m=8, k=16)
+    idx0 = load_vector_index(t, check_fresh=False)
+    append_to_vector_index(spark, rest, t)
+    idx1 = load_vector_index(t, check_fresh=False)
+    assert idx1.q8_bounds == idx0.q8_bounds  # params frozen at train time
+    codes = spark.read.parquet(idx1.vectors_path)
+    assert codes.count() == emb.count()
+    assert codes.filter(F.size("b1") != (idx1.dim + 63) // 64).count() == 0
+    assert check_vector_index(spark, t) == []
+
+
+def test_stale_vector_index_refused(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("vidx_stale")
+    t = str(root / "t.parquet")
+    emb = spark.read.parquet(SRC).limit(100)
+    emb.write.parquet(t)
+    build_vector_index(spark, emb, t, nlist=4, m=8, k=16)
+    assert load_vector_index(t) is not None
+    # out-of-band rewrite
+    spark.read.parquet(SRC).limit(10).write.mode("overwrite").parquet(t)
+    assert load_vector_index(t) is None
+    assert load_vector_index(t, check_fresh=False) is not None
