@@ -125,10 +125,16 @@ def reindex_table(spark, path: str, fmt: str = "parquet") -> None:
     )
 
     invalidate_json_field_indexes(path)
+    from columnar_spark.stats import value_index_measures
+
     for c in persisted_value_index_cols(path):
         if json_index_meta(path, c) is not None:
             continue  # already swept above (defensive)
-        write_value_index(spark, path, c, fmt)
+        ms = value_index_measures(path, c)
+        write_value_index(
+            spark, path, c, fmt,
+            measures=[(mc, int(dp)) for mc, dp in ms] if ms else None,
+        )
     for c in persisted_posting_index_cols(path):
         idc = posting_index_id_col(path, c)
         if idc:

@@ -250,12 +250,34 @@ def row_count_from_sidecar(table_path: str) -> int | None:
 
 # ------------------------------------------------------------ value index
 
-def build_value_index(df: DataFrame, col: str) -> DataFrame:
+def measure_col_name(col: str) -> str:
+    return f"m_{col}"
+
+
+def build_value_index(
+    df: DataFrame, col: str, measures: "Sequence[tuple[str, int]] | None" = None
+) -> DataFrame:
     """Materialized value->count table — the reference secondary index's
     E6/E7 surface re-expressed as an aggregate table. Intended for
     low/medium-cardinality columns (the reference builds SIs per column
-    the same way, secondary/builder.cpp:849+)."""
-    return df.groupBy(F.col(col).alias("value")).agg(F.count(F.lit(1)).alias("cnt"))
+    the same way, secondary/builder.cpp:849+).
+
+    `measures` extends the artifact with per-value exact SUMs: each
+    (measure_col, fx_scale) pair adds an int64 fixed-point `m_<col>`
+    column (functions.money.scaled — associative, so the incremental
+    append merge stays exact). This is what lets a large
+    `col IN (...)` + COUNT/SUM aggregate be served index-only: the
+    probe touches |index| rows instead of the base table (the
+    reference's bitmap-union regime, blockreader.cpp:556-585, answers
+    the same shape from SI blocks)."""
+    from columnar_spark.functions.money import scaled
+
+    aggs = [F.count(F.lit(1)).alias("cnt")]
+    for mcol, dp in measures or ():
+        aggs.append(
+            F.sum(scaled(mcol, dp)).cast("long").alias(measure_col_name(mcol))
+        )
+    return df.groupBy(F.col(col).alias("value")).agg(*aggs)
 
 
 def covered_count(index_df: DataFrame, f: Filter) -> int | None:
@@ -478,17 +500,30 @@ def persisted_value_index_cols(table_path: str) -> list[str]:
     )
 
 
-def write_value_index(spark: SparkSession, table_path: str, col: str, fmt: str = "parquet") -> None:
-    """Build and persist the (value, cnt) sidecar for `col` — the A11
-    secondary-index artifact at the storage layer (reference
+def write_value_index(
+    spark: SparkSession,
+    table_path: str,
+    col: str,
+    fmt: str = "parquet",
+    measures: "Sequence[tuple[str, int]] | None" = None,
+) -> None:
+    """Build and persist the (value, cnt[, m_*]) sidecar for `col` — the
+    A11 secondary-index artifact at the storage layer (reference
     secondary/builder.cpp:849+ writes per-column SI files beside the
-    columnar blob the same way)."""
+    columnar blob the same way). The `measures` spec is recorded in
+    _meta.json so incremental merges maintain the sum columns with the
+    SAME fixed-point scales."""
+    import json
+    import os
+
     df = getattr(spark.read, fmt)(table_path)
+    p = value_index_path(table_path, col)
     with rewrites_disabled(spark):  # rebuild must scan the BASE table
-        build_value_index(df, col).write.mode("overwrite").parquet(
-            value_index_path(table_path, col)
-        )
-    _write_table_sig(table_path, value_index_path(table_path, col))
+        build_value_index(df, col, measures).write.mode("overwrite").parquet(p)
+    if measures:
+        with open(os.path.join(p, "_meta.json"), "w") as f:
+            json.dump({"measures": [[c, dp] for c, dp in measures]}, f)
+    _write_table_sig(table_path, p)
 
 
 def load_value_index(
@@ -528,22 +563,28 @@ def merge_value_index(spark: SparkSession, table_path: str, col: str, batch_df: 
         batch_df = batch_df.withColumn(
             col, json_field_expr(jmeta["parent"], jmeta["json_path"])
         )
-    delta = build_value_index(batch_df, col)
-    merged = (
-        existing.unionByName(delta)
-        .groupBy("value")
-        .agg(F.sum("cnt").cast("long").alias("cnt"))
-    )
+    measures = [
+        (c, int(dp)) for c, dp in (value_index_measures(table_path, col) or [])
+    ]
+    delta = build_value_index(batch_df, col, measures or None)
+    maggs = [F.sum("cnt").cast("long").alias("cnt")] + [
+        F.sum(measure_col_name(c)).cast("long").alias(measure_col_name(c))
+        for c, _dp in measures
+    ]
+    merged = existing.unionByName(delta).groupBy("value").agg(*maggs)
     with rewrites_disabled(spark):  # the batch count must NOT be served
         rows = merged.collect()     # from the index being merged into
     out = spark.createDataFrame(rows, merged.schema)
     out.write.mode("overwrite").parquet(value_index_path(table_path, col))
-    if jmeta is not None:  # the overwrite clears the dir — restore linkage
+    if jmeta is not None or measures:  # overwrite clears the dir — restore meta
         import json
         import os
 
+        meta = dict(jmeta or {})
+        if measures:
+            meta["measures"] = [[c, dp] for c, dp in measures]
         with open(os.path.join(value_index_path(table_path, col), "_meta.json"), "w") as f:
-            json.dump(jmeta, f)
+            json.dump(meta, f)
     # merge runs AFTER the batch's table append, so the signature taken
     # now matches the table state the merged counts describe
     _write_table_sig(table_path, value_index_path(table_path, col))
@@ -597,6 +638,20 @@ def write_json_field_index(
         json.dump({"parent": parent, "json_path": json_path}, f)
     _write_table_sig(table_path, p)
     return vname
+
+
+def value_index_measures(table_path: str, col: str) -> list | None:
+    """The (measure_col, fx_scale) spec recorded in the sidecar's
+    _meta.json, or None for a plain count-only index."""
+    import json
+    import os
+
+    mp = os.path.join(value_index_path(table_path, col), "_meta.json")
+    if not os.path.exists(mp):
+        return None
+    with open(mp) as f:
+        meta = json.load(f)
+    return meta.get("measures")
 
 
 def json_index_meta(table_path: str, col: str) -> dict | None:

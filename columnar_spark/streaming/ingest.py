@@ -145,7 +145,13 @@ def _rebuild_sidecars(ss: SparkSession, dst_path: str) -> None:
         if jm is not None:
             write_json_field_index(ss, dst_path, jm["parent"], jm["json_path"])
         else:
-            write_value_index(ss, dst_path, c)
+            from columnar_spark.stats import value_index_measures
+
+            ms = value_index_measures(dst_path, c)
+            write_value_index(
+                ss, dst_path, c,
+                measures=[(mc, int(dp)) for mc, dp in ms] if ms else None,
+            )
     for c in persisted_posting_index_cols(dst_path):
         idc = posting_index_id_col(dst_path, c)
         if idc:

@@ -74,6 +74,12 @@ class WriteSpec:
     # NDV / MIN/MAX queries are index-served from the first query on.
     # Maintained incrementally on append, rebuilt on MERGE (stats.py).
     value_index_cols: Sequence[str] = field(default_factory=tuple)
+    # Per-column measure SUMs carried by the value index:
+    # {col: [(measure_col, fx_scale), ...]} — each measure adds an exact
+    # int64 fixed-point m_<measure> column, letting IN-list/equality
+    # COUNT+SUM aggregates on that key be served index-only (the
+    # reference's SI bitmap-union regime, blockreader.cpp:556-585).
+    value_index_measures: dict = field(default_factory=dict)
     # Z-order the cluster_by columns instead of lexicographic range
     # clustering: rows sort by the bit-interleaved rank of ALL cluster
     # keys, so row-group min/max zone maps stay tight on EVERY key, not
@@ -192,7 +198,10 @@ def write_table(df: DataFrame, path: str, spec: WriteSpec | None = None) -> None
         from columnar_spark.stats import write_value_index
 
         for c in spec.value_index_cols:
-            write_value_index(df.sparkSession, path, c, fmt=spec.format)
+            write_value_index(
+                df.sparkSession, path, c, fmt=spec.format,
+                measures=spec.value_index_measures.get(c),
+            )
 
 
 #: every sidecar suffix derived from table CONTENT (all are stale after an
@@ -285,6 +294,9 @@ _LAYOUT_SPECS: dict[str, WriteSpec] = {
     "lineitem": WriteSpec(
         cluster_by=("l_shipdate",),
         value_index_cols=("l_returnflag", "l_linestatus", "l_partkey", "l_suppkey"),
+        # the l_partkey index carries the quantity sum so the large
+        # IN-list COUNT/SUM aggregate is answered from the sidecar alone
+        value_index_measures={"l_partkey": [("l_quantity", 2)]},
     ),
     "orders": WriteSpec(
         cluster_by=("o_orderdate",),
@@ -344,7 +356,7 @@ def build_sf_layout(
     # layout_v bumps when the ingest artifacts change (new sidecar
     # kinds), so a cached layout built by older code is invalidated even
     # though the SOURCE signature still matches.
-    signature = "layout_v7\n" + src_dir + "\n" + "\n".join(sig_parts) + "\n"
+    signature = "layout_v8\n" + src_dir + "\n" + "\n".join(sig_parts) + "\n"
 
     marker = os.path.join(dest_dir, _LAYOUT_MARKER)
     if os.path.exists(marker) and not force:

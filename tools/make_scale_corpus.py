@@ -100,6 +100,17 @@ def main() -> None:
         rep.drop("__copy").repartition(nparts).write.mode("overwrite").parquet(out_path)
         print(f"# {t}: x{n} -> {out_path} ({nparts} files)", file=sys.stderr)
 
+    # Ingest-time secondary indexes, like any ingested layout carries
+    # (reference builds per-column SIs during ingest, builder.cpp:849+):
+    # the measure-bearing l_partkey value index serves the large-IN-list
+    # COUNT/SUM aggregate index-only (filter_in_large_list).
+    from columnar_spark.stats import value_index_path, write_value_index
+
+    li_path = os.path.join(dest, "lineitem.parquet")
+    if not os.path.exists(os.path.join(value_index_path(li_path, "l_partkey"), "_SUCCESS")):
+        write_value_index(spark, li_path, "l_partkey", measures=[("l_quantity", 2)])
+        print(f"# lineitem.l_partkey value index (+l_quantity measure)", file=sys.stderr)
+
     print(dest)
 
 
