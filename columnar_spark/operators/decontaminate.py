@@ -31,6 +31,12 @@ from pyspark.sql import functions as F
 
 from columnar_spark.functions.text import word_ngrams
 
+# Hard ceiling on the broadcast eval-set side of the semantic report:
+# 50k x 64-dim float64 vectors ~ 26 MB broadcast — comfortably inside
+# executor memory, while corpus-sized eval sets are refused with
+# guidance instead of OOMing mid-job.
+EVAL_SET_MAX_ROWS = 50_000
+
 
 def _gram_col(text: Column, n: int) -> Column:
     # lower() before splitting so casing differences never mask overlap;
@@ -110,6 +116,20 @@ def semantic_contamination_report(
     only shuffle (bounded by flagged rows). Returns
     (id_col, n_hits, max_sim)."""
     from columnar_spark.functions.vector import dot, norm
+
+    # "b tiny by contract" gets a hard guard, not a docstring (house
+    # pattern: dedup._guard_quadratic, knn.BATCH_QUERY_MAX_ROWS): a
+    # corpus-sized eval set would broadcast-OOM the executors and the
+    # n x b cross product would silently go quadratic.
+    nb = bench_emb.count()
+    if nb > EVAL_SET_MAX_ROWS:
+        raise ValueError(
+            f"semantic_contamination_report broadcasts the eval set and "
+            f"computes corpus x eval distances; it refuses eval sets over "
+            f"{EVAL_SET_MAX_ROWS} rows (got {nb}). Chunk the eval set and "
+            "union the reports, or use the LSH near-dup path "
+            "(embedding_neardup_lsh) for set-vs-set at corpus scale."
+        )
 
     # Norms precomputed ONCE per row on each side (a projection below
     # the join evaluates per stream row / per broadcast row, not per

@@ -59,6 +59,66 @@ def _load_ledger(dst_path: str) -> dict:
         return json.load(f)
 
 
+# A writer lock held for longer than this is presumed crashed (the
+# holder process died between acquire and release) and is broken by the
+# next acquirer. Generous: a single batch application is seconds.
+LOCK_STALE_SEC = 3600.0
+
+
+class TableWriterLockHeld(RuntimeError):
+    pass
+
+
+def _acquire_writer_lock(dst_path: str) -> str:
+    """Exclusive per-table writer lock for the LEDGERED append path.
+
+    The ledger is load-modify-replace JSON: two concurrent ledgered
+    writers (two streams, or a stream plus a CLI append_batch with a
+    batch_id) would interleave _load_ledger/_commit_ledger and lose each
+    other's applied_batches entries — defeating replay safety. The lock
+    makes the single-writer-per-table contract ENFORCED: a second writer
+    fails fast with guidance instead of silently corrupting the ledger.
+    O_CREAT|O_EXCL is atomic on POSIX; a stale lock (holder crashed) is
+    broken after LOCK_STALE_SEC."""
+    import time
+
+    root = ingest_ledger_path(dst_path)
+    os.makedirs(root, exist_ok=True)
+    lock = os.path.join(root, "writer.lock")
+    for _ in range(2):
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, str(os.getpid()).encode())
+            os.close(fd)
+            return lock
+        except FileExistsError:
+            try:
+                age = time.time() - os.stat(lock).st_mtime
+            except OSError:
+                continue  # holder released between the open and the stat
+            if age > LOCK_STALE_SEC:
+                try:
+                    os.remove(lock)  # break the stale lock, retry once
+                except OSError:
+                    pass
+                continue
+            raise TableWriterLockHeld(
+                f"another ledgered writer holds {lock} (age {age:.0f}s): "
+                "tables accept ONE ledgered writer at a time — stop the "
+                "other stream/CLI append, or give each destination its "
+                "own table. (A crashed holder's lock self-expires after "
+                f"{LOCK_STALE_SEC:.0f}s.)"
+            )
+    raise TableWriterLockHeld(f"could not acquire {lock}")
+
+
+def _release_writer_lock(lock: str) -> None:
+    try:
+        os.remove(lock)
+    except OSError:
+        pass
+
+
 def _commit_ledger(dst_path: str, meta: dict) -> None:
     """Atomic rename — the transaction point for the whole batch."""
     root = ingest_ledger_path(dst_path)
@@ -97,16 +157,27 @@ def idempotent_append(
     df.write.mode("overwrite").option("compression", compression).parquet(stage)
     pre = prefix or f"part-b{batch_id}-"
     os.makedirs(dst_path, exist_ok=True)
-    for name in os.listdir(dst_path):
-        if name.startswith(pre):
-            os.remove(os.path.join(dst_path, name))
+    # RENAME FIRST, SWEEP LAST — read consistency under retry: target
+    # names are canonicalized to the staged files' sorted index, so a
+    # retry's os.replace atomically overwrites the previous attempt's
+    # file of the same rank; a concurrent reader of the destination
+    # never observes the batch missing. Only leftovers from an attempt
+    # that produced MORE files are swept afterwards (the one transient a
+    # reader can see is a short-lived duplicate of those tail rows — the
+    # benign direction; the old sweep-first order made previously
+    # visible rows vanish mid-retry).
+    staged = [n for n in sorted(os.listdir(stage)) if not n.startswith(("_", "."))]
     moved = []
-    for name in sorted(os.listdir(stage)):
-        if name.startswith(("_", ".")):
-            continue
-        tgt = os.path.join(dst_path, pre + name)
-        os.replace(os.path.join(stage, name), tgt)
-        moved.append(tgt)
+    final_names = set()
+    for i, name in enumerate(staged):
+        ext = os.path.splitext(name)[1] or ".parquet"
+        tgt_name = f"{pre}{i:05d}{ext}"
+        os.replace(os.path.join(stage, name), os.path.join(dst_path, tgt_name))
+        final_names.add(tgt_name)
+        moved.append(os.path.join(dst_path, tgt_name))
+    for name in os.listdir(dst_path):
+        if name.startswith(pre) and name not in final_names:
+            os.remove(os.path.join(dst_path, name))
     shutil.rmtree(stage, ignore_errors=True)
     return moved
 
@@ -191,126 +262,140 @@ def append_batch(
 
     ledger = None
     crashed = False
+    lock = None
     if batch_id is not None:
-        ledger = _load_ledger(dst_path)
-        if str(batch_id) in ledger.get("applied_batches", {}):
-            return False
-        # an inflight marker means SOME batch's previous attempt died
-        # between first effect and commit — sidecar state is unknown
-        crashed = ledger.get("inflight") is not None
-        ledger["inflight"] = str(batch_id)
-        _commit_ledger(dst_path, ledger)
+        # single-writer-per-table, enforced (see _acquire_writer_lock):
+        # the lock spans the whole ledgered application so two writers
+        # can never interleave load-modify-replace on the ledger
+        lock = _acquire_writer_lock(dst_path)
+        try:
+            ledger = _load_ledger(dst_path)
+            if str(batch_id) in ledger.get("applied_batches", {}):
+                _release_writer_lock(lock)
+                return False
+            # an inflight marker means SOME batch's previous attempt died
+            # between first effect and commit — sidecar state is unknown
+            crashed = ledger.get("inflight") is not None
+            ledger["inflight"] = str(batch_id)
+            _commit_ledger(dst_path, ledger)
+        except BaseException:
+            _release_writer_lock(lock)
+            raise
+    try:
 
-    out = normalize(batch_df, spec)
-    # Align column order with the existing table: JSON/CSV readers order
-    # columns alphabetically/by header, and while Spark merges parquet
-    # schemas by name, stricter readers expect one field order per table.
-    if os.path.isdir(dst_path):
-        existing = ss.read.parquet(dst_path).columns
-        if set(existing) <= set(out.columns):
-            out = out.select(*existing, *[c for c in out.columns if c not in existing])
+        out = normalize(batch_df, spec)
+        # Align column order with the existing table: JSON/CSV readers order
+        # columns alphabetically/by header, and while Spark merges parquet
+        # schemas by name, stricter readers expect one field order per table.
+        if os.path.isdir(dst_path):
+            existing = ss.read.parquet(dst_path).columns
+            if set(existing) <= set(out.columns):
+                out = out.select(*existing, *[c for c in out.columns if c not in existing])
 
-    if batch_id is None:
-        out.write.mode("append").option("compression", spec.compression).parquet(
-            dst_path
-        )
-        appended = out
-    else:
-        # Idempotent table append (idempotent_append): stage the batch,
-        # sweep any files a crashed attempt left, rename in under
-        # batch-derived names — the rows land exactly once no matter how
-        # many times the sink is re-invoked.
-        moved = idempotent_append(
-            out,
-            dst_path,
-            batch_id,
-            compression=spec.compression,
-            stage_root=os.path.join(ingest_ledger_path(dst_path), "stage"),
-            prefix=f"part-ingest-b{batch_id}-",
-        )
-        # sidecars merge from the COMMITTED rows, not a re-evaluation of
-        # the batch plan (same principle as the text index counting its
-        # written delta)
-        appended = ss.read.parquet(*moved) if moved else None
-
-    if crashed:
-        _rebuild_sidecars(ss, dst_path)
-    elif appended is not None:
-        sp = sketch_path(dst_path)
-        if os.path.isdir(sp):
-            merged = merge_sketches(ss.read.parquet(sp), build_stats_sketch(appended))
+        if batch_id is None:
+            out.write.mode("append").option("compression", spec.compression).parquet(
+                dst_path
+            )
+            appended = out
         else:
-            # first sidecar for this table: the table may have pre-existing
-            # rows the batch sketch wouldn't cover — bootstrap from the full
-            # post-append table (one-time O(table); every later append merges
-            # O(batch)). For a brand-new table this reads exactly the batch.
-            merged = build_stats_sketch(ss.read.parquet(dst_path))
-        # materialize before overwriting the path the plan reads from
-        rows = merged.collect()  # n_columns tiny rows
-        merged_df = ss.createDataFrame(rows, merged.schema)
-        merged_df.coalesce(1).write.mode("overwrite").parquet(sp)
-        manifest_from_sketch(merged_df).coalesce(1).write.mode("overwrite").parquet(
-            stats_path(dst_path)
-        )
-        # Same contract for the vector sidecar: encode the batch with the
-        # EXISTING centroids/codebooks and append its codes — rebuild
-        # happens at compaction, like the reference's segment rebuilds.
-        from columnar_spark.operators.knn_index import (
-            append_to_vector_index,
-            load_vector_index,
-        )
+            # Idempotent table append (idempotent_append): stage the batch,
+            # sweep any files a crashed attempt left, rename in under
+            # batch-derived names — the rows land exactly once no matter how
+            # many times the sink is re-invoked.
+            moved = idempotent_append(
+                out,
+                dst_path,
+                batch_id,
+                compression=spec.compression,
+                stage_root=os.path.join(ingest_ledger_path(dst_path), "stage"),
+                prefix=f"part-ingest-b{batch_id}-",
+            )
+            # sidecars merge from the COMMITTED rows, not a re-evaluation of
+            # the batch plan (same principle as the text index counting its
+            # written delta)
+            appended = ss.read.parquet(*moved) if moved else None
 
-        # check_fresh=False: the table append above legitimately moved the
-        # signature ahead of the sidecar's recorded one
-        vidx = load_vector_index(dst_path, check_fresh=False)
-        if vidx is not None and vidx.vec_col in appended.columns:
-            append_to_vector_index(ss, appended, dst_path)
-        # Persisted value-index sidecars (A11 artifact): fold the batch's
-        # value counts in — O(index + batch-ndv), same merge contract.
-        from columnar_spark.stats import (
-            json_index_meta,
-            merge_posting_index,
-            merge_value_index,
-            persisted_posting_index_cols,
-            persisted_value_index_cols,
-            posting_index_id_col,
-        )
+        if crashed:
+            _rebuild_sidecars(ss, dst_path)
+        elif appended is not None:
+            sp = sketch_path(dst_path)
+            if os.path.isdir(sp):
+                merged = merge_sketches(ss.read.parquet(sp), build_stats_sketch(appended))
+            else:
+                # first sidecar for this table: the table may have pre-existing
+                # rows the batch sketch wouldn't cover — bootstrap from the full
+                # post-append table (one-time O(table); every later append merges
+                # O(batch)). For a brand-new table this reads exactly the batch.
+                merged = build_stats_sketch(ss.read.parquet(dst_path))
+            # materialize before overwriting the path the plan reads from
+            rows = merged.collect()  # n_columns tiny rows
+            merged_df = ss.createDataFrame(rows, merged.schema)
+            merged_df.coalesce(1).write.mode("overwrite").parquet(sp)
+            manifest_from_sketch(merged_df).coalesce(1).write.mode("overwrite").parquet(
+                stats_path(dst_path)
+            )
+            # Same contract for the vector sidecar: encode the batch with the
+            # EXISTING centroids/codebooks and append its codes — rebuild
+            # happens at compaction, like the reference's segment rebuilds.
+            from columnar_spark.operators.knn_index import (
+                append_to_vector_index,
+                load_vector_index,
+            )
 
-        for c in persisted_value_index_cols(dst_path):
-            jmeta = json_index_meta(dst_path, c)
-            if c in appended.columns or (
-                jmeta is not None and jmeta["parent"] in appended.columns
-            ):
-                # JSON field indexes merge from the parent column (the
-                # virtual field is computed inside merge_value_index)
-                merge_value_index(ss, dst_path, c, appended)
-        for c in persisted_posting_index_cols(dst_path):
-            idc = posting_index_id_col(dst_path, c)
-            if c in appended.columns and idc and idc in appended.columns:
-                merge_posting_index(ss, dst_path, c, appended, idc)
+            # check_fresh=False: the table append above legitimately moved the
+            # signature ahead of the sidecar's recorded one
+            vidx = load_vector_index(dst_path, check_fresh=False)
+            if vidx is not None and vidx.vec_col in appended.columns:
+                append_to_vector_index(ss, appended, dst_path)
+            # Persisted value-index sidecars (A11 artifact): fold the batch's
+            # value counts in — O(index + batch-ndv), same merge contract.
+            from columnar_spark.stats import (
+                json_index_meta,
+                merge_posting_index,
+                merge_value_index,
+                persisted_posting_index_cols,
+                persisted_value_index_cols,
+                posting_index_id_col,
+            )
 
-    # Inverted-text + vocab sidecars: their own applied-batch staging
-    # makes these calls retry-exact under BOTH the incremental and the
-    # crash-recovery path — already-committed appends skip themselves.
-    if appended is not None:
-        from columnar_spark.operators.fulltext import (
-            append_to_text_index,
-            load_text_index,
-        )
+            for c in persisted_value_index_cols(dst_path):
+                jmeta = json_index_meta(dst_path, c)
+                if c in appended.columns or (
+                    jmeta is not None and jmeta["parent"] in appended.columns
+                ):
+                    # JSON field indexes merge from the parent column (the
+                    # virtual field is computed inside merge_value_index)
+                    merge_value_index(ss, dst_path, c, appended)
+            for c in persisted_posting_index_cols(dst_path):
+                idc = posting_index_id_col(dst_path, c)
+                if c in appended.columns and idc and idc in appended.columns:
+                    merge_posting_index(ss, dst_path, c, appended, idc)
 
-        loaded = load_text_index(ss, dst_path)
-        if loaded is not None and loaded[2]["text_col"] in appended.columns:
-            append_to_text_index(ss, dst_path, appended, batch_id=batch_id)
-        from columnar_spark.streaming.vocab import append_vocab_delta, vocab_meta
+        # Inverted-text + vocab sidecars: their own applied-batch staging
+        # makes these calls retry-exact under BOTH the incremental and the
+        # crash-recovery path — already-committed appends skip themselves.
+        if appended is not None:
+            from columnar_spark.operators.fulltext import (
+                append_to_text_index,
+                load_text_index,
+            )
 
-        vm = vocab_meta(dst_path)
-        if vm is not None and vm["text_col"] in appended.columns:
-            append_vocab_delta(ss, dst_path, appended, batch_id=batch_id)
+            loaded = load_text_index(ss, dst_path)
+            if loaded is not None and loaded[2]["text_col"] in appended.columns:
+                append_to_text_index(ss, dst_path, appended, batch_id=batch_id)
+            from columnar_spark.streaming.vocab import append_vocab_delta, vocab_meta
 
-    if batch_id is not None:
-        ledger["applied_batches"][str(batch_id)] = "applied"
-        ledger["inflight"] = None
-        _commit_ledger(dst_path, ledger)
+            vm = vocab_meta(dst_path)
+            if vm is not None and vm["text_col"] in appended.columns:
+                append_vocab_delta(ss, dst_path, appended, batch_id=batch_id)
+
+        if batch_id is not None:
+            ledger["applied_batches"][str(batch_id)] = "applied"
+            ledger["inflight"] = None
+            _commit_ledger(dst_path, ledger)
+    finally:
+        if lock is not None:
+            _release_writer_lock(lock)
     return True
 
 

@@ -211,17 +211,22 @@ class Engine:
         # index-only, a rollup routed, a join broadcast.
         m = _re.match(r"^\s*EXPLAIN\s+(.+)$", query, _re.IGNORECASE | _re.DOTALL)
         if m:
-            # the dispatch EXECUTES mutating verbs to build their echo
-            # frame — explaining one would silently run it; refuse
-            if _re.match(
-                r"^\s*(INSERT|DELETE|UPDATE|MERGE|CREATE|DROP|ALTER|"
-                r"TRUNCATE|OPTIMIZE|RESTORE|VACUUM)\b",
+            # The dispatch EXECUTES mutating verbs to build their echo
+            # frame — explaining one would silently run it. ALLOWLIST of
+            # read-only first keywords (not a denylist of mutating ones:
+            # a future verb added to Engine.sql but not to a denylist
+            # would be silently executed by EXPLAIN; an unknown verb
+            # here is refused by default).
+            if not _re.match(
+                r"^\s*(SELECT|WITH|SHOW|DESCRIBE|DESC|CALL|EXPLAIN|VALUES)\b",
                 m.group(1),
                 _re.IGNORECASE,
             ):
                 raise ValueError(
-                    "EXPLAIN of a mutating statement is refused — running "
-                    "it is the only way to produce its result frame"
+                    "EXPLAIN accepts read-only statements only "
+                    "(SELECT/WITH/SHOW/DESCRIBE/CALL/EXPLAIN/VALUES) — "
+                    "running a mutating statement is the only way to "
+                    "produce its result frame"
                 )
             inner = self.sql(m.group(1))
             jqe = inner._jdf.queryExecution()

@@ -94,3 +94,23 @@ def test_fuzz_report_vs_reference(spark, corpus, bench, n):
         for r in contamination_report(cdf, bdf, n=n).collect()
     }
     assert got == _ref_report(corpus, bench, n)
+
+
+def test_semantic_eval_set_guard_fires(spark):
+    """The broadcast contract is enforced, not documented: an eval set
+    over EVAL_SET_MAX_ROWS is refused with guidance before any join."""
+    import pytest
+
+    from columnar_spark.operators.decontaminate import (
+        EVAL_SET_MAX_ROWS,
+        semantic_contamination_report,
+    )
+
+    corpus = spark.range(5).select(
+        F.col("id").alias("vec_id"), F.array(F.lit(1.0), F.lit(0.0)).alias("embedding")
+    )
+    big_eval = spark.range(EVAL_SET_MAX_ROWS + 1).select(
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding")
+    )
+    with pytest.raises(ValueError, match="refuses eval sets"):
+        semantic_contamination_report(corpus, big_eval)

@@ -181,3 +181,74 @@ def test_rollup_batch_retry_does_not_double_count(spark, tmp_path):
     }
     assert once == twice
     _ = F2  # silence unused-import style noise if F2 is never needed
+
+
+def test_idempotent_append_rename_before_sweep(spark, tmp_path):
+    """Read consistency under retry: target names are canonical per
+    staged-file rank, so a retry atomically REPLACES the previous
+    attempt's files before any sweep — a reader of the destination
+    never observes the batch missing mid-retry."""
+    from columnar_spark.streaming.ingest import idempotent_append
+
+    out = f"{tmp_path}/rns.parquet"
+    moved1 = idempotent_append(
+        spark.range(8).selectExpr("id AS x"), out, batch_id=7
+    )
+    assert moved1 and all("part-b7-" in p for p in moved1)
+    # retry lands on the SAME canonical names (os.replace overwrite, not
+    # delete-then-create): nothing to sweep, file set identical
+    moved2 = idempotent_append(
+        spark.range(8).selectExpr("id AS x"), out, batch_id=7
+    )
+    assert sorted(moved1) == sorted(moved2)
+    assert spark.read.parquet(out).count() == 8
+    # a leftover with a higher rank (previous attempt produced more
+    # files) is swept only AFTER the new files are in place
+    import shutil
+
+    shutil.copy(moved2[0], os.path.join(out, "part-b7-99999.parquet"))
+    moved3 = idempotent_append(
+        spark.range(8).selectExpr("id AS x"), out, batch_id=7
+    )
+    assert sorted(moved3) == sorted(moved1)
+    names = set(os.listdir(out))
+    assert "part-b7-99999.parquet" not in names
+    assert spark.read.parquet(out).count() == 8
+
+
+def test_ledgered_writer_lock_enforced(spark, tmp_path):
+    """Single-writer-per-table is a CONTRACT with teeth: a second
+    ledgered writer fails fast instead of corrupting the ledger; a
+    crashed holder's lock self-expires; the lock is always released on
+    success and on error."""
+    import pytest
+
+    from columnar_spark.streaming.ingest import (
+        LOCK_STALE_SEC,
+        TableWriterLockHeld,
+        _acquire_writer_lock,
+        append_batch,
+        ingest_ledger_path,
+    )
+
+    dst = f"{tmp_path}/locked.parquet"
+    b = spark.range(5).selectExpr("id AS x")
+    append_batch(b, dst, batch_id=1)  # lock acquired + released
+    lockfile = os.path.join(ingest_ledger_path(dst), "writer.lock")
+    assert not os.path.exists(lockfile)
+
+    # a concurrent holder blocks the ledgered path (fail fast, no write)
+    held = _acquire_writer_lock(dst)
+    with pytest.raises(TableWriterLockHeld, match="ONE ledgered writer"):
+        append_batch(spark.range(5, 9).selectExpr("id AS x"), dst, batch_id=2)
+    assert spark.read.parquet(dst).count() == 5  # nothing half-applied
+
+    # a stale (crashed-holder) lock is broken and the append proceeds
+    past = os.stat(held).st_mtime - LOCK_STALE_SEC - 10
+    os.utime(held, (past, past))
+    assert append_batch(spark.range(5, 9).selectExpr("id AS x"), dst, batch_id=2)
+    assert spark.read.parquet(dst).count() == 9
+    assert not os.path.exists(lockfile)
+
+    # ledger intact: both batches recorded, replay is a no-op
+    assert append_batch(b, dst, batch_id=1) is False

@@ -211,6 +211,12 @@ def test_explain_refuses_mutating_statements(spark, tmp_path):
     with pytest.raises(ValueError):
         eng.sql("EXPLAIN DELETE FROM t WHERE i > 5")
     assert spark.read.parquet(p).count() == before  # nothing executed
+    # the guard is an ALLOWLIST: a verb Engine.sql doesn't know yet is
+    # refused by default instead of silently executed
+    with pytest.raises(ValueError, match="read-only"):
+        eng.sql("EXPLAIN FROBNICATE t")
+    # read-only forms still explain fine
+    assert "plan" in eng.sql("EXPLAIN WITH x AS (SELECT 1 AS a) SELECT * FROM x").columns
 
 
 def test_show_changes_and_vacuum(spark, tmp_path):
