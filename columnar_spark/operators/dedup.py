@@ -585,7 +585,15 @@ def repeated_span_grams(
     hash_grams: bool = False,
 ) -> DataFrame:
     """(__id, __s, __key): every n-token window of every doc, 1-based
-    start position, keyed by the gram text (or its xxhash64)."""
+    start position, keyed by the gram text — or, with hash_grams=True
+    (the production strip default), by a 128-bit compound hash
+    struct(xxhash64(gram), xxhash64(reverse(gram))). 64 bits is NOT
+    enough at corpus scale: ~1e10 distinct grams puts a birthday
+    collision near certainty, and a collision merges two unrelated
+    grams — under keep_first, a passage that occurs exactly ONCE could
+    be cut with no surviving copy (silent loss of unique training
+    text). Two independent 64-bit digests push that bound to ~2^-64
+    per corpus. Text keys remain the oracle-exact form."""
     toks = F.split(F.col(text_col), " ")  # literal single-space split:
     # exactly string_split(text, ' ') in ANSI SQL — the oracle contract
     base = df.select(F.col(id_col).alias("__id"), toks.alias("__toks")).filter(
@@ -600,7 +608,14 @@ def repeated_span_grams(
         .select(
             "__id",
             (F.col("__p") + 1).alias("__s"),
-            (F.xxhash64("__gram") if hash_grams else F.col("__gram")).alias("__key"),
+            (
+                F.struct(
+                    F.xxhash64("__gram").alias("h1"),
+                    F.xxhash64(F.reverse(F.col("__gram"))).alias("h2"),
+                )
+                if hash_grams
+                else F.col("__gram")
+            ).alias("__key"),
         )
     )
     return g
