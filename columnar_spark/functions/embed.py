@@ -101,6 +101,23 @@ MODEL_REGISTRY: dict[str, EmbedModel] = {
             "local/qwen3-embedding-0.6b", 1024, "local-hf",
             model_id="Qwen/Qwen3-Embedding-0.6B", pooling="last",
         ),
+        # Decoder-family embedding heads (reference local.rs:7-21 loads
+        # Gemma/Llama/Mistral locally via candle): last-token pooling,
+        # the decoder-embedding convention (e.g. E5-Mistral's model
+        # card) — causal attention puts the sequence summary on the
+        # final non-pad state.
+        EmbedModel(
+            "local/llama-3.2-1b", 2048, "local-hf",
+            model_id="meta-llama/Llama-3.2-1B", pooling="last",
+        ),
+        EmbedModel(
+            "local/e5-mistral-7b", 4096, "local-hf",
+            model_id="intfloat/e5-mistral-7b-instruct", pooling="last",
+        ),
+        EmbedModel(
+            "local/gemma-2b", 2048, "local-hf",
+            model_id="google/gemma-2b", pooling="last",
+        ),
     ]
 }
 
@@ -173,6 +190,25 @@ def _local_embed(texts: Sequence[str], model_id: str) -> list[list[float]]:
     return [list(map(float, v)) for v in model.encode(list(texts))]
 
 
+def pool_states(hidden, mask, pooling: str):
+    """Pooling math shared by every local-hf family, as a pure numpy
+    function so it is unit-testable without the optional torch wheel:
+    'mean' = masked average over token states (encoder families),
+    'last' = the last non-pad token's state (decoder families)."""
+    import numpy as np
+
+    hidden = np.asarray(hidden, dtype=np.float64)
+    mask = np.asarray(mask)
+    if pooling == "last":
+        idx = mask.sum(axis=1) - 1
+        return hidden[np.arange(hidden.shape[0]), idx]
+    if pooling != "mean":
+        raise ValueError(f"pooling must be mean|last, got {pooling!r}")
+    m = mask[..., None].astype(np.float64)
+    denom = np.maximum(m.sum(axis=1), 1.0)
+    return (hidden * m).sum(axis=1) / denom
+
+
 def _local_hf_embed(
     texts: Sequence[str], model_id: str, pooling: str = "mean"
 ) -> list[list[float]]:
@@ -199,13 +235,10 @@ def _local_hf_embed(
             hidden = model.get_encoder()(**enc).last_hidden_state
         else:
             hidden = model(**enc).last_hidden_state
-    mask = enc["attention_mask"].unsqueeze(-1).to(hidden.dtype)
-    if pooling == "last":
-        idx = enc["attention_mask"].sum(dim=1) - 1
-        pooled = hidden[torch.arange(hidden.shape[0]), idx]
-    else:
-        pooled = (hidden * mask).sum(dim=1) / mask.sum(dim=1).clamp(min=1)
-    return [list(map(float, v)) for v in pooled.cpu().numpy()]
+    pooled = pool_states(
+        hidden.cpu().numpy(), enc["attention_mask"].cpu().numpy(), pooling
+    )
+    return [list(map(float, v)) for v in pooled]
 
 
 def _stub_embed(text: str, dim: int) -> list[float]:

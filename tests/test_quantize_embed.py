@@ -276,3 +276,44 @@ def test_local_hf_registry_and_gate():
             assert len(vecs) == 2 and len(vecs[0]) == t5.dim
         except Exception:
             pytest.skip("transformers present but weights not downloadable")
+
+
+def test_decoder_family_registry_and_pooling():
+    """Llama/Mistral/Gemma local heads (reference local.rs:7-21 loads
+    these via candle): registry entries with last-token pooling, and the
+    pooling math itself verified wheel-free via the shared pure-numpy
+    pool_states (the exact function the transformers path calls)."""
+    import numpy as np
+
+    from columnar_spark.functions.embed import (
+        MODEL_REGISTRY,
+        embed_batch,
+        pool_states,
+    )
+
+    for name in ("local/llama-3.2-1b", "local/e5-mistral-7b", "local/gemma-2b"):
+        spec = MODEL_REGISTRY[name]
+        assert spec.provider == "local-hf" and spec.pooling == "last"
+
+    # mean: masked average; last: final non-pad state — hand-checked
+    hidden = np.array(
+        [
+            [[1.0, 0.0], [3.0, 2.0], [100.0, 100.0]],  # pad state ignored
+            [[2.0, 2.0], [4.0, 6.0], [6.0, 10.0]],
+        ]
+    )
+    mask = np.array([[1, 1, 0], [1, 1, 1]])
+    mean = pool_states(hidden, mask, "mean")
+    assert np.allclose(mean, [[2.0, 1.0], [4.0, 6.0]])
+    last = pool_states(hidden, mask, "last")
+    assert np.allclose(last, [[3.0, 2.0], [6.0, 10.0]])
+    with pytest.raises(ValueError, match="pooling"):
+        pool_states(hidden, mask, "cls")
+
+    # without the optional wheels the dispatch raises with guidance
+    try:
+        import torch  # noqa: F401
+        import transformers  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="transformers"):
+            embed_batch(["hello"], MODEL_REGISTRY["local/gemma-2b"])
