@@ -177,12 +177,18 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-01-01")
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1997-06-30")
     disc_price = _fx_disc_price()
-    # orders/customer scale with the dataset — no forced broadcast; AQE
-    # picks broadcast vs shuffle join from runtime sizes (scale-safe).
-    joined = li.join(
+    # Build-side decision from the stats sidecar (D3): orders x the
+    # BUILDING fraction of customers — when the estimate proves the
+    # composite build side small, hint the broadcast so lineitem never
+    # shuffle-writes; otherwise AQE picks from runtime sizes
+    # (scale-safe: a 100TB slice blows the estimate past the cap).
+    build = _broadcast_if_stats_small(
         orders.join(cust, F.col("c_custkey") == F.col("o_custkey")),
-        F.col("l_orderkey") == F.col("o_orderkey"),
+        sf_dir, "orders",
+        [Filter("o_orderdate", FilterType.RANGE, max_value="1998-01-01", right_closed=False)],
+        extra_sel=[("customer", [Filter("c_mktsegment", FilterType.STRINGS, strings=("BUILDING",))])],
     )
+    joined = li.join(build, F.col("l_orderkey") == F.col("o_orderkey"))
     return (
         joined.groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(_fxsum(disc_price, 4).alias("revenue"))
@@ -219,13 +225,20 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     disc_price = _fx_disc_price()
     # region/nation are fixed-size -> always broadcast; orders/customer/
-    # supplier scale with SF -> AQE chooses from runtime sizes.
+    # supplier scale with SF -> stats-sidecar build-side decision with
+    # AQE fallback (see _broadcast_if_stats_small).
     dims = (
         cust.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
     )
+    dims = _broadcast_if_stats_small(dims, sf_dir, "customer", [])
+    build_orders = _broadcast_if_stats_small(
+        orders, sf_dir, "orders",
+        [Filter("o_orderdate", FilterType.RANGE,
+                min_value="1996-01-01", max_value="1998-01-01", right_closed=False)],
+    )
     joined = (
-        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        li.join(build_orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(dims, F.col("o_custkey") == F.col("c_custkey"))
         .join(
             supp,
@@ -1164,6 +1177,56 @@ def doc_lang_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # value-index counts, quality pipeline, vector stats
 # --------------------------------------------------------------------------
 
+def _stats_fraction(sf_dir: str, table: str, filters) -> float | None:
+    """Estimated selectivity (0..1) of a conjunctive filter list on one
+    table, from its stats sidecar; None without a sidecar."""
+    from columnar_spark.stats import estimated_filtered_rows, manifest_from_sidecar
+
+    path = f"{sf_dir}/{table}.parquet"
+    rows = manifest_from_sidecar(path)
+    if rows is None:
+        return None
+    n = next(
+        (int(st["row_count"]) for st in rows.values() if st.get("row_count") is not None),
+        None,
+    )
+    est = estimated_filtered_rows(path, filters)
+    if n is None or est is None or n == 0:
+        return None
+    return est / n
+
+
+def _broadcast_if_stats_small(
+    df, sf_dir: str, table: str, filters, max_rows: int = 1_000_000,
+    extra_sel: "list[tuple[str, list]] | None" = None,
+):
+    """Build-side decision from the engine's OWN stats sidecar (D3
+    end-to-end, reference CostEstimate over minmax+ndv): when the
+    manifest proves the filtered slice small, hint an explicit
+    broadcast so the big probe side never shuffle-writes — AQE's
+    runtime SMJ->BHJ conversion still pays the probe's exchange write,
+    measured ~0.8s vs ~0.05s on q4 at the 10x corpus. Without a
+    sidecar (raw un-ingested layout) or with a too-big estimate, the
+    plan is returned unhinted and AQE decides at runtime (scale-safe:
+    a 100TB orders slice would blow the estimate well past max_rows)."""
+    from columnar_spark.stats import estimated_filtered_rows
+
+    est = estimated_filtered_rows(f"{sf_dir}/{table}.parquet", filters)
+    if est is None:
+        return df
+    # FK-join composition: a filtered dim joined in multiplies the
+    # driving table's estimate by the dim's selectivity (independence
+    # assumption, like any Selinger-style estimator)
+    for t2, f2 in extra_sel or ():
+        frac = _stats_fraction(sf_dir, t2, f2)
+        if frac is None:
+            return df  # unknown side: don't force anything
+        est *= frac
+    if est <= max_rows:
+        return F.broadcast(df)
+    return df
+
+
 _Q4_SQL = """
 SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
 FROM orders
@@ -1191,8 +1254,14 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
         F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
     )
+    build = _broadcast_if_stats_small(
+        orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        sf_dir, "orders",
+        [Filter("o_orderdate", FilterType.RANGE,
+                min_value="1996-01-01", max_value="1997-01-01", right_closed=False)],
+    )
     return (
-        li.join(orders.select("o_orderkey", "o_orderdate", "o_orderpriority"), cond)
+        li.join(build, cond)
         .groupBy("o_orderkey")
         .agg(F.first("o_orderpriority").alias("o_orderpriority"))
         .groupBy("o_orderpriority")
@@ -2004,9 +2073,15 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     disc_price = _fx_disc_price()
+    build_orders = _broadcast_if_stats_small(
+        orders, sf_dir, "orders",
+        [Filter("o_orderdate", FilterType.RANGE,
+                min_value="1997-01-01", max_value="1998-01-01", right_closed=False)],
+    )
     joined = (
-        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        li.join(build_orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(_broadcast_if_stats_small(cust, sf_dir, "customer", []),
+              F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
     )
     return (

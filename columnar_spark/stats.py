@@ -114,15 +114,29 @@ def estimate_selectivity(manifest_rows: dict[str, dict], f: Filter) -> float:
         k = len(f.values) if f.type == FilterType.VALUES else len(f.strings)
         sel = min(k / ndv, 1.0)
     elif f.type in (FilterType.RANGE, FilterType.FLOATRANGE):
-        try:
-            lo_s, hi_s = float(st["min"]), float(st["max"])
-        except (TypeError, ValueError):
+        def _num(v):
+            # ISO dates rank by ordinal so date-range selectivity works
+            # (the reference's minmax tree stores dates as ints too)
+            try:
+                return float(v)
+            except (TypeError, ValueError):
+                import datetime
+
+                try:
+                    return float(datetime.date.fromisoformat(str(v)[:10]).toordinal())
+                except ValueError:
+                    return None
+
+        lo_s, hi_s = _num(st["min"]), _num(st["max"])
+        if lo_s is None or hi_s is None:
             return 1.0
         span = hi_s - lo_s
         if span <= 0:
             return 1.0
-        lo = float(f.min_value) if f.min_value is not None else lo_s
-        hi = float(f.max_value) if f.max_value is not None else hi_s
+        lo = _num(f.min_value) if f.min_value is not None else lo_s
+        hi = _num(f.max_value) if f.max_value is not None else hi_s
+        if lo is None or hi is None:
+            return 1.0
         sel = max(0.0, min(hi, hi_s) - max(lo, lo_s)) / span
     elif f.type == FilterType.NOTNULL:
         sel = 1.0 - int(st["null_count"] or 0) / n
@@ -193,6 +207,51 @@ def stats_can_match(manifest_rows: dict[str, dict], f: Filter) -> bool:
 
 def load_manifest(spark: SparkSession, path: str) -> dict[str, dict]:
     return {r["column"]: r.asDict() for r in spark.read.parquet(path).collect()}
+
+
+def manifest_from_sidecar(table_path: str) -> dict[str, dict] | None:
+    """Full per-column stats from the `<table>.parquet.stats` sidecar,
+    driver-side via pyarrow (no Spark job). None without a sidecar."""
+    import glob as _glob
+    import os
+
+    sidecar = table_path.rstrip("/") + ".stats"
+    if not os.path.isdir(sidecar):
+        return None
+    try:
+        import pyarrow.parquet as pq
+
+        out: dict[str, dict] = {}
+        for f in sorted(_glob.glob(os.path.join(sidecar, "*.parquet"))):
+            for row in pq.read_table(f).to_pylist():
+                out[row["column"]] = row
+        return out or None
+    except Exception:
+        return None
+
+
+def estimated_filtered_rows(table_path: str, filters) -> int | None:
+    """D3 end-to-end: estimated surviving rows for a conjunctive filter
+    list, from the stats sidecar alone (uniformity assumption,
+    independence across filters — the reference's CostEstimate makes
+    the same assumptions over its minmax tree + SI ndv,
+    secondary.cpp:531+). None without a sidecar; callers use it for
+    access-path and BUILD-SIDE decisions (broadcast the side the stats
+    prove small) and must treat it as an estimate, not a bound."""
+    rows = manifest_from_sidecar(table_path)
+    if rows is None:
+        return None
+    n = None
+    for st in rows.values():
+        if st.get("row_count") is not None:
+            n = int(st["row_count"])
+            break
+    if n is None:
+        return None
+    sel = 1.0
+    for f in filters:
+        sel *= estimate_selectivity(rows, f)
+    return int(n * sel)
 
 
 def ndv_from_sidecar(table_path: str) -> dict[str, int] | None:
