@@ -197,6 +197,119 @@ def covered_count_df(index_df: DataFrame, filters: list[Filter], alias: str) -> 
     )
 
 
+# -------------------------------------- measure-covered SUM aggregates
+
+_SUM_ITEMS = (
+    r"(?:COUNT\s*\(\s*\*\s*\)|SUM\s*\(\s*\w+\s*\)|COUNT\s*\(\s*DISTINCT\s+\w+\s*\))"
+    r"(?:\s+AS\s+\w+)?"
+)
+_SUM_RE = re.compile(
+    rf"^\s*SELECT\s+(?P<items>{_SUM_ITEMS}(?:\s*,\s*{_SUM_ITEMS})*)\s+"
+    r"FROM\s+(?P<table>\w+)\s+WHERE\s+(?P<pred>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_SUM_ITEM_RE = re.compile(
+    r"^(?:(?P<cnt>COUNT)\s*\(\s*\*\s*\)"
+    r"|SUM\s*\(\s*(?P<sumcol>\w+)\s*\)"
+    r"|COUNT\s*\(\s*DISTINCT\s+(?P<dcol>\w+)\s*\))"
+    r"(?:\s+AS\s+(?P<alias>\w+))?$",
+    re.IGNORECASE,
+)
+
+
+@dataclass
+class SumAggRewrite:
+    table: str
+    column: str  # the indexed key every WHERE conjunct targets
+    filters: list[Filter]
+    # ("count", alias) | ("sum", measure_col, alias) | ("ndv", col, alias)
+    items: list[tuple]
+
+
+def parse_sum_agg(sql: str) -> SumAggRewrite | None:
+    """COUNT(*)/SUM(m)/COUNT(DISTINCT key) mixes over one indexed key —
+    the E6 surface extended to measure-bearing value indexes: the whole
+    aggregate is servable from the (value, cnt, m_*) sidecar when every
+    SUM column is a recorded measure. At least one SUM must be present
+    (pure counts take the existing rewrites)."""
+    m = _SUM_RE.match(sql)
+    if not m:
+        return None
+    items: list[tuple] = []
+    has_sum = False
+    for raw in re.split(r"\s*,\s*", m.group("items").strip()):
+        im = _SUM_ITEM_RE.match(raw.strip())
+        if not im:
+            return None
+        if im.group("cnt"):
+            items.append(("count", im.group("alias") or "count(1)"))
+        elif im.group("sumcol"):
+            has_sum = True
+            col = im.group("sumcol")
+            items.append(("sum", col, im.group("alias") or f"sum({col})"))
+        else:
+            col = im.group("dcol")
+            items.append(("ndv", col, im.group("alias") or f"count(DISTINCT {col})"))
+    if not has_sum:
+        return None
+    terms = _split_conjuncts(m.group("pred"))
+    if not terms:
+        return None
+    filters = []
+    for t in terms:
+        f = _term_to_filter(t)
+        if f is None:
+            return None
+        filters.append(f)
+    cols = {f.name for f in filters}
+    if len(cols) != 1:
+        return None
+    key = cols.pop()
+    # COUNT(DISTINCT x) is index-servable only for the key itself
+    if any(it[0] == "ndv" and it[1] != key for it in items):
+        return None
+    return SumAggRewrite(m.group("table"), key, filters, items)
+
+
+def sum_agg_df(
+    index_df: DataFrame,
+    rw: SumAggRewrite,
+    measures: dict[str, int],
+) -> DataFrame | None:
+    """The aggregate served from the sidecar alone: counts sum `cnt`,
+    SUMs unscale the exact int64 fixed-point m_<col> columns (so the
+    result is the EXACT decimal sum — the int64 form is associative, no
+    float accumulation order to disagree about), NDV counts surviving
+    index rows. None when a SUM column has no recorded measure."""
+    from columnar_spark.functions.money import unscale
+    from columnar_spark.stats import measure_col_name
+
+    key = rw.column
+    renamed = index_df.withColumnRenamed("value", key)
+    pred = None
+    for f in rw.filters:
+        if f.mva.value != "none":
+            return None
+        c = compile_filter(f, renamed.select(key).schema)
+        pred = c if pred is None else (pred & c)
+    probe = renamed.filter(pred)
+    aggs = []
+    for it in rw.items:
+        if it[0] == "count":
+            aggs.append(F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias(it[1]))
+        elif it[0] == "ndv":
+            aggs.append(F.count(F.lit(1)).cast("long").alias(it[2]))
+        else:
+            _kind, col, alias = it
+            if col not in measures:
+                return None
+            mc = measure_col_name(col)
+            if mc not in index_df.columns:
+                return None
+            aggs.append(unscale(F.sum(mc), measures[col]).alias(alias))
+    return probe.agg(*aggs)
+
+
 # ------------------------------------------------ stats-covered MIN/MAX
 
 _STATS_AGG_RE = re.compile(

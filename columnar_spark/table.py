@@ -543,13 +543,15 @@ class Engine:
         # result's dist column; deterministic id tie-break. mode=index
         # serves the persisted IVF-PQ sidecar (partition-pruned probes +
         # exact re-rank — approximate, like the reference's HNSW-backed
-        # SQL KNN); default is the exact scan-and-rank path.
+        # SQL KNN); mode=graph serves the persisted per-part HNSW graph
+        # sidecar (hnsw_index.knn_query_graph — loaded, never rebuilt);
+        # default is the exact scan-and-rank path.
         m = _re.match(
             r"^\s*SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<table>\w+)\s+"
             r"WHERE\s+KNN\s*\(\s*(?P<col>\w+)\s*,\s*(?P<k>\d+)\s*,\s*"
             r"\(\s*(?P<vec>[-+\d.eE\s,]+?)\s*\)\s*\)\s*"
             r"(?:AND\s+(?P<rest>.+?))?\s*"
-            r"(?:OPTION\s+mode\s*=\s*(?P<mode>exact|index)\s*)?;?\s*$",
+            r"(?:OPTION\s+mode\s*=\s*(?P<mode>exact|index|graph)\s*)?;?\s*$",
             query,
             _re.IGNORECASE | _re.DOTALL,
         )
@@ -586,6 +588,27 @@ class Engine:
                 ).withColumnRenamed("id", id_col)
                 # re-attach requested payload columns by id (k-row left
                 # side — broadcastable), keep the distance order
+                out = out.join(df, id_col, "left").orderBy(
+                    _F.col("dist").asc(), _F.col(id_col).asc()
+                )
+            elif mode == "graph":
+                from columnar_spark.operators.hnsw_index import knn_query_graph
+
+                if pre is not None:
+                    raise ValueError(
+                        "OPTION mode=graph does not combine with residual "
+                        "predicates; use the exact path for filtered KNN"
+                    )
+                out = knn_query_graph(
+                    self.spark,
+                    f"{self.sf_dir}/{m.group('table')}.parquet",
+                    vec,
+                    int(m.group("k")),
+                )
+                # the artifact's id column is meta-declared; align it
+                # with the table's id column for the payload join
+                if out.columns[0] != id_col:
+                    out = out.withColumnRenamed(out.columns[0], id_col)
                 out = out.join(df, id_col, "left").orderBy(
                     _F.col("dist").asc(), _F.col(id_col).asc()
                 )
@@ -1256,6 +1279,32 @@ class Engine:
                     return covered_count_df(idx, rw.filters, rw.alias)
                 except Exception:
                     pass  # conservative: any doubt -> run the plain plan
+
+        # COUNT/SUM/NDV mixes over one indexed key: served from a
+        # measure-bearing value index (value, cnt, m_*) — the E6 surface
+        # extended to exact fixed-point SUMs (the reference's SI
+        # bitmap-union regime answers filtered aggregates from index
+        # blocks, blockreader.cpp:556-585).
+        from columnar_spark.plans.count_rewrite import parse_sum_agg, sum_agg_df
+
+        srw = parse_sum_agg(jquery)
+        if srw is not None:
+            idx = self._get_value_index(srw.table, srw.column)
+            if idx is not None:
+                from columnar_spark.stats import value_index_measures
+
+                ms = value_index_measures(
+                    f"{self.sf_dir}/{srw.table}.parquet", srw.column
+                )
+                if ms:
+                    try:
+                        out = sum_agg_df(
+                            idx, srw, {c: int(dp) for c, dp in ms}
+                        )
+                        if out is not None:
+                            return out
+                    except Exception:
+                        pass  # conservative: any doubt -> the plain plan
 
         # GROUP BY col + COUNT(*) / COUNT(DISTINCT col): the value index
         # IS the result relation (E6/E7) — serve it directly.

@@ -171,3 +171,47 @@ def test_append_routes_to_stable_parts_only(spark, tmp_path_factory):
     changed = [d for d in before if before[d] != after.get(d, [])]
     assert len(changed) == 1  # exactly the one touched part rewritten
     assert check_graph_index(spark, path) == []
+
+
+def test_sql_knn_mode_graph(spark, graph_table, tmp_path_factory):
+    """The daemon KNN SQL surface serves OPTION mode=graph from the
+    persisted sidecar; without one the error carries guidance."""
+    import os
+    import shutil
+
+    from columnar_spark.table import Engine
+
+    sf = str(tmp_path_factory.mktemp("sqlgraph"))
+    shutil.copytree(graph_table, f"{sf}/embeddings.parquet")
+    shutil.copytree(
+        graph_index_path(graph_table), f"{sf}/embeddings.parquet.knn-graph"
+    )
+    eng = Engine(spark, sf)
+    eng.register_views(["embeddings"])
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    qvec = [float(v) for v in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
+    lit = ", ".join(f"{v:.8f}" for v in qvec)
+    out = eng.sql(
+        f"SELECT vec_id, knn_dist() FROM embeddings "
+        f"WHERE KNN(embedding, 5, ({lit})) OPTION mode=graph"
+    ).collect()
+    assert len(out) == 5 and out[0]["vec_id"] == 7  # self is nearest
+    dists = [r["knn_dist"] for r in out]
+    assert dists == sorted(dists)
+
+    # residual predicate + graph mode: refused with guidance
+    with pytest.raises(ValueError, match="mode=graph"):
+        eng.sql(
+            f"SELECT vec_id FROM embeddings "
+            f"WHERE KNN(embedding, 5, ({lit})) AND label = 3 OPTION mode=graph"
+        )
+
+    # no sidecar: the shared freshness/absence error fires
+    os.rename(
+        f"{sf}/embeddings.parquet.knn-graph", f"{sf}/embeddings.parquet.gone"
+    )
+    with pytest.raises(ValueError, match="graph index"):
+        eng.sql(
+            f"SELECT vec_id FROM embeddings "
+            f"WHERE KNN(embedding, 5, ({lit})) OPTION mode=graph"
+        )

@@ -283,3 +283,37 @@ def test_measure_bearing_index_serves_in_list_aggregate(spark, tmp_path):
     E._VIDX_CACHE.clear()
     got_scan = E.queries()["filter_in_large_list"](spark, sf).first()
     assert tuple(got_idx) == tuple(got_scan)
+
+
+def test_engine_sql_sum_served_from_measure_index(spark, tmp_path):
+    """Engine.sql serves COUNT/SUM/NDV mixes over an indexed key from
+    the measure-bearing sidecar — the plan reads only the index
+    relation, and the SUM is the exact decimal total."""
+    import os
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    path = f"{sf}/li.parquet"
+    rows = [(i, (i * 3) % 7, round(0.25 * (i % 9), 2)) for i in range(200)]
+    spark.createDataFrame(rows, "k: long, pk: long, qty: double").write.parquet(path)
+    write_value_index(spark, path, "pk", measures=[("qty", 2)])
+
+    eng = Engine(spark, sf)
+    eng.register_views(["li"])
+    q = (
+        "SELECT COUNT(*) AS n, SUM(qty) AS total, COUNT(DISTINCT pk) AS nk "
+        "FROM li WHERE pk IN (1, 3, 5)"
+    )
+    got = eng.sql(q).first()
+    # exact reference from the raw rows
+    keep = [r for r in rows if r[1] in (1, 3, 5)]
+    assert got["n"] == len(keep)
+    assert got["nk"] == len({r[1] for r in keep})
+    assert abs(got["total"] - round(sum(r[2] for r in keep), 2)) < 1e-9
+    # index-only: the executed plan reads the sidecar schema, never `k`
+    plan = eng.sql(q)._jdf.queryExecution().executedPlan().toString()
+    assert "m_qty" in plan and "struct<k" not in plan
+
+    # a SUM on a column with no recorded measure falls through to Spark
+    got2 = eng.sql("SELECT SUM(k) AS s FROM li WHERE pk = 2").first()
+    assert got2["s"] == sum(r[0] for r in rows if r[1] == 2)
