@@ -228,6 +228,30 @@ def _refresh_derived_sidecars(spark, path: str, fmt: str) -> None:
             except Exception:
                 shutil.rmtree(kroot, ignore_errors=True)
 
+        groot = base + ".knn-graph"
+        if os.path.isdir(groot):
+            try:
+                from columnar_spark.operators.hnsw_index import (
+                    build_graph_index,
+                    load_graph_index_meta,
+                )
+
+                gm = load_graph_index_meta(path, check_fresh=False)
+                build_graph_index(
+                    spark,
+                    new,
+                    path,
+                    vec_col=gm["vec_col"],
+                    id_col=gm["id_col"],
+                    metric=gm["metric"],
+                    M=gm["m"],
+                    ef_construction=gm["ef_construction"],
+                    num_parts=gm["num_parts"],
+                    seed=gm["seed"],
+                )
+            except Exception:
+                shutil.rmtree(groot, ignore_errors=True)
+
 
 def delete_where(spark, path: str, condition: str, fmt: str = "parquet") -> tuple[int, int]:
     """Copy-on-write `DELETE FROM t WHERE cond`: rows where the predicate

@@ -213,6 +213,7 @@ SIDECAR_SUFFIXES = (
     ".pidx",
     ".ftidx",
     ".knn",
+    ".knn-graph",
     ".rollup",
     ".vocab",
     ".ingest",
@@ -383,6 +384,12 @@ def build_sf_layout(
             from columnar_spark.operators.knn_index import build_vector_index
 
             build_vector_index(spark, df, dest)
+            # A12's graph artifact too: per-part HNSW built once at
+            # ingest, served by knn_query_graph / OPTION mode=graph
+            # without any per-query build.
+            from columnar_spark.operators.hnsw_index import build_graph_index
+
+            build_graph_index(spark, df, dest, num_parts=4)
         if table == "documents":
             # Inverted text index beside the table (term-bucketed
             # postings + doc lengths): ranked retrieval serves from the
@@ -470,6 +477,9 @@ def _check_table_body(
     from columnar_spark.operators.knn_index import check_vector_index
 
     errors.extend(check_vector_index(spark, path))
+    from columnar_spark.operators.hnsw_index import check_graph_index
+
+    errors.extend(check_graph_index(spark, path))
 
     # Inverted-text sidecar, when present.
     from columnar_spark.operators.fulltext import check_text_index
