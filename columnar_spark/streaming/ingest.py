@@ -235,6 +235,23 @@ def _rebuild_sidecars(ss: SparkSession, dst_path: str) -> None:
             vec_col=vidx.vec_col, id_col=vidx.id_col, metric=vidx.metric,
             nlist=vidx.nlist, m=vidx.m, k=vidx.k, store_vectors=store_vectors,
         )
+    from columnar_spark.operators.hnsw_index import (
+        build_graph_index,
+        load_graph_index_meta,
+    )
+
+    gmeta = load_graph_index_meta(dst_path, check_fresh=False)
+    if gmeta is not None and gmeta["vec_col"] in full.columns:
+        # a crashed attempt may have extended SOME parts: rebuild the
+        # graph from the table (the cannot-double-count recovery, same
+        # as every count-derived sidecar)
+        build_graph_index(
+            ss, full, dst_path,
+            vec_col=gmeta["vec_col"], id_col=gmeta["id_col"],
+            metric=gmeta["metric"], M=gmeta["m"],
+            ef_construction=gmeta["ef_construction"],
+            num_parts=gmeta["num_parts"], seed=gmeta["seed"],
+        )
 
 
 def append_batch(
@@ -347,6 +364,17 @@ def append_batch(
             vidx = load_vector_index(dst_path, check_fresh=False)
             if vidx is not None and vidx.vec_col in appended.columns:
                 append_to_vector_index(ss, appended, dst_path)
+            # ... and the HNSW graph sidecar: touched sub-graphs extend
+            # with deterministic level sampling (replay-safe); untouched
+            # parts are not read or written.
+            from columnar_spark.operators.hnsw_index import (
+                append_to_graph_index,
+                load_graph_index_meta,
+            )
+
+            gmeta = load_graph_index_meta(dst_path, check_fresh=False)
+            if gmeta is not None and gmeta["vec_col"] in appended.columns:
+                append_to_graph_index(ss, appended, dst_path)
             # Persisted value-index sidecars (A11 artifact): fold the batch's
             # value counts in — O(index + batch-ndv), same merge contract.
             from columnar_spark.stats import (

@@ -215,3 +215,35 @@ def test_sql_knn_mode_graph(spark, graph_table, tmp_path_factory):
             f"SELECT vec_id FROM embeddings "
             f"WHERE KNN(embedding, 5, ({lit})) OPTION mode=graph"
         )
+
+
+def test_append_batch_maintains_graph_sidecar(spark, tmp_path_factory):
+    """E9 through the shared ingest unit: a ledgered append extends the
+    graph sidecar; a replay is a full no-op; the checker stays green."""
+    from columnar_spark.streaming.ingest import append_batch
+
+    root = tmp_path_factory.mktemp("graph_ingest")
+    path = str(root / "emb.parquet")
+    rng = np.random.RandomState(3)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    df.write.parquet(path)
+    build_graph_index(spark, df, path, num_parts=3, metric="l2")
+
+    batch = spark.createDataFrame(
+        [(500 + i, [float(x) for x in rng.randn(8)]) for i in range(9)],
+        "vec_id: long, embedding: array<float>",
+    )
+    assert append_batch(batch, path, batch_id=1) is True
+    assert check_graph_index(spark, path) == []
+    n = spark.read.parquet(
+        graph_index_path(path) + "/graph"
+    ).count()
+    assert n == 129
+    # replay: no-op
+    assert append_batch(batch, path, batch_id=1) is False
+    assert spark.read.parquet(graph_index_path(path) + "/graph").count() == 129
+    # appended vectors are searchable
+    q = [float(v) for v in batch.first()["embedding"]]
+    top = knn_query_graph(spark, path, q, 1, ef=32).first()
+    assert top["vec_id"] == 500
