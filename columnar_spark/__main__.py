@@ -72,6 +72,22 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--metric", default="cosine", choices=["cosine", "l2"])
     sp.add_argument("--nlist", type=int, default=16)
 
+    sp = sub.add_parser("graph-build")
+    sp.add_argument("table_path")
+    sp.add_argument("--vec-col", default="embedding")
+    sp.add_argument("--id-col", default="vec_id")
+    sp.add_argument("--metric", default="cosine", choices=["cosine", "l2", "ip"])
+    sp.add_argument("--num-parts", type=int, default=8)
+    sp.add_argument("--m", type=int, default=16)
+
+    sp = sub.add_parser("graph-query")
+    sp.add_argument("table_path")
+    g = sp.add_mutually_exclusive_group(required=True)
+    g.add_argument("--id", type=int, help="query vector's id in the table")
+    g.add_argument("--vec", help="literal query vector: comma-separated floats")
+    sp.add_argument("--k", type=int, default=10)
+    sp.add_argument("--ef", type=int, default=64)
+
     sp = sub.add_parser("knn-query")
     sp.add_argument("table_path")
     g = sp.add_mutually_exclusive_group(required=True)
@@ -424,6 +440,49 @@ def main(argv: list[str] | None = None) -> int:
             id_col=args.id_col, metric=args.metric, nlist=args.nlist,
         )
         print(json.dumps({"index": out}))
+        return 0
+
+    if args.cmd == "graph-build":
+        from columnar_spark.operators.hnsw_index import build_graph_index
+
+        df = spark.read.parquet(args.table_path)
+        out = build_graph_index(
+            spark, df, args.table_path, vec_col=args.vec_col,
+            id_col=args.id_col, metric=args.metric,
+            num_parts=args.num_parts, M=args.m,
+        )
+        print(json.dumps({"index": out}))
+        return 0
+
+    if args.cmd == "graph-query":
+        from pyspark.sql import functions as F
+
+        from columnar_spark.operators.hnsw_index import (
+            knn_query_graph,
+            load_graph_index_meta,
+        )
+
+        meta = load_graph_index_meta(args.table_path)
+        if meta is None:
+            print(json.dumps({"error": "no fresh graph index; run graph-build first"}))
+            return 1
+        if args.vec is not None:
+            q = [float(x) for x in args.vec.split(",")]
+            if len(q) != meta["dim"]:
+                print(json.dumps({"error": f"vector has {len(q)} dims, index has {meta['dim']}"}))
+                return 1
+        else:
+            df = spark.read.parquet(args.table_path)
+            row = df.filter(F.col(meta["id_col"]) == args.id).select(meta["vec_col"]).first()
+            if row is None:
+                print(json.dumps({"error": f"id {args.id} not found"}))
+                return 1
+            q = [float(x) for x in row[0]]
+        hits = knn_query_graph(spark, args.table_path, q, args.k, ef=args.ef)
+        out = [
+            {"id": r[meta["id_col"]], "dist": r["dist"]} for r in hits.collect()
+        ]
+        print(json.dumps(out))
         return 0
 
     if args.cmd == "knn-query":

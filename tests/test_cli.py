@@ -195,3 +195,12 @@ def test_vocab_monitor_cli_roundtrip(spark, tmp_path_factory, capsys):
 
     want = vocab_stats(spark.read.parquet(t), "text").collect()[0]
     assert rep["n_tokens"] == want.n_tokens and rep["n_types"] == want.n_types
+
+
+def test_graph_build_and_query_cli(table, capsys):
+    assert main(["graph-build", table, "--num-parts", "3"]) == 0
+    capsys.readouterr()
+    assert main(["graph-query", table, "--id", "1", "--k", "5"]) == 0
+    hits = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(hits) == 5 and hits[0]["id"] == 1  # self is its own 1-NN
+    assert main(["graph-query", table, "--vec", "1.0,2.0"]) == 1  # dim mismatch
