@@ -5157,9 +5157,10 @@ _DRIVER_PRIORITY = [
     "filter_surface_counts", "mva_filter_counts", "filter_in_large_list",
     "count_filtered_conjunct", "count_distinct_stats", "stats_minmax_manifest",
     "value_index_counts", "posting_index_lookup", "json_field_counts",
-    # window functions
-    "group_topk_window", "window_running_sum", "window_moving_avg_range",
-    "window_rank_family", "window_lead_lag", "global_rank_orders",
+    # window functions (moving_avg_range/lead_lag post-50 since r6 to
+    # admit the round-6 flagships; still hash-verified in the local run)
+    "group_topk_window", "window_running_sum",
+    "window_rank_family", "global_rank_orders",
     # aggregation variants
     "agg_rollup_events", "cube_orders", "grouping_sets_orders",
     "pivot_event_counts", "percentile_stats",
@@ -5174,13 +5175,13 @@ _DRIVER_PRIORITY = [
     "doc_text_stats", "doc_quality_filter", "stratified_sample_docs",
     "dedup_exact_survivors", "training_pipeline_docs",
     # exact KNN + embed pipeline + quantized ladder (l2/ip variants and
-    # q9 post-50, locally verified)
-    "knn_cosine_topk", "embed_then_knn",
+    # q9 post-50, locally verified); r6 flagships in driver slots:
+    # knn_b1_cosine (full oracle, now served index-only from the at-rest
+    # b1 codes) and knn_graph_cosine (persisted HNSW sidecar, rows-only
+    # by design + recall-gated in tests/test_hnsw_index.py)
+    "knn_cosine_topk", "embed_then_knn", "knn_b1_cosine", "knn_graph_cosine",
     # ---- slot 50+: no-oracle flagships (rows-only check), then the rest
-    # (knn_b1_cosine moved post-50 in r4 to admit json_field_counts; it
-    # stays hash-verified in the local 133-run)
-    "knn_b1_cosine",
-    "knn_graph_cosine",
+    "window_moving_avg_range", "window_lead_lag",
     "knn_ivf_cosine", "minhash_dedup_assign", "simhash_dedup_assign",
     "embedding_neardup_lsh", "q9_nation_profit", "knn_q8_cosine", "knn_pq_l2",
     "knn_ivfpq_cosine", "histogram_quantity", "knn_self_join_ivf",
