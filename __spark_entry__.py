@@ -2309,16 +2309,50 @@ LIMIT 100
 @_q("q18_large_orders", _Q18_SQL)
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18: large-volume orders — HAVING on a grouped sum feeding a
-    join, deterministic top-100."""
+    join, deterministic top-100.
+
+    On an ingested layout the grouped sum is served from the
+    measure-bearing l_orderkey value index: the sidecar IS the
+    (l_orderkey, cnt, sum(l_quantity)) relation, pre-aggregated at
+    ingest and maintained incrementally, so the plan reads the
+    |orderkey|-row index instead of shuffling every lineitem row —
+    at 100 TB that deletes the single biggest shuffle of this query.
+    The int64 fixed-point measure makes the index path bit-identical
+    to the base-scan fallback (same scaled sum, same > comparison)."""
+    from columnar_spark.stats import (
+        load_value_index,
+        measure_col_name,
+        value_index_measures,
+    )
+
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
-    big = (
-        li.groupBy(F.col("l_orderkey").alias("big_okey"))
-        .agg(F.sum(_fx("l_quantity")).alias("tq_scaled"))
-        .filter(F.col("tq_scaled") > 15000)
-        .withColumn("total_qty", F.col("tq_scaled").cast("double") / F.lit(100.0))
-    )
+    big = None
+    li_path = f"{sf_dir}/lineitem.parquet"
+    measures = value_index_measures(li_path, "l_orderkey") or []
+    if ["l_quantity", 2] in [list(m) for m in measures]:
+        idx = load_value_index(spark, li_path, "l_orderkey")
+        if idx is not None:
+            m = measure_col_name("l_quantity")
+            big = (
+                idx.filter(F.col(m) > 15000)
+                .select(
+                    F.col("value").alias("big_okey"),
+                    (F.col(m).cast("double") / F.lit(100.0)).alias("total_qty"),
+                )
+            )
+            # the HAVING slice is provably tiny (a handful of orders
+            # out of millions); broadcasting it keeps orders unshuffled
+            big = F.broadcast(big)
+    if big is None:
+        big = (
+            li.groupBy(F.col("l_orderkey").alias("big_okey"))
+            .agg(F.sum(_fx("l_quantity")).alias("tq_scaled"))
+            .filter(F.col("tq_scaled") > 15000)
+            .withColumn("total_qty", F.col("tq_scaled").cast("double") / F.lit(100.0))
+            .drop("tq_scaled")
+        )
     j = (
         big.join(orders, F.col("o_orderkey") == F.col("big_okey"))
         .join(cust, F.col("c_custkey") == F.col("o_custkey"))

@@ -294,10 +294,22 @@ _LAYOUT_SPECS: dict[str, WriteSpec] = {
     # Engine facade and the JVM Catalyst rule from the first query on.
     "lineitem": WriteSpec(
         cluster_by=("l_shipdate",),
-        value_index_cols=("l_returnflag", "l_linestatus", "l_partkey", "l_suppkey"),
+        value_index_cols=(
+            "l_returnflag", "l_linestatus", "l_partkey", "l_suppkey",
+            "l_orderkey",
+        ),
         # the l_partkey index carries the quantity sum so the large
-        # IN-list COUNT/SUM aggregate is answered from the sidecar alone
-        value_index_measures={"l_partkey": [("l_quantity", 2)]},
+        # IN-list COUNT/SUM aggregate is answered from the sidecar
+        # alone; the l_orderkey index carries the same measure so
+        # HAVING-on-grouped-sum shapes (TPC-H Q18's large-volume
+        # orders) read the |orderkey|-row pre-aggregate instead of
+        # shuffling all of lineitem — the same E6/E7 regime the
+        # reference serves from SI blocks (secondary.cpp GetCount
+        # family) applied to a grouped SUM.
+        value_index_measures={
+            "l_partkey": [("l_quantity", 2)],
+            "l_orderkey": [("l_quantity", 2)],
+        },
     ),
     "orders": WriteSpec(
         cluster_by=("o_orderdate",),
@@ -357,7 +369,7 @@ def build_sf_layout(
     # layout_v bumps when the ingest artifacts change (new sidecar
     # kinds), so a cached layout built by older code is invalidated even
     # though the SOURCE signature still matches.
-    signature = "layout_v8\n" + src_dir + "\n" + "\n".join(sig_parts) + "\n"
+    signature = "layout_v9\n" + src_dir + "\n" + "\n".join(sig_parts) + "\n"
 
     marker = os.path.join(dest_dir, _LAYOUT_MARKER)
     if os.path.exists(marker) and not force:

@@ -317,3 +317,48 @@ def test_engine_sql_sum_served_from_measure_index(spark, tmp_path):
     # a SUM on a column with no recorded measure falls through to Spark
     got2 = eng.sql("SELECT SUM(k) AS s FROM li WHERE pk = 2").first()
     assert got2["s"] == sum(r[0] for r in rows if r[1] == 2)
+
+
+def test_q18_served_from_orderkey_measure_index(spark, tmp_path):
+    """q18_large_orders takes the l_orderkey measure index when the
+    layout carries it (the grouped HAVING sum is the sidecar relation,
+    no lineitem shuffle) and matches its own base-scan fallback bit for
+    bit — including total_qty, derived from the same int64 scaled sum."""
+    import datetime
+    import os
+    import shutil
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    li_path = f"{sf}/lineitem.parquet"
+    # orderkey 5 and 11 exceed the >150.0 quantity threshold
+    li_rows = []
+    for ok in range(20):
+        n = 8 if ok in (5, 11) else 3
+        for i in range(n):
+            li_rows.append((ok, i, 21.25 if ok in (5, 11) else 7.5))
+    spark.createDataFrame(
+        li_rows, "l_orderkey: long, l_linenumber: long, l_quantity: double"
+    ).write.parquet(li_path)
+    spark.createDataFrame(
+        [
+            (ok, ok % 6, datetime.date(1996, 1, 1 + ok), 1000.0 + 7 * ok)
+            for ok in range(20)
+        ],
+        "o_orderkey: long, o_custkey: long, o_orderdate: date, o_totalprice: double",
+    ).write.parquet(f"{sf}/orders.parquet")
+    spark.createDataFrame(
+        [(c, f"Customer#{c}") for c in range(6)], "c_custkey: long, c_name: string"
+    ).write.parquet(f"{sf}/customer.parquet")
+    write_value_index(spark, li_path, "l_orderkey", measures=[("l_quantity", 2)])
+
+    import __spark_entry__ as E
+
+    q = E.queries()["q18_large_orders"]
+    got_idx = [tuple(r) for r in q(spark, sf).collect()]
+    assert {r[1] for r in got_idx} == {5, 11}
+    # hide the sidecar -> the base-scan fallback must agree exactly
+    shutil.move(li_path + ".vidx", li_path + ".vidx.hidden")
+    E._TABLE_CACHE.clear()
+    got_scan = [tuple(r) for r in q(spark, sf).collect()]
+    assert got_idx == got_scan

@@ -107,9 +107,10 @@ def main() -> None:
     from columnar_spark.stats import value_index_path, write_value_index
 
     li_path = os.path.join(dest, "lineitem.parquet")
-    if not os.path.exists(os.path.join(value_index_path(li_path, "l_partkey"), "_SUCCESS")):
-        write_value_index(spark, li_path, "l_partkey", measures=[("l_quantity", 2)])
-        print(f"# lineitem.l_partkey value index (+l_quantity measure)", file=sys.stderr)
+    for icol in ("l_partkey", "l_orderkey"):
+        if not os.path.exists(os.path.join(value_index_path(li_path, icol), "_SUCCESS")):
+            write_value_index(spark, li_path, icol, measures=[("l_quantity", 2)])
+            print(f"# lineitem.{icol} value index (+l_quantity measure)", file=sys.stderr)
 
     print(dest)
 
