@@ -362,3 +362,33 @@ def test_q18_served_from_orderkey_measure_index(spark, tmp_path):
     E._TABLE_CACHE.clear()
     got_scan = [tuple(r) for r in q(spark, sf).collect()]
     assert got_idx == got_scan
+
+
+def test_count_distinct_stats_index_route_null_semantics(spark, tmp_path):
+    """count_distinct_stats' E7 index route: NDV excludes the sidecar's
+    NULL group, n_rows includes it — matching COUNT(DISTINCT)/COUNT(*)
+    on the base scan exactly."""
+    import os
+    import shutil
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    path = f"{sf}/lineitem.parquet"
+    rows = [
+        (i % 5 if i % 7 else None, i % 3, ["A", "N", "R"][i % 3] if i % 11 else None)
+        for i in range(300)
+    ]
+    spark.createDataFrame(
+        rows, "l_partkey: long, l_suppkey: long, l_returnflag: string"
+    ).write.parquet(path)
+    for c in ("l_partkey", "l_suppkey", "l_returnflag"):
+        write_value_index(spark, path, c)
+
+    import __spark_entry__ as E
+
+    q = E.queries()["count_distinct_stats"]
+    got_idx = tuple(q(spark, sf).first())
+    shutil.move(path + ".vidx", path + ".vidx.hidden")
+    E._TABLE_CACHE.clear()
+    got_scan = tuple(q(spark, sf).first())
+    assert got_idx == got_scan == (5, 3, 3, 300)
