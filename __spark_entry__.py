@@ -1203,6 +1203,44 @@ def doc_lang_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # value-index counts, quality pipeline, vector stats
 # --------------------------------------------------------------------------
 
+def _region_nation_fraction(sf_dir: str, region_name: str) -> float | None:
+    """Fraction of nations whose region is `region_name`, read driver-
+    side from the FIXED-SIZE nation/region tables (25/5 rows by data
+    model, like TPC-H) — the same host-side planning surface as the
+    stats manifest, never a data-scale collect. None when unreadable."""
+    try:
+        import pyarrow.parquet as pq
+
+        nat = pq.read_table(
+            f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+        ).to_pydict()
+        reg = pq.read_table(
+            f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+        ).to_pydict()
+    except Exception:
+        return None
+    keys = {
+        rk for rk, rn in zip(reg["r_regionkey"], reg["r_name"]) if rn == region_name
+    }
+    total = len(nat["n_nationkey"])
+    if total == 0:
+        return None
+    hits = sum(1 for g in nat["n_regionkey"] if g in keys)
+    return hits / total
+
+
+def _stats_rows_within(
+    sf_dir: str, table: str, frac: float, max_rows: int = 1_000_000
+) -> bool:
+    """True when the stats manifest proves `table`'s row count x frac
+    fits under the broadcast cap; False without a sidecar (scale-safe:
+    un-ingested layouts are left to AQE)."""
+    from columnar_spark.stats import estimated_filtered_rows
+
+    rows = estimated_filtered_rows(f"{sf_dir}/{table}.parquet", [])
+    return rows is not None and rows * frac <= max_rows
+
+
 def _stats_fraction(sf_dir: str, table: str, filters) -> float | None:
     """Estimated selectivity (0..1) of a conjunctive filter list on one
     table, from its stats sidecar; None without a sidecar."""
@@ -2182,18 +2220,34 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     n1 = nat.select(F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region"))
     n2 = nat.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation"))
     volume = _fx_disc_price()
-    # Join-order note: pre-filtering ORDERS by AMERICA customers before
-    # the lineitem join was A/B-measured at sf1 and lost (1.38s -> 1.49s):
-    # the static planner already broadcasts `cust`, so the naive order
-    # pays ONE shuffle join (li-orders) while the "smart" reorder pays
-    # two (orders-cust_am, li-ord_am). Kept in this form deliberately.
+    # The customer tree contributes ONLY the AMERICA restriction (no
+    # customer columns survive the projection), so it is folded into a
+    # semi-join chain: nation x filtered region (fixed-size, broadcast)
+    # restricts customer; the surviving c_custkeys restrict orders. Both
+    # semi builds are broadcast-hinted from the stats sidecar x the
+    # region fraction of the FIXED-SIZE nation table (driver-readable
+    # like any manifest, the reference's host-side planning surface) —
+    # when they fire, neither orders nor the part-filtered lineitem
+    # slice ever shuffle-writes: the probe side is one codegen stage.
+    # An earlier A/B note measured the orders-first reorder LOSING at
+    # sf1 — that form paid two shuffle joins; the semi-join form pays
+    # zero when hinted, which is what changed the verdict.
+    n1reg = n1.join(F.broadcast(reg), F.col("r_regionkey") == F.col("n1_region")).select("n1_key")
+    cust_am = cust.join(
+        F.broadcast(n1reg), F.col("c_nationkey") == F.col("n1_key"), "left_semi"
+    ).select("c_custkey")
+    frac = _region_nation_fraction(sf_dir, "AMERICA")
+    if frac is not None and _stats_rows_within(sf_dir, "customer", frac):
+        cust_am = F.broadcast(cust_am)
+    build = orders.join(
+        cust_am, F.col("o_custkey") == F.col("c_custkey"), "left_semi"
+    ).select("o_orderkey", "o_orderdate")
+    if frac is not None and _stats_rows_within(sf_dir, "orders", frac):
+        build = F.broadcast(build)
     joined = (
         li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
         .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
-        .join(F.broadcast(n1), F.col("n1_key") == F.col("c_nationkey"))
-        .join(F.broadcast(reg), F.col("r_regionkey") == F.col("n1_region"))
+        .join(build, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(n2), F.col("n2_key") == F.col("s_nationkey"))
         .select(
             F.year("o_orderdate").cast("int").alias("o_year"),
