@@ -1385,6 +1385,37 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
 
 @_q("cube_orders", _CUBE_SQL)
 def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(status, priority) with count + exact money sum. On an
+    ingested layout the composite (status, priority) value index IS the
+    finest CUBE cell set, so the whole lattice is re-aggregated from
+    |distinct pairs| sidecar rows (weights: sum(cnt), sum(m)) instead of
+    Expand-scanning orders x4 — the grouped-aggregate generalization of
+    the reference's SI count surface. Additivity makes the index route
+    bit-identical: the same int64 scaled sums reach the same unscale."""
+    from columnar_spark.stats import (
+        composite_virtual_name,
+        load_value_index,
+        measure_col_name,
+        value_index_measures,
+    )
+
+    path = f"{sf_dir}/orders.parquet"
+    name = composite_virtual_name(("o_orderstatus", "o_orderpriority"))
+    measures = value_index_measures(path, name) or []
+    if ["o_totalprice", 2] in [list(m) for m in measures]:
+        idx = load_value_index(spark, path, name)
+        if idx is not None:
+            m = measure_col_name("o_totalprice")
+            flat = idx.select(
+                F.col("value.o_orderstatus").alias("o_orderstatus"),
+                F.col("value.o_orderpriority").alias("o_orderpriority"),
+                "cnt",
+                F.col(m),
+            )
+            return flat.cube("o_orderstatus", "o_orderpriority").agg(
+                F.sum("cnt").cast("long").alias("n"),
+                _money.unscale(F.sum(m), 2).alias("total"),
+            )
     orders = _t(spark, sf_dir, "orders")
     return orders.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),

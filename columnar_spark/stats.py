@@ -559,10 +559,38 @@ def persisted_value_index_cols(table_path: str) -> list[str]:
     )
 
 
+def composite_virtual_name(cols: "Sequence[str]") -> str:
+    """('o_orderstatus', 'o_orderpriority') -> the virtual-column /
+    sidecar-directory name of a COMPOSITE value index. The struct-valued
+    (value, cnt[, m_*]) relation is the exact GROUP BY over the key
+    tuple, so CUBE / GROUPING SETS / grouped aggregates over those keys
+    are served from |distinct tuples| rows instead of the base table
+    (grouped-aggregate generalization of the reference's per-attribute
+    SI count surface, secondary.cpp GetCount family)."""
+    return "__x__".join(cols)
+
+
+def composite_index_cols(table_path: str, name: str) -> "list[str] | None":
+    """The key columns of a composite value index, from its _meta.json;
+    None for ordinary single-column indexes."""
+    import json
+    import os
+
+    mp = os.path.join(value_index_path(table_path, name), "_meta.json")
+    if not os.path.exists(mp):
+        return None
+    with open(mp) as f:
+        return json.load(f).get("composite")
+
+
+def _with_composite_col(df: DataFrame, name: str, cols: "Sequence[str]") -> DataFrame:
+    return df.withColumn(name, F.struct(*[F.col(c) for c in cols]))
+
+
 def write_value_index(
     spark: SparkSession,
     table_path: str,
-    col: str,
+    col: "str | Sequence[str]",
     fmt: str = "parquet",
     measures: "Sequence[tuple[str, int]] | None" = None,
 ) -> None:
@@ -571,17 +599,33 @@ def write_value_index(
     secondary/builder.cpp:849+ writes per-column SI files beside the
     columnar blob the same way). The `measures` spec is recorded in
     _meta.json so incremental merges maintain the sum columns with the
-    SAME fixed-point scales."""
+    SAME fixed-point scales. A tuple `col` builds a COMPOSITE index:
+    value = struct(*cols), recorded in _meta.json so appends, MERGE
+    rebuilds and the checker recompute the key from the base columns."""
     import json
     import os
 
     df = getattr(spark.read, fmt)(table_path)
+    meta: dict = {}
+    if isinstance(col, str):
+        # rebuild-by-name of an existing composite sidecar (MERGE,
+        # recovery, ingest refresh): recover the key list from _meta
+        existing = composite_index_cols(table_path, col)
+        if existing:
+            col = tuple(existing)
+    if not isinstance(col, str):
+        cols = list(col)
+        col = composite_virtual_name(cols)
+        df = _with_composite_col(df, col, cols)
+        meta["composite"] = cols
+    if measures:
+        meta["measures"] = [[c, dp] for c, dp in measures]
     p = value_index_path(table_path, col)
     with rewrites_disabled(spark):  # rebuild must scan the BASE table
         build_value_index(df, col, measures).write.mode("overwrite").parquet(p)
-    if measures:
+    if meta:
         with open(os.path.join(p, "_meta.json"), "w") as f:
-            json.dump({"measures": [[c, dp] for c, dp in measures]}, f)
+            json.dump(meta, f)
     _write_table_sig(table_path, p)
 
 
@@ -622,6 +666,11 @@ def merge_value_index(spark: SparkSession, table_path: str, col: str, batch_df: 
         batch_df = batch_df.withColumn(
             col, json_field_expr(jmeta["parent"], jmeta["json_path"])
         )
+    # Composite index: the batch carries the KEY columns; rebuild the
+    # struct key before counting (column list from _meta).
+    cmeta = composite_index_cols(table_path, col)
+    if cmeta is not None and col not in batch_df.columns:
+        batch_df = _with_composite_col(batch_df, col, cmeta)
     measures = [
         (c, int(dp)) for c, dp in (value_index_measures(table_path, col) or [])
     ]
@@ -635,11 +684,14 @@ def merge_value_index(spark: SparkSession, table_path: str, col: str, batch_df: 
         rows = merged.collect()     # from the index being merged into
     out = spark.createDataFrame(rows, merged.schema)
     out.write.mode("overwrite").parquet(value_index_path(table_path, col))
-    if jmeta is not None or measures:  # overwrite clears the dir — restore meta
+    if jmeta is not None or cmeta is not None or measures:
+        # overwrite clears the dir — restore meta
         import json
         import os
 
         meta = dict(jmeta or {})
+        if cmeta is not None:
+            meta["composite"] = cmeta
         if measures:
             meta["measures"] = [[c, dp] for c, dp in measures]
         with open(os.path.join(value_index_path(table_path, col), "_meta.json"), "w") as f:

@@ -216,11 +216,15 @@ def _rebuild_sidecars(ss: SparkSession, dst_path: str) -> None:
         if jm is not None:
             write_json_field_index(ss, dst_path, jm["parent"], jm["json_path"])
         else:
-            from columnar_spark.stats import value_index_measures
+            from columnar_spark.stats import (
+                composite_index_cols,
+                value_index_measures,
+            )
 
             ms = value_index_measures(dst_path, c)
+            cm = composite_index_cols(dst_path, c)
             write_value_index(
-                ss, dst_path, c,
+                ss, dst_path, tuple(cm) if cm else c,
                 measures=[(mc, int(dp)) for mc, dp in ms] if ms else None,
             )
     for c in persisted_posting_index_cols(dst_path):
@@ -378,6 +382,7 @@ def append_batch(
             # Persisted value-index sidecars (A11 artifact): fold the batch's
             # value counts in — O(index + batch-ndv), same merge contract.
             from columnar_spark.stats import (
+                composite_index_cols,
                 json_index_meta,
                 merge_posting_index,
                 merge_value_index,
@@ -388,11 +393,18 @@ def append_batch(
 
             for c in persisted_value_index_cols(dst_path):
                 jmeta = json_index_meta(dst_path, c)
-                if c in appended.columns or (
-                    jmeta is not None and jmeta["parent"] in appended.columns
+                cmeta = composite_index_cols(dst_path, c)
+                if (
+                    c in appended.columns
+                    or (jmeta is not None and jmeta["parent"] in appended.columns)
+                    or (
+                        cmeta is not None
+                        and all(x in appended.columns for x in cmeta)
+                    )
                 ):
-                    # JSON field indexes merge from the parent column (the
-                    # virtual field is computed inside merge_value_index)
+                    # JSON field / composite indexes merge from their
+                    # source columns (the virtual key is computed inside
+                    # merge_value_index)
                     merge_value_index(ss, dst_path, c, appended)
             for c in persisted_posting_index_cols(dst_path):
                 idc = posting_index_id_col(dst_path, c)

@@ -1144,6 +1144,7 @@ class Engine:
                 f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
             )
             from columnar_spark.stats import (
+                composite_index_cols,
                 json_index_meta,
                 persisted_value_index_cols,
             )
@@ -1151,10 +1152,13 @@ class Engine:
             clauses = []
             for c in persisted_value_index_cols(base):
                 jm = json_index_meta(base, c)
+                cm = composite_index_cols(base, c)
                 if jm:
                     clauses.append(
                         f"INDEX (get_json_object({jm['parent']}, '{jm['json_path']}'))"
                     )
+                elif cm:
+                    clauses.append(f"INDEX ({', '.join(cm)})")
                 else:
                     clauses.append(f"INDEX ({c})")
             if os.path.isdir(base + ".ftidx"):

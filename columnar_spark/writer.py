@@ -313,7 +313,17 @@ _LAYOUT_SPECS: dict[str, WriteSpec] = {
     ),
     "orders": WriteSpec(
         cluster_by=("o_orderdate",),
-        value_index_cols=("o_orderpriority", "o_orderstatus"),
+        # the composite (status, priority) index is the exact GROUP BY
+        # over the key pair — CUBE/GROUPING SETS/grouped aggregates over
+        # those keys (cube_orders) are served from |distinct pairs| rows
+        # with the o_totalprice measure instead of scanning orders
+        value_index_cols=(
+            "o_orderpriority", "o_orderstatus",
+            ("o_orderstatus", "o_orderpriority"),
+        ),
+        value_index_measures={
+            ("o_orderstatus", "o_orderpriority"): [("o_totalprice", 2)],
+        },
     ),
     # events.props is the semi-structured column: materialize the $.k
     # field at ingest (parquet stats -> zone-map skipping) and index it
@@ -369,7 +379,7 @@ def build_sf_layout(
     # layout_v bumps when the ingest artifacts change (new sidecar
     # kinds), so a cached layout built by older code is invalidated even
     # though the SOURCE signature still matches.
-    signature = "layout_v9\n" + src_dir + "\n" + "\n".join(sig_parts) + "\n"
+    signature = "layout_v10\n" + src_dir + "\n" + "\n".join(sig_parts) + "\n"
 
     marker = os.path.join(dest_dir, _LAYOUT_MARKER)
     if os.path.exists(marker) and not force:
@@ -509,20 +519,31 @@ def _check_table_body(
     )
 
     n = df.count()
+    from columnar_spark.stats import _with_composite_col, composite_index_cols
+
     for c in persisted_value_index_cols(path):
         # check_fresh=False: the checker validates sidecar CONTENT against
         # a live recount below, which subsumes the signature gate.
         idx = load_value_index(spark, path, c, check_fresh=False)
-        if c not in df.columns:
+        cmeta = composite_index_cols(path, c)
+        if cmeta is not None:
+            missing = [x for x in cmeta if x not in df.columns]
+            if missing:
+                errors.append(f"value index {c}: key columns absent: {missing}")
+                continue
+            dfc = _with_composite_col(df, c, cmeta)
+        elif c not in df.columns:
             errors.append(f"value index {c}: column absent from table")
             continue
+        else:
+            dfc = df
         total = idx.agg(F.sum("cnt")).first()[0] or 0
         if total != n:
             errors.append(f"value index {c}: cnt sum {total} != table rows {n}")
             continue
         # value indexes are small by contract; a driver-side compare is
         # NULL-safe (a NULL value row would silently miss an equi-join)
-        live = {r["value"]: r["cnt"] for r in build_value_index(df, c).collect()}
+        live = {r["value"]: r["cnt"] for r in build_value_index(dfc, c).collect()}
         stored = {r["value"]: r["cnt"] for r in idx.collect()}
         mismatches = sum(
             1

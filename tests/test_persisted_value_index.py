@@ -392,3 +392,77 @@ def test_count_distinct_stats_index_route_null_semantics(spark, tmp_path):
     E._TABLE_CACHE.clear()
     got_scan = tuple(q(spark, sf).first())
     assert got_idx == got_scan == (5, 3, 3, 300)
+
+
+def test_composite_value_index_lifecycle(spark, tmp_path):
+    """Composite (two-key) value index: build == groupBy over the key
+    pair, incremental append merge == full rebuild, checker walks it,
+    and cube_orders' index route matches the base-scan CUBE exactly."""
+    import os
+    import shutil
+
+    from columnar_spark.stats import (
+        composite_index_cols,
+        composite_virtual_name,
+        measure_col_name,
+        value_index_measures,
+        write_value_index,
+    )
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    path = f"{sf}/orders.parquet"
+    rows = [
+        (i, ["O", "F", "P"][i % 3], f"{1 + i % 5}-PRIO", round(100.0 + 0.25 * i, 2))
+        for i in range(240)
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey: long, o_orderstatus: string, o_orderpriority: string,"
+        " o_totalprice: double",
+    ).write.parquet(path)
+    keys = ("o_orderstatus", "o_orderpriority")
+    write_value_index(spark, path, keys, measures=[("o_totalprice", 2)])
+    name = composite_virtual_name(keys)
+    assert composite_index_cols(path, name) == list(keys)
+    assert value_index_measures(path, name) == [["o_totalprice", 2]]
+
+    import __spark_entry__ as E
+
+    q = E.queries()["cube_orders"]
+
+    def canon(df):
+        return sorted(
+            (
+                (r["o_orderstatus"] or "", r["o_orderpriority"] or ""),
+                r["n"],
+                round(r["total"], 2),
+            )
+            for r in df.collect()
+        )
+
+    got_idx = canon(q(spark, sf))
+    # the index route must not scan the base table
+    plan = q(spark, sf)._jdf.queryExecution().executedPlan().toString()
+    assert "o_orderkey" not in plan
+
+    # incremental append maintains the struct key + measure exactly
+    batch = spark.createDataFrame(
+        [(1000 + i, ["O", "X"][i % 2], "9-PRIO", 50.5 + i) for i in range(23)],
+        "o_orderkey: long, o_orderstatus: string, o_orderpriority: string,"
+        " o_totalprice: double",
+    )
+    append_batch(batch, path)
+    got_idx2 = canon(q(spark, sf))
+
+    # checker audits the composite sidecar
+    from columnar_spark.writer import check_table
+
+    assert check_table(spark, path) == []
+
+    # fallback (sidecar hidden) agrees at both states
+    shutil.move(path + ".vidx", path + ".vidx.hidden")
+    E._TABLE_CACHE.clear()
+    got_scan2 = canon(q(spark, sf))
+    assert got_idx2 == got_scan2
+    assert len(got_idx) < len(got_idx2)  # new (status, priority) cells appeared
