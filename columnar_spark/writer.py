@@ -318,7 +318,7 @@ _LAYOUT_SPECS: dict[str, WriteSpec] = {
         # those keys (cube_orders) are served from |distinct pairs| rows
         # with the o_totalprice measure instead of scanning orders
         value_index_cols=(
-            "o_orderpriority", "o_orderstatus",
+            "o_orderpriority", "o_orderstatus", "o_custkey",
             ("o_orderstatus", "o_orderpriority"),
         ),
         value_index_measures={
@@ -379,7 +379,7 @@ def build_sf_layout(
     # layout_v bumps when the ingest artifacts change (new sidecar
     # kinds), so a cached layout built by older code is invalidated even
     # though the SOURCE signature still matches.
-    signature = "layout_v10\n" + src_dir + "\n" + "\n".join(sig_parts) + "\n"
+    signature = "layout_v11\n" + src_dir + "\n" + "\n".join(sig_parts) + "\n"
 
     marker = os.path.join(dest_dir, _LAYOUT_MARKER)
     if os.path.exists(marker) and not force:

@@ -466,3 +466,32 @@ def test_composite_value_index_lifecycle(spark, tmp_path):
     got_scan2 = canon(q(spark, sf))
     assert got_idx2 == got_scan2
     assert len(got_idx) < len(got_idx2)  # new (status, priority) cells appeared
+
+
+def test_q13_per_custkey_from_index_matches_fallback(spark, tmp_path):
+    """q13's per-custkey subaggregate served from the o_custkey value
+    index equals the orders-scan fallback — including the zero-orders
+    customer bucket from the outer join."""
+    import os
+    import shutil
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    path = f"{sf}/orders.parquet"
+    spark.createDataFrame(
+        [(i, i % 37) for i in range(400)], "o_orderkey: long, o_custkey: long"
+    ).write.parquet(path)
+    spark.createDataFrame(
+        [(c,) for c in range(50)], "c_custkey: long"  # 13 customers orderless
+    ).write.parquet(f"{sf}/customer.parquet")
+    write_value_index(spark, path, "o_custkey")
+
+    import __spark_entry__ as E
+
+    q = E.queries()["q13_order_distribution"]
+    got_idx = sorted(tuple(r) for r in q(spark, sf).collect())
+    shutil.move(path + ".vidx", path + ".vidx.hidden")
+    E._TABLE_CACHE.clear()
+    got_scan = sorted(tuple(r) for r in q(spark, sf).collect())
+    assert got_idx == got_scan
+    assert (0, 13) in got_idx
