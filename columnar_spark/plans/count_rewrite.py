@@ -433,6 +433,76 @@ def parse_group_count(sql: str) -> GroupCountRewrite | None:
     )
 
 
+_GROUP2_RE = re.compile(
+    r"^\s*SELECT\s+(?P<c1>\w+)(?:\s+AS\s+(?P<a1>\w+))?\s*,\s*"
+    r"(?P<c2>\w+)(?:\s+AS\s+(?P<a2>\w+))?\s*,\s*"
+    r"COUNT\s*\(\s*\*\s*\)(?:\s+AS\s+(?P<calias>\w+))?\s*"
+    r"(?:,\s*SUM\s*\(\s*(?P<mcol>\w+)\s*\)(?:\s+AS\s+(?P<malias>\w+))?\s*)?"
+    r"FROM\s+(?P<table>\w+)\s+GROUP\s+BY\s+(?P<g1>\w+|1)\s*,\s*(?P<g2>\w+|2)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+@dataclass
+class Group2CountRewrite:
+    table: str
+    cols: tuple  # (col1, col2) in SELECT order
+    out_names: tuple
+    count_alias: str
+    measure_col: "str | None"
+    measure_alias: "str | None"
+
+
+def parse_group2_count(sql: str) -> "Group2CountRewrite | None":
+    """`SELECT a, b, COUNT(*) [, SUM(m)] FROM t GROUP BY a, b` — when a
+    composite value index over (a, b) exists, the sidecar IS this
+    result: the struct key unpacks to the two group columns, cnt is the
+    count, and the recorded fixed-point measure unscales to the exact
+    SUM (grouped-aggregate generalization of reference E6)."""
+    m = _GROUP2_RE.match(sql)
+    if not m:
+        return None
+    c1, c2 = m.group("c1").lower(), m.group("c2").lower()
+    g1, g2 = m.group("g1").lower(), m.group("g2").lower()
+    if {g1, g2} not in ({c1, c2}, {"1", "2"}):
+        return None
+    return Group2CountRewrite(
+        table=m.group("table"),
+        cols=(m.group("c1"), m.group("c2")),
+        out_names=(m.group("a1") or m.group("c1"), m.group("a2") or m.group("c2")),
+        count_alias=m.group("calias") or "count(1)",
+        measure_col=m.group("mcol"),
+        measure_alias=m.group("malias") or (
+            f"sum({m.group('mcol')})" if m.group("mcol") else None
+        ),
+    )
+
+
+def group2_count_df(
+    index_df: DataFrame, rw: Group2CountRewrite, measures: "dict | None"
+) -> "DataFrame | None":
+    """Serve the two-key grouped aggregate off the composite (value,
+    cnt[, m_*]) index; None when the asked measure isn't recorded."""
+    out = [
+        F.col(f"value.{rw.cols[0]}").alias(rw.out_names[0]),
+        F.col(f"value.{rw.cols[1]}").alias(rw.out_names[1]),
+        F.col("cnt").cast("long").alias(rw.count_alias),
+    ]
+    if rw.measure_col is not None:
+        dp = (measures or {}).get(rw.measure_col)
+        if dp is None:
+            return None
+        from columnar_spark.functions.money import unscale
+        from columnar_spark.stats import measure_col_name
+
+        out.append(
+            unscale(F.col(measure_col_name(rw.measure_col)), int(dp)).alias(
+                rw.measure_alias
+            )
+        )
+    return index_df.select(*out)
+
+
 def group_count_df(
     index_df: DataFrame,
     column: str,

@@ -1329,6 +1329,36 @@ class Engine:
                     )
                 except Exception:
                     pass
+        # Two-key GROUP BY (+ optional SUM) off a composite index: the
+        # struct-keyed sidecar is the exact grouped relation.
+        from columnar_spark.plans.count_rewrite import (
+            group2_count_df,
+            parse_group2_count,
+        )
+
+        g2 = parse_group2_count(jquery)
+        if g2 is not None:
+            from columnar_spark.stats import (
+                composite_virtual_name,
+                value_index_measures,
+            )
+
+            for key in (g2.cols, tuple(reversed(g2.cols))):
+                name = composite_virtual_name(key)
+                idx = self._get_value_index(g2.table, name)
+                if idx is not None:
+                    ms = value_index_measures(
+                        f"{self.sf_dir}/{g2.table}.parquet", name
+                    )
+                    try:
+                        out = group2_count_df(
+                            idx, g2, {c: int(dp) for c, dp in ms or []}
+                        )
+                        if out is not None:
+                            return out
+                    except Exception:
+                        pass  # conservative: any doubt -> the plain plan
+                    break
         drw = parse_distinct_count(jquery)
         if drw is not None:
             idx = self._get_value_index(drw[0], drw[1])

@@ -495,3 +495,56 @@ def test_q13_per_custkey_from_index_matches_fallback(spark, tmp_path):
     got_scan = sorted(tuple(r) for r in q(spark, sf).collect())
     assert got_idx == got_scan
     assert (0, 13) in got_idx
+
+
+def test_engine_sql_two_key_group_from_composite_index(spark, tmp_path):
+    """Engine.sql serves `SELECT a, b, COUNT(*), SUM(m) GROUP BY a, b`
+    from the composite sidecar — index-only plan, exact values, key
+    order flipped in the query still matches (reversed lookup)."""
+    import os
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    path = f"{sf}/t.parquet"
+    rows = [
+        (i, ["x", "y"][i % 2], ["p", "q", "r"][i % 3], round(1.25 * (i % 7), 2))
+        for i in range(210)
+    ]
+    spark.createDataFrame(
+        rows, "k: long, a: string, b: string, m: double"
+    ).write.parquet(path)
+    from columnar_spark.stats import write_value_index
+
+    write_value_index(spark, path, ("a", "b"), measures=[("m", 2)])
+
+    eng = Engine(spark, sf)
+    eng.register_views(["t"])
+    q = "SELECT a, b, COUNT(*) AS n, SUM(m) AS total FROM t GROUP BY a, b"
+    got = eng.sql(q)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "struct<value" in plan and "m_m" in plan  # sidecar, not base scan
+
+    want = {
+        (r["a"], r["b"]): (r["n"], round(r["total"], 2))
+        for r in spark.sql(
+            "SELECT a, b, COUNT(*) AS n, ROUND(SUM(m), 2) AS total"
+            f" FROM parquet.`{path}` GROUP BY a, b"
+        ).collect()
+    }
+    gotd = {(r["a"], r["b"]): (r["n"], round(r["total"], 2)) for r in got.collect()}
+    assert gotd == want
+
+    # key order flipped: still served (reversed composite lookup)
+    q2 = "SELECT b, a, COUNT(*) AS n FROM t GROUP BY b, a"
+    got2 = eng.sql(q2)
+    assert "struct<value" in got2._jdf.queryExecution().executedPlan().toString()
+    assert {(r["b"], r["a"]): r["n"] for r in got2.collect()} == {
+        k[::-1]: v[0] for k, v in want.items()
+    }
+
+    # a SUM on an unrecorded measure falls through to the plain plan
+    got3 = eng.sql("SELECT a, b, COUNT(*) AS n, SUM(k) AS s FROM t GROUP BY a, b")
+    assert {(r["a"], r["b"]): r["s"] for r in got3.collect()} == {
+        (x, y): sum(r[0] for r in rows if r[1] == x and r[2] == y)
+        for (x, y) in want
+    }
