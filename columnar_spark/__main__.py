@@ -139,12 +139,25 @@ def main(argv: list[str] | None = None) -> int:
 
     sp = sub.add_parser("index-build")
     sp.add_argument("table_path")
-    sp.add_argument("--col", required=True)
+    sp.add_argument(
+        "--col",
+        required=True,
+        help="column to index; a comma-separated pair (e.g. --col a,b) "
+        "builds a composite index keyed by struct(a, b)",
+    )
     sp.add_argument(
         "--json-path",
         default=None,
         help="build a per-field JSON index over get_json_object(col, path), "
         "e.g. --col props --json-path '$.k'",
+    )
+    sp.add_argument(
+        "--measure",
+        action="append",
+        default=None,
+        metavar="COL:DP",
+        help="carry an exact int64 fixed-point SUM of COL at DP decimal "
+        "places (repeatable), e.g. --measure o_totalprice:2",
     )
 
     sp = sub.add_parser("merge")
@@ -241,7 +254,12 @@ def main(argv: list[str] | None = None) -> int:
             return 0
         from columnar_spark.stats import write_value_index
 
-        write_value_index(spark, args.table_path, args.col)
+        key = tuple(args.col.split(",")) if "," in args.col else args.col
+        measures = [
+            (m.rsplit(":", 1)[0], int(m.rsplit(":", 1)[1]))
+            for m in (args.measure or [])
+        ] or None
+        write_value_index(spark, args.table_path, key, measures=measures)
         print(json.dumps({"index": args.col, "dest": args.table_path + ".vidx"}))
         return 0
 
