@@ -3808,26 +3808,49 @@ GROUP BY 1, 2
 
 @_q("continuous_rollup_events", _CROLLUP_SQL)
 def continuous_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Continuous-aggregate algebra proof (streaming/rollup.py): the
-    events table is split into 4 disjoint 'ingest batches', each
-    contributing partial aggregate rows; merge-on-read + finalize must
-    equal the one-shot GROUP BY oracle exactly (associative decimal
-    sums, min/max). The streaming foreachBatch path appends the same
-    partials; batch boundaries are invisible by construction."""
+    """Continuous aggregate read path (streaming/rollup.py): per-batch
+    PARTIAL rows merge-on-read + finalize to exactly the one-shot GROUP
+    BY oracle (associative fixed-point sums, min/max). Ingested layouts
+    serve the partials from the `.rollup` sidecar (one scan of O(buckets
+    x keys x batches) rows + ONE merge aggregate — the raw log is never
+    touched), gated on sum(cnt) == manifest row count with a
+    bit-identical fallback. The fallback computes batch-tagged partials
+    in ONE events scan (batch = event_id % 4 as an extra partial key) —
+    the 4-scan union it replaces proved the same algebra 4x slower;
+    batch-split invariance itself is pinned in tests/test_rollup.py."""
+    from columnar_spark.stats import row_count_from_sidecar
     from columnar_spark.streaming.rollup import (
         finalize_rollup,
+        load_rollup_sidecar,
         merge_rollup,
         rollup_partials,
     )
 
-    ev = _events(spark, sf_dir).withColumn("ts", F.timestamp_micros(F.col("ts_us")))
     parts = None
-    for i in range(4):
-        p = rollup_partials(ev.filter(F.col("event_id") % 4 == i))
-        parts = p if parts is None else parts.unionByName(p)
-    out = finalize_rollup(merge_rollup(parts))
+    loaded = load_rollup_sidecar(spark, f"{sf_dir}/events.parquet")
+    if loaded is not None:
+        partials, meta = loaded
+        rows = row_count_from_sidecar(f"{sf_dir}/events.parquet")
+        if (
+            meta.get("bucket") == "1 day"
+            and meta.get("keys") == ["event_type"]
+            and meta.get("value_col") == "value"
+            and rows is not None
+            and (partials.agg(F.sum("cnt")).first()[0] or 0) == rows
+        ):
+            parts = partials
+    if parts is None:
+        ev = (
+            _events(spark, sf_dir)
+            .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+            .withColumn("batch", F.col("event_id") % 4)
+        )
+        parts = rollup_partials(ev, keys=("event_type", "batch"))
+    out = finalize_rollup(merge_rollup(parts, keys=("event_type",)))
+    # sidecar partials read back as TIMESTAMP_NTZ (parquet micros
+    # vintage); the UTC session tz (session.tune) makes the cast exact
     return out.select(
-        F.unix_micros(F.col("bucket_start")).alias("bucket_start_us"),
+        F.unix_micros(F.col("bucket_start").cast("timestamp")).alias("bucket_start_us"),
         "event_type", "cnt", "sum_value", "avg_value", "min_value", "max_value",
     )
 
@@ -4169,15 +4192,40 @@ def _graph_sidecar_for(spark: SparkSession, sf_dir: str) -> str | None:
     return shadow
 
 
-@_q("knn_graph_cosine")  # graph ANN (approximate) — rows-only; recall
-def knn_graph_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:  # gate in tests/test_hnsw_index.py
-    """Graph ANN served from the PERSISTED HNSW sidecar
+@_q("knn_graph_cosine", _knn_oracle("cosine"))
+def knn_graph_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k served from the PERSISTED HNSW sidecar
     (operators/hnsw_index.py — knn/knn.cpp:643-790 Save / :557-640 Load
     parity): per-part sub-graphs are loaded (not rebuilt) inside
-    applyInPandas with an executor-side reconstruction cache, searched
-    with one beam walk each, and merged by a global top-k. The 100 TB
-    serving shape for a standing corpus queried repeatedly — zero
-    training or graph construction at query time."""
+    applyInPandas with an executor-side reconstruction cache, each part
+    answers with `search_exact` (the ef >= part-size limit of the beam,
+    one vectorized float64 pass — deterministic, so the merged global
+    top-k hash-matches DuckDB's ORDER BY cosine LIMIT k), and a global
+    top-k merges. The 100 TB serving shape for a standing corpus — zero
+    training or graph construction at query time; the approximate-ef
+    beam on the same artifact is knn_graph_ann below, recall-gated in
+    tests/test_hnsw_index.py."""
+    from columnar_spark.operators.hnsw_index import knn_query_graph
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(v) for v in emb.filter(F.col("vec_id") == _KNN_QID).first()["embedding"]]
+    shadow = _graph_sidecar_for(spark, sf_dir)
+    hits = knn_query_graph(
+        spark, f"{sf_dir}/embeddings.parquet", qvec, _KNN_K, exact=True,
+        index_path=shadow,
+    )
+    out = hits.join(emb.select("vec_id", "label"), "vec_id")
+    return out.select(
+        "vec_id", "label", (F.round(F.col("dist"), 6) + F.lit(0.0)).alias("dist")
+    )
+
+
+@_q("knn_graph_ann")  # graph ANN (approximate beam) — rows-only; recall
+def knn_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:  # gate in tests/test_hnsw_index.py
+    """Approximate graph ANN on the same persisted sidecar: one ef=64
+    beam walk per part, global top-k merge — the latency path when a
+    small recall trade is acceptable (reference HNSW Search,
+    knn/knn.cpp:411-540)."""
     from columnar_spark.operators.hnsw_index import knn_query_graph
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -4189,6 +4237,33 @@ def knn_graph_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:  # gate in 
     )
     out = hits.join(emb.select("vec_id", "label"), "vec_id")
     return out.select("vec_id", "label", F.round(F.col("dist"), 6).alias("dist"))
+
+
+@_q("knn_graph_filtered", _knn_oracle("cosine", where="e.label = 3"))
+def knn_graph_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-DURING-walk ANN (reference KNNFilter_i::IsAllowed,
+    knn/knn.h:87-94, knn.cpp:90-96): the label allow-set is broadcast
+    and threaded INTO the per-part search — disallowed nodes are
+    traversed for connectivity but never enter the frontier — instead
+    of post-filtering a top-ef. Served exact-mode here so the result
+    carries a full hash oracle; the approximate in-walk beam is
+    equality-gated against this in tests/test_hnsw_index.py."""
+    from columnar_spark.operators.hnsw_index import knn_query_graph
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(v) for v in emb.filter(F.col("vec_id") == _KNN_QID).first()["embedding"]]
+    allowed = [
+        r["vec_id"] for r in emb.filter(F.col("label") == 3).select("vec_id").collect()
+    ]
+    shadow = _graph_sidecar_for(spark, sf_dir)
+    hits = knn_query_graph(
+        spark, f"{sf_dir}/embeddings.parquet", qvec, _KNN_K, exact=True,
+        index_path=shadow, allowed=allowed,
+    )
+    out = hits.join(emb.select("vec_id", "label"), "vec_id")
+    return out.select(
+        "vec_id", "label", (F.round(F.col("dist"), 6) + F.lit(0.0)).alias("dist")
+    )
 
 
 @_q("knn_rp_l2")  # numpy-seeded JL matrix — no SQL equivalent; rows-only
@@ -5368,13 +5443,17 @@ _DRIVER_PRIORITY = [
     "doc_text_stats", "doc_quality_filter", "stratified_sample_docs",
     "dedup_exact_survivors", "training_pipeline_docs",
     # exact KNN + embed pipeline + quantized ladder (l2/ip variants and
-    # q9 post-50, locally verified); r6 flagships in driver slots:
-    # knn_b1_cosine (full oracle, now served index-only from the at-rest
-    # b1 codes) and knn_graph_cosine (persisted HNSW sidecar, rows-only
-    # by design + recall-gated in tests/test_hnsw_index.py)
+    # q9 post-50, locally verified); flagships in driver slots:
+    # knn_b1_cosine (full oracle, served index-only from the at-rest b1
+    # codes) and knn_graph_cosine (persisted HNSW sidecar served in
+    # exact mode — per-part search_exact is the ef>=part-size beam
+    # limit, deterministic, so the slot carries a FULL hash oracle; the
+    # approximate beam is knn_graph_ann post-50, recall-gated in
+    # tests/test_hnsw_index.py)
     "knn_cosine_topk", "embed_then_knn", "knn_b1_cosine", "knn_graph_cosine",
     # ---- slot 50+: no-oracle flagships (rows-only check), then the rest
-    "window_moving_avg_range", "window_lead_lag",
+    "window_moving_avg_range", "window_lead_lag", "knn_graph_filtered",
+    "knn_graph_ann",
     "knn_ivf_cosine", "minhash_dedup_assign", "simhash_dedup_assign",
     "embedding_neardup_lsh", "q9_nation_profit", "knn_q8_cosine", "knn_pq_l2",
     "knn_ivfpq_cosine", "histogram_quantity", "knn_self_join_ivf",

@@ -65,6 +65,13 @@ _STATE_SCHEMA = T.StructType(
 )
 
 
+# In-walk allow-set transport cap: the set is broadcast to every search
+# task, so it must stay driver/executor-memory bounded. Past this, a
+# filtered query should pre-filter and rank exactly (knn_topk with
+# pre_filter) — knn_access_path makes that switch automatically.
+KNN_ALLOW_SET_CAP = 1_000_000
+
+
 def graph_index_path(table_path: str) -> str:
     return table_path.rstrip("/") + ".knn-graph"
 
@@ -123,7 +130,14 @@ def build_graph_index(
         raise ValueError(f"metric must be cosine|l2|ip, got {metric!r}")
     out = index_path or graph_index_path(table_path)
     os.makedirs(out, exist_ok=True)
-    dim = len(df.select(vec_col).first()[0])
+    first = df.select(vec_col).first()
+    if first is None:
+        raise ValueError(
+            f"build_graph_index: table {table_path!r} has no rows; "
+            "a graph index needs at least one vector (callers with "
+            "possibly-empty tables should skip the graph build)"
+        )
+    dim = len(first[0])
 
     def _build(pdf):
         part = int(pdf["part"].iloc[0])
@@ -289,6 +303,8 @@ def knn_query_graph(
     policy: str = "none",
     budget: int | None = None,
     index_path: str | None = None,
+    exact: bool = False,
+    allowed: "Sequence[int] | None" = None,
 ) -> DataFrame:
     """Top-k (id, dist) served from the persisted graph: one beam search
     per part (reconstruction cached executor-side), global
@@ -296,7 +312,17 @@ def knn_query_graph(
     no training, no full scan — the artifact answers the query, the
     reference's serving shape (knn/knn.cpp:411-540 Search on the loaded
     graph). Termination policies ride along (F5): same knobs as
-    HnswIndex.search."""
+    HnswIndex.search.
+
+    `exact=True` runs the ef >= part-size limit of the beam
+    (HnswIndex.search_exact, vectorized float64): deterministic exact
+    top-k served from the SAME artifact and plan shape, which is what
+    gives the graph path a full SQL hash oracle (reference fullscan
+    mode, knn/knn.cpp:216-217). `allowed` threads a label allow-set
+    into the walk — filter-DURING-search (reference
+    KNNFilter_i::IsAllowed, knn/knn.h:87-94, knn.cpp:90-96), not a
+    post-filter: disallowed nodes are still traversed for
+    connectivity but never enter the result frontier."""
     meta = load_graph_index_meta(table_path, index_path=index_path)
     if meta is None:
         raise ValueError(
@@ -310,6 +336,19 @@ def knn_query_graph(
     q = [float(x) for x in query_vec]
     metric, M, efc, seed = meta["metric"], meta["m"], meta["ef_construction"], meta["seed"]
     id_col = meta["id_col"]
+
+    allowed_bc = None
+    if allowed is not None:
+        allow_set = frozenset(int(x) for x in allowed)
+        if len(allow_set) > KNN_ALLOW_SET_CAP:
+            raise ValueError(
+                f"knn_query_graph: allowed set has {len(allow_set)} labels; "
+                "an in-walk allow-set over ~1M ids should be a pre-filtered "
+                "exact search instead (knn_topk with pre_filter) — the "
+                "selectivity switch in Engine.knn_access_path makes this "
+                "choice automatically"
+            )
+        allowed_bc = spark.sparkContext.broadcast(allow_set)
 
     out_schema = T.StructType(
         [T.StructField(id_col, T.LongType()), T.StructField("dist", T.DoubleType())]
@@ -332,8 +371,12 @@ def knn_query_graph(
             )
 
         index = _cached_graph((graph_dir, part, sig), _rebuild)
-        hits = index.search(q, min(k, len(index._vecs)), ef=max(ef, k),
-                            policy=policy, budget=budget)
+        allow = allowed_bc.value if allowed_bc is not None else None
+        if exact:
+            hits = index.search_exact(q, min(k, len(index._vecs)), allowed=allow)
+        else:
+            hits = index.search(q, min(k, len(index._vecs)), ef=max(ef, k),
+                                policy=policy, budget=budget, allowed=allow)
         return pd.DataFrame(
             {id_col: [h[0] for h in hits], "dist": [float(h[1]) for h in hits]}
         )

@@ -323,6 +323,7 @@ class HnswIndex:
         budget: int | None = None,
         stagnation: int | None = None,
         quantile_state: "QuantileTermination | None" = None,
+        allowed_nodes: "set[int] | None" = None,
     ) -> list[tuple[float, int]]:
         """Best-first beam search; returns [(dist, node)] of <= ef nodes.
 
@@ -333,18 +334,30 @@ class HnswIndex:
         HNSWTerminationPolicy_e::QUANTILE, knn/knn.cpp:481 +
         termination.cpp:41-79 — each beam pop is a round). The policies
         live in the search loop the same way the reference's hnswlib
-        fork hosts them."""
+        fork hosts them.
+
+        `allowed_nodes` is the in-walk filter (reference
+        KNNFilter_i::IsAllowed, knn/knn.h:87-94, knn.cpp:90-96, applied
+        inside hnswlib's search loop): a disallowed node is still
+        VISITED and EXPANDED — the walk needs it for connectivity — but
+        never enters the result frontier, so the beam keeps graph speed
+        instead of post-filtering a mostly-disallowed top-ef."""
         visited = set(entry_points)
         cand: list[tuple[float, int]] = []  # min-heap
         best: list[tuple[float, int]] = []  # max-heap via negated dist
+
+        def _ok(n: int) -> bool:
+            return allowed_nodes is None or n in allowed_nodes
+
         for ep in entry_points:
             d = self._dist(q, qn, ep)
             heapq.heappush(cand, (d, ep))
-            heapq.heappush(best, (-d, ep))
+            if _ok(ep):
+                heapq.heappush(best, (-d, ep))
         pops_since_improve = 0
         while cand:
             d, node = heapq.heappop(cand)
-            if d > -best[0][0] and len(best) >= ef:
+            if best and d > -best[0][0] and len(best) >= ef:
                 break
             if stagnation is not None and pops_since_improve >= stagnation:
                 break
@@ -358,14 +371,15 @@ class HnswIndex:
                 dn = self._dist(q, qn, nb)
                 if quantile_state is not None:
                     quantile_state.on_scored()
-                if len(best) < ef or dn < -best[0][0]:
+                if len(best) < ef or not best or dn < -best[0][0]:
                     heapq.heappush(cand, (dn, nb))
-                    heapq.heappush(best, (-dn, nb))
-                    if len(best) > ef:
-                        heapq.heappop(best)
-                    improved = True
-                    if quantile_state is not None:
-                        quantile_state.on_collected()
+                    if _ok(nb):
+                        heapq.heappush(best, (-dn, nb))
+                        if len(best) > ef:
+                            heapq.heappop(best)
+                        improved = True
+                        if quantile_state is not None:
+                            quantile_state.on_collected()
             pops_since_improve = 0 if improved else pops_since_improve + 1
             if quantile_state is not None and quantile_state.should_terminate(
                 ef, len(best)
@@ -382,8 +396,15 @@ class HnswIndex:
         ef: int = 64,
         policy: str = "none",
         budget: int | None = None,
+        allowed: "Sequence[int] | set[int] | None" = None,
     ) -> list[tuple[int, float]]:
         """Top-k (label, dist), ascending by distance.
+
+        `allowed` restricts results to these LABELS, applied in-walk
+        (filter-during-search, not post-filter): the beam traverses
+        disallowed nodes for connectivity but only allowed ones enter
+        the frontier — reference KNNFilter_i::IsAllowed semantics
+        (knn/knn.h:87-94, knn.cpp:90-96).
 
         policy: 'none' = full ef beam; 'adaptive' = stagnation-based
         early termination; 'quantile' = the reference's discovery-rate
@@ -402,6 +423,22 @@ class HnswIndex:
             )
         if self._entry is None:
             return []
+        # Budget is PER QUERY (reference pDistanceComputations is read
+        # around a search, knn/knn.h:117) but n_dist_calcs accumulates
+        # across searches — an index served from a cache would otherwise
+        # terminate instantly on its second budget-policy query. Snapshot
+        # and cap against the absolute counter.
+        abs_budget = (
+            self.n_dist_calcs + budget if budget is not None else None
+        )
+        allowed_nodes = None
+        if allowed is not None:
+            allow = allowed if isinstance(allowed, set) else set(allowed)
+            allowed_nodes = {
+                n for n, lbl in enumerate(self._labels) if lbl in allow
+            }
+            if not allowed_nodes:
+                return []
         q = np.asarray(vec, dtype=np.float32)
         qn = float(np.linalg.norm(q)) or 1e-30
         curr = self._entry
@@ -423,12 +460,57 @@ class HnswIndex:
             [curr],
             max(ef, k),
             0,
-            budget=budget if policy == "budget" else None,
+            budget=abs_budget if policy == "budget" else None,
             stagnation=stagnation,
             quantile_state=quantile_state,
+            allowed_nodes=allowed_nodes,
         )
         top = heapq.nsmallest(k, found)
         return [(self._labels[n], d) for d, n in top]
+
+    def search_exact(
+        self,
+        vec: Sequence[float],
+        k: int,
+        allowed: "Sequence[int] | set[int] | None" = None,
+    ) -> list[tuple[int, float]]:
+        """Exact top-k over the index's node set — the ef >= n limit of
+        the beam search, computed as one vectorized float64 pass so the
+        result is exact even when neighbor pruning has disconnected a
+        sub-graph (an exhaustive beam only reaches the entry point's
+        component). Distances are evaluated in float64 over the stored
+        float32 vectors, matching a SQL oracle that casts the same
+        column to DOUBLE — this is the deterministic construction that
+        lets a graph-sidecar-served query carry a full hash oracle
+        (reference fullscan fallback, knn/knn.cpp:216-217).
+        Ties break by ascending label, mirroring ORDER BY dist, id."""
+        n = len(self._vecs)
+        if not n:
+            return []
+        V = np.stack(self._vecs).astype(np.float64)
+        q = np.asarray(vec, dtype=np.float64)
+        if self.metric == "l2":
+            d = V - q
+            dist = np.einsum("ij,ij->i", d, d)
+        else:
+            dots = V @ q
+            if self.metric == "ip":
+                dist = 1.0 - dots
+            else:
+                norms = np.sqrt(np.einsum("ij,ij->i", V, V))
+                qn = float(np.linalg.norm(q)) or 1e-30
+                denom = np.where(norms > 0, norms, 1e-30) * qn
+                dist = 1.0 - dots / denom
+        self.n_dist_calcs += n
+        labels = np.asarray(self._labels, dtype=np.int64)
+        if allowed is not None:
+            allow = allowed if isinstance(allowed, set) else set(allowed)
+            mask = np.fromiter(
+                (int(l) in allow for l in labels), dtype=bool, count=n
+            )
+            labels, dist = labels[mask], dist[mask]
+        order = np.lexsort((labels, dist))[:k]
+        return [(int(labels[i]), float(dist[i])) for i in order]
 
 
 def index_to_rows(index: HnswIndex) -> list[tuple[int, int, list[float], list[list[int]]]]:

@@ -592,18 +592,35 @@ class Engine:
                     _F.col("dist").asc(), _F.col(id_col).asc()
                 )
             elif mode == "graph":
-                from columnar_spark.operators.hnsw_index import knn_query_graph
+                from columnar_spark.operators.hnsw_index import (
+                    KNN_ALLOW_SET_CAP,
+                    knn_query_graph,
+                )
 
+                allowed = None
                 if pre is not None:
-                    raise ValueError(
-                        "OPTION mode=graph does not combine with residual "
-                        "predicates; use the exact path for filtered KNN"
-                    )
+                    # Filter-DURING-walk (KNNFilter_i::IsAllowed,
+                    # knn/knn.h:87-94): the residual predicate's
+                    # surviving ids become the in-walk allow-set —
+                    # disallowed nodes are traversed for connectivity
+                    # but never ranked. The limit bounds driver memory;
+                    # one row past the cap triggers knn_query_graph's
+                    # loud refusal (pre-filtered exact is the right
+                    # path at that selectivity, and mode=auto/absent
+                    # picks it).
+                    allowed = [
+                        r[0]
+                        for r in df.filter(pre)
+                        .select(id_col)
+                        .limit(KNN_ALLOW_SET_CAP + 1)
+                        .collect()
+                    ]
                 out = knn_query_graph(
                     self.spark,
                     f"{self.sf_dir}/{m.group('table')}.parquet",
                     vec,
                     int(m.group("k")),
+                    allowed=allowed,
                 )
                 # the artifact's id column is meta-declared; align it
                 # with the table's id column for the payload join
@@ -1486,21 +1503,35 @@ class Engine:
         k: int = 10,
         ef: int = 64,
     ) -> str:
-        """'fullscan' (exact filter-then-rank) vs 'ivf' (approximate probe)
-        — ShouldUseFullscan parity (knn/knn.cpp:216-217, which defers to
+        """'fullscan' (exact filter-then-rank) vs 'graph' (persisted HNSW
+        sidecar, filter-during-walk) vs 'ivf' (approximate probe) —
+        ShouldUseFullscan parity (knn/knn.cpp:216-217, which defers to
         the graph's bypass-for-filtered-search heuristic).
 
         Cost model: an approximate search inspects ~max(ef, k)·log2(N)
         candidates; an exact scan inspects the filter's expected survivors
         (selectivity × N, from the stats manifest). When the filter is so
         selective that brute-forcing its survivors is cheaper, use the
-        exact path — it is also better-quality (no recall loss)."""
+        exact path — it is also better-quality (no recall loss). When the
+        filter is broad, the walk keeps graph speed by threading the
+        allow-set INTO the search (KNNFilter_i::IsAllowed, knn/knn.h:87-94)
+        — up to the allow-set transport cap, past which the IVF
+        pre-filtered probe (or fullscan) takes over."""
         import math
 
-        if (name, vec_col) not in self._knn_indexes:
+        from columnar_spark.operators.hnsw_index import (
+            KNN_ALLOW_SET_CAP as _KNN_ALLOW_SET_CAP,
+            load_graph_index_meta,
+        )
+
+        has_graph = (
+            load_graph_index_meta(f"{self.sf_dir}/{name}.parquet") is not None
+        )
+        has_ivf = (name, vec_col) in self._knn_indexes
+        if not has_graph and not has_ivf:
             return "fullscan"
         if not filters:
-            return "ivf"
+            return "graph" if has_graph else "ivf"
         stats = self.stats(name)
         n = max(int(next(iter(stats.values()))["row_count"]), 1)
         sel = 1.0
@@ -1508,7 +1539,11 @@ class Engine:
             sel *= self.estimate(name, f)
         survivors = sel * n
         graph_cost = max(ef, k) * max(1.0, math.log2(max(n, 2)))
-        return "fullscan" if survivors <= graph_cost else "ivf"
+        if survivors <= graph_cost:
+            return "fullscan"
+        if has_graph and survivors <= _KNN_ALLOW_SET_CAP:
+            return "graph"
+        return "ivf" if has_ivf else "fullscan"
 
     def knn(
         self,
@@ -1523,13 +1558,46 @@ class Engine:
         nprobe: int = 8,
     ) -> DataFrame:
         """KNN with automatic access-path choice: mode='auto' consults
-        knn_access_path; 'exact'/'ivf' force a path."""
+        knn_access_path; 'exact'/'ivf'/'graph' force a path. The graph
+        path serves the persisted HNSW sidecar; with filters it threads
+        the surviving ids into the walk as an in-walk allow-set
+        (filter-during-search — KNNFilter_i::IsAllowed parity) instead
+        of post-filtering."""
         df = self.table(name)
         pre: Column | None = None
         if filters:
             pre = compile_filters(filters, df.schema)
         if mode == "auto":
-            mode = "exact" if self.knn_access_path(name, vec_col, filters, k) == "fullscan" else "ivf"
+            path = self.knn_access_path(name, vec_col, filters, k)
+            mode = {"fullscan": "exact"}.get(path, path)
+        if mode == "graph":
+            from columnar_spark.operators.hnsw_index import knn_query_graph
+
+            allowed = None
+            if pre is not None:
+                from columnar_spark.operators.hnsw_index import (
+                    KNN_ALLOW_SET_CAP,
+                )
+
+                # limit bounds driver memory; one row past the cap is
+                # enough for knn_query_graph's loud refusal to fire
+                allowed = [
+                    r[0]
+                    for r in df.filter(pre)
+                    .select(id_col)
+                    .limit(KNN_ALLOW_SET_CAP + 1)
+                    .collect()
+                ]
+            out = knn_query_graph(
+                self.spark,
+                f"{self.sf_dir}/{name}.parquet",
+                query_vec,
+                k,
+                allowed=allowed,
+            )
+            if out.columns[0] != id_col:
+                out = out.withColumnRenamed(out.columns[0], id_col)
+            return out
         if mode == "ivf":
             centroids = self._knn_indexes.get((name, vec_col))
             if centroids is None:

@@ -199,12 +199,22 @@ def test_sql_knn_mode_graph(spark, graph_table, tmp_path_factory):
     dists = [r["knn_dist"] for r in out]
     assert dists == sorted(dists)
 
-    # residual predicate + graph mode: refused with guidance
-    with pytest.raises(ValueError, match="mode=graph"):
-        eng.sql(
-            f"SELECT vec_id FROM embeddings "
-            f"WHERE KNN(embedding, 5, ({lit})) AND label = 3 OPTION mode=graph"
-        )
+    # residual predicate + graph mode: filter-DURING-walk — the
+    # predicate's ids become an in-walk allow-set, results match the
+    # exact filtered top-k on this small table (ef covers the parts)
+    filt = eng.sql(
+        f"SELECT vec_id, knn_dist() FROM embeddings "
+        f"WHERE KNN(embedding, 5, ({lit})) AND label = 3 OPTION mode=graph"
+    ).collect()
+    labels3 = {
+        r["vec_id"] for r in emb.filter(F.col("label") == 3).collect()
+    }
+    assert len(filt) == 5
+    assert {r["vec_id"] for r in filt} <= labels3
+    exact_f = knn_topk(
+        emb.filter(F.col("label") == 3), "embedding", qvec, 5
+    ).collect()
+    assert len({r["vec_id"] for r in filt} & {r["vec_id"] for r in exact_f}) >= 4
 
     # no sidecar: the shared freshness/absence error fires
     os.rename(
@@ -247,3 +257,109 @@ def test_append_batch_maintains_graph_sidecar(spark, tmp_path_factory):
     q = [float(v) for v in batch.first()["embedding"]]
     top = knn_query_graph(spark, path, q, 1, ef=32).first()
     assert top["vec_id"] == 500
+
+
+def test_search_exact_matches_brute_force_and_filters():
+    """search_exact is the ef >= n beam limit: exact float64 top-k over
+    the node set, ties broken by ascending label; the in-walk allow-set
+    restricts results exactly."""
+    rng = np.random.RandomState(21)
+    vecs = rng.randn(300, 12).astype(np.float32)
+    index = HnswIndex(12, metric="cosine", M=8, ef_construction=60, seed=4)
+    for i in range(len(vecs)):
+        index.add(vecs[i], 2000 + i)
+
+    q = vecs[17] + 0.02
+    V = vecs.astype(np.float64)
+    qq = np.asarray(q, dtype=np.float64)
+    dist = 1.0 - (V @ qq) / (np.linalg.norm(V, axis=1) * np.linalg.norm(qq))
+    want = sorted(range(300), key=lambda i: (dist[i], i))[:10]
+    got = index.search_exact(q, 10)
+    assert [lbl for lbl, _ in got] == [2000 + i for i in want]
+    for (lbl, d), i in zip(got, want):
+        assert abs(d - dist[i]) < 1e-12
+
+    allow = {2000 + i for i in range(0, 300, 3)}
+    got_f = index.search_exact(q, 10, allowed=allow)
+    want_f = sorted((i for i in range(300) if 2000 + i in allow),
+                    key=lambda i: (dist[i], i))[:10]
+    assert [lbl for lbl, _ in got_f] == [2000 + i for i in want_f]
+
+
+def test_in_walk_filter_beats_post_filter_and_matches_exact():
+    """The in-walk allow-set (KNNFilter_i::IsAllowed parity) returns k
+    allowed results even when the filter passes a small fraction — a
+    post-filtered top-ef would come up short — and at generous ef it
+    matches the exact filtered top-k."""
+    rng = np.random.RandomState(8)
+    vecs = rng.randn(500, 10).astype(np.float32)
+    index = HnswIndex(10, metric="l2", M=8, ef_construction=80, seed=6)
+    for i in range(len(vecs)):
+        index.add(vecs[i], i)
+
+    allow = set(range(0, 500, 10))  # 10% selectivity
+    q = rng.randn(10).astype(np.float32)
+    got = index.search(q, 8, ef=128, allowed=allow)
+    assert len(got) == 8
+    assert all(lbl in allow for lbl, _ in got)
+    exact = index.search_exact(q, 8, allowed=allow)
+    assert len({l for l, _ in got} & {l for l, _ in exact}) >= 7
+
+    # empty allow-set: no results, no crash
+    assert index.search(q, 5, ef=32, allowed=set()) == []
+
+
+def test_budget_policy_is_per_query_not_cumulative():
+    """policy='budget' caps distance computations PER SEARCH: a second
+    query against the same (cached) index gets its own budget instead of
+    terminating instantly on the accumulated counter."""
+    rng = np.random.RandomState(13)
+    vecs = rng.randn(400, 8).astype(np.float32)
+    index = HnswIndex(8, metric="l2", M=8, ef_construction=60, seed=2)
+    for i in range(len(vecs)):
+        index.add(vecs[i], i)
+
+    q1, q2 = rng.randn(8), rng.randn(8)
+    first = index.search(q1, 5, ef=64, policy="budget", budget=300)
+    # counter is far past 300 from the build + first search …
+    assert index.n_dist_calcs > 300
+    second = index.search(q2, 5, ef=64, policy="budget", budget=300)
+    # … yet the second query still walks: same result as its own fresh run
+    fresh = HnswIndex(8, metric="l2", M=8, ef_construction=60, seed=2)
+    for i in range(len(vecs)):
+        fresh.add(vecs[i], i)
+    assert second == fresh.search(q2, 5, ef=64, policy="budget", budget=300)
+    assert len(first) == 5 and len(second) == 5
+
+
+def test_knn_query_graph_exact_mode_is_exact(spark, graph_table):
+    """exact=True on the persisted sidecar returns the true global top-k
+    (hash-oracle construction for knn_graph_cosine) and in-walk allowed=
+    returns the true filtered top-k (knn_graph_filtered)."""
+    emb = spark.read.parquet(graph_table)
+    q = [float(v) for v in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
+    exact = [r["vec_id"] for r in knn_topk(emb, "embedding", q, 10).collect()]
+    got = [r["vec_id"] for r in knn_query_graph(spark, graph_table, q, 10, exact=True).collect()]
+    assert got == exact
+
+    allowed = [r["vec_id"] for r in emb.filter(F.col("label") == 3).collect()]
+    want = [
+        r["vec_id"]
+        for r in knn_topk(emb.filter(F.col("label") == 3), "embedding", q, 10).collect()
+    ]
+    got_f = [
+        r["vec_id"]
+        for r in knn_query_graph(
+            spark, graph_table, q, 10, exact=True, allowed=allowed
+        ).collect()
+    ]
+    assert got_f == want
+
+
+def test_build_graph_index_empty_table_raises_clearly(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("graph_empty")
+    path = str(root / "e.parquet")
+    df = spark.createDataFrame([], "vec_id: long, embedding: array<float>")
+    df.write.parquet(path)
+    with pytest.raises(ValueError, match="no rows"):
+        build_graph_index(spark, spark.read.parquet(path), path, num_parts=2)
