@@ -52,14 +52,26 @@ def _q(name: str, sql: str | None = None):
     return deco
 
 
-_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _session_key(spark: SparkSession) -> str:
+    """Stable session identity for caches. id(spark) is unsafe: after a
+    session is garbage-collected a NEW session can reuse the same id and
+    be served DataFrames bound to the dead JVM session. applicationId is
+    unique per SparkContext lifetime, so a stopped/recreated context
+    never aliases a live cache entry."""
+    try:
+        return spark.sparkContext.applicationId
+    except Exception:  # stopped context: never cache-alias it
+        return f"dead-{id(spark)}"
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Memoize DataFrame handles per (session, path): avoids re-listing
     files and re-reading parquet footers on every query invocation
     (metadata caching only — no data is cached)."""
-    key = (id(spark), sf_dir, name)
+    key = (_session_key(spark), sf_dir, name)
     if key not in _TABLE_CACHE:
         _TABLE_CACHE[key] = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     return _TABLE_CACHE[key]
@@ -373,7 +385,7 @@ def filter_in_large_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     table = f"{sf_dir}/lineitem.parquet"
-    ck = (id(spark), table, "l_partkey")
+    ck = (_session_key(spark), table, "l_partkey")
     if ck not in _VIDX_CACHE:
         # Ingested layout with a measure-bearing value index: the whole
         # aggregate is served from the |distinct l_partkey|-row sidecar —

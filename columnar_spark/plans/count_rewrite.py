@@ -112,45 +112,55 @@ def _split_conjuncts(pred: str) -> list[str] | None:
     return [p.replace("\x00", "AND").strip() for p in parts]
 
 
-def _term_to_filter(term: str) -> Filter | None:
+def _term_to_filter(term: str) -> "list[Filter] | None":
+    """One SQL conjunct -> engine filters, or None to fall through to
+    Spark. Usually a single filter; `<>`/`!=` compose the exclude with a
+    NOTNULL conjunct because the engine's exclude semantics MATCH NULL
+    rows (filters.py coalesces the predicate to false, then negates)
+    while ANSI `col <> lit` is NULL for NULL keys — without the
+    conjunct an index-served COUNT/SUM/NDV would include NULL-key rows
+    the spark.sql fallback excludes."""
     m = _TERM_RES["notnull"].match(term)
     if m:
-        return Filter(m.group("col"), FilterType.NOTNULL)
+        return [Filter(m.group("col"), FilterType.NOTNULL)]
     m = _TERM_RES["between"].match(term)
     if m:
         lo, hi = _parse_lit(m.group("lo")), _parse_lit(m.group("hi"))
         if isinstance(lo, str) or isinstance(hi, str):
             return None  # string ranges: fall through to Spark
-        return Filter(m.group("col"), FilterType.RANGE, min_value=lo, max_value=hi)
+        return [Filter(m.group("col"), FilterType.RANGE, min_value=lo, max_value=hi)]
     m = _TERM_RES["in"].match(term)
     if m:
         items = [_parse_lit(x.strip()) for x in m.group("items").split(",")]
         if all(isinstance(v, str) for v in items):
-            return Filter(m.group("col"), FilterType.STRINGS, strings=items)
+            return [Filter(m.group("col"), FilterType.STRINGS, strings=items)]
         if any(isinstance(v, str) for v in items):
             return None
-        return Filter(m.group("col"), FilterType.VALUES, values=items)
+        return [Filter(m.group("col"), FilterType.VALUES, values=items)]
     m = _TERM_RES["cmp"].match(term)
     if m:
         col, op, lit = m.group("col"), m.group("op"), _parse_lit(m.group("lit"))
         if op == "=":
             if isinstance(lit, str):
-                return Filter(col, FilterType.STRINGS, strings=[lit])
-            return Filter(col, FilterType.VALUES, values=[lit])
+                return [Filter(col, FilterType.STRINGS, strings=[lit])]
+            return [Filter(col, FilterType.VALUES, values=[lit])]
         if op in ("<>", "!="):
-            if isinstance(lit, str):
-                return Filter(col, FilterType.STRINGS, strings=[lit], exclude=True)
-            return Filter(col, FilterType.VALUES, values=[lit], exclude=True)
+            excl = (
+                Filter(col, FilterType.STRINGS, strings=[lit], exclude=True)
+                if isinstance(lit, str)
+                else Filter(col, FilterType.VALUES, values=[lit], exclude=True)
+            )
+            return [excl, Filter(col, FilterType.NOTNULL)]
         if isinstance(lit, str):
             return None
         if op == "<":
-            return Filter(col, FilterType.RANGE, max_value=lit, right_closed=False)
+            return [Filter(col, FilterType.RANGE, max_value=lit, right_closed=False)]
         if op == "<=":
-            return Filter(col, FilterType.RANGE, max_value=lit)
+            return [Filter(col, FilterType.RANGE, max_value=lit)]
         if op == ">":
-            return Filter(col, FilterType.RANGE, min_value=lit, left_closed=False)
+            return [Filter(col, FilterType.RANGE, min_value=lit, left_closed=False)]
         if op == ">=":
-            return Filter(col, FilterType.RANGE, min_value=lit)
+            return [Filter(col, FilterType.RANGE, min_value=lit)]
     return None
 
 
@@ -165,10 +175,10 @@ def parse_covered_count(sql: str) -> CountRewrite | None:
         return None
     filters = []
     for t in terms:
-        f = _term_to_filter(t)
-        if f is None:
+        fs = _term_to_filter(t)
+        if fs is None:
             return None
-        filters.append(f)
+        filters.extend(fs)
     cols = {f.name for f in filters}
     if len(cols) != 1:
         return None
@@ -257,10 +267,10 @@ def parse_sum_agg(sql: str) -> SumAggRewrite | None:
         return None
     filters = []
     for t in terms:
-        f = _term_to_filter(t)
-        if f is None:
+        fs = _term_to_filter(t)
+        if fs is None:
             return None
-        filters.append(f)
+        filters.extend(fs)
     cols = {f.name for f in filters}
     if len(cols) != 1:
         return None
@@ -420,10 +430,12 @@ def parse_group_count(sql: str) -> GroupCountRewrite | None:
         if not terms:
             return None
         for t in terms:
-            f = _term_to_filter(t)
-            if f is None or f.name.lower() != m.group("col").lower():
+            fs = _term_to_filter(t)
+            if fs is None or any(
+                f.name.lower() != m.group("col").lower() for f in fs
+            ):
                 return None
-            filters.append(f)
+            filters.extend(fs)
     return GroupCountRewrite(
         table=m.group("table"),
         column=m.group("col"),

@@ -69,6 +69,15 @@ class TableWriterLockHeld(RuntimeError):
     pass
 
 
+# URI schemes whose exclusive-create is NOT atomic: object stores have
+# no O_EXCL — two PUTs both "succeed". Ledgered appends refuse these
+# outright rather than hand out a lock that does not lock.
+_NON_POSIX_SCHEMES = (
+    "s3", "s3a", "s3n", "gs", "gcs", "abfs", "abfss", "wasb", "wasbs",
+    "oss", "cos", "swift",
+)
+
+
 def _acquire_writer_lock(dst_path: str) -> str:
     """Exclusive per-table writer lock for the LEDGERED append path.
 
@@ -78,27 +87,83 @@ def _acquire_writer_lock(dst_path: str) -> str:
     other's applied_batches entries — defeating replay safety. The lock
     makes the single-writer-per-table contract ENFORCED: a second writer
     fails fast with guidance instead of silently corrupting the ledger.
-    O_CREAT|O_EXCL is atomic on POSIX; a stale lock (holder crashed) is
-    broken after LOCK_STALE_SEC."""
-    import time
 
+    Protocol (POSIX filesystems ONLY — object-store schemes are refused
+    up front, exclusive-create is not atomic there):
+    1. O_CREAT|O_EXCL create with a unique owner token, then READ BACK
+       and compare — a racing stale-breaker that captured our fresh file
+       leaves a missing/foreign token and we retry instead of proceeding
+       unlocked.
+    2. Stale locks (holder crashed, age > LOCK_STALE_SEC) are broken by
+       ATOMIC RENAME to a unique captive name: exactly one of N waiting
+       breakers wins the rename (the rest get ENOENT and re-enter the
+       loop), so no breaker can delete another writer's freshly created
+       lock — the failure mode of remove-based breaking. The winner
+       compares the captive file's inode with the pre-rename stat; if it
+       captured a DIFFERENT (fresh) lock it restores it via no-overwrite
+       os.link and refuses, preserving mutual exclusion.
+    """
+    import time
+    import uuid
+
+    scheme = dst_path.split("://", 1)[0].lower() if "://" in dst_path else ""
+    if scheme in _NON_POSIX_SCHEMES:
+        raise TableWriterLockHeld(
+            f"ledgered appends need a POSIX-atomic lock file and "
+            f"{dst_path!r} is on an object store ({scheme}://) where "
+            "exclusive-create is not atomic. Run the ledgered writer "
+            "against a POSIX staging path, or route all appends for this "
+            "table through one process and use the unledgered path."
+        )
     root = ingest_ledger_path(dst_path)
     os.makedirs(root, exist_ok=True)
     lock = os.path.join(root, "writer.lock")
-    for _ in range(2):
+    token = f"{os.getpid()}:{uuid.uuid4().hex}"
+    for _ in range(4):
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(fd, str(os.getpid()).encode())
+            os.write(fd, token.encode())
             os.close(fd)
-            return lock
+            # ownership read-back: only the writer whose token survived
+            # owns the lock (closes the stolen-fresh-lock window)
+            try:
+                with open(lock) as f:
+                    if f.read() == token:
+                        return lock
+            except OSError:
+                pass
+            continue  # our lock was captured by a racing breaker: retry
         except FileExistsError:
             try:
-                age = time.time() - os.stat(lock).st_mtime
+                st = os.stat(lock)
             except OSError:
                 continue  # holder released between the open and the stat
+            age = time.time() - st.st_mtime
             if age > LOCK_STALE_SEC:
+                captive = f"{lock}.stale-{uuid.uuid4().hex}"
                 try:
-                    os.remove(lock)  # break the stale lock, retry once
+                    os.rename(lock, captive)  # atomic: one breaker wins
+                except OSError:
+                    continue  # another breaker won; retry the acquire
+                try:
+                    cap_ino = os.stat(captive).st_ino
+                except OSError:
+                    cap_ino = None
+                if cap_ino is not None and cap_ino != st.st_ino:
+                    # captured a DIFFERENT file than the stale one we
+                    # statted — a fresh lock raced in. Restore it without
+                    # overwriting anything newer and refuse.
+                    try:
+                        os.link(captive, lock)
+                    except OSError:
+                        pass  # path re-taken: its owner verified via read-back
+                    os.remove(captive)
+                    raise TableWriterLockHeld(
+                        f"another ledgered writer acquired {lock} while a "
+                        "stale lock was being broken; retry the append"
+                    )
+                try:
+                    os.remove(captive)
                 except OSError:
                     pass
                 continue

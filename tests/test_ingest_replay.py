@@ -252,3 +252,76 @@ def test_ledgered_writer_lock_enforced(spark, tmp_path):
 
     # ledger intact: both batches recorded, replay is a no-op
     assert append_batch(b, dst, batch_id=1) is False
+
+
+def test_object_store_paths_refused_for_ledgered_appends(tmp_path):
+    """O_EXCL is not atomic on object stores: the ledgered path refuses
+    such destinations up front with guidance instead of handing out a
+    lock that does not lock."""
+    import pytest
+
+    from columnar_spark.streaming.ingest import (
+        TableWriterLockHeld,
+        _acquire_writer_lock,
+    )
+
+    for uri in ("s3://bucket/t.parquet", "gs://b/t.parquet", "abfss://c@a/t"):
+        with pytest.raises(TableWriterLockHeld, match="object store"):
+            _acquire_writer_lock(uri)
+    # file: scheme and plain paths still acquire
+    lock = _acquire_writer_lock(f"{tmp_path}/ok.parquet")
+    assert os.path.exists(lock)
+
+
+def test_stale_break_is_single_winner_under_contention(tmp_path):
+    """N waiters that all observe the same expired lock: rename-based
+    breaking admits EXACTLY ONE new holder — the losers either acquire
+    later (after a release) or fail held; no interleaving ever leaves
+    two concurrent holders (the remove-based breaker could delete a
+    fresh lock and admit two)."""
+    import threading
+    import time
+
+    from columnar_spark.streaming.ingest import (
+        LOCK_STALE_SEC,
+        TableWriterLockHeld,
+        _acquire_writer_lock,
+        _release_writer_lock,
+        ingest_ledger_path,
+    )
+
+    dst = f"{tmp_path}/contend.parquet"
+    stale = _acquire_writer_lock(dst)
+    past = os.stat(stale).st_mtime - LOCK_STALE_SEC - 10
+    os.utime(stale, (past, past))
+
+    holders = []
+    holders_lock = threading.Lock()
+    concurrent_max = [0]
+
+    def worker():
+        try:
+            lk = _acquire_writer_lock(dst)
+        except TableWriterLockHeld:
+            return
+        with holders_lock:
+            holders.append(lk)
+            concurrent_max[0] = max(concurrent_max[0], len(holders))
+        time.sleep(0.05)  # hold it long enough for overlap to show
+        with holders_lock:
+            holders.remove(lk)
+        _release_writer_lock(lk)
+
+    threads = [threading.Thread(target=worker) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert concurrent_max[0] == 1  # never two holders at once
+    lockfile = os.path.join(ingest_ledger_path(dst), "writer.lock")
+    assert not os.path.exists(lockfile)  # all released
+    # no captive litter left behind
+    litter = [
+        f for f in os.listdir(ingest_ledger_path(dst)) if ".stale-" in f
+    ]
+    assert litter == []
