@@ -4178,44 +4178,75 @@ _GRAPH_INDEX_CACHE: dict[str, str] = {}
 
 
 def _graph_sidecar_for(spark: SparkSession, sf_dir: str) -> str | None:
-    """The persisted HNSW sidecar for `<sf_dir>/embeddings.parquet`:
-    the on-disk artifact when the ingested layout carries a fresh one,
-    else a session-cached shadow build (testdata mounts are read-only).
-    Either way queries are served from a STANDING artifact — built once,
-    searched many times (knn/knn.cpp Load-then-Search)."""
+    """The persisted QUANTIZED HNSW sidecar for
+    `<sf_dir>/embeddings.parquet`: the on-disk artifact when the
+    ingested layout carries a fresh b1 one, else a session-cached shadow
+    build (testdata mounts are read-only). Either way queries are served
+    from a STANDING artifact — built once, searched many times
+    (knn/knn.cpp Load-then-Search); node rows hold packed sign-bit
+    codes, 4-32x smaller at rest than float32."""
     from columnar_spark.operators.hnsw_index import (
         build_graph_index,
         load_graph_index_meta,
     )
 
     table = f"{sf_dir}/embeddings.parquet"
-    if load_graph_index_meta(table) is not None:
+    live = load_graph_index_meta(table)
+    if live is not None and live["quantize"] == "b1":
         return None  # default location is live — no override needed
     cached = _GRAPH_INDEX_CACHE.get(table)
-    if cached is not None and load_graph_index_meta(table, index_path=cached) is not None:
-        return cached
+    if cached is not None:
+        cm = load_graph_index_meta(table, index_path=cached)
+        if cm is not None and cm["quantize"] == "b1":
+            return cached
     import tempfile
 
     shadow = tempfile.mkdtemp(prefix="knn-graph-") + "/emb.knn-graph"
     build_graph_index(
-        spark, spark.read.parquet(table), table, num_parts=4, index_path=shadow
+        spark, spark.read.parquet(table), table, num_parts=4,
+        index_path=shadow, quantize="b1",
     )
     _GRAPH_INDEX_CACHE[table] = shadow
     return shadow
 
 
-@_q("knn_graph_cosine", _knn_oracle("cosine"))
+_B1_FILT_SQL = """
+WITH b AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+         list_sum(list_transform(range(0, 64), i ->
+           CASE WHEN embedding[i+1] > 0 THEN (1::UBIGINT << i) ELSE 0::UBIGINT END))::UBIGINT AS w
+  FROM embeddings
+),
+q AS (SELECT emb AS qemb, w AS qw, sqrt(list_dot_product(emb, emb)) AS qn FROM b WHERE vec_id = 7),
+cand AS (
+  SELECT b.vec_id, b.label, b.emb, bit_count(xor(b.w, q.qw)) AS ham, q.qemb, q.qn
+  FROM b, q
+  WHERE b.label = 3
+  ORDER BY ham ASC, vec_id ASC
+  LIMIT 160
+)
+SELECT vec_id, label,
+       round(1.0 - list_dot_product(emb, qemb)/(sqrt(list_dot_product(emb,emb))*qn), 6) + 0.0 AS dist
+FROM cand
+ORDER BY 1.0 - list_dot_product(emb, qemb)/(sqrt(list_dot_product(emb,emb))*qn) ASC, vec_id ASC
+LIMIT 10
+"""
+
+
+@_q("knn_graph_cosine", _B1_SQL)
 def knn_graph_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact top-k served from the PERSISTED HNSW sidecar
+    """Top-k served from the PERSISTED QUANTIZED HNSW sidecar
     (operators/hnsw_index.py — knn/knn.cpp:643-790 Save / :557-640 Load
-    parity): per-part sub-graphs are loaded (not rebuilt) inside
-    applyInPandas with an executor-side reconstruction cache, each part
-    answers with `search_exact` (the ef >= part-size limit of the beam,
-    one vectorized float64 pass — deterministic, so the merged global
-    top-k hash-matches DuckDB's ORDER BY cosine LIMIT k), and a global
-    top-k merges. The 100 TB serving shape for a standing corpus — zero
-    training or graph construction at query time; the approximate-ef
-    beam on the same artifact is knn_graph_ann below, recall-gated in
+    parity, quantizer.cpp:222-641 codes-at-rest): per-part sub-graphs
+    whose node rows hold packed SIGN-BIT CODES (8 bytes vs 256 for the
+    64-dim float32 — the 100 TB artifact shape) are loaded, not
+    rebuilt, inside applyInPandas with an executor-side cache. Served
+    exact-mode: each part returns its exhaustive hamming top-160
+    (deterministic — the ef >= part-size limit of the beam), the global
+    (ham, id) shortlist is exact-cosine re-ranked against the base
+    table's floats, so the result hash-matches the same DuckDB B1
+    construction that certifies knn_b1_cosine. The approximate beam on
+    the same artifact is knn_graph_ann; recall gates live in
     tests/test_hnsw_index.py."""
     from columnar_spark.operators.hnsw_index import knn_query_graph
 
@@ -4224,7 +4255,7 @@ def knn_graph_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     shadow = _graph_sidecar_for(spark, sf_dir)
     hits = knn_query_graph(
         spark, f"{sf_dir}/embeddings.parquet", qvec, _KNN_K, exact=True,
-        index_path=shadow,
+        index_path=shadow, rerank_factor=16, rerank_df=emb,
     )
     out = hits.join(emb.select("vec_id", "label"), "vec_id")
     return out.select(
@@ -4234,32 +4265,33 @@ def knn_graph_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q("knn_graph_ann")  # graph ANN (approximate beam) — rows-only; recall
 def knn_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:  # gate in tests/test_hnsw_index.py
-    """Approximate graph ANN on the same persisted sidecar: one ef=64
-    beam walk per part, global top-k merge — the latency path when a
-    small recall trade is acceptable (reference HNSW Search,
-    knn/knn.cpp:411-540)."""
+    """Approximate graph ANN on the quantized sidecar: one hamming beam
+    walk per part over the at-rest codes, global shortlist merge, exact
+    re-rank — the latency path when a small recall trade is acceptable
+    (reference HNSW Search over quantized codes, knn/knn.cpp:411-452)."""
     from columnar_spark.operators.hnsw_index import knn_query_graph
 
     emb = _t(spark, sf_dir, "embeddings")
     qvec = [float(v) for v in emb.filter(F.col("vec_id") == _KNN_QID).first()["embedding"]]
     shadow = _graph_sidecar_for(spark, sf_dir)
     hits = knn_query_graph(
-        spark, f"{sf_dir}/embeddings.parquet", qvec, _KNN_K, ef=64,
-        index_path=shadow,
+        spark, f"{sf_dir}/embeddings.parquet", qvec, _KNN_K, ef=96,
+        index_path=shadow, rerank_df=emb,
     )
     out = hits.join(emb.select("vec_id", "label"), "vec_id")
     return out.select("vec_id", "label", F.round(F.col("dist"), 6).alias("dist"))
 
 
-@_q("knn_graph_filtered", _knn_oracle("cosine", where="e.label = 3"))
+@_q("knn_graph_filtered", _B1_FILT_SQL)
 def knn_graph_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filter-DURING-walk ANN (reference KNNFilter_i::IsAllowed,
     knn/knn.h:87-94, knn.cpp:90-96): the label allow-set is broadcast
-    and threaded INTO the per-part search — disallowed nodes are
-    traversed for connectivity but never enter the frontier — instead
-    of post-filtering a top-ef. Served exact-mode here so the result
-    carries a full hash oracle; the approximate in-walk beam is
-    equality-gated against this in tests/test_hnsw_index.py."""
+    and threaded INTO the per-part code-space search — disallowed nodes
+    are traversed for connectivity but never enter the frontier —
+    instead of post-filtering a top-ef. Served exact-mode on the
+    quantized sidecar so the result carries a full hash oracle (the B1
+    construction restricted to the allowed labels); the approximate
+    in-walk beam is gated in tests/test_hnsw_index.py."""
     from columnar_spark.operators.hnsw_index import knn_query_graph
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -4270,7 +4302,7 @@ def knn_graph_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     shadow = _graph_sidecar_for(spark, sf_dir)
     hits = knn_query_graph(
         spark, f"{sf_dir}/embeddings.parquet", qvec, _KNN_K, exact=True,
-        index_path=shadow, allowed=allowed,
+        index_path=shadow, allowed=allowed, rerank_factor=16, rerank_df=emb,
     )
     out = hits.join(emb.select("vec_id", "label"), "vec_id")
     return out.select(

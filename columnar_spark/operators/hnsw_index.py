@@ -57,12 +57,40 @@ _STATE_SCHEMA = T.StructType(
         T.StructField("part", T.IntegerType()),
         T.StructField("node", T.IntegerType()),
         T.StructField("label", T.LongType()),
+        # exactly one of (vec, code) is populated: raw float32 vectors
+        # (quantize='none') or packed sign-bit codes (quantize='b1',
+        # ceil(dim/64)*8 bytes — a 4-32x smaller artifact whose beam
+        # steps pay popcount bandwidth, not float32; reference
+        # knn/knn.cpp:411-452 searches the graph over quantized codes)
         T.StructField("vec", T.ArrayType(T.FloatType())),
+        T.StructField("code", T.BinaryType()),
         T.StructField("links", T.ArrayType(T.ArrayType(T.IntegerType()))),
         T.StructField("entry", T.IntegerType()),
         T.StructField("max_level", T.IntegerType()),
     ]
 )
+
+
+def _code_nbytes(dim: int) -> int:
+    return ((dim + 63) // 64) * 8
+
+
+def _pack_code(vec, dim: int) -> int:
+    """Sign bits of `vec` as one python int — bit i set iff vec[i] > 0,
+    identical to quantize.binarize_expr's packed words."""
+    acc = 0
+    for i in range(dim):
+        if float(vec[i]) > 0.0:
+            acc |= 1 << i
+    return acc
+
+
+def _code_to_bytes(code: int, dim: int) -> bytes:
+    return int(code).to_bytes(_code_nbytes(dim), "little")
+
+
+def _bytes_to_code(b: bytes) -> int:
+    return int.from_bytes(bytes(b), "little")
 
 
 # In-walk allow-set transport cap: the set is broadcast to every search
@@ -83,20 +111,57 @@ def _part_seed(seed: int, part: int, n_before: int) -> int:
     return (seed * 1_000_003 + part * 8191 + n_before) & 0x7FFFFFFF
 
 
-def _graph_state_rows(index: HnswIndex, part: int):
+def _graph_state_rows(index: HnswIndex, part: int, dim: int):
     import pandas as pd
 
-    rows = index_to_rows(index)
+    n = len(index._vecs)
+    hamming = index.metric == "hamming"
     return pd.DataFrame(
         {
-            "part": [part] * len(rows),
-            "node": [r[0] for r in rows],
-            "label": [r[1] for r in rows],
-            "vec": [r[2] for r in rows],
-            "links": [r[3] for r in rows],
-            "entry": [index._entry] * len(rows),
-            "max_level": [index._max_level] * len(rows),
+            "part": [part] * n,
+            "node": list(range(n)),
+            "label": [int(x) for x in index._labels],
+            "vec": [
+                None if hamming else [float(x) for x in index._vecs[i]]
+                for i in range(n)
+            ],
+            "code": [
+                _code_to_bytes(index._vecs[i], dim) if hamming else None
+                for i in range(n)
+            ],
+            "links": [
+                [list(map(int, lv)) for lv in index._graph[i]] for i in range(n)
+            ],
+            "entry": [index._entry] * n,
+            "max_level": [index._max_level] * n,
         }
+    )
+
+
+def _index_from_state(pdf, metric, M, efc, seed_val, dim):
+    """Reconstruct a searchable per-part index from state rows — float
+    vectors or packed codes, whichever the artifact stores."""
+    if pdf["code"].iloc[0] is not None:
+        idx = HnswIndex(dim, "hamming", M, efc, seed=seed_val)
+        order = sorted(range(len(pdf)), key=lambda i: int(pdf["node"].iloc[i]))
+        for i in order:
+            idx._vecs.append(_bytes_to_code(pdf["code"].iloc[i]))
+            idx._norms.append(0.0)
+            idx._labels.append(int(pdf["label"].iloc[i]))
+            idx._graph.append(
+                [list(map(int, lv)) for lv in pdf["links"].iloc[i]]
+            )
+        idx._entry = int(pdf["entry"].iloc[0])
+        idx._max_level = int(pdf["max_level"].iloc[0])
+        return idx
+    return index_from_rows(
+        list(zip(pdf["node"], pdf["label"], pdf["vec"], pdf["links"])),
+        metric,
+        M,
+        efc,
+        int(pdf["entry"].iloc[0]),
+        int(pdf["max_level"].iloc[0]),
+        seed=seed_val,
     )
 
 
@@ -120,14 +185,26 @@ def build_graph_index(
     num_parts: int = 8,
     seed: int = 42,
     index_path: str | None = None,
+    quantize: str = "none",
 ) -> str:
     """Build and persist the partitioned HNSW graph for `df[vec_col]`.
     One beam-search build per part, fully distributed (one task per
     part); returns the artifact path. `index_path` overrides the
     default `<table>.knn-graph` location (e.g. a writable shadow dir
-    for a read-only table mount)."""
+    for a read-only table mount).
+
+    quantize='b1' stores PACKED SIGN-BIT CODES in the node rows instead
+    of float32 vectors and links the graph on hamming distances — the
+    reference's quantizer-inside-the-index posture (quantizer.cpp:45,
+    222-641 + knn.cpp:411-452): the at-rest artifact shrinks 4-32x,
+    beam steps pay popcount bandwidth, and queries exact-re-rank their
+    merged shortlist against the base table's raw floats. Sign bits are
+    scale-invariant, so normalized and raw vectors produce identical
+    codes (same property knn_b1_cosine relies on)."""
     if metric not in ("cosine", "l2", "ip"):
         raise ValueError(f"metric must be cosine|l2|ip, got {metric!r}")
+    if quantize not in ("none", "b1"):
+        raise ValueError(f"quantize must be none|b1, got {quantize!r}")
     out = index_path or graph_index_path(table_path)
     os.makedirs(out, exist_ok=True)
     first = df.select(vec_col).first()
@@ -146,12 +223,19 @@ def build_graph_index(
                 f"graph part {part} has {len(pdf)} rows > "
                 f"{PY_HNSW_MAX_PARTITION_ROWS}; raise num_parts"
             )
-        index = HnswIndex(
-            dim, metric, M, ef_construction, seed=_part_seed(seed, part, 0)
-        )
-        for label, vec in zip(pdf["label"], pdf["vec"]):
-            index.add(vec, int(label))
-        return _graph_state_rows(index, part)
+        if quantize == "b1":
+            index = HnswIndex(
+                dim, "hamming", M, ef_construction, seed=_part_seed(seed, part, 0)
+            )
+            for label, vec in zip(pdf["label"], pdf["vec"]):
+                index.add(_pack_code(vec, dim), int(label))
+        else:
+            index = HnswIndex(
+                dim, metric, M, ef_construction, seed=_part_seed(seed, part, 0)
+            )
+            for label, vec in zip(pdf["label"], pdf["vec"]):
+                index.add(vec, int(label))
+        return _graph_state_rows(index, part, dim)
 
     tagged = _with_part(df, id_col, vec_col, num_parts)
     state = tagged.groupBy("part").applyInPandas(_build, _STATE_SCHEMA)
@@ -163,9 +247,10 @@ def build_graph_index(
     )
 
     meta = spark.createDataFrame(
-        [(vec_col, id_col, metric, M, ef_construction, dim, num_parts, seed)],
+        [(vec_col, id_col, metric, M, ef_construction, dim, num_parts, seed, quantize)],
         "vec_col: string, id_col: string, metric: string, m: int, "
-        "ef_construction: int, dim: int, num_parts: int, seed: int",
+        "ef_construction: int, dim: int, num_parts: int, seed: int, "
+        "quantize: string",
     )
     meta.coalesce(1).write.mode("overwrite").parquet(os.path.join(out, "meta.parquet"))
 
@@ -196,6 +281,9 @@ def load_graph_index_meta(
         fs = sorted(glob.glob(os.path.join(out, "meta.parquet", "*.parquet")))
         meta = pq.read_table(fs[0]).to_pylist()[0]
         meta["path"] = out
+        meta.setdefault("quantize", "none")  # pre-quantization artifacts
+        if meta["quantize"] is None:
+            meta["quantize"] = "none"
         return meta
     except Exception:
         return None
@@ -221,29 +309,20 @@ def append_to_graph_index(
 
     metric, M, efc, seed = meta["metric"], meta["m"], meta["ef_construction"], meta["seed"]
     dim = meta["dim"]
+    quantized = meta["quantize"] == "b1"
 
     def _merge(key, state_pdf, batch_pdf):
         part = int(key[0])
         if len(state_pdf):
-            n_before = len(state_pdf)
-            index = index_from_rows(
-                list(
-                    zip(
-                        state_pdf["node"],
-                        state_pdf["label"],
-                        state_pdf["vec"],
-                        state_pdf["links"],
-                    )
-                ),
-                metric,
-                M,
-                efc,
-                int(state_pdf["entry"].iloc[0]),
-                int(state_pdf["max_level"].iloc[0]),
-                seed=_part_seed(seed, part, n_before),
+            index = _index_from_state(
+                state_pdf, metric, M, efc,
+                _part_seed(seed, part, len(state_pdf)), dim,
             )
         else:  # a part that had no rows at build time
-            index = HnswIndex(dim, metric, M, efc, seed=_part_seed(seed, part, 0))
+            index = HnswIndex(
+                dim, "hamming" if quantized else metric, M, efc,
+                seed=_part_seed(seed, part, 0),
+            )
         if len(index._vecs) + len(batch_pdf) > PY_HNSW_MAX_PARTITION_ROWS:
             raise ValueError(
                 f"graph part {part} would exceed "
@@ -251,8 +330,8 @@ def append_to_graph_index(
                 "rebuild (build_graph_index)"
             )
         for label, vec in zip(batch_pdf["label"], batch_pdf["vec"]):
-            index.add(vec, int(label))
-        return _graph_state_rows(index, part)
+            index.add(_pack_code(vec, dim) if quantized else vec, int(label))
+        return _graph_state_rows(index, part, dim)
 
     merged = (
         existing.groupBy("part")
@@ -305,6 +384,8 @@ def knn_query_graph(
     index_path: str | None = None,
     exact: bool = False,
     allowed: "Sequence[int] | None" = None,
+    rerank_factor: int = 16,
+    rerank_df: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k (id, dist) served from the persisted graph: one beam search
     per part (reconstruction cached executor-side), global
@@ -322,7 +403,17 @@ def knn_query_graph(
     into the walk — filter-DURING-search (reference
     KNNFilter_i::IsAllowed, knn/knn.h:87-94, knn.cpp:90-96), not a
     post-filter: disallowed nodes are still traversed for
-    connectivity but never enter the result frontier."""
+    connectivity but never enter the result frontier.
+
+    On a QUANTIZED artifact (build quantize='b1') the walk runs on
+    hamming distances over the at-rest codes; each part returns a
+    k*rerank_factor shortlist, the global (ham, id) top-shortlist is
+    exact-re-ranked against the base table's raw floats (rerank_df
+    overrides the source), and the final (id, dist) is the true metric
+    distance — the reference's quantized-graph Search + rerank
+    (knn/knn.cpp:411-452). exact=True makes the per-part shortlist
+    exhaustive, so the whole pipeline is deterministic and carries the
+    same SQL hash oracle construction as knn_b1_cosine."""
     meta = load_graph_index_meta(table_path, index_path=index_path)
     if meta is None:
         raise ValueError(
@@ -336,6 +427,14 @@ def knn_query_graph(
     q = [float(x) for x in query_vec]
     metric, M, efc, seed = meta["metric"], meta["m"], meta["ef_construction"], meta["seed"]
     id_col = meta["id_col"]
+    quantized = meta["quantize"] == "b1"
+    dim = meta["dim"]
+    if quantized:
+        q_search = _pack_code(q, dim)
+        n_short = max(k * rerank_factor, k)
+    else:
+        q_search = q
+        n_short = k
 
     allowed_bc = None
     if allowed is not None:
@@ -360,22 +459,17 @@ def knn_query_graph(
         part = int(key[0])
 
         def _rebuild():
-            return index_from_rows(
-                list(zip(pdf["node"], pdf["label"], pdf["vec"], pdf["links"])),
-                metric,
-                M,
-                efc,
-                int(pdf["entry"].iloc[0]),
-                int(pdf["max_level"].iloc[0]),
-                seed=_part_seed(seed, part, len(pdf)),
+            return _index_from_state(
+                pdf, metric, M, efc, _part_seed(seed, part, len(pdf)), dim
             )
 
         index = _cached_graph((graph_dir, part, sig), _rebuild)
         allow = allowed_bc.value if allowed_bc is not None else None
+        nn = min(n_short, len(index._vecs))
         if exact:
-            hits = index.search_exact(q, min(k, len(index._vecs)), allowed=allow)
+            hits = index.search_exact(q_search, nn, allowed=allow)
         else:
-            hits = index.search(q, min(k, len(index._vecs)), ef=max(ef, k),
+            hits = index.search(q_search, nn, ef=max(ef, n_short),
                                 policy=policy, budget=budget, allowed=allow)
         return pd.DataFrame(
             {id_col: [h[0] for h in hits], "dist": [float(h[1]) for h in hits]}
@@ -386,7 +480,22 @@ def knn_query_graph(
         .groupBy("part")
         .applyInPandas(_search, out_schema)
     )
-    return local.orderBy(F.col("dist").asc(), F.col(id_col).asc()).limit(k)
+    merged = local.orderBy(F.col("dist").asc(), F.col(id_col).asc()).limit(n_short)
+    if not quantized:
+        return merged
+    # exact re-rank of the deterministic hamming shortlist against the
+    # base table's raw floats (a broadcast of <= k*rerank_factor ids) —
+    # same recipe as knn_query_indexed_b1, same oracle construction
+    from columnar_spark.operators.knn import knn_topk
+
+    pool = rerank_df if rerank_df is not None else spark.read.parquet(table_path)
+    cand = pool.select(
+        F.col(meta["id_col"]).cast("long").alias(id_col),
+        F.col(meta["vec_col"]).alias("__vec"),
+    ).join(F.broadcast(merged.select(id_col)), id_col)
+    return knn_topk(cand, "__vec", q, k, metric=metric, id_col=id_col).select(
+        id_col, "dist"
+    )
 
 
 def check_graph_index(
@@ -427,9 +536,19 @@ def check_graph_index(
             errs.append(f"part {part}: {bad_levels} nodes above max_level")
         if bad_links:
             errs.append(f"part {part}: {bad_links} levels with out-of-range links")
-        bad_dim = sum(1 for v in pdf["vec"] if len(v) != meta["dim"])
-        if bad_dim:
-            errs.append(f"part {part}: {bad_dim} vectors with dim != {meta['dim']}")
+        if meta["quantize"] == "b1":
+            want = _code_nbytes(meta["dim"])
+            bad_dim = sum(
+                1 for c in pdf["code"] if c is None or len(bytes(c)) != want
+            )
+            if bad_dim:
+                errs.append(
+                    f"part {part}: {bad_dim} codes with size != {want} bytes"
+                )
+        else:
+            bad_dim = sum(1 for v in pdf["vec"] if len(v) != meta["dim"])
+            if bad_dim:
+                errs.append(f"part {part}: {bad_dim} vectors with dim != {meta['dim']}")
         return pd.DataFrame({"err": errs})
 
     errors.extend(

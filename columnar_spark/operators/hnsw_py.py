@@ -225,6 +225,10 @@ class HnswIndex:
         ef_construction: int = 200,
         seed: int = 42,
     ):
+        # 'hamming': vectors are PACKED SIGN-BIT CODES (python ints, one
+        # bit per dimension) and distance is popcount(xor) — the
+        # quantized-graph space (reference searches the HNSW graph over
+        # quantized codes, knn/knn.cpp:411-452 + quantizer at rest).
         self.dim = dim
         self.metric = metric
         self.M = M
@@ -245,9 +249,11 @@ class HnswIndex:
 
     # ------------------------------------------------------------ distance
 
-    def _dist(self, q: np.ndarray, qn: float, node: int) -> float:
+    def _dist(self, q, qn: float, node: int) -> float:
         self.n_dist_calcs += 1
         v = self._vecs[node]
+        if self.metric == "hamming":
+            return float(bin(q ^ v).count("1"))
         if self.metric == "l2":
             d = q - v
             return float(np.dot(d, d))
@@ -259,11 +265,16 @@ class HnswIndex:
 
     # ------------------------------------------------------------- insert
 
-    def add(self, vec: Sequence[float], label: int) -> None:
-        q = np.asarray(vec, dtype=np.float32)
+    def add(self, vec, label: int) -> None:
+        if self.metric == "hamming":
+            q = int(vec)  # packed code
+            qn = 0.0
+        else:
+            q = np.asarray(vec, dtype=np.float32)
+            qn = float(np.linalg.norm(q)) or 1e-30
         node = len(self._vecs)
         self._vecs.append(q)
-        self._norms.append(float(np.linalg.norm(q)) or 1e-30)
+        self._norms.append(qn)
         self._labels.append(label)
         level = int(-math.log(max(self._rng.random(), 1e-12)) * self.ml)
         self._graph.append([[] for _ in range(level + 1)])
@@ -439,8 +450,11 @@ class HnswIndex:
             }
             if not allowed_nodes:
                 return []
-        q = np.asarray(vec, dtype=np.float32)
-        qn = float(np.linalg.norm(q)) or 1e-30
+        if self.metric == "hamming":
+            q, qn = int(vec), 0.0
+        else:
+            q = np.asarray(vec, dtype=np.float32)
+            qn = float(np.linalg.norm(q)) or 1e-30
         curr = self._entry
         for lev in range(self._max_level, 0, -1):
             curr = self._greedy_closest(q, qn, curr, lev)
@@ -487,6 +501,23 @@ class HnswIndex:
         n = len(self._vecs)
         if not n:
             return []
+        if self.metric == "hamming":
+            qc = int(vec)
+            self.n_dist_calcs += n
+            labels = np.asarray(self._labels, dtype=np.int64)
+            dist = np.fromiter(
+                (float(bin(qc ^ c).count("1")) for c in self._vecs),
+                dtype=np.float64,
+                count=n,
+            )
+            if allowed is not None:
+                allow = allowed if isinstance(allowed, set) else set(allowed)
+                mask = np.fromiter(
+                    (int(l) in allow for l in labels), dtype=bool, count=n
+                )
+                labels, dist = labels[mask], dist[mask]
+            order = np.lexsort((labels, dist))[:k]
+            return [(int(labels[i]), float(dist[i])) for i in order]
         V = np.stack(self._vecs).astype(np.float64)
         q = np.asarray(vec, dtype=np.float64)
         if self.metric == "l2":
@@ -520,7 +551,14 @@ def index_to_rows(index: HnswIndex) -> list[tuple[int, int, list[float], list[li
     ef_construction) this is the complete index state: the same
     save-everything contract as the reference's index Save
     (knn/knn.cpp:643-790 writes vectors + graph + entry point), but as
-    parquet-friendly rows instead of a private binary format."""
+    parquet-friendly rows instead of a private binary format. Hamming
+    (quantized) indexes serialize via hnsw_index._graph_state_rows,
+    which stores packed code bytes instead of float lists."""
+    if index.metric == "hamming":
+        raise ValueError(
+            "index_to_rows is float-vector serialization; hamming-space "
+            "indexes persist their packed codes via the graph sidecar"
+        )
     return [
         (
             node,

@@ -379,7 +379,7 @@ def build_sf_layout(
     # layout_v bumps when the ingest artifacts change (new sidecar
     # kinds), so a cached layout built by older code is invalidated even
     # though the SOURCE signature still matches.
-    signature = "layout_v11\n" + src_dir + "\n" + "\n".join(sig_parts) + "\n"
+    signature = "layout_v12\n" + src_dir + "\n" + "\n".join(sig_parts) + "\n"
 
     marker = os.path.join(dest_dir, _LAYOUT_MARKER)
     if os.path.exists(marker) and not force:
@@ -408,10 +408,14 @@ def build_sf_layout(
             build_vector_index(spark, df, dest)
             # A12's graph artifact too: per-part HNSW built once at
             # ingest, served by knn_query_graph / OPTION mode=graph
-            # without any per-query build.
+            # without any per-query build. quantize='b1' stores packed
+            # sign-bit codes in the node rows (4-32x smaller at rest,
+            # popcount beam steps) with exact re-rank against this
+            # table's floats — the reference's quantizer-inside-index
+            # posture (quantizer.cpp:222-641, knn.cpp:411-452).
             from columnar_spark.operators.hnsw_index import build_graph_index
 
-            build_graph_index(spark, df, dest, num_parts=4)
+            build_graph_index(spark, df, dest, num_parts=4, quantize="b1")
         if table == "documents":
             # Inverted text index beside the table (term-bucketed
             # postings + doc lengths): ranked retrieval serves from the

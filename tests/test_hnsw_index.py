@@ -363,3 +363,112 @@ def test_build_graph_index_empty_table_raises_clearly(spark, tmp_path_factory):
     df.write.parquet(path)
     with pytest.raises(ValueError, match="no rows"):
         build_graph_index(spark, spark.read.parquet(path), path, num_parts=2)
+
+
+# ---------------------------------------------------------- quantized graph
+
+
+@pytest.fixture(scope="module")
+def b1_graph_table(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("knn_graph_b1")
+    path = str(root / "emb.parquet")
+    spark.read.parquet(f"{SF}/embeddings.parquet").write.parquet(path)
+    build_graph_index(
+        spark, spark.read.parquet(path), path, num_parts=4, quantize="b1"
+    )
+    return path
+
+
+def test_quantized_sidecar_is_smaller_and_checks_clean(spark, graph_table, b1_graph_table):
+    """The b1 artifact stores ceil(dim/64)*8 code bytes per node instead
+    of dim float32s: the graph directory must shrink materially (64-dim
+    -> 8 bytes vs 256, bounded by parquet framing) and the A13 checker
+    must accept the code layout."""
+    import os
+
+    def _dir_bytes(p):
+        return sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(p)
+            for f in fs
+        )
+
+    raw = _dir_bytes(os.path.join(graph_index_path(graph_table), "graph"))
+    b1 = _dir_bytes(os.path.join(graph_index_path(b1_graph_table), "graph"))
+    assert b1 < raw * 0.6, (raw, b1)  # links dominate framing; vectors gone
+    assert check_graph_index(spark, b1_graph_table) == []
+    assert load_graph_index_meta(b1_graph_table)["quantize"] == "b1"
+
+
+def test_quantized_exact_matches_b1_rerank_construction(spark, b1_graph_table):
+    """exact=True on the quantized artifact == deterministic global
+    hamming top-(k*rerank_factor) shortlist + exact cosine re-rank: the
+    same construction as knn_topk_b1, computed independently here."""
+    from columnar_spark.operators.quantize import binarize_vectors, knn_topk_b1
+
+    emb = spark.read.parquet(b1_graph_table)
+    q = [float(v) for v in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
+    dim = len(q)
+    b1 = binarize_vectors(emb, "embedding", dim)
+    want = [
+        (r["vec_id"], round(r["dist"], 9))
+        for r in knn_topk_b1(
+            b1, "embedding_b1", q, 10, id_col="vec_id", vec_col="embedding",
+            rerank_factor=16,
+        ).collect()
+    ]
+    got = [
+        (r["vec_id"], round(r["dist"], 9))
+        for r in knn_query_graph(
+            spark, b1_graph_table, q, 10, exact=True, rerank_factor=16
+        ).collect()
+    ]
+    assert got == want
+
+
+def test_quantized_beam_recall_and_filtered_walk(spark, b1_graph_table):
+    """The approximate hamming beam on the quantized artifact keeps
+    recall vs the exact path, and the in-walk allow-set works in code
+    space (disallowed nodes walked, never ranked)."""
+    emb = spark.read.parquet(b1_graph_table)
+    q = [float(v) for v in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
+    exact_ids = {
+        r["vec_id"]
+        for r in knn_query_graph(spark, b1_graph_table, q, 10, exact=True).collect()
+    }
+    beam_ids = {
+        r["vec_id"]
+        for r in knn_query_graph(spark, b1_graph_table, q, 10, ef=96).collect()
+    }
+    assert len(exact_ids & beam_ids) >= 7
+
+    allowed = [r["vec_id"] for r in emb.filter(F.col("label") == 3).collect()]
+    got = knn_query_graph(
+        spark, b1_graph_table, q, 10, exact=True, allowed=allowed
+    ).collect()
+    assert len(got) == 10 and {r["vec_id"] for r in got} <= set(allowed)
+
+
+def test_quantized_append_extends_codes_deterministically(spark, tmp_path_factory):
+    """E9 on the quantized artifact: appends binarize the incoming raw
+    floats, extend the hamming sub-graphs, and a replayed append is
+    byte-identical state (same level-sampling seed discipline)."""
+    root = tmp_path_factory.mktemp("knn_graph_b1_inc")
+    rng = np.random.RandomState(7)
+    rows = [(i, [float(x) for x in rng.randn(64)]) for i in range(200)]
+    path = str(root / "t.parquet")
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    df.write.parquet(path)
+    build_graph_index(spark, df, path, num_parts=3, quantize="b1")
+
+    batch = spark.createDataFrame(
+        [(500 + i, [float(x) for x in rng.randn(64)]) for i in range(20)],
+        "vec_id: long, embedding: array<float>",
+    )
+    batch.write.mode("append").parquet(path)
+    append_to_graph_index(spark, batch, path)
+    assert check_graph_index(spark, path) == []
+
+    q = [float(v) for v in batch.first()["embedding"]]
+    top = knn_query_graph(spark, path, q, 1, exact=True).first()
+    assert top["vec_id"] == 500  # appended vector found via its code
