@@ -363,6 +363,73 @@ def check_vector_index(spark: SparkSession, table_path: str) -> list[str]:
     return errors
 
 
+# Driver-side b1 shortlist probe: below this many code rows the hamming
+# candidate scan runs as one pyarrow read + numpy popcount on the driver
+# (cached per artifact signature), collapsing the query to a single
+# Spark job — the sidecar-probe job otherwise costs a full scheduling
+# round that toy scales can't amortize. 2M rows x 16 bytes = 32 MB read,
+# driver-safe; above the cap the distributed b1-only scan takes over.
+_B1_DRIVER_PROBE_MAX_ROWS = 2_000_000
+_B1_PROBE_CACHE: dict = {}
+
+# byte-wise popcount table for numpy <2 (no np.bitwise_count)
+import numpy as _np
+
+_POPCNT8 = _np.array([bin(i).count("1") for i in range(256)], dtype=_np.uint8)
+
+
+def _b1_rows_if_small(index: VectorIndex) -> "tuple | None":
+    """(ids, code_bytes) for the whole artifact when it is under the
+    driver-probe cap, else None. Cached per (path, table signature)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    from columnar_spark.stats import table_signature
+
+    files = sorted(
+        _glob.glob(os.path.join(index.vectors_path, "**", "*.parquet"), recursive=True)
+    )
+    if not files:
+        return None
+    n = sum(pq.read_metadata(f).num_rows for f in files)
+    if n > _B1_DRIVER_PROBE_MAX_ROWS:
+        return None
+    key = (index.vectors_path, tuple(sorted(table_signature(index.vectors_path).items())))
+    hit = _B1_PROBE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    import pyarrow as pa
+
+    t = pa.concat_tables([pq.read_table(f, columns=["id", "b1"]) for f in files])
+    ids = _np.asarray(t.column("id").to_pylist(), dtype=_np.int64)
+    words = t.column("b1").to_pylist()  # list[list[int64 words]]
+    nwords = len(words[0]) if words else 0
+    codes = _np.asarray(words, dtype=_np.int64).view(_np.uint8).reshape(len(ids), nwords * 8)
+    _B1_PROBE_CACHE.clear()  # one artifact at a time is plenty
+    _B1_PROBE_CACHE[key] = (ids, codes)
+    return ids, codes
+
+
+def _b1_driver_shortlist(
+    index: VectorIndex, q: Sequence[float], n_short: int
+) -> "list[int] | None":
+    """Exact hamming top-n_short (ham asc, id asc) computed driver-side
+    from the cached code matrix — bit-identical to knn_topk_b1's
+    candidate order, one job cheaper at small scale."""
+    rows = _b1_rows_if_small(index)
+    if rows is None:
+        return None
+    from columnar_spark.operators.quantize import binarize_py
+
+    ids, codes = rows
+    qwords = _np.asarray(binarize_py(list(q)), dtype=_np.int64)
+    qbytes = qwords.view(_np.uint8)
+    ham = _POPCNT8[codes ^ qbytes[None, :]].sum(axis=1).astype(_np.int64)
+    order = _np.lexsort((ids, ham))[:n_short]
+    return [int(ids[i]) for i in order]
+
+
 def knn_query_indexed_b1(
     spark: SparkSession,
     index: VectorIndex,
@@ -372,6 +439,7 @@ def knn_query_indexed_b1(
     rerank_factor: int = 16,
     nprobe: int | None = None,
     asym: bool = False,
+    driver_probe: bool | None = None,
 ) -> DataFrame:
     """Top-k via the AT-REST BIT1 codes (quantizer.cpp:45-641 parity at
     rest, not just at query time): the candidate scan reads ONLY the
@@ -396,6 +464,28 @@ def knn_query_indexed_b1(
     if index.normalized:
         nrm = math.sqrt(sum(x * x for x in q)) or 1.0
         q = [x / nrm for x in q]
+
+    if not asym and nprobe is None and driver_probe is not False:
+        # small artifact: the hamming candidate scan runs driver-side
+        # (cached pyarrow read + numpy popcount, identical (ham, id)
+        # order), so the whole query is ONE Spark job — the rerank scan
+        # with an IN-pushed shortlist. driver_probe=False forces the
+        # distributed b1-only scan (the 100 TB plan, ReadSchema-pruned);
+        # None auto-gates on _B1_DRIVER_PROBE_MAX_ROWS.
+        short_ids = _b1_driver_shortlist(index, q, topk * rerank_factor)
+        if short_ids is not None:
+            if rerank_df is not None:
+                pool = rerank_df.select(
+                    F.col(index.id_col).alias("id"),
+                    F.col(index.vec_col).alias("vec"),
+                )
+            else:
+                pool = spark.read.parquet(index.vectors_path).select("id", "vec")
+            cand = pool.filter(F.col("id").isin(short_ids))
+            from columnar_spark.operators.knn import knn_topk
+
+            rq = [float(x) for x in query_vec] if rerank_df is not None else q
+            return knn_topk(cand, "vec", rq, topk, metric=index.metric, id_col="id")
 
     vectors = spark.read.parquet(index.vectors_path)
     if nprobe is not None:

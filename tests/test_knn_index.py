@@ -229,8 +229,10 @@ def test_at_rest_quantized_codes_and_b1_serving(spark, indexed):
     q = [float(x) for x in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
 
     # served from the at-rest codes, re-ranked on the BASE table floats
+    # (driver_probe=False pins the DISTRIBUTED serving shape — the
+    # driver-probe fast path is equality-tested below)
     got = knn_query_indexed_b1(
-        spark, idx, q, 10, rerank_df=emb, rerank_factor=16
+        spark, idx, q, 10, rerank_df=emb, rerank_factor=16, driver_probe=False
     )
     plan = got._jdf.queryExecution().executedPlan().toString()
     # the code scan reads b1 only — never pq_code/q8/vec from the sidecar
@@ -251,6 +253,17 @@ def test_at_rest_quantized_codes_and_b1_serving(spark, indexed):
     got_rows = [(r["id"], round(r["dist"], 6)) for r in got.collect()]
     want_rows = [(r["vec_id"], round(r["dist"], 6)) for r in want.collect()]
     assert got_rows == want_rows
+
+    # driver-probe fast path (small artifacts: cached pyarrow read +
+    # numpy popcount shortlist, ONE Spark job) — identical rows, and the
+    # plan carries no sidecar scan at all
+    fast = knn_query_indexed_b1(
+        spark, idx, q, 10, rerank_df=emb, rerank_factor=16
+    )
+    fast_rows = [(r["id"], round(r["dist"], 6)) for r in fast.collect()]
+    assert fast_rows == got_rows
+    fplan = fast._jdf.queryExecution().executedPlan().toString()
+    assert ".knn" not in fplan, fplan  # shortlist came from the driver cache
 
     # asymmetric variant serves from the same at-rest codes
     got_asym = knn_query_indexed_b1(
