@@ -1597,7 +1597,13 @@ class Engine:
             )
             if out.columns[0] != id_col:
                 out = out.withColumnRenamed(out.columns[0], id_col)
-            return out
+            from pyspark.sql import functions as _F
+
+            # re-attach the payload columns by id (k-row left side):
+            # same result shape as the exact/ivf paths
+            return out.join(df, id_col, "left").orderBy(
+                _F.col("dist").asc(), _F.col(id_col).asc()
+            )
         if mode == "ivf":
             centroids = self._knn_indexes.get((name, vec_col))
             if centroids is None:

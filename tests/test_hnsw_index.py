@@ -502,3 +502,34 @@ def test_sql_knn_mode_graph_quantized(spark, b1_graph_table, tmp_path_factory):
     ).collect()
     labels3 = {r["vec_id"] for r in emb.filter(F.col("label") == 3).collect()}
     assert len(filt) == 5 and {r["vec_id"] for r in filt} <= labels3
+
+
+def test_engine_knn_auto_routes_to_graph(spark, b1_graph_table, tmp_path_factory):
+    """knn_access_path returns 'graph' when a fresh sidecar exists, and
+    Engine.knn serves it with the same payload shape as the exact path;
+    filters become the in-walk allow-set."""
+    import shutil
+
+    from columnar_spark.filters import Filter, FilterType
+    from columnar_spark.table import Engine
+
+    sf = str(tmp_path_factory.mktemp("engknn"))
+    shutil.copytree(b1_graph_table, f"{sf}/embeddings.parquet")
+    shutil.copytree(
+        graph_index_path(b1_graph_table), f"{sf}/embeddings.parquet.knn-graph"
+    )
+    eng = Engine(spark, sf)
+    eng.register_views(["embeddings"])
+    assert eng.knn_access_path("embeddings", "embedding") == "graph"
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    q = [float(v) for v in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
+    rows = eng.knn("embeddings", "embedding", q, k=5, mode="auto").collect()
+    assert len(rows) == 5 and rows[0]["vec_id"] == 7
+    assert "label" in rows[0].asDict()  # payload re-attached
+
+    # broad filter -> in-walk allow-set, results restricted
+    broad = [Filter("label", FilterType.VALUES, values=(3,))]
+    got = eng.knn("embeddings", "embedding", q, k=5, mode="graph", filters=broad).collect()
+    labels3 = {r["vec_id"] for r in emb.filter(F.col("label") == 3).collect()}
+    assert len(got) == 5 and {r["vec_id"] for r in got} <= labels3
