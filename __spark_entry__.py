@@ -77,6 +77,26 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return _TABLE_CACHE[key]
 
 
+def _lineorder(spark: SparkSession, sf_dir: str, *need: str) -> DataFrame | None:
+    """The fresh orders⋈lineitem pre-join projection (ingested layouts
+    carry one — writer.build_sf_layout) when it covers the requested
+    columns, else None and the caller runs the live join. The projection
+    is the SSB "lineorder" flattening: the FK join paid once at ingest,
+    re-clustered by o_orderdate so this family's date predicates prune
+    row groups; freshness of BOTH constituent tables is gated
+    (projections.py), so out-of-band rewrites fall back to the live
+    join, which is always correct."""
+    try:
+        from columnar_spark.projections import load_join_projection
+
+        lo = load_join_projection(spark, f"{sf_dir}/lineitem.parquet", "lineorder")
+    except Exception:
+        return None
+    if lo is None or not set(need).issubset(set(lo.columns)):
+        return None
+    return lo
+
+
 _QVEC_CACHE: dict = {}
 
 
@@ -201,9 +221,36 @@ LIMIT 10
 @_q("q3_shipping_priority", _Q3_SQL)
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    disc_price = _fx_disc_price()
+    lo = _lineorder(
+        spark, sf_dir,
+        "l_orderkey", "o_orderdate", "o_orderpriority", "o_custkey",
+        "l_shipdate", "l_extendedprice", "l_discount",
+    )
+    if lo is not None:
+        # projection route: one pre-joined scan (both date predicates
+        # reach it; o_orderdate is its cluster key) + one broadcast-able
+        # customer probe — the orders⋈lineitem shuffle is gone.
+        base = lo.filter(
+            (F.col("o_orderdate") < "1998-01-01") & (F.col("l_shipdate") > "1997-06-30")
+        )
+        build = _broadcast_if_stats_small(
+            cust.select("c_custkey"), sf_dir, "customer",
+            [Filter("c_mktsegment", FilterType.STRINGS, strings=("BUILDING",))],
+        )
+        return (
+            base.join(build, F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy(
+                F.col("l_orderkey").alias("o_orderkey"),
+                F.col("o_orderdate"),
+                F.col("o_orderpriority"),
+            )
+            .agg(_fxsum(disc_price, 4).alias("revenue"))
+            .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+            .limit(10)
+        )
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-01-01")
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1997-06-30")
-    disc_price = _fx_disc_price()
     # Build-side decision from the stats sidecar (D3): orders x the
     # BUILDING fraction of customers — when the estimate proves the
     # composite build side small, hint the broadcast so lineitem never
@@ -246,10 +293,6 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = _t(spark, sf_dir, "nation")
     cust = _t(spark, sf_dir, "customer")
     supp = _t(spark, sf_dir, "supplier")
-    orders = _t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
-    )
-    li = _t(spark, sf_dir, "lineitem")
     disc_price = _fx_disc_price()
     # region/nation are fixed-size -> always broadcast; orders/customer/
     # supplier scale with SF -> stats-sidecar build-side decision with
@@ -259,6 +302,34 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
     )
     dims = _broadcast_if_stats_small(dims, sf_dir, "customer", [])
+    lo = _lineorder(
+        spark, sf_dir,
+        "o_orderdate", "o_custkey", "l_suppkey", "l_extendedprice", "l_discount",
+    )
+    if lo is not None:
+        # projection route: the orders⋈lineitem shuffle is pre-paid at
+        # ingest; the date filter prunes the projection's o_orderdate
+        # clustering, leaving two dim probes on one fact scan.
+        joined = (
+            lo.filter(
+                (F.col("o_orderdate") >= "1996-01-01")
+                & (F.col("o_orderdate") < "1998-01-01")
+            )
+            .join(dims, F.col("o_custkey") == F.col("c_custkey"))
+            .join(
+                supp,
+                (F.col("s_suppkey") == F.col("l_suppkey"))
+                & (F.col("s_nationkey") == F.col("c_nationkey")),
+            )
+        )
+        return joined.groupBy("n_name").agg(
+            _fxsum(disc_price, 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
     build_orders = _broadcast_if_stats_small(
         orders, sf_dir, "orders",
         [Filter("o_orderdate", FilterType.RANGE,
@@ -1081,8 +1152,34 @@ FROM base
 """
 
 
+def _doc_textstats(spark: SparkSession, sf_dir: str) -> DataFrame | None:
+    """The documents table's text-feature companion sidecar when present
+    AND fresh (stats.index_is_fresh gate), else None — callers fall back
+    to the live projection. The sidecar is written by the same
+    textstats.text_features code path the live queries use, so serving
+    from it is bit-identical by construction (tests/test_textstats.py
+    pins the equality row-for-row)."""
+    try:
+        from columnar_spark.textstats import load_textstats
+
+        return load_textstats(spark, f"{sf_dir}/documents.parquet")
+    except Exception:
+        return None
+
+
 @_q("doc_text_stats", _TEXT_STATS_SQL)
 def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Ingested layouts carry the text-feature companion sidecar
+    # (computed columns at rest — the reference's build-time companion
+    # column regime, builder.cpp:83-87): the per-doc stats were computed
+    # once at ingest by the SAME expressions, so this query is a pure
+    # column scan of |docs| fixed-width rows instead of three regex
+    # passes over 100 TB of raw text.
+    ts = _doc_textstats(spark, sf_dir)
+    if ts is not None:
+        return ts.select(
+            "doc_id", "n_tokens", "n_chars", "mean_word_len", "alpha_ratio", "quality"
+        )
     # CPU-heavy per-row text expressions: spread an under-partitioned scan
     # across cores first (no-op on well-partitioned input). The three
     # regex passes (tokenize, lowercase-tokenize, strip-non-alnum) are
@@ -1205,6 +1302,13 @@ FROM scored
 
 @_q("doc_lang_fingerprint", _langid_oracle())
 def doc_lang_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Served from the ingest-time text-feature companion when fresh —
+    # the md5-per-shingle fingerprint is the most CPU-intense select in
+    # the suite, and it is a pure function of the text, computed once at
+    # write (same expressions, bit-identical).
+    ts = _doc_textstats(spark, sf_dir)
+    if ts is not None:
+        return ts.select("doc_id", "lang", "fingerprint")
     # md5-per-shingle fingerprinting is the most CPU-intense select in the
     # suite — spread an under-partitioned scan across cores first.
     docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
@@ -1338,6 +1442,22 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     small enough that AQE broadcasts it here (zero lineitem shuffle) and
     falls back to a shuffle join at SFs where it isn't. o_orderkey is
     unique, so first(o_orderpriority) per order is deterministic."""
+    lo = _lineorder(
+        spark, sf_dir, "l_orderkey", "o_orderdate", "o_orderpriority", "l_shipdate"
+    )
+    if lo is not None:
+        # projection route: the EXISTS collapses to a COUNT(DISTINCT
+        # orderkey) over the pre-joined slice — no join at all; both
+        # the o_orderdate window (cluster key of the projection) and
+        # the theta predicate evaluate in the scan stage.
+        sl = lo.filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        )
+        return sl.groupBy("o_orderpriority").agg(
+            F.countDistinct("l_orderkey").alias("order_count")
+        )
     orders = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
     )
@@ -1394,13 +1514,24 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
     )
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
     supp = _t(spark, sf_dir, "supplier")
     disc_price = _fx_disc_price()
+    lo = _lineorder(
+        spark, sf_dir,
+        "o_custkey", "o_orderdate", "l_suppkey", "l_extendedprice", "l_discount",
+    )
+    if lo is not None:
+        # projection route: the unfiltered orders⋈lineitem join — the
+        # whole fact-side cost of this query — is pre-paid at ingest;
+        # what remains is one projection scan with two stats-hinted dim
+        # probes and the nation broadcasts.
+        fact = lo
+    else:
+        orders = _t(spark, sf_dir, "orders")
+        li = _t(spark, sf_dir, "lineitem")
+        fact = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
     joined = (
-        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        fact.join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
         .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
@@ -1572,7 +1703,13 @@ SELECT doc_id, quality FROM scored WHERE quality >= 0.75
 
 @_q("doc_quality_filter", _QUALITY_FILTER_SQL)
 def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality-gate pipeline step: keep docs above a score threshold."""
+    """Quality-gate pipeline step: keep docs above a score threshold.
+    Served from the ingest-time text-feature companion when fresh
+    (quality_score == quality_score_from with self-computed alpha,
+    operation-for-operation — functions/text.py:88)."""
+    ts = _doc_textstats(spark, sf_dir)
+    if ts is not None:
+        return ts.select("doc_id", "quality").filter(F.col("quality") >= 0.75)
     docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     scored = docs.select("doc_id", CT.quality_score(F.col("text")).alias("quality"))
     return scored.filter(F.col("quality") >= 0.75)
@@ -2199,20 +2336,35 @@ LIMIT 20
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
-    orders = _t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
-    )
-    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     disc_price = _fx_disc_price()
-    build_orders = _broadcast_if_stats_small(
-        orders, sf_dir, "orders",
-        [Filter("o_orderdate", FilterType.RANGE,
-                min_value="1997-01-01", max_value="1998-01-01", right_closed=False)],
+    lo = _lineorder(
+        spark, sf_dir,
+        "l_returnflag", "o_orderdate", "o_custkey", "l_extendedprice", "l_discount",
     )
+    if lo is not None:
+        # projection route: the date window prunes the projection's
+        # o_orderdate clustering AND the returnflag filter evaluates in
+        # the same scan — the orders⋈lineitem join is pre-paid, leaving
+        # one fact scan + customer/nation probes.
+        fact = lo.filter(
+            (F.col("o_orderdate") >= "1997-01-01")
+            & (F.col("o_orderdate") < "1998-01-01")
+            & (F.col("l_returnflag") == "R")
+        )
+    else:
+        orders = _t(spark, sf_dir, "orders").filter(
+            (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
+        )
+        li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+        build_orders = _broadcast_if_stats_small(
+            orders, sf_dir, "orders",
+            [Filter("o_orderdate", FilterType.RANGE,
+                    min_value="1997-01-01", max_value="1998-01-01", right_closed=False)],
+        )
+        fact = li.join(build_orders, F.col("l_orderkey") == F.col("o_orderkey"))
     joined = (
-        li.join(build_orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(_broadcast_if_stats_small(cust, sf_dir, "customer", []),
-              F.col("o_custkey") == F.col("c_custkey"))
+        fact.join(_broadcast_if_stats_small(cust, sf_dir, "customer", []),
+                  F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
     )
     return (
@@ -2306,15 +2458,28 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     frac = _region_nation_fraction(sf_dir, "AMERICA")
     if frac is not None and _stats_rows_within(sf_dir, "customer", frac):
         cust_am = F.broadcast(cust_am)
-    build = orders.join(
-        cust_am, F.col("o_custkey") == F.col("c_custkey"), "left_semi"
-    ).select("o_orderkey", "o_orderdate")
-    if frac is not None and _stats_rows_within(sf_dir, "orders", frac):
-        build = F.broadcast(build)
+    lo = _lineorder(
+        spark, sf_dir,
+        "l_partkey", "l_suppkey", "o_custkey", "o_orderdate",
+        "l_extendedprice", "l_discount",
+    )
+    if lo is not None:
+        # projection route: o_custkey rides the pre-joined fact rows, so
+        # the AMERICA restriction is one semi probe directly on the
+        # projection — the orders semi-join chain disappears entirely.
+        fact = lo.join(
+            cust_am, F.col("o_custkey") == F.col("c_custkey"), "left_semi"
+        )
+    else:
+        build = orders.join(
+            cust_am, F.col("o_custkey") == F.col("c_custkey"), "left_semi"
+        ).select("o_orderkey", "o_orderdate")
+        if frac is not None and _stats_rows_within(sf_dir, "orders", frac):
+            build = F.broadcast(build)
+        fact = li.join(build, F.col("o_orderkey") == F.col("l_orderkey"))
     joined = (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        fact.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
         .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(build, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(n2), F.col("n2_key") == F.col("s_nationkey"))
         .select(
             F.year("o_orderdate").cast("int").alias("o_year"),

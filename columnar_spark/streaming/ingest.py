@@ -304,6 +304,26 @@ def _rebuild_sidecars(ss: SparkSession, dst_path: str) -> None:
             vec_col=vidx.vec_col, id_col=vidx.id_col, metric=vidx.metric,
             nlist=vidx.nlist, m=vidx.m, k=vidx.k, store_vectors=store_vectors,
         )
+    from columnar_spark.textstats import textstats_meta, write_textstats_sidecar
+
+    tsm = textstats_meta(dst_path)
+    if tsm is not None and tsm["text_col"] in full.columns:
+        # feature rows are row-local, so a full rebuild from the
+        # idempotent-appended table is exact (cannot-double-count recovery)
+        write_textstats_sidecar(ss, dst_path, tsm["id_col"], tsm["text_col"])
+    # Join projections touching this table (either side): the crashed
+    # attempt may or may not have appended its delta — rebuild from the
+    # idempotent-appended base tables (cannot-double-count recovery).
+    from columnar_spark.projections import (
+        projections_on,
+        projections_referencing_dim,
+        rebuild_projection,
+    )
+
+    for pname in projections_on(dst_path):
+        rebuild_projection(ss, dst_path, pname)
+    for fpath, pname in projections_referencing_dim(dst_path):
+        rebuild_projection(ss, fpath, pname)
     from columnar_spark.operators.hnsw_index import (
         build_graph_index,
         load_graph_index_meta,
@@ -475,6 +495,38 @@ def append_batch(
                 idc = posting_index_id_col(dst_path, c)
                 if c in appended.columns and idc and idc in appended.columns:
                     merge_posting_index(ss, dst_path, c, appended, idc)
+            # Text-feature companion: features are row-local, so the
+            # batch's rows append directly — O(batch), no re-scan.
+            from columnar_spark.textstats import merge_textstats, textstats_meta
+
+            tsm = textstats_meta(dst_path)
+            if (
+                tsm is not None
+                and tsm["text_col"] in appended.columns
+                and tsm["id_col"] in appended.columns
+            ):
+                merge_textstats(ss, dst_path, appended)
+            # Join projections: this table may be the FACT side (its
+            # delta joins the current dim) or the DIM side of a sibling's
+            # projection (the sibling fact joins this delta). Serial
+            # application under the writer lock makes the two increments
+            # sum to exactly Δ(F⋈D) — projections.py delta algebra.
+            from columnar_spark.projections import (
+                merge_projection_dim_delta,
+                merge_projection_fact_delta,
+                projection_meta,
+                projections_on,
+                projections_referencing_dim,
+            )
+
+            for pname in projections_on(dst_path):
+                pm = projection_meta(dst_path, pname)
+                if pm and pm["fact_key"] in appended.columns:
+                    merge_projection_fact_delta(ss, dst_path, pname, appended)
+            for fpath, pname in projections_referencing_dim(dst_path):
+                pm = projection_meta(fpath, pname)
+                if pm and pm["dim_key"] in appended.columns:
+                    merge_projection_dim_delta(ss, fpath, pname, appended)
 
         # Inverted-text + vocab sidecars: their own applied-batch staging
         # makes these calls retry-exact under BOTH the incremental and the

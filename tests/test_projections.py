@@ -1,0 +1,178 @@
+"""Denormalized join-projection sidecar (projections.py).
+
+Pins the contracts that make projection serving safe at scale:
+- the stored projection equals the live inner join row-for-row;
+- staleness of EITHER constituent table refuses the projection;
+- the append-only delta algebra (ΔF⋈D, then F⋈ΔD) applied serially
+  reproduces the full rebuild exactly — batch boundaries invisible;
+- the structural checker catches a projection that disagrees with a
+  live recount;
+- the entry queries served from the projection match their live-join
+  twins bit-for-bit.
+"""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from columnar_spark.projections import (
+    check_projection,
+    load_join_projection,
+    merge_projection_dim_delta,
+    merge_projection_fact_delta,
+    projection_path,
+    rebuild_projection,
+    write_join_projection,
+)
+
+SF = "/root/testdata/sf0.001"
+DIM_COLS = ("o_custkey", "o_orderdate", "o_orderpriority")
+
+
+@pytest.fixture()
+def layout(spark, tmp_path):
+    """Private copies of lineitem + orders in one layout dir."""
+    li = str(tmp_path / "lineitem.parquet")
+    orders = str(tmp_path / "orders.parquet")
+    spark.read.parquet(f"{SF}/lineitem.parquet").write.parquet(li)
+    spark.read.parquet(f"{SF}/orders.parquet").write.parquet(orders)
+    return li, orders
+
+
+def _build(spark, li, orders):
+    write_join_projection(
+        spark, li, orders,
+        name="lineorder", fact_key="l_orderkey", dim_key="o_orderkey",
+        dim_cols=DIM_COLS, cluster_by=("o_orderdate",),
+    )
+
+
+def _rows(df, cols=None):
+    if cols:
+        df = df.select(*cols)
+    return sorted([tuple(r) for r in df.collect()])
+
+
+def _live(spark, li, orders):
+    l = spark.read.parquet(li)
+    o = spark.read.parquet(orders).select("o_orderkey", *DIM_COLS)
+    return l.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        *(l.columns + list(DIM_COLS))
+    )
+
+
+def test_projection_matches_live_join(spark, layout):
+    li, orders = layout
+    _build(spark, li, orders)
+    stored = load_join_projection(spark, li, "lineorder")
+    assert stored is not None
+    live = _live(spark, li, orders)
+    assert _rows(stored) == _rows(live)
+    assert stored.schema == live.schema
+
+
+def test_stale_on_either_side_refused(spark, layout):
+    li, orders = layout
+    _build(spark, li, orders)
+    assert load_join_projection(spark, li, "lineorder") is not None
+    # out-of-band rewrite of the DIM side
+    spark.read.parquet(orders).limit(1).write.mode("append").parquet(orders)
+    assert load_join_projection(spark, li, "lineorder") is None
+    rebuild_projection(spark, li, "lineorder")
+    assert load_join_projection(spark, li, "lineorder") is not None
+    # out-of-band rewrite of the FACT side
+    spark.read.parquet(li).limit(1).write.mode("append").parquet(li)
+    assert load_join_projection(spark, li, "lineorder") is None
+
+
+def test_delta_algebra_equals_rebuild(spark, layout, tmp_path):
+    li, orders = layout
+    full_li = spark.read.parquet(li)
+    full_ord = spark.read.parquet(orders)
+    # hold out a slice of each table as "future appends": lineitems of
+    # late orders, plus those orders themselves — the lineitem delta
+    # arrives FIRST (its orders not yet visible), then the orders delta
+    # joins the already-appended lineitem rows: the adversarial ordering
+    # for the delta algebra.
+    late = full_ord.filter(F.col("o_orderkey") % 10 == 0)
+    early_ord = full_ord.subtract(late)
+    li_delta = full_li.join(
+        late, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi"
+    )
+    li_base = full_li.subtract(li_delta)
+
+    li2 = str(tmp_path / "li2.parquet")
+    ord2 = str(tmp_path / "ord2.parquet")
+    li_base.write.parquet(li2)
+    early_ord.write.parquet(ord2)
+    _build(spark, li2, ord2)
+
+    # append the lineitem delta (fact side), then merge
+    li_delta.write.mode("append").parquet(li2)
+    merge_projection_fact_delta(spark, li2, "lineorder", li_delta)
+    assert load_join_projection(spark, li2, "lineorder") is not None
+
+    # append the orders delta (dim side), then merge
+    late.write.mode("append").parquet(ord2)
+    merge_projection_dim_delta(spark, li2, "lineorder", late)
+    stored = load_join_projection(spark, li2, "lineorder")
+    assert stored is not None
+
+    live = _live(spark, li2, ord2)
+    assert _rows(stored) == _rows(live)
+    assert check_projection(spark, li2, "lineorder") == []
+
+
+def test_checker_catches_corruption(spark, layout):
+    li, orders = layout
+    _build(spark, li, orders)
+    assert check_projection(spark, li, "lineorder") == []
+    # corrupt: append duplicate rows to the stored projection only
+    p = projection_path(li, "lineorder")
+    spark.read.parquet(p).limit(5).write.mode("append").parquet(p)
+    assert check_projection(spark, li, "lineorder") != []
+
+
+def test_ledgered_append_maintains_projection(spark, layout):
+    """append_batch on the FACT side maintains the projection and leaves
+    it fresh; same for the DIM side."""
+    from columnar_spark.streaming.ingest import append_batch
+    from columnar_spark.writer import WriteSpec
+
+    li, orders = layout
+    _build(spark, li, orders)
+    li_delta = spark.read.parquet(li).orderBy("l_orderkey").limit(7)
+    assert append_batch(li_delta, li, WriteSpec(), batch_id=901)
+    stored = load_join_projection(spark, li, "lineorder")
+    assert stored is not None  # fresh after the ledgered append
+    assert _rows(stored) == _rows(_live(spark, li, orders))
+
+    ord_delta = spark.createDataFrame(
+        [(99990001, 1, "O", 1.0, None, "1-URGENT")],
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    assert append_batch(ord_delta, orders, WriteSpec(), batch_id=902)
+    stored = load_join_projection(spark, li, "lineorder")
+    assert stored is not None
+    assert _rows(stored) == _rows(_live(spark, li, orders))
+
+
+def test_entry_queries_identical_with_projection(spark, layout, tmp_path):
+    import __spark_entry__ as entry
+
+    li, orders = layout
+    sf_dir = str(tmp_path)
+    for t in ("customer", "supplier", "nation", "region", "part"):
+        shutil.copy(f"{SF}/{t}.parquet", str(tmp_path / f"{t}.parquet"))
+    qs = entry.queries()
+    names = (
+        "q3_shipping_priority", "q4_order_priority", "q5_region_revenue",
+        "q7_nation_volume", "q8_market_share", "q10_returned_items",
+    )
+    before = {n: _rows(qs[n](spark, sf_dir)) for n in names}
+    _build(spark, li, orders)
+    assert load_join_projection(spark, li, "lineorder") is not None
+    for n in names:
+        assert _rows(qs[n](spark, sf_dir)) == before[n], n
