@@ -160,6 +160,26 @@ def main(argv: list[str] | None = None) -> int:
         "places (repeatable), e.g. --measure o_totalprice:2",
     )
 
+    sp = sub.add_parser("proj-build")
+    sp.add_argument("fact_path", help="fact table (projection lives beside it)")
+    sp.add_argument("--dim", required=True, help="dim table parquet path")
+    sp.add_argument("--name", required=True, help="projection name")
+    sp.add_argument("--fact-key", required=True)
+    sp.add_argument("--dim-key", required=True)
+    sp.add_argument(
+        "--dim-cols", required=True,
+        help="comma-separated dim columns to carry onto the fact rows",
+    )
+    sp.add_argument(
+        "--cluster-by", default=None,
+        help="comma-separated projection cluster keys (range clustering)",
+    )
+
+    sp = sub.add_parser("textstats-build")
+    sp.add_argument("table_path")
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--text-col", default="text")
+
     sp = sub.add_parser("merge")
     sp.add_argument("table_path")
     sp.add_argument("--updates", required=True, help="parquet path of update rows")
@@ -261,6 +281,42 @@ def main(argv: list[str] | None = None) -> int:
         ] or None
         write_value_index(spark, args.table_path, key, measures=measures)
         print(json.dumps({"index": args.col, "dest": args.table_path + ".vidx"}))
+        return 0
+
+    if args.cmd == "proj-build":
+        from columnar_spark.projections import write_join_projection
+
+        write_join_projection(
+            spark,
+            args.fact_path,
+            args.dim,
+            name=args.name,
+            fact_key=args.fact_key,
+            dim_key=args.dim_key,
+            dim_cols=tuple(args.dim_cols.split(",")),
+            cluster_by=tuple(args.cluster_by.split(",")) if args.cluster_by else (),
+        )
+        print(
+            json.dumps(
+                {
+                    "projection": args.name,
+                    "dest": args.fact_path.rstrip("/") + f".proj/{args.name}",
+                }
+            )
+        )
+        return 0
+
+    if args.cmd == "textstats-build":
+        from columnar_spark.textstats import write_textstats_sidecar
+
+        write_textstats_sidecar(
+            spark, args.table_path, id_col=args.id_col, text_col=args.text_col
+        )
+        print(
+            json.dumps(
+                {"index": "textstats", "dest": args.table_path.rstrip("/") + ".textstats"}
+            )
+        )
         return 0
 
     if args.cmd == "merge":

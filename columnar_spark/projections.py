@@ -234,6 +234,20 @@ def merge_projection_dim_delta(
     _write_sigs(fact_path, dim_path, p)
 
 
+def live_join_frame(spark: SparkSession, fact_path: str, name: str) -> DataFrame | None:
+    """The projection's defining join computed LIVE from the base tables
+    (same _project code path as the writer) — the always-correct form a
+    caller serves when the stored artifact is stale."""
+    meta = projection_meta(fact_path, name)
+    if meta is None:
+        return None
+    return _project(
+        spark.read.parquet(fact_path),
+        spark.read.parquet(_dim_abspath(fact_path, meta)),
+        meta,
+    )
+
+
 def rebuild_projection(spark: SparkSession, fact_path: str, name: str) -> None:
     """Crash recovery: a previous append died mid-application, so the
     incremental merge cannot know whether this projection absorbed the

@@ -22,7 +22,7 @@ from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
 
-from columnar_spark.catalog import load_table
+from columnar_spark.catalog import load_table, table_path
 from columnar_spark.filters import Filter, apply_filters, compile_filters
 from columnar_spark.operators.knn import knn_topk, knn_topk_ivf, train_centroids
 from columnar_spark.plans.explain import AccessPathReport, access_path_report
@@ -50,8 +50,39 @@ class Engine:
 
     def table(self, name: str) -> DataFrame:
         if name not in self._tables:
+            import os as _os
+
+            if not _os.path.exists(table_path(self.sf_dir, name)):
+                pf = self._projection_frame(name)
+                if pf is not None:
+                    # do NOT cache: freshness is decided per call, so a
+                    # projection that goes stale mid-session transparently
+                    # flips to the live join on the next resolution
+                    return pf
             self._tables[name] = load_table(self.spark, self.sf_dir, name)
         return self._tables[name]
+
+    def _projection_frame(self, name: str) -> "DataFrame | None":
+        """Resolve `name` as a join projection on some table in this
+        sf_dir: the stored pre-joined sidecar when FRESH, else the live
+        defining join (always correct) — view-with-materialization
+        semantics, so `Engine.table('lineorder')` and SQL `FROM
+        lineorder` work on any layout."""
+        from columnar_spark.projections import (
+            live_join_frame,
+            load_join_projection,
+            projections_on,
+        )
+
+        import glob as _glob
+
+        for p in _glob.glob(f"{self.sf_dir}/*.parquet"):
+            if name in projections_on(p):
+                df = load_join_projection(self.spark, p, name)
+                if df is not None:
+                    return df
+                return live_join_frame(self.spark, p, name)
+        return None
 
     def _invalidate_table_caches(self, name: str) -> None:
         """Drop cached frames after DML rewrote the table directory —
@@ -182,6 +213,15 @@ class Engine:
             names = [
                 _os.path.basename(p)[: -len(".parquet")]
                 for p in _glob.glob(f"{self.sf_dir}/*.parquet")
+            ]
+            # join projections register as queryable views too
+            # (view-with-materialization: fresh sidecar or live join)
+            from columnar_spark.projections import projections_on
+
+            names = list(names) + [
+                pn
+                for p in _glob.glob(f"{self.sf_dir}/*.parquet")
+                for pn in projections_on(p)
             ]
         self._views.update(names)
         for n in names:
@@ -1257,6 +1297,12 @@ class Engine:
                 rows.append(("rollup", "—", f"{base}.rollup"))
             if os.path.isdir(f"{base}.vocab"):
                 rows.append(("vocab_monitor", "—", f"{base}.vocab"))
+            if os.path.isdir(f"{base}.textstats"):
+                rows.append(("textstats_companion", "—", f"{base}.textstats"))
+            from columnar_spark.projections import projections_on
+
+            for pn in projections_on(base):
+                rows.append(("join_projection", pn, f"{base}.proj/{pn}"))
             if os.path.isdir(f"{base}.stats"):
                 rows.append(("stats_manifest", "—", f"{base}.stats"))
             vdir = f"{base}.versions"

@@ -204,3 +204,49 @@ def test_graph_build_and_query_cli(table, capsys):
     hits = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert len(hits) == 5 and hits[0]["id"] == 1  # self is its own 1-NN
     assert main(["graph-query", table, "--vec", "1.0,2.0"]) == 1  # dim mismatch
+
+
+def test_proj_build_and_check(spark, tmp_path_factory, capsys):
+    d = tmp_path_factory.mktemp("cli_proj")
+    li = str(d / "lineitem.parquet")
+    orders = str(d / "orders.parquet")
+    src = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    src.limit(2000).write.parquet(li)
+    spark.read.parquet("/root/testdata/sf0.001/orders.parquet").write.parquet(orders)
+    # ad-hoc append writes the stats manifest `check` expects of an
+    # engine-managed table (raw spark-written dirs legitimately fail it)
+    batch = str(d / "batch.parquet")
+    src.subtract(src.limit(2000)).limit(100).write.parquet(batch)
+    assert main(["append", batch, li]) == 0
+    capsys.readouterr()
+    assert main([
+        "proj-build", li, "--dim", orders, "--name", "lineorder",
+        "--fact-key", "l_orderkey", "--dim-key", "o_orderkey",
+        "--dim-cols", "o_custkey,o_orderdate,o_orderpriority",
+        "--cluster-by", "o_orderdate",
+    ]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["projection"] == "lineorder"
+
+    from columnar_spark.projections import check_projection, load_join_projection
+
+    assert load_join_projection(spark, li, "lineorder") is not None
+    assert check_projection(spark, li, "lineorder") == []
+    # the table checker walks it too
+    assert main(["check", li]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["ok"] is True
+
+
+def test_textstats_build_cli(spark, tmp_path_factory, capsys):
+    d = tmp_path_factory.mktemp("cli_ts")
+    docs = str(d / "documents.parquet")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").write.parquet(docs)
+    assert main(["textstats-build", docs]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["index"] == "textstats"
+
+    from columnar_spark.textstats import load_textstats
+
+    side = load_textstats(spark, docs)
+    assert side is not None and side.count() == spark.read.parquet(docs).count()

@@ -176,3 +176,26 @@ def test_entry_queries_identical_with_projection(spark, layout, tmp_path):
     assert load_join_projection(spark, li, "lineorder") is not None
     for n in names:
         assert _rows(qs[n](spark, sf_dir)) == before[n], n
+
+
+def test_engine_serves_projection_as_view(spark, layout, tmp_path):
+    """Engine.table('lineorder') / SQL `FROM lineorder` resolve to the
+    stored projection when fresh and to the LIVE defining join when
+    stale — view-with-materialization semantics, identical answers."""
+    from columnar_spark.table import Engine
+
+    li, orders = layout
+    _build(spark, li, orders)
+    eng = Engine(spark, str(tmp_path))
+    eng.register_views()
+    n_proj = eng.sql(
+        "SELECT COUNT(*) AS n FROM lineorder WHERE o_orderpriority = '1-URGENT'"
+    ).first()["n"]
+    live = _live(spark, li, orders)
+    assert n_proj == live.filter(F.col("o_orderpriority") == "1-URGENT").count()
+
+    # stale the dim side out-of-band: resolution flips to the live join
+    spark.read.parquet(orders).limit(3).write.mode("append").parquet(orders)
+    assert load_join_projection(spark, li, "lineorder") is None
+    again = eng.table("lineorder")
+    assert again.count() == _live(spark, li, orders).count()
