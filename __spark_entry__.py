@@ -957,18 +957,41 @@ def simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash_pairs(docs, "text", "doc_id", shingle_k=1, max_hamming=6, n_chunks=4)
 
 
+def _dedupsigs(spark: SparkSession, sf_dir: str, num_hashes: int, shingle_k: int):
+    """The ingest-time MinHash/SimHash signature sidecar when fresh AND
+    built with exactly these parameters, else None (live recompute).
+    Same bit-identity-by-construction contract as the text-feature
+    companion: the sidecar rows come from dedupsig.signature_frame,
+    which computes the very values minhash_signatures_agg /
+    simhash_signatures_agg would."""
+    try:
+        from columnar_spark.dedupsig import load_dedupsig
+
+        return load_dedupsig(
+            spark, f"{sf_dir}/documents.parquet",
+            num_hashes=num_hashes, shingle_k=shingle_k,
+        )
+    except Exception:
+        return None
+
+
 @_q("minhash_dedup_assign")  # xxhash64-based — rows-only check
 def minhash_dedup_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return DD.minhash_dedup(
-        docs, "text", "doc_id", num_hashes=64, bands=4, shingle_k=1, jaccard_threshold=0.9
+        docs, "text", "doc_id", num_hashes=64, bands=4, shingle_k=1,
+        jaccard_threshold=0.9,
+        signatures=_dedupsigs(spark, sf_dir, num_hashes=64, shingle_k=1),
     )
 
 
 @_q("simhash_dedup_assign")  # xxhash64-based — rows-only check
 def simhash_dedup_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    return DD.simhash_dedup(docs, "text", "doc_id", shingle_k=1, max_hamming=6, n_chunks=4)
+    return DD.simhash_dedup(
+        docs, "text", "doc_id", shingle_k=1, max_hamming=6, n_chunks=4,
+        signatures=_dedupsigs(spark, sf_dir, num_hashes=64, shingle_k=1),
+    )
 
 
 _NEARDUP_SQL = """

@@ -1,0 +1,163 @@
+"""Near-dup signature companion sidecar (MinHash + SimHash at rest).
+
+MinHash and SimHash signatures are row-local pure functions of the text
+— exactly like the text-feature companion (textstats.py), they belong in
+the write path, not in every query: a 100 TB dedup run re-hashing every
+shingle 64 times per invocation is the single most expensive recurring
+scan a training-data pipeline pays. This sidecar computes BOTH
+signatures in ONE explode + ONE grouped aggregation at ingest
+(`<table>.parquet.dedupsig`) and the dedup operators
+(operators/dedup.minhash_dedup / simhash_dedup) accept them as the
+`signatures` input: the banding/candidate/verify stages — the parts that
+genuinely need a cluster-wide shuffle — are all that remains at query
+time. SimHash verification is signature-only, so simhash dedup becomes a
+pure sidecar read; MinHash still tokenizes candidates for the exact
+Jaccard verify (one regex pass, not 64 hashes per shingle).
+
+The signatures depend on (num_hashes, shingle_k) — recorded in
+_meta.json and REQUIRED to match at load, so a query with different
+parameters recomputes live instead of silently serving the wrong
+sketch. Same freshness / incremental-append / crash-rebuild / checker
+contracts as every other companion (stats.index_is_fresh; features are
+row-local so a batch's rows append in O(batch)).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from columnar_spark.operators.dedup import token_shingles
+from columnar_spark.stats import _write_table_sig, index_is_fresh
+
+
+def dedupsig_path(table_path: str) -> str:
+    return table_path.rstrip("/") + ".dedupsig"
+
+
+def signature_frame(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_k: int = 1,
+) -> DataFrame:
+    """(id, minhash array<long>, simhash long) — the canonical signature
+    projection, computed in one explode + one grouped aggregation so each
+    shingle is hashed exactly once per seed. Identical values to
+    dedup.minhash_signatures_agg / simhash_signatures_agg by
+    construction: the same token_shingles (array_distinct'd) universe,
+    the same per-seed xxhash64 min, the same per-bit +1/-1 vote sign.
+    Documents whose shingle set is empty (k=1 on empty/whitespace text)
+    have no signature row — exactly the rows the live aggregation drops.
+    """
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        token_shingles(F.col(text_col), shingle_k).alias("__sh"),
+    )
+    ex = base.select("__id", F.explode("__sh").alias("__s")).select(
+        "__id", F.col("__s"), F.xxhash64(F.col("__s")).alias("__hh")
+    )
+    aggs = [
+        F.min(F.xxhash64(F.col("__s"), F.lit(seed))).alias(f"__h{seed}")
+        for seed in range(num_hashes)
+    ]
+    aggs += [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("__hh"), b).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"__v{b}")
+        for b in range(64)
+    ]
+    wide = ex.groupBy("__id").agg(*aggs)
+    sim = F.lit(0).cast("long")
+    for b in range(64):
+        sim = F.shiftleft(sim, 1) + F.when(F.col(f"__v{b}") > 0, 1).otherwise(0).cast(
+            "long"
+        )
+    return wide.select(
+        F.col("__id").alias(id_col),
+        F.array(*[F.col(f"__h{i}") for i in range(num_hashes)]).alias("minhash"),
+        sim.alias("simhash"),
+    )
+
+
+def dedupsig_meta(table_path: str) -> dict | None:
+    mp = os.path.join(dedupsig_path(table_path), "_meta.json")
+    if not os.path.isfile(mp):
+        return None
+    try:
+        with open(mp) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
+def write_dedupsig_sidecar(
+    spark: SparkSession,
+    table_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_k: int = 1,
+) -> None:
+    from columnar_spark.functions.layout import ensure_parallelism
+
+    df = ensure_parallelism(spark.read.parquet(table_path))
+    p = dedupsig_path(table_path)
+    signature_frame(df, id_col, text_col, num_hashes, shingle_k).write.mode(
+        "overwrite"
+    ).parquet(p)
+    with open(os.path.join(p, "_meta.json"), "w") as f:
+        json.dump(
+            {
+                "id_col": id_col,
+                "text_col": text_col,
+                "num_hashes": num_hashes,
+                "shingle_k": shingle_k,
+            },
+            f,
+        )
+    _write_table_sig(table_path, p)
+
+
+def load_dedupsig(
+    spark: SparkSession,
+    table_path: str,
+    num_hashes: int,
+    shingle_k: int,
+    check_fresh: bool = True,
+) -> DataFrame | None:
+    """The signature sidecar when present, FRESH, and built with exactly
+    the requested parameters — else None (callers recompute live, which
+    is always correct)."""
+    meta = dedupsig_meta(table_path)
+    p = dedupsig_path(table_path)
+    if meta is None or not os.path.isdir(p):
+        return None
+    if meta["num_hashes"] != num_hashes or meta["shingle_k"] != shingle_k:
+        return None
+    if check_fresh and not index_is_fresh(table_path, p):
+        return None
+    return spark.read.parquet(p)
+
+
+def merge_dedupsig(spark: SparkSession, table_path: str, appended: DataFrame) -> None:
+    """Incremental E9 maintenance — signatures are row-local, so one
+    batch's rows append in O(batch)."""
+    meta = dedupsig_meta(table_path)
+    if meta is None:
+        return
+    p = dedupsig_path(table_path)
+    signature_frame(
+        appended,
+        meta["id_col"],
+        meta["text_col"],
+        meta["num_hashes"],
+        meta["shingle_k"],
+    ).write.mode("append").parquet(p)
+    _write_table_sig(table_path, p)

@@ -204,6 +204,7 @@ def minhash_dedup(
     bands: int = 16,
     shingle_k: int = 3,
     jaccard_threshold: float = 0.8,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Scalable near-duplicate *dedup* (vs. all-pairs enumeration): each
     LSH band bucket elects a representative (min id); every other member
@@ -226,7 +227,17 @@ def minhash_dedup(
         F.col(id_col).alias("__id"),
         token_shingles(F.col(text_col), shingle_k).alias("__sh"),
     )
-    sig = minhash_signatures_agg(base, "__id", F.col("__sh"), num_hashes)
+    if signatures is not None:
+        # precomputed at ingest (columnar_spark.dedupsig, `minhash`
+        # column): the 64-hashes-per-shingle aggregation — the dominant
+        # cost of this operator at scale — was paid once at write; only
+        # banding, election and the exact-Jaccard verify (which still
+        # tokenizes, one regex pass) run per query
+        sig = signatures.select(
+            F.col(id_col).alias("__id"), F.col("minhash").alias("__sig")
+        )
+    else:
+        sig = minhash_signatures_agg(base, "__id", F.col("__sh"), num_hashes)
     banded = sig.select(
         "__id",
         F.posexplode(band_hashes(F.col("__sig"), bands, rows_per_band)).alias(
@@ -376,11 +387,24 @@ def simhash_dedup(
     shingle_k: int = 2,
     max_hamming: int = 8,
     n_chunks: int = 4,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Representative-based SimHash dedup (see minhash_dedup for the
-    O(n x chunks) candidate argument). Returns (id, keep_id, hamming)."""
+    O(n x chunks) candidate argument). Returns (id, keep_id, hamming).
+
+    With `signatures` (the ingest-time sidecar, columnar_spark.dedupsig,
+    `simhash` column) the operator never touches the text at all: the
+    hamming verify runs on the stored 64-bit sketches, so the whole
+    query is a |docs|-row sidecar scan + the chunk-bucket election."""
     chunk_bits = 64 // n_chunks
-    base = simhash_signatures_agg(df, id_col, token_shingles(F.col(text_col), shingle_k))
+    if signatures is not None:
+        base = signatures.select(
+            F.col(id_col).alias("__id"), F.col("simhash").alias("__sim")
+        )
+    else:
+        base = simhash_signatures_agg(
+            df, id_col, token_shingles(F.col(text_col), shingle_k)
+        )
     chunks = base.select(
         "__id",
         "__sim",

@@ -311,6 +311,14 @@ def _rebuild_sidecars(ss: SparkSession, dst_path: str) -> None:
         # feature rows are row-local, so a full rebuild from the
         # idempotent-appended table is exact (cannot-double-count recovery)
         write_textstats_sidecar(ss, dst_path, tsm["id_col"], tsm["text_col"])
+    from columnar_spark.dedupsig import dedupsig_meta, write_dedupsig_sidecar
+
+    dsm = dedupsig_meta(dst_path)
+    if dsm is not None and dsm["text_col"] in full.columns:
+        write_dedupsig_sidecar(
+            ss, dst_path, dsm["id_col"], dsm["text_col"],
+            num_hashes=dsm["num_hashes"], shingle_k=dsm["shingle_k"],
+        )
     # Join projections touching this table (either side): the crashed
     # attempt may or may not have appended its delta — rebuild from the
     # idempotent-appended base tables (cannot-double-count recovery).
@@ -506,6 +514,16 @@ def append_batch(
                 and tsm["id_col"] in appended.columns
             ):
                 merge_textstats(ss, dst_path, appended)
+            # Near-dup signature companion: row-local, O(batch) append.
+            from columnar_spark.dedupsig import dedupsig_meta, merge_dedupsig
+
+            dsm = dedupsig_meta(dst_path)
+            if (
+                dsm is not None
+                and dsm["text_col"] in appended.columns
+                and dsm["id_col"] in appended.columns
+            ):
+                merge_dedupsig(ss, dst_path, appended)
             # Join projections: this table may be the FACT side (its
             # delta joins the current dim) or the DIM side of a sibling's
             # projection (the sibling fact joins this delta). Serial

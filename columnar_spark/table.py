@@ -1299,6 +1299,8 @@ class Engine:
                 rows.append(("vocab_monitor", "—", f"{base}.vocab"))
             if os.path.isdir(f"{base}.textstats"):
                 rows.append(("textstats_companion", "—", f"{base}.textstats"))
+            if os.path.isdir(f"{base}.dedupsig"):
+                rows.append(("dedupsig_companion", "—", f"{base}.dedupsig"))
             from columnar_spark.projections import projections_on
 
             for pn in projections_on(base):

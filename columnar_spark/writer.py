@@ -379,7 +379,7 @@ def build_sf_layout(
     # layout_v bumps when the ingest artifacts change (new sidecar
     # kinds), so a cached layout built by older code is invalidated even
     # though the SOURCE signature still matches.
-    signature = "layout_v14\n" + src_dir + "\n" + "\n".join(sig_parts) + "\n"
+    signature = "layout_v15\n" + src_dir + "\n" + "\n".join(sig_parts) + "\n"
 
     marker = os.path.join(dest_dir, _LAYOUT_MARKER)
     if os.path.exists(marker) and not force:
@@ -432,6 +432,13 @@ def build_sf_layout(
             from columnar_spark.textstats import write_textstats_sidecar
 
             write_textstats_sidecar(spark, dest)
+            # Near-dup signature companion: MinHash + SimHash sketches
+            # are row-local pure functions of the text — hashed once
+            # here (one explode + one grouped agg for both), so dedup
+            # runs pay only banding/election/verify per query.
+            from columnar_spark.dedupsig import write_dedupsig_sidecar
+
+            write_dedupsig_sidecar(spark, dest, num_hashes=64, shingle_k=1)
         if table == "events":
             # Continuous-aggregate rollup sidecar: time-bucketed GROUP
             # BYs route onto O(buckets x keys) partials instead of a
@@ -606,6 +613,29 @@ def _check_table_body(
             )
             if bad:
                 errors.append("textstats sidecar: rows disagree with live recompute")
+
+    # Near-dup signature companion, when present: stored sketches must
+    # equal a live recompute with the recorded parameters.
+    from columnar_spark.dedupsig import dedupsig_meta, load_dedupsig, signature_frame
+
+    dsm = dedupsig_meta(path)
+    if dsm is not None:
+        side = load_dedupsig(
+            spark, path, dsm["num_hashes"], dsm["shingle_k"], check_fresh=False
+        )
+        if side is None:
+            errors.append("dedupsig sidecar: meta present but unreadable")
+        elif dsm["text_col"] in df.columns and dsm["id_col"] in df.columns:
+            live_sigs = signature_frame(
+                df, dsm["id_col"], dsm["text_col"],
+                dsm["num_hashes"], dsm["shingle_k"],
+            )
+            bad = (
+                side.exceptAll(live_sigs).limit(1).count()
+                + live_sigs.exceptAll(side).limit(1).count()
+            )
+            if bad:
+                errors.append("dedupsig sidecar: rows disagree with live recompute")
 
     # Join projections on this table (fact side), when present: stored
     # rows must agree with a live recount of the join.

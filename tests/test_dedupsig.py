@@ -1,0 +1,118 @@
+"""Near-dup signature companion (dedupsig.py).
+
+The load-bearing pin: minhash_dedup / simhash_dedup produce IDENTICAL
+rows with and without the precomputed signatures — the sidecar stores
+the very values the live aggregations would compute, so serving from it
+can never change an answer, only its cost."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from columnar_spark.dedupsig import (
+    dedupsig_path,
+    load_dedupsig,
+    merge_dedupsig,
+    signature_frame,
+    write_dedupsig_sidecar,
+)
+from columnar_spark.operators import dedup as DD
+from columnar_spark.operators.dedup import (
+    minhash_signatures_agg,
+    simhash_signatures_agg,
+    token_shingles,
+)
+from columnar_spark.stats import index_is_fresh
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    p = str(tmp_path / "documents.parquet")
+    spark.read.parquet(f"{SF}/documents.parquet").write.parquet(p)
+    return p
+
+
+def _rows(df):
+    return sorted([tuple(r) for r in df.collect()])
+
+
+def test_signature_frame_matches_live_aggs(spark, table):
+    df = spark.read.parquet(table)
+    sigs = signature_frame(df, "doc_id", "text", num_hashes=64, shingle_k=1)
+    base = df.select(
+        F.col("doc_id").alias("__id"),
+        token_shingles(F.col("text"), 1).alias("__sh"),
+    )
+    mh = minhash_signatures_agg(base, "__id", F.col("__sh"), 64)
+    sh = simhash_signatures_agg(df, "doc_id", token_shingles(F.col("text"), 1))
+    live = mh.join(sh, "__id").select(
+        F.col("__id").alias("doc_id"),
+        F.col("__sig").alias("minhash"),
+        F.col("__sim").alias("simhash"),
+    )
+    assert _rows(sigs) == _rows(live)
+
+
+def test_dedup_identical_with_and_without_sigs(spark, table):
+    df = spark.read.parquet(table)
+    write_dedupsig_sidecar(spark, table, num_hashes=64, shingle_k=1)
+    sigs = load_dedupsig(spark, table, num_hashes=64, shingle_k=1)
+    assert sigs is not None
+
+    live_mh = DD.minhash_dedup(
+        df, "text", "doc_id", num_hashes=64, bands=4, shingle_k=1,
+        jaccard_threshold=0.9,
+    )
+    side_mh = DD.minhash_dedup(
+        df, "text", "doc_id", num_hashes=64, bands=4, shingle_k=1,
+        jaccard_threshold=0.9, signatures=sigs,
+    )
+    assert _rows(side_mh) == _rows(live_mh)
+
+    live_sh = DD.simhash_dedup(
+        df, "text", "doc_id", shingle_k=1, max_hamming=6, n_chunks=4
+    )
+    side_sh = DD.simhash_dedup(
+        df, "text", "doc_id", shingle_k=1, max_hamming=6, n_chunks=4,
+        signatures=sigs,
+    )
+    assert _rows(side_sh) == _rows(live_sh)
+
+
+def test_param_mismatch_and_staleness_refuse(spark, table):
+    write_dedupsig_sidecar(spark, table, num_hashes=64, shingle_k=1)
+    assert load_dedupsig(spark, table, num_hashes=64, shingle_k=1) is not None
+    # different sketch parameters: never serve the wrong sketch
+    assert load_dedupsig(spark, table, num_hashes=128, shingle_k=1) is None
+    assert load_dedupsig(spark, table, num_hashes=64, shingle_k=3) is None
+    # out-of-band rewrite: stale
+    spark.read.parquet(table).limit(1).write.mode("append").parquet(table)
+    assert not index_is_fresh(table, dedupsig_path(table))
+    assert load_dedupsig(spark, table, num_hashes=64, shingle_k=1) is None
+
+
+def test_merge_equals_rebuild(spark, table):
+    write_dedupsig_sidecar(spark, table, num_hashes=64, shingle_k=1)
+    delta = spark.createDataFrame(
+        [
+            (88801, "alpha beta gamma delta", "en", "t", 22),
+            (88802, "alpha beta gamma delta", "en", "t", 22),  # exact dup
+            (88803, "", "en", "t", 0),  # empty: no signature row
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    delta.write.mode("append").parquet(table)
+    merge_dedupsig(spark, table, delta)
+    side = load_dedupsig(spark, table, num_hashes=64, shingle_k=1)
+    assert side is not None
+    live = signature_frame(
+        spark.read.parquet(table), "doc_id", "text", 64, 1
+    )
+    assert _rows(side) == _rows(live)
+    # the exact-dup pair must carry identical sketches
+    two = {r["doc_id"]: (tuple(r["minhash"]), r["simhash"])
+           for r in side.filter(F.col("doc_id").isin(88801, 88802)).collect()}
+    assert two[88801] == two[88802]
+    # empty doc contributed no row
+    assert side.filter(F.col("doc_id") == 88803).count() == 0
