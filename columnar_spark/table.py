@@ -830,6 +830,60 @@ class Engine:
                 [("text_index", m.group(2), f"{base}.ftidx")],
                 "kind: string, column: string, path: string",
             )
+        # CREATE PROJECTION p ON fact JOIN dim ON fk = dk
+        #   CARRY (dim_col, ...) [CLUSTER BY (col, ...)]
+        # — the join-MV DDL twin of CREATE INDEX: materializes the
+        # pre-joined sidecar (projections.py), served by name as a view
+        # with live-join fallback when stale.
+        m = _re.match(
+            r"^\s*CREATE\s+PROJECTION\s+(\w+)\s+ON\s+(\w+)\s+JOIN\s+(\w+)\s+"
+            r"ON\s+(\w+)\s*=\s*(\w+)\s+CARRY\s*\(([^)]*)\)"
+            r"(?:\s+CLUSTER\s+BY\s*\(([^)]*)\))?\s*;?\s*$",
+            query,
+            _re.IGNORECASE,
+        )
+        if m:
+            from columnar_spark.projections import write_join_projection
+
+            pname, fact, dim, fk, dk = m.group(1), m.group(2), m.group(3), m.group(4), m.group(5)
+            carry = tuple(c.strip() for c in m.group(6).split(",") if c.strip())
+            cluster = tuple(
+                c.strip() for c in (m.group(7) or "").split(",") if c.strip()
+            )
+            fact_base = f"{self.sf_dir}/{fact}.parquet"
+            write_join_projection(
+                self.spark,
+                fact_base,
+                f"{self.sf_dir}/{dim}.parquet",
+                name=pname,
+                fact_key=fk,
+                dim_key=dk,
+                dim_cols=carry,
+                cluster_by=cluster,
+            )
+            return self.spark.createDataFrame(
+                [("join_projection", pname, f"{fact_base}.proj/{pname}")],
+                "kind: string, column: string, path: string",
+            )
+        m = _re.match(
+            r"^\s*DROP\s+PROJECTION\s+(\w+)\s+ON\s+(\w+)\s*;?\s*$",
+            query,
+            _re.IGNORECASE,
+        )
+        if m:
+            import os
+            import shutil
+
+            pname, fact = m.group(1), m.group(2)
+            p = f"{self.sf_dir}/{fact}.parquet.proj/{pname}"
+            existed = os.path.isdir(p)
+            if existed:
+                shutil.rmtree(p)
+            self.spark.catalog.dropTempView(pname)
+            return self.spark.createDataFrame(
+                [("join_projection", pname, p if existed else "absent")],
+                "kind: string, column: string, path: string",
+            )
         m = _re.match(
             r"^\s*DROP\s+INDEX\s+(\w+)\s+ON\s+(\w+)\s*;?\s*$", query, _re.IGNORECASE
         )

@@ -199,3 +199,28 @@ def test_engine_serves_projection_as_view(spark, layout, tmp_path):
     assert load_join_projection(spark, li, "lineorder") is None
     again = eng.table("lineorder")
     assert again.count() == _live(spark, li, orders).count()
+
+
+def test_create_drop_projection_ddl(spark, layout, tmp_path):
+    """CREATE PROJECTION / DROP PROJECTION — the join-MV DDL twin of
+    CREATE INDEX: materialize, query by name, drop."""
+    from columnar_spark.table import Engine
+
+    li, orders = layout
+    eng = Engine(spark, str(tmp_path))
+    out = eng.sql(
+        "CREATE PROJECTION lo2 ON lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "CARRY (o_custkey, o_orderdate, o_orderpriority) CLUSTER BY (o_orderdate)"
+    ).first()
+    assert out["kind"] == "join_projection" and out["column"] == "lo2"
+    assert load_join_projection(spark, li, "lo2") is not None
+    eng.register_views()
+    n = eng.sql("SELECT COUNT(*) AS n FROM lo2").first()["n"]
+    assert n == _live(spark, li, orders).count()
+    # SHOW INDEXES lists it
+    kinds = {(r["kind"], r["column"]) for r in eng.sql("SHOW INDEXES FROM lineitem").collect()}
+    assert ("join_projection", "lo2") in kinds
+
+    out = eng.sql("DROP PROJECTION lo2 ON lineitem").first()
+    assert out["kind"] == "join_projection"
+    assert load_join_projection(spark, li, "lo2") is None
