@@ -97,7 +97,10 @@ def _project(fact_df: DataFrame, dim_df: DataFrame, meta: dict) -> DataFrame:
     mode materializes identical rows."""
     from pyspark.sql import functions as F
 
-    dim = dim_df.select(meta["dim_key"], *meta["dim_cols"])
+    dim = dim_df.select(
+        meta["dim_key"],
+        *[c for c in meta["dim_cols"] if c != meta["dim_key"]],
+    )
     joined = fact_df.join(
         dim, F.col(meta["fact_key"]) == F.col(meta["dim_key"])
     )

@@ -84,6 +84,82 @@ class Engine:
                 return live_join_frame(self.spark, p, name)
         return None
 
+    def _projection_specs(self) -> "dict[str, tuple[str, str, str, str]]":
+        """{projection_name: (fact_table, dim_table, fact_key, dim_key)}
+        for every projection in this sf_dir — metadata reads only."""
+        import glob as _glob
+        import os as _os
+
+        from columnar_spark.projections import projection_meta, projections_on
+
+        out: dict[str, tuple[str, str, str, str]] = {}
+        for p in _glob.glob(f"{self.sf_dir}/*.parquet"):
+            fact = _os.path.basename(p)[: -len(".parquet")]
+            for pname in projections_on(p):
+                meta = projection_meta(p, pname)
+                if meta is None:
+                    continue
+                dim = _os.path.basename(meta["dim"])
+                if dim.endswith(".parquet"):
+                    dim = dim[: -len(".parquet")]
+                out[pname] = (fact, dim, meta["fact_key"], meta["dim_key"])
+        return out
+
+    def _refresh_projection_views(self, query: str) -> None:
+        """Re-resolve any projection view the query references: a Spark
+        temp view binds its file listing at registration, so both
+        framework appends (new sidecar files) and staleness (live-join
+        fallback) require re-registration at use. Metadata-only when
+        nothing matches."""
+        import re as _re
+
+        for pname in self._projection_specs():
+            if pname in self._views and _re.search(
+                rf"\b{_re.escape(pname)}\b", query, _re.IGNORECASE
+            ):
+                df = self._projection_frame(pname)
+                if df is not None:
+                    df.createOrReplaceTempView(pname)
+
+    def _try_join_mv_route(self, query: str) -> "DataFrame | None":
+        """Rewrite `FROM fact JOIN dim ON fk = dk` (either order, no
+        aliases, exactly one JOIN) onto a matching join projection and
+        execute — None when no projection matches or the rewritten query
+        fails analysis (a referenced column the projection doesn't
+        carry), in which case the caller runs the original plan."""
+        import re as _re
+
+        if len(_re.findall(r"\bJOIN\b", query, _re.IGNORECASE)) != 1:
+            return None
+        m = _re.search(
+            r"\bFROM\s+(\w+)\s+(?:INNER\s+)?JOIN\s+(\w+)\s+ON\s+"
+            r"(\w+)\s*=\s*(\w+)\b",
+            query,
+            _re.IGNORECASE,
+        )
+        if m is None:
+            return None
+        t1, t2, k1, k2 = m.groups()
+        pairs = {(t1.lower(), k1.lower()), (t1.lower(), k2.lower()),
+                 (t2.lower(), k1.lower()), (t2.lower(), k2.lower())}
+        for pname, (fact, dim, fk, dk) in self._projection_specs().items():
+            want = {(fact.lower(), fk.lower()), (dim.lower(), dk.lower())}
+            # the join must bind each declared key to its declared table
+            # (column names are unambiguous across the pair by schema)
+            if not want <= pairs or {t1.lower(), t2.lower()} != {fact.lower(), dim.lower()}:
+                continue
+            df = self._projection_frame(pname)
+            if df is None:
+                continue
+            df.createOrReplaceTempView(pname)
+            self._views.add(pname)
+            rewritten = query[: m.start()] + f"FROM {pname}" + query[m.end():]
+            try:
+                return self.spark.sql(rewritten)
+            except Exception:
+                return None  # column not carried -> original plan
+        return None
+
     def _invalidate_table_caches(self, name: str) -> None:
         """Drop cached frames after DML rewrote the table directory —
         a cached DataFrame may pin the pre-swap file listing, and
@@ -1533,6 +1609,19 @@ class Engine:
                     return out
             except Exception:
                 pass  # unknown table/column or stats gap -> plain plan
+
+        # Join-MV routing: a two-table inner equi-join whose (tables,
+        # keys) match a declared join projection rewrites its FROM
+        # clause onto the pre-joined sidecar — the per-query fact
+        # shuffle disappears, like the rollup routing above. Safe by
+        # construction: the rewritten query must ANALYZE (any reference
+        # to a column the projection does not carry raises, and the
+        # original plan runs); the projection view itself is re-resolved
+        # at use (fresh sidecar or live defining join).
+        out = self._try_join_mv_route(query)
+        if out is not None:
+            return out
+        self._refresh_projection_views(query)
         try:
             return self.spark.sql(query)
         except Exception as e:

@@ -379,7 +379,7 @@ def build_sf_layout(
     # layout_v bumps when the ingest artifacts change (new sidecar
     # kinds), so a cached layout built by older code is invalidated even
     # though the SOURCE signature still matches.
-    signature = "layout_v15\n" + src_dir + "\n" + "\n".join(sig_parts) + "\n"
+    signature = "layout_v16\n" + src_dir + "\n" + "\n".join(sig_parts) + "\n"
 
     marker = os.path.join(dest_dir, _LAYOUT_MARKER)
     if os.path.exists(marker) and not force:
@@ -479,7 +479,10 @@ def build_sf_layout(
             name="lineorder",
             fact_key="l_orderkey",
             dim_key="o_orderkey",
-            dim_cols=("o_custkey", "o_orderdate", "o_orderpriority"),
+            # o_orderkey is redundant with l_orderkey but carrying it
+            # lets the Engine.sql join-MV router serve queries that
+            # reference it in SELECT/GROUP BY without falling back
+            dim_cols=("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"),
             cluster_by=("o_orderdate",),
         )
     with open(marker, "w") as fh:

@@ -224,3 +224,49 @@ def test_create_drop_projection_ddl(spark, layout, tmp_path):
     out = eng.sql("DROP PROJECTION lo2 ON lineitem").first()
     assert out["kind"] == "join_projection"
     assert load_join_projection(spark, li, "lo2") is None
+
+
+def test_sql_join_mv_routing(spark, layout, tmp_path):
+    """Engine.sql rewrites a matching two-table equi-join onto the
+    projection (plan reads the .proj sidecar, not the base tables);
+    queries referencing non-carried columns fall back to the original
+    plan with identical results."""
+    from columnar_spark.table import Engine
+
+    li, orders = layout
+    write_join_projection(
+        spark, li, orders,
+        name="lineorder", fact_key="l_orderkey", dim_key="o_orderkey",
+        dim_cols=("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"),
+        cluster_by=("o_orderdate",),
+    )
+    eng = Engine(spark, str(tmp_path))
+    eng.register_views()
+    q = ("SELECT o_orderpriority, COUNT(*) AS n, SUM(l_quantity) AS q "
+         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+         "WHERE o_orderdate >= '1996-01-01' GROUP BY o_orderpriority")
+    routed = eng.sql(q)
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    # the routed plan is a single pre-joined scan: no join operator left
+    assert "Join" not in plan, "join-MV route did not fire"
+    base = spark.sql(q)
+    assert _rows(routed) == _rows(base)
+
+    # o_totalprice is not carried -> analysis fails on the rewrite ->
+    # original plan, same answer
+    q2 = ("SELECT COUNT(*) AS n, SUM(o_totalprice) AS t "
+          "FROM lineitem JOIN orders ON l_orderkey = o_orderkey")
+    out2 = eng.sql(q2)
+    plan2 = out2._jdf.queryExecution().executedPlan().toString()
+    assert "Join" in plan2  # fell back to the real join
+    assert _rows(out2) == _rows(spark.sql(q2))
+
+    # a three-table join is never rewritten
+    q3 = ("SELECT COUNT(*) AS n FROM lineitem "
+          "JOIN orders ON l_orderkey = o_orderkey "
+          "JOIN customer ON o_custkey = c_custkey")
+    import shutil as _sh
+    _sh.copy("/root/testdata/sf0.001/customer.parquet", str(tmp_path / "customer.parquet"))
+    eng.register_views()
+    out3 = eng.sql(q3)
+    assert _rows(out3) == _rows(spark.sql(q3))
