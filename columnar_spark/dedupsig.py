@@ -11,8 +11,11 @@ signatures in ONE explode + ONE grouped aggregation at ingest
 `signatures` input: the banding/candidate/verify stages — the parts that
 genuinely need a cluster-wide shuffle — are all that remains at query
 time. SimHash verification is signature-only, so simhash dedup becomes a
-pure sidecar read; MinHash still tokenizes candidates for the exact
-Jaccard verify (one regex pass, not 64 hashes per shingle).
+pure sidecar read; MinHash verifies over the stored sorted-distinct
+shingle HASHES (`store_shingle_hashes`, on by default) so its verify
+joins shuffle 8-byte longs instead of shingle strings and the text is
+never touched either — the hash_grams regime already established by
+strip_repeated_spans, identical Jaccard absent 64-bit collisions.
 
 The signatures depend on (num_hashes, shingle_k) — recorded in
 _meta.json and REQUIRED to match at load, so a query with different
@@ -44,6 +47,7 @@ def signature_frame(
     text_col: str = "text",
     num_hashes: int = 64,
     shingle_k: int = 1,
+    store_shingle_hashes: bool = True,
 ) -> DataFrame:
     """(id, minhash array<long>, simhash long) — the canonical signature
     projection, computed in one explode + one grouped aggregation so each
@@ -73,17 +77,27 @@ def signature_frame(
         ).alias(f"__v{b}")
         for b in range(64)
     ]
+    if store_shingle_hashes:
+        # sorted distinct xxhash64 of the shingles: lets the MinHash
+        # verify step compute Jaccard over 8-byte longs instead of
+        # re-tokenizing and shuffling shingle strings — the operator
+        # family's established hash_grams regime (identical value
+        # absent 64-bit collisions; shingles are already distinct)
+        aggs.append(F.sort_array(F.collect_list(F.col("__hh"))).alias("__shh"))
     wide = ex.groupBy("__id").agg(*aggs)
     sim = F.lit(0).cast("long")
     for b in range(64):
         sim = F.shiftleft(sim, 1) + F.when(F.col(f"__v{b}") > 0, 1).otherwise(0).cast(
             "long"
         )
-    return wide.select(
+    cols = [
         F.col("__id").alias(id_col),
         F.array(*[F.col(f"__h{i}") for i in range(num_hashes)]).alias("minhash"),
         sim.alias("simhash"),
-    )
+    ]
+    if store_shingle_hashes:
+        cols.append(F.col("__shh").alias("shingle_hashes"))
+    return wide.select(*cols)
 
 
 def dedupsig_meta(table_path: str) -> dict | None:
@@ -104,14 +118,15 @@ def write_dedupsig_sidecar(
     text_col: str = "text",
     num_hashes: int = 64,
     shingle_k: int = 1,
+    store_shingle_hashes: bool = True,
 ) -> None:
     from columnar_spark.functions.layout import ensure_parallelism
 
     df = ensure_parallelism(spark.read.parquet(table_path))
     p = dedupsig_path(table_path)
-    signature_frame(df, id_col, text_col, num_hashes, shingle_k).write.mode(
-        "overwrite"
-    ).parquet(p)
+    signature_frame(
+        df, id_col, text_col, num_hashes, shingle_k, store_shingle_hashes
+    ).write.mode("overwrite").parquet(p)
     with open(os.path.join(p, "_meta.json"), "w") as f:
         json.dump(
             {
@@ -119,6 +134,7 @@ def write_dedupsig_sidecar(
                 "text_col": text_col,
                 "num_hashes": num_hashes,
                 "shingle_k": shingle_k,
+                "store_shingle_hashes": store_shingle_hashes,
             },
             f,
         )
@@ -159,5 +175,6 @@ def merge_dedupsig(spark: SparkSession, table_path: str, appended: DataFrame) ->
         meta["text_col"],
         meta["num_hashes"],
         meta["shingle_k"],
+        meta.get("store_shingle_hashes", False),
     ).write.mode("append").parquet(p)
     _write_table_sig(table_path, p)

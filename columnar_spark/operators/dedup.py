@@ -260,10 +260,20 @@ def minhash_dedup(
         .select("__id", "__rep")
         .distinct()
     )
+    if signatures is not None and "shingle_hashes" in signatures.columns:
+        # hash-verify: Jaccard over the stored sorted-distinct shingle
+        # hashes — 8-byte longs shuffle instead of shingle strings, and
+        # the text is never touched (identical value absent 64-bit
+        # collisions; the hash_grams regime of strip_repeated_spans)
+        vsrc = signatures.select(
+            F.col(id_col).alias("__id"), F.col("shingle_hashes").alias("__sh")
+        )
+    else:
+        vsrc = base
     verified = (
-        cand.join(base.select(F.col("__id"), F.col("__sh")).alias("sa"), "__id")
+        cand.join(vsrc.select(F.col("__id"), F.col("__sh")).alias("sa"), "__id")
         .join(
-            base.select(F.col("__id").alias("__rep"), F.col("__sh").alias("__shr")).alias("sb"),
+            vsrc.select(F.col("__id").alias("__rep"), F.col("__sh").alias("__shr")).alias("sb"),
             "__rep",
         )
         .select(

@@ -39,7 +39,9 @@ def _rows(df):
 
 def test_signature_frame_matches_live_aggs(spark, table):
     df = spark.read.parquet(table)
-    sigs = signature_frame(df, "doc_id", "text", num_hashes=64, shingle_k=1)
+    sigs = signature_frame(
+        df, "doc_id", "text", num_hashes=64, shingle_k=1, store_shingle_hashes=False
+    )
     base = df.select(
         F.col("doc_id").alias("__id"),
         token_shingles(F.col("text"), 1).alias("__sh"),
@@ -78,6 +80,17 @@ def test_dedup_identical_with_and_without_sigs(spark, table):
         signatures=sigs,
     )
     assert _rows(side_sh) == _rows(live_sh)
+
+
+def test_shingle_hashes_sorted_distinct(spark, table):
+    """The stored shingle_hashes are sorted and distinct — Jaccard over
+    them equals string-shingle Jaccard absent 64-bit collisions (the
+    with/without pin above exercises that end-to-end)."""
+    df = spark.read.parquet(table)
+    sigs = signature_frame(df, "doc_id", "text", 64, 1, store_shingle_hashes=True)
+    row = sigs.filter(F.size("shingle_hashes") > 1).first()
+    hs = row["shingle_hashes"]
+    assert hs == sorted(hs) and len(hs) == len(set(hs))
 
 
 def test_param_mismatch_and_staleness_refuse(spark, table):
