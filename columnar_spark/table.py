@@ -121,6 +121,39 @@ class Engine:
                 if df is not None:
                     df.createOrReplaceTempView(pname)
 
+    def _compact_companion(self, base: str, suffix: str) -> bool:
+        """Coalesce-rewrite a row-local companion sidecar (.textstats /
+        .dedupsig) fragmented by per-batch appends: content is
+        row-identical, so the meta and table-signature files carry over
+        unchanged. Rewrite-then-swap like every compaction here."""
+        import os
+        import shutil
+
+        from columnar_spark.writer import ROWS_PER_SPLIT
+
+        p = base.rstrip("/") + suffix
+        if not os.path.isdir(p):
+            return False
+        files = [f for f in os.listdir(p) if f.endswith(".parquet")]
+        df = self.spark.read.parquet(p)
+        n = df.count()
+        target = max(1, n // ROWS_PER_SPLIT + (1 if n % ROWS_PER_SPLIT else 0))
+        if len(files) <= max(target, 4):
+            return False
+        tmp = p + ".compact.tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        df.repartition(target).write.mode("overwrite").parquet(tmp)
+        for extra in ("_meta.json", "_table_sig.json"):
+            src = os.path.join(p, extra)
+            if os.path.isfile(src):
+                shutil.copy(src, os.path.join(tmp, extra))
+        old = p + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(p, old)
+        os.rename(tmp, p)
+        shutil.rmtree(old)
+        return True
+
     def _try_join_mv_route(self, query: str) -> "DataFrame | None":
         """Rewrite `FROM fact JOIN dim ON fk = dk` (either order, no
         aliases, exactly one JOIN) onto a matching join projection and
@@ -1313,6 +1346,25 @@ class Engine:
                 from columnar_spark.operators.fulltext import compact_text_index
 
                 compact_text_index(self.spark, base)
+            # Row-local companions fragment one file per append batch:
+            # coalesce-rewrite them in place (content identical, sig
+            # files carried over — the base table did not change here).
+            for suffix in (".textstats", ".dedupsig"):
+                self._compact_companion(base, suffix)
+            # A fragmented projection gets the full clustered rewrite
+            # (rebuild IS its compaction — re-clusters by the declared
+            # key and re-records both constituent signatures).
+            from columnar_spark.projections import (
+                projection_path as _ppath,
+                projections_on,
+                rebuild_projection,
+            )
+
+            for pname in projections_on(base):
+                pdir = _ppath(base, pname)
+                pfiles = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
+                if len(pfiles) > max(4, after):
+                    rebuild_projection(self.spark, base, pname)
             self._invalidate_table_caches(name)
             return self.spark.createDataFrame(
                 [("optimize", name, before, after)],

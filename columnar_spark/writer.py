@@ -724,9 +724,35 @@ def compact_table(
         _write_table_sig(path, value_index_path(path, c))
     for c in persisted_posting_index_cols(path):
         _write_table_sig(path, posting_index_path(path, c))
-    for side in (path.rstrip("/") + ".knn", path.rstrip("/") + ".knn-graph"):
+    for side in (
+        path.rstrip("/") + ".knn",
+        path.rstrip("/") + ".knn-graph",
+        path.rstrip("/") + ".textstats",
+        path.rstrip("/") + ".dedupsig",
+    ):
         if os.path.isdir(side):
             _write_table_sig(path, side)
+    # Join projections record BOTH constituents' signatures: re-record
+    # every projection this table participates in (fact or dim side) —
+    # compaction preserved row content, so the stored join is still
+    # exact and must not be refused forever on a signature mismatch.
+    from columnar_spark.projections import (
+        _dim_abspath,
+        _write_sigs,
+        projection_meta,
+        projection_path,
+        projections_on,
+        projections_referencing_dim,
+    )
+
+    for pname in projections_on(path):
+        pm = projection_meta(path, pname)
+        if pm is not None:
+            _write_sigs(path, _dim_abspath(path, pm), projection_path(path, pname))
+    for fpath, pname in projections_referencing_dim(path):
+        pm = projection_meta(fpath, pname)
+        if pm is not None:
+            _write_sigs(fpath, _dim_abspath(fpath, pm), projection_path(fpath, pname))
     return files_before, files_after
 
 

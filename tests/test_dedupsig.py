@@ -129,3 +129,45 @@ def test_merge_equals_rebuild(spark, table):
     assert two[88801] == two[88802]
     # empty doc contributed no row
     assert side.filter(F.col("doc_id") == 88803).count() == 0
+
+
+def test_optimize_compacts_companions(spark, table, tmp_path):
+    """Per-batch appends fragment the row-local companions; OPTIMIZE
+    coalesces them in place with identical content and a still-valid
+    signature (the base table is untouched by the companion rewrite)."""
+    import os
+
+    from columnar_spark.table import Engine
+    from columnar_spark.textstats import load_textstats, write_textstats_sidecar
+
+    write_dedupsig_sidecar(spark, table, num_hashes=64, shingle_k=1)
+    write_textstats_sidecar(spark, table)
+    # fragment with several tiny ledgered appends
+    from columnar_spark.streaming.ingest import append_batch
+    from columnar_spark.writer import WriteSpec
+
+    src = spark.read.parquet(table)
+    for i in range(6):
+        batch = src.orderBy("doc_id").limit(3).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(700000 + 10 * i)
+        )
+        assert append_batch(batch, table, WriteSpec(), batch_id=7000 + i)
+    before = load_dedupsig(spark, table, 64, 1)
+    assert before is not None
+    rows_before = _rows(before)
+    ts_before = _rows(load_textstats(spark, table))
+    n_files = len([f for f in os.listdir(dedupsig_path(table)) if f.endswith(".parquet")])
+    assert n_files > 5
+
+    eng = Engine(spark, os.path.dirname(table))
+    out = eng.sql("OPTIMIZE documents").first()
+    assert out["op"] == "optimize"
+
+    after = load_dedupsig(spark, table, 64, 1)
+    assert after is not None  # sig still valid
+    assert _rows(after) == rows_before
+    ts_after = load_textstats(spark, table)
+    assert ts_after is not None
+    assert _rows(ts_after) == ts_before
+    n_files2 = len([f for f in os.listdir(dedupsig_path(table)) if f.endswith(".parquet")])
+    assert n_files2 < n_files
