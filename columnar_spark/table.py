@@ -159,15 +159,29 @@ class Engine:
         aliases, exactly one JOIN) onto a matching join projection and
         execute — None when no projection matches or the rewritten query
         fails analysis (a referenced column the projection doesn't
-        carry), in which case the caller runs the original plan."""
+        carry), in which case the caller runs the original plan.
+
+        Conservative by construction: string literals are masked with
+        equal-length placeholders before any matching (a JOIN inside a
+        literal must never be counted or rewritten — rewriting one would
+        silently change DATA, the one failure mode analysis cannot
+        catch), and queries with CTEs, subqueries, or more than one
+        FROM/JOIN are left alone entirely."""
         import re as _re
 
-        if len(_re.findall(r"\bJOIN\b", query, _re.IGNORECASE)) != 1:
+        # mask '...' literals (with '' escapes) position-preservingly so
+        # regex spans computed on the mask apply to the original text
+        masked = _re.sub(r"'(?:[^']|'')*'", lambda mm: "\x00" * len(mm.group(0)), query)
+        if _re.search(r"\bWITH\b", masked, _re.IGNORECASE):
+            return None  # a CTE could shadow a table name
+        if len(_re.findall(r"\bJOIN\b", masked, _re.IGNORECASE)) != 1:
             return None
+        if len(_re.findall(r"\bFROM\b", masked, _re.IGNORECASE)) != 1:
+            return None  # subqueries: shadowing/correlation out of scope
         m = _re.search(
             r"\bFROM\s+(\w+)\s+(?:INNER\s+)?JOIN\s+(\w+)\s+ON\s+"
             r"(\w+)\s*=\s*(\w+)\b",
-            query,
+            masked,
             _re.IGNORECASE,
         )
         if m is None:

@@ -270,3 +270,39 @@ def test_sql_join_mv_routing(spark, layout, tmp_path):
     eng.register_views()
     out3 = eng.sql(q3)
     assert _rows(out3) == _rows(spark.sql(q3))
+
+
+def test_mv_router_never_touches_literals_or_ctes(spark, layout, tmp_path):
+    """A JOIN spelled inside a string literal, a CTE shadowing a table
+    name, or a subquery must never be rewritten — each returns exactly
+    what plain spark.sql returns."""
+    from columnar_spark.table import Engine
+
+    li, orders = layout
+    write_join_projection(
+        spark, li, orders,
+        name="lineorder", fact_key="l_orderkey", dim_key="o_orderkey",
+        dim_cols=("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"),
+    )
+    eng = Engine(spark, str(tmp_path))
+    eng.register_views()
+
+    # literal containing the join text: data must come through verbatim
+    q1 = ("SELECT 'FROM lineitem JOIN orders ON l_orderkey = o_orderkey' AS s, "
+          "COUNT(*) AS n FROM orders")
+    assert _rows(eng.sql(q1)) == _rows(spark.sql(q1))
+    assert eng.sql(q1).first()["s"].startswith("FROM lineitem JOIN")
+
+    # CTE shadowing the fact table: CTE semantics must win — this query
+    # matches the projection's (tables, keys) exactly, so a rewrite
+    # would silently return the projection's count instead of the CTE's
+    q2 = ("WITH lineitem AS (SELECT o_orderkey AS l_orderkey FROM orders "
+          "ORDER BY o_orderkey LIMIT 5) "
+          "SELECT COUNT(*) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey")
+    assert _rows(eng.sql(q2)) == _rows(spark.sql(q2))
+    assert eng.sql(q2).first()["n"] == 5
+
+    # subquery FROM: left alone
+    q3 = ("SELECT COUNT(*) AS n FROM (SELECT l_orderkey FROM lineitem) t "
+          "JOIN orders ON l_orderkey = o_orderkey")
+    assert _rows(eng.sql(q3)) == _rows(spark.sql(q3))
