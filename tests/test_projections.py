@@ -306,3 +306,24 @@ def test_mv_router_never_touches_literals_or_ctes(spark, layout, tmp_path):
     q3 = ("SELECT COUNT(*) AS n FROM (SELECT l_orderkey FROM lineitem) t "
           "JOIN orders ON l_orderkey = o_orderkey")
     assert _rows(eng.sql(q3)) == _rows(spark.sql(q3))
+
+
+def test_ledgered_replay_is_noop_for_companions(spark, layout):
+    """Re-delivering an already-applied batch_id (streaming retry) must
+    not double-append any companion: the ledger skips the whole
+    application, so projection, textstats-style row-local sidecars and
+    the table itself are byte-stable."""
+    from columnar_spark.streaming.ingest import append_batch
+    from columnar_spark.writer import WriteSpec
+
+    li, orders = layout
+    _build(spark, li, orders)
+    delta = spark.read.parquet(li).orderBy("l_orderkey").limit(5)
+    assert append_batch(delta, li, WriteSpec(), batch_id=555) is True
+    proj_rows = _rows(load_join_projection(spark, li, "lineorder"))
+    n_table = spark.read.parquet(li).count()
+
+    # same batch_id again: skipped before any effect
+    assert append_batch(delta, li, WriteSpec(), batch_id=555) is False
+    assert spark.read.parquet(li).count() == n_table
+    assert _rows(load_join_projection(spark, li, "lineorder")) == proj_rows
