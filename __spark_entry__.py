@@ -1889,16 +1889,31 @@ def knn_b1q4_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle-bearing: the 4-bit query quantization is deterministic
     (half-up rounding), so DuckDB replicates the candidate ranking and
     the re-ranked result hash-matches end to end."""
+    from columnar_spark.operators.knn_index import (
+        knn_query_indexed_b1,
+        load_vector_index,
+    )
     from columnar_spark.operators.quantize import binarize_vectors, knn_topk_b1q4
 
     emb = _t(spark, sf_dir, "embeddings")
-    dim = len(_qvec(spark, sf_dir, _KNN_QID))
     qvec = _qvec(spark, sf_dir, _KNN_QID)
-    b1 = binarize_vectors(emb, "embedding", dim)
-    out = knn_topk_b1q4(
-        b1, "embedding_b1", qvec, _KNN_K, id_col="vec_id", vec_col="embedding",
-        rerank_factor=16,
-    )
+    idx = load_vector_index(f"{sf_dir}/embeddings.parquet")
+    if idx is not None and idx.has_b1:
+        # at-rest codes (same sign bits — scale-invariant) + asymmetric
+        # scoring with the RAW query (4-bit bins are affine-invariant,
+        # and raw-query doubles are the oracle's own arithmetic); sub-cap
+        # artifacts run the candidate scan driver-side, one Spark job
+        out = knn_query_indexed_b1(
+            spark, idx, qvec, _KNN_K, rerank_df=emb, rerank_factor=16, asym=True
+        ).withColumnRenamed("id", "vec_id")
+        out = out.join(emb.select("vec_id", "label"), "vec_id")
+    else:
+        dim = len(qvec)
+        b1 = binarize_vectors(emb, "embedding", dim)
+        out = knn_topk_b1q4(
+            b1, "embedding_b1", qvec, _KNN_K, id_col="vec_id", vec_col="embedding",
+            rerank_factor=16,
+        )
     return out.select("vec_id", "label", (F.round(F.col("dist"), 6) + F.lit(0.0)).alias("dist"))
 
 

@@ -430,6 +430,35 @@ def _b1_driver_shortlist(
     return [int(ids[i]) for i in order]
 
 
+def _b1q4_driver_shortlist(
+    index: VectorIndex, q: Sequence[float], n_short: int
+) -> "list[int] | None":
+    """Asymmetric twin of _b1_driver_shortlist: top-n_short by the 4-bit
+    query estimate (score desc, id asc). The integer plane popcounts and
+    the two scaled multiply-adds are evaluated in the same order as
+    asym_score_expr's JVM doubles, so the shortlist is bit-identical to
+    knn_topk_b1q4's candidate order."""
+    rows = _b1_rows_if_small(index)
+    if rows is None:
+        return None
+    from columnar_spark.operators.quantize import query_bit_planes
+
+    ids, codes = rows
+    planes, scale, qmin = query_bit_planes(list(q))
+    asym = _np.zeros(len(ids), dtype=_np.int64)
+    for p, plane in enumerate(planes):
+        pbytes = _np.asarray(plane, dtype=_np.int64).view(_np.uint8)
+        asym += (1 << p) * _POPCNT8[codes & pbytes[None, :]].sum(axis=1).astype(
+            _np.int64
+        )
+    pc = _POPCNT8[codes].sum(axis=1).astype(_np.int64)
+    score = (2.0 / scale) * asym.astype(_np.float64) + (2.0 * qmin) * pc.astype(
+        _np.float64
+    )
+    order = _np.lexsort((ids, -score))[:n_short]
+    return [int(ids[i]) for i in order]
+
+
 def knn_query_indexed_b1(
     spark: SparkSession,
     index: VectorIndex,
@@ -465,14 +494,23 @@ def knn_query_indexed_b1(
         nrm = math.sqrt(sum(x * x for x in q)) or 1.0
         q = [x / nrm for x in q]
 
-    if not asym and nprobe is None and driver_probe is not False:
-        # small artifact: the hamming candidate scan runs driver-side
-        # (cached pyarrow read + numpy popcount, identical (ham, id)
-        # order), so the whole query is ONE Spark job — the rerank scan
-        # with an IN-pushed shortlist. driver_probe=False forces the
-        # distributed b1-only scan (the 100 TB plan, ReadSchema-pruned);
-        # None auto-gates on _B1_DRIVER_PROBE_MAX_ROWS.
-        short_ids = _b1_driver_shortlist(index, q, topk * rerank_factor)
+    # asym scoring uses the RAW query: the 4-bit bins are affine-
+    # invariant so normalization cannot change them mathematically, but
+    # scoring with the oracle's own doubles removes even rounding-tie
+    # divergence at the shortlist boundary (sign bits are scale-
+    # invariant either way, so the symmetric path keeps normalized q)
+    raw_q = [float(x) for x in query_vec]
+    if nprobe is None and driver_probe is not False:
+        # small artifact: the candidate scan runs driver-side (cached
+        # pyarrow read + numpy popcount, identical candidate order), so
+        # the whole query is ONE Spark job — the rerank scan with an
+        # IN-pushed shortlist. driver_probe=False forces the distributed
+        # b1-only scan (the 100 TB plan, ReadSchema-pruned); None
+        # auto-gates on _B1_DRIVER_PROBE_MAX_ROWS.
+        if asym:
+            short_ids = _b1q4_driver_shortlist(index, raw_q, topk * rerank_factor)
+        else:
+            short_ids = _b1_driver_shortlist(index, q, topk * rerank_factor)
         if short_ids is not None:
             if rerank_df is not None:
                 pool = rerank_df.select(
@@ -502,7 +540,8 @@ def knn_query_indexed_b1(
     # vec_col=None returns the raw code-ranked order; ask for the full
     # k*rerank_factor shortlist in one TakeOrdered over the b1-only scan
     shortlist = pre(
-        codes, "b1", q, topk * rerank_factor, id_col="id", vec_col=None
+        codes, "b1", raw_q if asym else q, topk * rerank_factor,
+        id_col="id", vec_col=None,
     ).select("id")
     if rerank_df is not None:
         pool = rerank_df.select(

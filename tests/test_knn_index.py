@@ -318,3 +318,35 @@ def test_stale_vector_index_refused(spark, tmp_path_factory):
     spark.read.parquet(SRC).limit(10).write.mode("overwrite").parquet(t)
     assert load_vector_index(t) is None
     assert load_vector_index(t, check_fresh=False) is not None
+
+
+def test_asym_b1q4_serving_identical_all_paths(spark, indexed):
+    """The asymmetric (1-bit data, 4-bit query) route serves from the
+    at-rest codes too: driver-probe, distributed, and on-the-fly paths
+    all return identical rows — the 4-bit query bins are affine-
+    invariant and scoring uses the raw query's own doubles."""
+    from columnar_spark.operators.knn_index import knn_query_indexed_b1
+    from columnar_spark.operators.quantize import binarize_vectors, knn_topk_b1q4
+
+    table, emb = indexed
+    idx = load_vector_index(table)
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
+
+    def rows(df):
+        return [
+            (r["id"] if "id" in df.columns else r["vec_id"], round(r["dist"], 9))
+            for r in df.orderBy("dist", "id" if "id" in df.columns else "vec_id").collect()
+        ]
+
+    probe = knn_query_indexed_b1(
+        spark, idx, q, 10, rerank_df=emb, rerank_factor=16, asym=True
+    )
+    dist = knn_query_indexed_b1(
+        spark, idx, q, 10, rerank_df=emb, rerank_factor=16, asym=True,
+        driver_probe=False,
+    )
+    fly = knn_topk_b1q4(
+        binarize_vectors(emb, "embedding", idx.dim), "embedding_b1", q, 10,
+        id_col="vec_id", vec_col="embedding", rerank_factor=16,
+    ).withColumnRenamed("vec_id", "id")
+    assert rows(probe) == rows(dist) == rows(fly)
