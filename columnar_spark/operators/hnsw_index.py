@@ -373,6 +373,45 @@ def _cached_graph(cache_key, builder):
     return index
 
 
+_GRAPH_PROBE_MAX_ROWS = 2_000_000
+
+
+def _graph_parts_if_small(graph_dir: str):
+    """All part states as {part: pandas.DataFrame} when the artifact is
+    under the driver-probe cap, else None — the graph twin of
+    knn_index._b1_rows_if_small. The reconstructed indexes are cached in
+    the same _GRAPH_CACHE the executors use (this is the driver's own
+    python process, so the cache key space is shared naturally)."""
+    import glob as _glob
+    import re as _re
+
+    import pyarrow.parquet as pq
+
+    files = sorted(
+        _glob.glob(os.path.join(graph_dir, "**", "*.parquet"), recursive=True)
+    )
+    if not files:
+        return None
+    n = sum(pq.read_metadata(f).num_rows for f in files)
+    if n > _GRAPH_PROBE_MAX_ROWS:
+        return None
+    import pandas as pd
+
+    # `part` is a hive partition directory (part=N/), not a file column
+    by_part: dict = {}
+    for f in files:
+        m = _re.search(r"part=(\d+)", f)
+        if m is None:
+            return None  # unexpected layout: let the distributed path read it
+        by_part.setdefault(int(m.group(1)), []).append(f)
+    return {
+        p: pd.concat(
+            [pq.read_table(f).to_pandas() for f in fs], ignore_index=True
+        )
+        for p, fs in sorted(by_part.items())
+    }
+
+
 def knn_query_graph(
     spark: SparkSession,
     table_path: str,
@@ -386,6 +425,7 @@ def knn_query_graph(
     allowed: "Sequence[int] | None" = None,
     rerank_factor: int = 16,
     rerank_df: DataFrame | None = None,
+    driver_probe: bool | None = None,
 ) -> DataFrame:
     """Top-k (id, dist) served from the persisted graph: one beam search
     per part (reconstruction cached executor-side), global
@@ -452,6 +492,51 @@ def knn_query_graph(
     out_schema = T.StructType(
         [T.StructField(id_col, T.LongType()), T.StructField("dist", T.DoubleType())]
     )
+
+    if driver_probe is not False:
+        # sub-cap artifact: run every part's beam driver-side from the
+        # cached reconstructed graphs — identical hits (same HnswIndex
+        # code path, same per-part seeds), merged by the same
+        # (dist, id) order, so the whole query is at most ONE Spark job
+        # (the quantized re-rank with an IN-pushed shortlist; the raw
+        # path is a LocalRelation). driver_probe=False pins the
+        # distributed applyInPandas shape — the 100 TB plan.
+        parts = _graph_parts_if_small(graph_dir)
+        if parts is not None:
+            allow = frozenset(int(x) for x in allowed) if allowed is not None else None
+            hits_all: list = []
+            for part, pdf in parts.items():
+                index = _cached_graph(
+                    (graph_dir, part, sig),
+                    lambda pdf=pdf, part=part: _index_from_state(
+                        pdf, metric, M, efc, _part_seed(seed, part, len(pdf)), dim
+                    ),
+                )
+                nn = min(n_short, len(index._vecs))
+                if exact:
+                    hits = index.search_exact(q_search, nn, allowed=allow)
+                else:
+                    hits = index.search(
+                        q_search, nn, ef=max(ef, n_short),
+                        policy=policy, budget=budget, allowed=allow,
+                    )
+                hits_all.extend(hits)
+            hits_all.sort(key=lambda h: (float(h[1]), int(h[0])))
+            top = hits_all[:n_short]
+            if not quantized:
+                return spark.createDataFrame(
+                    [(int(i), float(d)) for i, d in top], out_schema
+                )
+            from columnar_spark.operators.knn import knn_topk
+
+            pool = rerank_df if rerank_df is not None else spark.read.parquet(table_path)
+            cand = pool.select(
+                F.col(meta["id_col"]).cast("long").alias(id_col),
+                F.col(meta["vec_col"]).alias("__vec"),
+            ).filter(F.col(id_col).isin([int(i) for i, _ in top]))
+            return knn_topk(cand, "__vec", q, k, metric=metric, id_col=id_col).select(
+                id_col, "dist"
+            )
 
     def _search(key, pdf):
         import pandas as pd

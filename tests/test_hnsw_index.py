@@ -533,3 +533,27 @@ def test_engine_knn_auto_routes_to_graph(spark, b1_graph_table, tmp_path_factory
     got = eng.knn("embeddings", "embedding", q, k=5, mode="graph", filters=broad).collect()
     labels3 = {r["vec_id"] for r in emb.filter(F.col("label") == 3).collect()}
     assert len(got) == 5 and {r["vec_id"] for r in got} <= labels3
+
+
+def test_graph_driver_probe_equals_distributed(spark, graph_table):
+    """The driver-side probe (sub-cap artifacts, default) returns exactly
+    what the distributed applyInPandas path returns — same HnswIndex
+    code path, same per-part seeds, same (dist, id) merge — for exact,
+    approximate, and filtered searches."""
+    emb = spark.read.parquet(graph_table)
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 3).first()["embedding"]]
+    allow = [int(r["vec_id"]) for r in emb.filter(F.col("vec_id") % 3 == 0).collect()]
+
+    def rows(df):
+        return [tuple(r) for r in df.orderBy("dist", "vec_id").collect()]
+
+    for kwargs in (
+        dict(exact=True),
+        dict(exact=False, ef=48),
+        dict(exact=True, allowed=allow),
+    ):
+        probe = knn_query_graph(spark, graph_table, q, 10, **kwargs)
+        dist = knn_query_graph(
+            spark, graph_table, q, 10, driver_probe=False, **kwargs
+        )
+        assert rows(probe) == rows(dist), kwargs
