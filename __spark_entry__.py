@@ -3499,14 +3499,68 @@ GROUP BY 1, 2
 """
 
 
+_ROLLUP_GATE_CACHE: dict = {}
+
+
 @_q("retention_cohorts", _RETENTION_SQL)
 def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix: users bucketed by first-seen day,
     activity counted per day offset. Day arithmetic on integer
-    microsecond-days is engine-portable."""
-    ev = _events(spark, sf_dir).select(
-        "user_id", F.expr("ts_us div 86400000000").alias("day")
-    )
+    microsecond-days is engine-portable.
+
+    Ingested layouts carry the named `user_day` rollup (distinct
+    (user, day-bucket) partials): when its total count equals the
+    table's manifest row count (the Engine.sql rollup freshness gate),
+    the cohort matrix computes from |user x day| partial rows instead
+    of the raw event log — bucket_start IS the UTC day boundary, so
+    `unix_micros(bucket_start) div 86400000000` equals the live path's
+    `ts_us div 86400000000` exactly, and the downstream set algebra
+    (min day, distinct days) is unchanged."""
+    ev = None
+    try:
+        from columnar_spark.stats import row_count_from_sidecar, table_signature
+        from columnar_spark.streaming.rollup import load_rollup_sidecar
+
+        tbl = f"{sf_dir}/events.parquet"
+        loaded = load_rollup_sidecar(spark, tbl, name="user_day")
+        if loaded is not None:
+            partials, _meta = loaded
+            # two-part freshness (the JVM rollupFresh recipe): the rollup
+            # must be at least as NEW as the table (an out-of-band append
+            # leaves both the rollup and the stats manifest stale but
+            # mutually consistent — mtime ordering catches that), and the
+            # partial counts must tile the manifest row count exactly
+            roll_dir = tbl + ".rollup-user_day"
+            # the count check costs one small agg job, so its VERDICT is
+            # cached per (rollup sig, table sig): any change to either
+            # directory changes the cache key itself
+            rsig = tuple(sorted(table_signature(roll_dir).items()))
+            tsig = tuple(sorted(table_signature(tbl).items()))
+            gkey = (_session_key(spark), tbl, rsig, tsig)
+            fresh = _ROLLUP_GATE_CACHE.get(gkey)
+            if fresh is None:
+                fresh = False
+                if dict(rsig)["max_mtime_ms"] >= dict(tsig)["max_mtime_ms"]:
+                    total = partials.agg(F.sum("cnt")).first()[0] or 0
+                    row_count = row_count_from_sidecar(tbl)
+                    fresh = row_count is not None and total == row_count
+                _ROLLUP_GATE_CACHE[gkey] = fresh
+            if fresh:
+                # bucket_start is TIMESTAMP_NTZ; session tz is UTC so
+                # the cast is exact (same convention as _events)
+                ev = partials.select(
+                    "user_id",
+                    F.expr(
+                        "unix_micros(CAST(bucket_start AS TIMESTAMP))"
+                        " div 86400000000"
+                    ).alias("day"),
+                )
+    except Exception:
+        ev = None  # stale/incompatible sidecar -> raw scan
+    if ev is None:
+        ev = _events(spark, sf_dir).select(
+            "user_id", F.expr("ts_us div 86400000000").alias("day")
+        )
     # Single scan: one groupBy(user) collects the distinct active days
     # (min(day) = cohort falls out of the same pass), explode replaces
     # the events-vs-first-seen self-join, and because collect_set dedups

@@ -194,8 +194,12 @@ def read_rollup(
 # carries a meta.json describing what it aggregates — enough for the
 # Engine.sql materialized-view router to verify a query matches.
 
-def rollup_sidecar_path(table_path: str) -> str:
-    return table_path.rstrip("/") + ".rollup"
+def rollup_sidecar_path(table_path: str, name: str | None = None) -> str:
+    """Default rollup lives at <table>.rollup; NAMED rollups (a table can
+    carry several continuous aggregates over different key sets) at
+    <table>.rollup-<name>."""
+    suffix = ".rollup" if name is None else f".rollup-{name}"
+    return table_path.rstrip("/") + suffix
 
 
 def write_rollup_sidecar(
@@ -205,6 +209,7 @@ def write_rollup_sidecar(
     bucket: str = "1 day",
     keys: Sequence[str] = ("event_type",),
     value_col: str = "value",
+    name: str | None = None,
 ) -> str:
     """One-shot build of the sidecar rollup from the current table state
     (streaming maintenance appends into the same path via
@@ -212,7 +217,7 @@ def write_rollup_sidecar(
     import json
     import os
 
-    root = rollup_sidecar_path(table_path)
+    root = rollup_sidecar_path(table_path, name)
     rollup_partials(df, ts_col, bucket, keys, value_col).write.mode(
         "overwrite"
     ).parquet(os.path.join(root, "partials"))
@@ -230,12 +235,12 @@ def write_rollup_sidecar(
     return root
 
 
-def load_rollup_sidecar(spark: SparkSession, table_path: str):
+def load_rollup_sidecar(spark: SparkSession, table_path: str, name: str | None = None):
     """-> (partials_df, meta) or None."""
     import json
     import os
 
-    root = rollup_sidecar_path(table_path)
+    root = rollup_sidecar_path(table_path, name)
     if not os.path.isdir(os.path.join(root, "partials")):
         return None
     with open(os.path.join(root, "meta.json")) as f:

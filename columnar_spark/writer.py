@@ -379,7 +379,7 @@ def build_sf_layout(
     # layout_v bumps when the ingest artifacts change (new sidecar
     # kinds), so a cached layout built by older code is invalidated even
     # though the SOURCE signature still matches.
-    signature = "layout_v16\n" + src_dir + "\n" + "\n".join(sig_parts) + "\n"
+    signature = "layout_v17\n" + src_dir + "\n" + "\n".join(sig_parts) + "\n"
 
     marker = os.path.join(dest_dir, _LAYOUT_MARKER)
     if os.path.exists(marker) and not force:
@@ -452,6 +452,11 @@ def build_sf_layout(
 
                 ev = ev.withColumn("ts", _F.timestamp_micros(_F.expr("ts div 1000")))
             write_rollup_sidecar(ev, dest)
+            # Named user-day rollup: the distinct (user, day) activity
+            # pairs — retention/cohort queries read |user x day| partial
+            # rows instead of scanning the raw event log (same merge
+            # algebra, same row-count freshness gate).
+            write_rollup_sidecar(ev, dest, keys=("user_id",), name="user_day")
             # Per-field JSON value index beside the materialized virtual
             # column — Engine.sql AND the JVM Catalyst rule (plain
             # spark.sql) answer props-field counts from this sidecar.

@@ -179,3 +179,41 @@ def test_legacy_decimal_sidecar_still_serves(spark, tmp_path):
     got = _collect_view(finalize_rollup(merge_rollup(spark.read.parquet(legacy_path))))
     want = _collect_view(finalize_rollup(merge_rollup(current)))
     assert got == want
+
+
+def test_named_user_day_rollup_serves_retention(spark, tmp_path):
+    """The named `user_day` rollup (distinct (user, day-bucket) partials)
+    serves retention_cohorts identically to the raw-event scan; an
+    out-of-band append to events makes it stale and the query falls back
+    — same answer either way."""
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+
+    from columnar_spark.streaming.rollup import write_rollup_sidecar
+    from columnar_spark.writer import WriteSpec, write_table
+
+    sf = str(tmp_path)
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    dest = f"{sf}/events.parquet"
+    write_table(src, dest, WriteSpec())  # writes the .stats manifest too
+
+    qs = entry.queries()
+
+    def rows(df):
+        return sorted([tuple(r) for r in df.collect()])
+
+    live = rows(qs["retention_cohorts"](spark, sf))
+
+    ev = spark.read.parquet(dest)
+    if dict(ev.dtypes).get("ts") in ("bigint", "long"):
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    write_rollup_sidecar(ev, dest, keys=("user_id",), name="user_day")
+    served = qs["retention_cohorts"](spark, sf)
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "bucket_start" in plan, "user_day rollup route did not fire"
+    assert rows(served) == live
+
+    # out-of-band append: mtime ordering makes the rollup stale
+    spark.read.parquet(dest).limit(3).write.mode("append").parquet(dest)
+    fallback = qs["retention_cohorts"](spark, sf)
+    assert "bucket_start" not in fallback._jdf.queryExecution().executedPlan().toString()
