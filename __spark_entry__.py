@@ -3531,9 +3531,25 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             # mutually consistent — mtime ordering catches that), and the
             # partial counts must tile the manifest row count exactly
             roll_dir = tbl + ".rollup-user_day"
-            # the count check costs one small agg job, so its VERDICT is
-            # cached per (rollup sig, table sig): any change to either
-            # directory changes the cache key itself
+            # Selectivity switch (the knn_access_path ShouldUseFullscan
+            # philosophy): the pre-deduped pairs only beat the raw scan
+            # when they are a strong reduction. A/B at the 10x corpus
+            # (best-of-4, warm): pairs/events = 0.40 -> routed 0.62s vs
+            # raw 0.55s (the collect_set dominates, not the scan), so
+            # route only below 1/3 — dup-heavy event logs, where the cut
+            # is the whole query. Row counts come from parquet footers
+            # (no data read).
+            import glob as _g
+
+            import pyarrow.parquet as _pq
+
+            pair_rows = sum(
+                _pq.read_metadata(f).num_rows
+                for f in _g.glob(f"{roll_dir}/partials/*.parquet")
+            )
+            rc = row_count_from_sidecar(tbl)
+            if rc is None or pair_rows * 3 > rc:
+                raise ValueError("weak reduction: raw scan is the better plan")
             rsig = tuple(sorted(table_signature(roll_dir).items()))
             tsig = tuple(sorted(table_signature(tbl).items()))
             gkey = (_session_key(spark), tbl, rsig, tsig)

@@ -194,6 +194,12 @@ def test_named_user_day_rollup_serves_retention(spark, tmp_path):
 
     sf = str(tmp_path)
     src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    # dup-heavy log: replicate every event 6x with distinct event_ids so
+    # the (user, day) pair count is a STRONG reduction — the selectivity
+    # switch (pairs*3 <= rows) routes only in this regime
+    src = src.crossJoin(spark.range(6).withColumnRenamed("id", "__rep")).withColumn(
+        "event_id", F.col("event_id") * 10 + F.col("__rep")
+    ).drop("__rep")
     dest = f"{sf}/events.parquet"
     write_table(src, dest, WriteSpec())  # writes the .stats manifest too
 
