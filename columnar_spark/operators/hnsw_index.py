@@ -373,7 +373,10 @@ def _cached_graph(cache_key, builder):
     return index
 
 
-_GRAPH_PROBE_MAX_ROWS = 2_000_000
+# Unlike the b1 probe (8 bytes/row), graph node rows carry the vector
+# (or code) AND the link lists — ~0.5-1 KB each — so the driver-side
+# cap is row-count small to keep the probe's resident state ~100-200 MB.
+_GRAPH_PROBE_MAX_ROWS = 250_000
 
 
 def _graph_parts_if_small(graph_dir: str):
