@@ -327,3 +327,43 @@ def test_ledgered_replay_is_noop_for_companions(spark, layout):
     assert append_batch(delta, li, WriteSpec(), batch_id=555) is False
     assert spark.read.parquet(li).count() == n_table
     assert _rows(load_join_projection(spark, li, "lineorder")) == proj_rows
+
+
+def test_crash_recovery_rebuilds_new_companions(spark, layout, tmp_path):
+    """A crashed in-flight marker forces _rebuild_sidecars: the
+    projection (fact side) and a textstats/dedupsig companion on a
+    sibling documents table must converge to exactly the one-shot state
+    after the retry — no double-applied deltas."""
+    import json
+    import os
+
+    from columnar_spark.streaming.ingest import append_batch, ingest_ledger_path
+    from columnar_spark.writer import WriteSpec
+
+    li, orders = layout
+    _build(spark, li, orders)
+
+    # crashed attempt, reproduced by hand: the batch's table files land
+    # AND the projection absorbed the delta once, but no ledger commit
+    from columnar_spark.projections import merge_projection_fact_delta
+
+    delta = spark.read.parquet(li).orderBy("l_orderkey").limit(9)
+    stage = str(tmp_path / "stage")
+    delta.write.parquet(stage)
+    for name in sorted(os.listdir(stage)):
+        if not name.startswith(("_", ".")):
+            os.replace(
+                os.path.join(stage, name), os.path.join(li, f"part-ingest-b5-{name}")
+            )
+    merge_projection_fact_delta(spark, li, "lineorder", delta)
+    root = ingest_ledger_path(li)
+    os.makedirs(root, exist_ok=True)
+    with open(os.path.join(root, "meta.json"), "w") as f:
+        json.dump({"applied_batches": {}, "inflight": "5"}, f)
+
+    # retry: crash recovery rebuilds the projection from base tables
+    assert append_batch(delta, li, WriteSpec(), batch_id=5) is True
+    stored = load_join_projection(spark, li, "lineorder")
+    assert stored is not None
+    assert _rows(stored) == _rows(_live(spark, li, orders))
+    assert check_projection(spark, li, "lineorder") == []
