@@ -121,6 +121,9 @@ def write_dedupsig_sidecar(
     store_shingle_hashes: bool = True,
 ) -> None:
     from columnar_spark.functions.layout import ensure_parallelism
+    from columnar_spark.stats import require_posix_commit
+
+    require_posix_commit(table_path, "dedupsig sidecar")
 
     df = ensure_parallelism(spark.read.parquet(table_path))
     p = dedupsig_path(table_path)

@@ -324,6 +324,9 @@ def write_text_index(
     `<table>.ftidx/postings/` hive-partitioned by tb=xxhash64(term)%64 —
     a query's term list prunes to |terms| partitions before any IO —
     plus `lengths/` and a `meta.json` with (n_docs, avgdl)."""
+    from columnar_spark.stats import require_posix_commit
+
+    require_posix_commit(table_path, "full-text index")
     df = getattr(spark.read, fmt)(table_path)
     root = text_index_path(table_path)
     # positional postings (hitlists): tf-only consumers (BM25, boolean,

@@ -201,6 +201,9 @@ def build_graph_index(
     merged shortlist against the base table's raw floats. Sign bits are
     scale-invariant, so normalized and raw vectors produce identical
     codes (same property knn_b1_cosine relies on)."""
+    from columnar_spark.stats import require_posix_commit
+
+    require_posix_commit(index_path or table_path, "HNSW graph index")
     if metric not in ("cosine", "l2", "ip"):
         raise ValueError(f"metric must be cosine|l2|ip, got {metric!r}")
     if quantize not in ("none", "b1"):
@@ -357,19 +360,32 @@ def append_to_graph_index(
 # the O(n) reconstruction once per (artifact version, part) per worker —
 # the Load-once serving contract. Keyed by the artifact signature the
 # driver stamps into the closure, so a rebuilt/extended index is never
-# served stale.
-_GRAPH_CACHE: dict = {}
+# served stale. Size-bounded LRU: a long-lived worker that serves many
+# tables/parts otherwise accumulates part-count x graph-size resident
+# state (count alone doesn't bound memory — part graphs vary 100x).
+import collections as _collections
+
+_GRAPH_CACHE: "_collections.OrderedDict" = _collections.OrderedDict()
 _GRAPH_CACHE_MAX = 64
+_GRAPH_CACHE_MAX_BYTES = 2 << 30  # per python worker
 
 
 def _cached_graph(cache_key, builder):
     hit = _GRAPH_CACHE.get(cache_key)
     if hit is not None:
-        return hit
+        _GRAPH_CACHE.move_to_end(cache_key)
+        return hit[0]
     index = builder()
-    if len(_GRAPH_CACHE) >= _GRAPH_CACHE_MAX:
-        _GRAPH_CACHE.pop(next(iter(_GRAPH_CACHE)))
-    _GRAPH_CACHE[cache_key] = index
+    try:
+        nb = int(index.nbytes())
+    except Exception:
+        nb = 0
+    _GRAPH_CACHE[cache_key] = (index, nb)
+    while len(_GRAPH_CACHE) > 1 and (
+        len(_GRAPH_CACHE) > _GRAPH_CACHE_MAX
+        or sum(b for _, b in _GRAPH_CACHE.values()) > _GRAPH_CACHE_MAX_BYTES
+    ):
+        _GRAPH_CACHE.popitem(last=False)
     return index
 
 

@@ -263,6 +263,18 @@ class HnswIndex:
         denom = (qn * self._norms[node]) or 1e-30
         return 1.0 - dot / denom
 
+    def nbytes(self) -> int:
+        """Rough resident size (vectors + norms/labels + link lists) —
+        feeds the executor-side cache's byte-bounded LRU eviction. An
+        estimate, not an audit: python object headers are folded into a
+        flat per-node constant."""
+        n = len(self._vecs)
+        vec_b = 16  # hamming codes: one python int per node
+        if n and hasattr(self._vecs[0], "nbytes"):
+            vec_b = self._vecs[0].nbytes
+        links = sum(len(lvl) for node in self._graph for lvl in node)
+        return n * (vec_b + 80) + links * 8
+
     # ------------------------------------------------------------- insert
 
     def add(self, vec, label: int) -> None:

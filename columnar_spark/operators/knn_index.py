@@ -100,6 +100,9 @@ def build_vector_index(
     """Train and persist the IVF-PQ index for `df[vec_col]`. Returns the
     artifact path. Idempotent per content only in the sense of
     overwrite — rebuild when the table is rewritten (compact/merge do)."""
+    from columnar_spark.stats import require_posix_commit
+
+    require_posix_commit(table_path, "KNN index")
     dim = len(df.select(vec_col).first()[0])
     base = df
     if metric == "cosine":

@@ -101,9 +101,19 @@ def _project(fact_df: DataFrame, dim_df: DataFrame, meta: dict) -> DataFrame:
         meta["dim_key"],
         *[c for c in meta["dim_cols"] if c != meta["dim_key"]],
     )
-    joined = fact_df.join(
-        dim, F.col(meta["fact_key"]) == F.col(meta["dim_key"])
-    )
+    if meta["fact_key"] == meta["dim_key"]:
+        # equal key names make an unqualified equality self-referential
+        # (ambiguous at analysis); rename the dim side for the join only —
+        # the select below reads the shared name from the fact side, whose
+        # values the inner equality guarantees identical
+        dim = dim.withColumnRenamed(meta["dim_key"], "__proj_dim_key")
+        joined = fact_df.join(
+            dim, F.col(meta["fact_key"]) == F.col("__proj_dim_key")
+        ).drop("__proj_dim_key")
+    else:
+        joined = fact_df.join(
+            dim, F.col(meta["fact_key"]) == F.col(meta["dim_key"])
+        )
     return joined.select(*meta["columns"])
 
 
@@ -123,6 +133,9 @@ def write_join_projection(
     """Full (re)build: one fact scan, one join, one clustered write.
     Used by first-time ingest and crash recovery; appends go through
     merge_projection_fact_delta / merge_projection_dim_delta."""
+    from columnar_spark.stats import require_posix_commit
+
+    require_posix_commit(fact_path, "join projection")
     fact_df = spark.read.parquet(fact_path)
     dim_df = spark.read.parquet(dim_path)
     fcols = list(fact_cols) if fact_cols is not None else list(fact_df.columns)
@@ -276,27 +289,28 @@ def rebuild_projection(spark: SparkSession, fact_path: str, name: str) -> None:
 def check_projection(
     spark: SparkSession, fact_path: str, name: str
 ) -> "list[str]":
-    """Structural audit: the stored projection must agree with a live
-    recount of the join (row count + per-key row-count distribution) —
-    the projection twin of check_table's stats-manifest recount."""
-    from pyspark.sql import functions as F
-
+    """Structural audit: the stored projection must agree ROW-FOR-ROW
+    with a live recompute of the defining join (exceptAll both ways,
+    like the textstats/dedupsig checkers) — a per-key count match alone
+    would pass a projection whose dim attribute VALUES were corrupted."""
     meta = projection_meta(fact_path, name)
     errors: list[str] = []
     if meta is None:
         return [f"projection {name}: missing _meta.json"]
-    stored = spark.read.parquet(projection_path(fact_path, name))
+    stored = spark.read.parquet(projection_path(fact_path, name)).select(
+        *meta["columns"]
+    )
     live = _project(
         spark.read.parquet(fact_path),
         spark.read.parquet(_dim_abspath(fact_path, meta)),
         meta,
     )
-    k = meta["fact_key"]
-    s = stored.groupBy(k).agg(F.count(F.lit(1)).alias("n"))
-    live_n = live.groupBy(k).agg(F.count(F.lit(1)).alias("n"))
-    bad = s.exceptAll(live_n).limit(1).count() + live_n.exceptAll(s).limit(1).count()
+    bad = (
+        stored.exceptAll(live).limit(1).count()
+        + live.exceptAll(stored).limit(1).count()
+    )
     if bad:
         errors.append(
-            f"projection {name}: stored join rows disagree with live recount"
+            f"projection {name}: stored join rows disagree with live recompute"
         )
     return errors

@@ -483,6 +483,36 @@ def manifest_from_sketch(sk: DataFrame) -> DataFrame:
 
 # ----------------------------------------- persisted value-index sidecar
 
+# URI schemes with no atomic rename / O_EXCL: a directory-swap commit
+# there can tear (readers see a half-written sidecar as current). One
+# list shared by every sidecar writer; the ledgered-append lock keeps
+# its own copy of the same set (streaming/ingest._NON_POSIX_SCHEMES).
+_NON_POSIX_SCHEMES = (
+    "s3", "s3a", "s3n", "gs", "gcs", "abfs", "abfss", "wasb", "wasbs",
+    "oss", "cos", "swift",
+)
+
+
+def require_posix_commit(path: str, what: str = "sidecar") -> None:
+    """Refuse object-store destinations for sidecar COMMITS. Every
+    sidecar writer here publishes via write-then-rename (or
+    overwrite-in-place under the per-table writer lock), which is atomic
+    only on POSIX filesystems; on s3/gs/abfss the swap can tear and a
+    reader would adopt a half-written artifact as fresh. The refusal is
+    up-front with guidance — base-table QUERIES against object stores
+    are unaffected (reads need no atomicity), only artifact builds must
+    land on a POSIX staging path and be uploaded whole."""
+    scheme = path.split("://", 1)[0].lower() if "://" in path else ""
+    if scheme in _NON_POSIX_SCHEMES:
+        raise ValueError(
+            f"{what} commit needs POSIX-atomic rename and {path!r} is on "
+            f"an object store ({scheme}://). Build the {what} on a POSIX "
+            "staging path and upload the completed directory, or serve "
+            "this table without the sidecar (queries stay correct via "
+            "the live fallback)."
+        )
+
+
 def table_signature(table_path: str) -> dict:
     """Cheap content signature of the table's data directory: regular-file
     count, total bytes, and the newest mtime in whole milliseconds.
@@ -604,6 +634,8 @@ def write_value_index(
     rebuilds and the checker recompute the key from the base columns."""
     import json
     import os
+
+    require_posix_commit(table_path, "value index")
 
     df = getattr(spark.read, fmt)(table_path)
     meta: dict = {}
@@ -738,6 +770,8 @@ def write_json_field_index(
     import json
     import os
 
+    require_posix_commit(table_path, "JSON-field index")
+
     vname = json_virtual_name(parent, json_path)
     df = getattr(spark.read, fmt)(table_path).withColumn(
         vname, json_field_expr(parent, json_path)
@@ -821,6 +855,8 @@ def write_posting_index(
     shapes in its SI files)."""
     import json
     import os
+
+    require_posix_commit(table_path, "posting index")
 
     df = getattr(spark.read, fmt)(table_path)
     p = posting_index_path(table_path, col)

@@ -217,6 +217,10 @@ def write_rollup_sidecar(
     import json
     import os
 
+    from columnar_spark.stats import require_posix_commit
+
+    require_posix_commit(table_path, "rollup sidecar")
+
     root = rollup_sidecar_path(table_path, name)
     rollup_partials(df, ts_col, bucket, keys, value_col).write.mode(
         "overwrite"

@@ -132,6 +132,17 @@ class Engine:
         from columnar_spark.writer import ROWS_PER_SPLIT
 
         p = base.rstrip("/") + suffix
+        # crash recovery first: a previous compaction that died between
+        # its two renames leaves p missing with p.old intact (answers
+        # stayed correct — loaders fall back to the live path), plus
+        # orphan .old/.compact.tmp dirs no later run would sweep because
+        # the isdir(p) early-return below fires first
+        old, tmp = p + ".old", p + ".compact.tmp"
+        if not os.path.isdir(p) and os.path.isdir(old):
+            os.rename(old, p)
+        shutil.rmtree(tmp, ignore_errors=True)
+        if os.path.isdir(p):
+            shutil.rmtree(old, ignore_errors=True)
         if not os.path.isdir(p):
             return False
         files = [f for f in os.listdir(p) if f.endswith(".parquet")]
@@ -140,33 +151,37 @@ class Engine:
         target = max(1, n // ROWS_PER_SPLIT + (1 if n % ROWS_PER_SPLIT else 0))
         if len(files) <= max(target, 4):
             return False
-        tmp = p + ".compact.tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
         df.repartition(target).write.mode("overwrite").parquet(tmp)
         for extra in ("_meta.json", "_table_sig.json"):
             src = os.path.join(p, extra)
             if os.path.isfile(src):
                 shutil.copy(src, os.path.join(tmp, extra))
-        old = p + ".old"
-        shutil.rmtree(old, ignore_errors=True)
         os.rename(p, old)
         os.rename(tmp, p)
         shutil.rmtree(old)
         return True
 
     def _try_join_mv_route(self, query: str) -> "DataFrame | None":
-        """Rewrite `FROM fact JOIN dim ON fk = dk` (either order, no
-        aliases, exactly one JOIN) onto a matching join projection and
-        execute — None when no projection matches or the rewritten query
-        fails analysis (a referenced column the projection doesn't
-        carry), in which case the caller runs the original plan.
+        """Rewrite an inner-equi-join chain (`FROM t0 [a0] JOIN t1 [a1]
+        ON k=k ...`, aliases and qualified keys allowed, up to 4 joins)
+        onto matching join projections: any chain pair whose (tables,
+        keys) match a declared projection collapses onto the pre-joined
+        sidecar; the remaining joins run live against it. None when
+        nothing matches or the rewritten query fails analysis (a
+        referenced column the projection doesn't carry), in which case
+        the caller runs the original plan.
 
-        Conservative by construction: string literals are masked with
-        equal-length placeholders before any matching (a JOIN inside a
-        literal must never be counted or rewritten — rewriting one would
-        silently change DATA, the one failure mode analysis cannot
-        catch), and queries with CTEs, subqueries, or more than one
-        FROM/JOIN are left alone entirely."""
+        Conservative by construction:
+        - string literals are masked with equal-length placeholders
+          before any matching (a JOIN inside a literal must never be
+          counted or rewritten — rewriting one would silently change
+          DATA, the one failure mode analysis cannot catch);
+        - CTEs, subqueries, outer/cross joins, and `*` select lists are
+          left alone entirely (`SELECT *` over the projection would
+          ANALYZE fine yet return the projection's pruned/reordered
+          column set — analysis cannot catch that either);
+        - when the original query itself analyzes, the rewritten plan's
+          column names must match it exactly or we fall back."""
         import re as _re
 
         # mask '...' literals (with '' escapes) position-preservingly so
@@ -174,38 +189,197 @@ class Engine:
         masked = _re.sub(r"'(?:[^']|'')*'", lambda mm: "\x00" * len(mm.group(0)), query)
         if _re.search(r"\bWITH\b", masked, _re.IGNORECASE):
             return None  # a CTE could shadow a table name
-        if len(_re.findall(r"\bJOIN\b", masked, _re.IGNORECASE)) != 1:
+        if _re.search(r"\b(?:LEFT|RIGHT|FULL|CROSS|SEMI|ANTI)\s+(?:OUTER\s+)?JOIN\b",
+                      masked, _re.IGNORECASE):
+            return None  # projections are INNER joins only
+        njoin = len(_re.findall(r"\bJOIN\b", masked, _re.IGNORECASE))
+        if not 1 <= njoin <= 4:
             return None
         if len(_re.findall(r"\bFROM\b", masked, _re.IGNORECASE)) != 1:
             return None  # subqueries: shadowing/correlation out of scope
-        m = _re.search(
-            r"\bFROM\s+(\w+)\s+(?:INNER\s+)?JOIN\s+(\w+)\s+ON\s+"
-            r"(\w+)\s*=\s*(\w+)\b",
-            masked,
+        mfrom = _re.search(r"\bFROM\b", masked, _re.IGNORECASE)
+        # a star SELECT ITEM (`*` / `t.*` at list start or after a comma)
+        # expands to the source's column set, and the projection's is
+        # pruned + reordered — analysis can't catch that, so bail; `*`
+        # inside parens (COUNT(*)) or arithmetic (a * b) is fine
+        if _re.search(
+            r"(?:\bSELECT\s+(?:DISTINCT\s+)?|,\s*)(?:\w+\s*\.\s*)?\*",
+            masked[: mfrom.start()], _re.IGNORECASE,
+        ):
+            return None
+        _KW = (r"(?!(?:JOIN|INNER|LEFT|RIGHT|FULL|CROSS|ON|WHERE|GROUP|ORDER"
+               r"|LIMIT|HAVING|UNION|EXCEPT|INTERSECT|AS)\b)")
+        m0 = _re.match(
+            rf"\bFROM\s+(\w+)(?:\s+(?:AS\s+)?{_KW}(\w+))?",
+            masked[mfrom.start():], _re.IGNORECASE,
+        )
+        if m0 is None:
+            return None
+        join_re = _re.compile(
+            rf"\s+(?:INNER\s+)?JOIN\s+(\w+)(?:\s+(?:AS\s+)?{_KW}(\w+))?"
+            r"\s+ON\s+((?:\w+\s*\.\s*)?\w+)\s*=\s*((?:\w+\s*\.\s*)?\w+)",
             _re.IGNORECASE,
         )
-        if m is None:
+        # parse the chain: elements[(table, alias)], joins[(elem_idx,
+        # lhs, rhs)] — aliases default to the table name
+        pos = mfrom.start() + m0.end()
+        elems = [(m0.group(1).lower(), (m0.group(2) or m0.group(1)).lower())]
+        conds: list[tuple[int, str, str]] = []
+        for _ in range(njoin):
+            mj = join_re.match(masked, pos)
+            if mj is None:
+                return None  # chain shape we don't understand -> leave alone
+            elems.append((mj.group(1).lower(), (mj.group(2) or mj.group(1)).lower()))
+            conds.append((len(elems) - 1, mj.group(3), mj.group(4)))
+            pos = mj.end()
+        chain_span = (mfrom.start(), pos)
+        alias2elem = {}
+        for i, (t, a) in enumerate(elems):
+            if a in alias2elem or (a != t and t in alias2elem):
+                return None  # duplicated alias/table: out of scope
+            alias2elem[a] = i
+            alias2elem.setdefault(t, i)
+
+        def _resolve(ref: str, fact: str, fk: str, dim: str, dk: str):
+            """(elem_idx, colname) a key reference binds to, given the
+            candidate projection — None when it binds to neither key."""
+            q, _, c = _re.sub(r"\s+", "", ref).rpartition(".")
+            c = c.lower()
+            if q:
+                i = alias2elem.get(q.lower())
+                if i is None:
+                    return None
+                t = elems[i][0]
+                if t == fact and c == fk:
+                    return (i, "fact")
+                if t == dim and c == dk:
+                    return (i, "dim")
+                return None
+            # unqualified: bind by declared-key ownership (column names
+            # are unambiguous across the pair by schema)
+            if c == fk and fact in (t for t, _ in elems):
+                return (alias2elem[fact], "fact")
+            if c == dk and dim in (t for t, _ in elems):
+                return (alias2elem[dim], "dim")
             return None
-        t1, t2, k1, k2 = m.groups()
-        pairs = {(t1.lower(), k1.lower()), (t1.lower(), k2.lower()),
-                 (t2.lower(), k1.lower()), (t2.lower(), k2.lower())}
-        for pname, (fact, dim, fk, dk) in self._projection_specs().items():
-            want = {(fact.lower(), fk.lower()), (dim.lower(), dk.lower())}
-            # the join must bind each declared key to its declared table
-            # (column names are unambiguous across the pair by schema)
-            if not want <= pairs or {t1.lower(), t2.lower()} != {fact.lower(), dim.lower()}:
-                continue
+
+        # greedy collapse: for each join condition, the first declared
+        # projection whose (fact, dim, fk, dk) it binds consumes that
+        # condition and both elements; later conditions may collapse a
+        # second disjoint pair
+        specs = self._projection_specs()
+        consumed_elems: set[int] = set()
+        collapsed: list[tuple[str, set[int]]] = []  # (pname, member elems)
+        live_conds: list[tuple[int, str, str]] = []
+        for cond in conds:
+            ei, lhs, rhs = cond
+            hit = None
+            for pname, (fact, dim, fk, dk) in specs.items():
+                a = _resolve(lhs, fact.lower(), fk.lower(), dim.lower(), dk.lower())
+                b = _resolve(rhs, fact.lower(), fk.lower(), dim.lower(), dk.lower())
+                if a is None or b is None or a[1] == b[1]:
+                    continue
+                pair = {a[0], b[0]}
+                if ei not in pair or pair & consumed_elems or len(pair) != 2:
+                    continue
+                hit = (pname, pair)
+                break
+            if hit is None:
+                live_conds.append(cond)
+            else:
+                consumed_elems |= hit[1]
+                collapsed.append((hit[0], hit[1]))
+        if not collapsed:
+            return None
+        # load + freshness-resolve every matched projection up front
+        for pname, _members in collapsed:
             df = self._projection_frame(pname)
             if df is None:
-                continue
+                return None
             df.createOrReplaceTempView(pname)
             self._views.add(pname)
-            rewritten = query[: m.start()] + f"FROM {pname}" + query[m.end():]
-            try:
-                return self.spark.sql(rewritten)
-            except Exception:
-                return None  # column not carried -> original plan
-        return None
+
+        # node list in original element order: collapsed pairs appear at
+        # their earliest member's position under the projection name
+        alias_of_elem = {i: a for i, (_, a) in enumerate(elems)}
+        node_of_elem: dict[int, int] = {}
+        nodes: list[str] = []
+        for i in range(len(elems)):
+            if i in node_of_elem:
+                continue
+            for pname, members in collapsed:
+                if i in members:
+                    nodes.append(pname)
+                    for j in members:
+                        node_of_elem[j] = len(nodes) - 1
+                    break
+            else:
+                nodes.append(f"{elems[i][0]}"
+                             + (f" {elems[i][1]}" if elems[i][1] != elems[i][0] else ""))
+                node_of_elem[i] = len(nodes) - 1
+        # rewrite collapsed aliases' qualifiers to the projection name
+        pname_of_alias = {
+            alias_of_elem[i]: pname
+            for pname, members in collapsed for i in members
+        }
+        pname_of_alias.update({
+            elems[i][0]: pname
+            for pname, members in collapsed for i in members
+        })
+
+        def _requal(ref: str) -> str:
+            q, _, c = _re.sub(r"\s+", "", ref).rpartition(".")
+            if q and q.lower() in pname_of_alias:
+                return f"{pname_of_alias[q.lower()]}.{c}"
+            return _re.sub(r"\s+", "", ref)
+
+        # attach each surviving condition to the LATER node it references;
+        # every non-first node needs >=1 condition (no implicit cross join)
+        node_conds: dict[int, list[str]] = {}
+        for ei, lhs, rhs in live_conds:
+            refs = []
+            for ref in (lhs, rhs):
+                q, _, c = _re.sub(r"\s+", "", ref).rpartition(".")
+                if q and q.lower() in alias2elem:
+                    refs.append(node_of_elem[alias2elem[q.lower()]])
+            refs.append(node_of_elem[ei])
+            node_conds.setdefault(max(refs), []).append(
+                f"{_requal(lhs)} = {_requal(rhs)}"
+            )
+        parts = [f"FROM {nodes[0]}"]
+        for k in range(1, len(nodes)):
+            cs = node_conds.get(k)
+            if not cs:
+                return None  # a node lost its only condition -> cross join
+            parts.append(f"JOIN {nodes[k]} ON " + " AND ".join(cs))
+        new_from = " ".join(parts)
+
+        # splice: qualifier replacements outside the chain span + the
+        # chain span itself, rebuilt right-to-left so spans stay valid
+        edits: list[tuple[int, int, str]] = [(chain_span[0], chain_span[1], new_from)]
+        qual_re = _re.compile(
+            r"\b(" + "|".join(_re.escape(a) for a in pname_of_alias) + r")\s*\.\s*",
+            _re.IGNORECASE,
+        )
+        for mq in qual_re.finditer(masked):
+            if not (chain_span[0] <= mq.start() < chain_span[1]):
+                edits.append((mq.start(), mq.end(),
+                              f"{pname_of_alias[mq.group(1).lower()]}."))
+        rewritten = query
+        for s, e, txt in sorted(edits, reverse=True):
+            rewritten = rewritten[:s] + txt + rewritten[e:]
+        try:
+            orig_cols = self.spark.sql(query).columns
+        except Exception:
+            orig_cols = None  # base views unregistered: the `*` guard
+            # above still protects the only analysis-blind failure mode
+        try:
+            out = self.spark.sql(rewritten)
+        except Exception:
+            return None  # column not carried -> original plan
+        if orig_cols is not None and out.columns != orig_cols:
+            return None  # projection changed the result shape -> fall back
+        return out
 
     def _invalidate_table_caches(self, name: str) -> None:
         """Drop cached frames after DML rewrote the table directory —

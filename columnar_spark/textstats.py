@@ -116,6 +116,9 @@ def write_textstats_sidecar(
     Used by first-time ingest and by crash recovery (_rebuild_sidecars) —
     incremental appends go through merge_textstats."""
     from columnar_spark.functions.layout import ensure_parallelism
+    from columnar_spark.stats import require_posix_commit
+
+    require_posix_commit(table_path, "textstats sidecar")
 
     df = ensure_parallelism(spark.read.parquet(table_path))
     p = textstats_path(table_path)

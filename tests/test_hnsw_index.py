@@ -557,3 +557,44 @@ def test_graph_driver_probe_equals_distributed(spark, graph_table):
             spark, graph_table, q, 10, driver_probe=False, **kwargs
         )
         assert rows(probe) == rows(dist), kwargs
+
+
+def test_graph_cache_is_size_bounded_lru():
+    """The executor-side reconstruction cache must bound BOTH entry
+    count and resident bytes, evict least-recently-USED (a hit
+    refreshes recency), and never evict the entry just built."""
+    from columnar_spark.operators import hnsw_index as H
+
+    class Fake:
+        def __init__(self, nb):
+            self._nb = nb
+
+        def nbytes(self):
+            return self._nb
+
+    saved = dict(H._GRAPH_CACHE)
+    H._GRAPH_CACHE.clear()
+    try:
+        one_gib = 1 << 30
+        a = H._cached_graph("a", lambda: Fake(one_gib))
+        b = H._cached_graph("b", lambda: Fake(one_gib))
+        # touch a -> b is now LRU; a third GiB entry must evict b, not a
+        assert H._cached_graph("a", lambda: Fake(0)) is a
+        c = H._cached_graph("c", lambda: Fake(one_gib))
+        assert "b" not in H._GRAPH_CACHE and "a" in H._GRAPH_CACHE
+        # an entry larger than the whole budget still gets cached (the
+        # just-built survivor rule) and evicts everything else
+        big = H._cached_graph("big", lambda: Fake(8 << 30))
+        assert list(H._GRAPH_CACHE) == ["big"]
+        # count bound still enforced for tiny entries
+        for i in range(H._GRAPH_CACHE_MAX + 10):
+            H._cached_graph(f"t{i}", lambda: Fake(1))
+        assert len(H._GRAPH_CACHE) <= H._GRAPH_CACHE_MAX
+        # builder only runs on miss (probe the newest surviving key)
+        calls = []
+        last = f"t{H._GRAPH_CACHE_MAX + 9}"
+        H._cached_graph(last, lambda: calls.append(1) or Fake(1))
+        assert not calls
+    finally:
+        H._GRAPH_CACHE.clear()
+        H._GRAPH_CACHE.update(saved)

@@ -1,8 +1,8 @@
 """Property fuzz for the Engine.sql join-MV router: randomized
-two-table join queries — mixing carried and NON-carried columns,
-filters, group-bys, aliases-in-select, orderings — must return exactly
-what plain spark.sql returns. The router may route or fall back; it may
-never change an answer."""
+two- and three-table join queries — mixing carried and NON-carried
+columns, filters, group-bys, table aliases, qualified keys, SELECT *,
+orderings — must return exactly what plain spark.sql returns. The
+router may route or fall back; it may never change an answer."""
 
 import random
 
@@ -18,6 +18,7 @@ CARRIED = ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
 NOT_CARRIED = ["o_orderstatus", "o_totalprice"]
 FACT_COLS = ["l_orderkey", "l_partkey", "l_quantity", "l_extendedprice",
              "l_returnflag", "l_shipdate"]
+CUST_COLS = ["c_custkey", "c_mktsegment", "c_nationkey"]
 
 
 @pytest.fixture(scope="module")
@@ -25,8 +26,10 @@ def eng(spark, tmp_path_factory):
     d = tmp_path_factory.mktemp("mvfuzz")
     li = str(d / "lineitem.parquet")
     orders = str(d / "orders.parquet")
+    cust = str(d / "customer.parquet")
     spark.read.parquet(f"{SF}/lineitem.parquet").write.parquet(li)
     spark.read.parquet(f"{SF}/orders.parquet").write.parquet(orders)
+    spark.read.parquet(f"{SF}/customer.parquet").write.parquet(cust)
     write_join_projection(
         spark, li, orders,
         name="lineorder", fact_key="l_orderkey", dim_key="o_orderkey",
@@ -42,31 +45,59 @@ def _rows(df):
 
 
 def _gen_query(rng: random.Random) -> str:
+    three = rng.random() < 0.35
+    aliased = rng.random() < 0.5
+    la, oa, ca = ("l", "o", "c") if aliased else ("lineitem", "orders", "customer")
+
+    def qual(c):
+        if not rng.random() < 0.5:
+            return c
+        owner = la if c.startswith("l_") else oa if c.startswith("o_") else ca
+        return f"{owner}.{c}"
+
+    sel_pool = FACT_COLS + CARRIED + NOT_CARRIED + (CUST_COLS if three else [])
     n_sel = rng.randint(1, 3)
-    sel_pool = FACT_COLS + CARRIED + NOT_CARRIED
-    group = rng.random() < 0.5
-    if group:
+    star = rng.random() < 0.1
+    group = not star and rng.random() < 0.5
+    if star:
+        sel = rng.choice(["*", f"{oa}.*"])
+        tail = ""
+    elif group:
         keys = rng.sample(sel_pool, n_sel)
         aggs = rng.choice(
             ["COUNT(*) AS n", "SUM(l_quantity) AS q",
              "COUNT(*) AS n, SUM(l_extendedprice) AS s"]
         )
-        sel = ", ".join(keys) + ", " + aggs
-        tail = " GROUP BY " + ", ".join(keys)
+        sel = ", ".join(qual(k) for k in keys) + ", " + aggs
+        tail = " GROUP BY " + ", ".join(qual(k) for k in keys)
     else:
         keys = rng.sample(sel_pool, n_sel)
-        sel = ", ".join(f"{c} AS c{i}" for i, c in enumerate(keys))
+        sel = ", ".join(f"{qual(c)} AS c{i}" for i, c in enumerate(keys))
         tail = ""
-    join = rng.choice(
-        ["lineitem JOIN orders ON l_orderkey = o_orderkey",
-         "orders JOIN lineitem ON o_orderkey = l_orderkey",
-         "lineitem INNER JOIN orders ON o_orderkey = l_orderkey"]
+    asw = (lambda t, a: f"{t} {a}" if aliased else t)
+    lo_on = rng.choice(
+        [f"{qual('l_orderkey')} = {qual('o_orderkey')}",
+         f"{qual('o_orderkey')} = {qual('l_orderkey')}"]
     )
+    if three:
+        oc_on = f"{qual('o_custkey')} = {qual('c_custkey')}"
+        join = rng.choice([
+            f"{asw('lineitem', la)} JOIN {asw('orders', oa)} ON {lo_on}"
+            f" JOIN {asw('customer', ca)} ON {oc_on}",
+            f"{asw('customer', ca)} JOIN {asw('orders', oa)} ON {oc_on}"
+            f" JOIN {asw('lineitem', la)} ON {lo_on}",
+        ])
+    else:
+        join = rng.choice(
+            [f"{asw('lineitem', la)} JOIN {asw('orders', oa)} ON {lo_on}",
+             f"{asw('orders', oa)} JOIN {asw('lineitem', la)} ON {lo_on}",
+             f"{asw('lineitem', la)} INNER JOIN {asw('orders', oa)} ON {lo_on}"]
+        )
     where = rng.choice(
-        ["", " WHERE o_orderdate >= '1997-01-01'",
-         " WHERE l_returnflag = 'R'",
-         " WHERE o_orderstatus = 'F'",  # non-carried -> must fall back
-         " WHERE l_quantity > 25 AND o_orderdate < '1998-01-01'"]
+        ["", f" WHERE {qual('o_orderdate')} >= '1997-01-01'",
+         f" WHERE {qual('l_returnflag')} = 'R'",
+         f" WHERE {qual('o_orderstatus')} = 'F'",  # non-carried -> fall back
+         f" WHERE {qual('l_quantity')} > 25 AND {qual('o_orderdate')} < '1998-01-01'"]
     )
     return f"SELECT {sel} FROM {join}{where}{tail}"
 
@@ -81,14 +112,56 @@ def _approx_eq(a, b) -> bool:
     return a == b
 
 
+def _check(eng, spark, q):
+    got = _rows(eng.sql(q))
+    want = _rows(spark.sql(q))
+    assert len(got) == len(want), q
+    for ra, rb in zip(got, want):
+        assert len(ra) == len(rb) and all(
+            _approx_eq(x, y) for x, y in zip(ra, rb)
+        ), (q, ra, rb)
+
+
 def test_router_fuzz_matches_plain_sql(spark, eng):
     rng = random.Random(420)
-    for i in range(25):
-        q = _gen_query(rng)
-        got = _rows(eng.sql(q))
-        want = _rows(spark.sql(q))
-        assert len(got) == len(want), q
-        for ra, rb in zip(got, want):
-            assert len(ra) == len(rb) and all(
-                _approx_eq(x, y) for x, y in zip(ra, rb)
-            ), (q, ra, rb)
+    for i in range(40):
+        _check(eng, spark, _gen_query(rng))
+
+
+def test_select_star_never_loses_columns(spark, eng):
+    """The ADVICE regression: `SELECT *` over fact JOIN dim must keep
+    the full joined column set (the projection carries a pruned,
+    reordered subset and must not serve it)."""
+    for q in [
+        "SELECT * FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+        " WHERE o_orderdate = '1996-01-02'",
+        "SELECT o.* FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
+        " WHERE o.o_orderdate = '1996-01-02'",
+    ]:
+        got, want = eng.sql(q), spark.sql(q)
+        assert got.columns == want.columns, q
+        assert _rows(got) == _rows(want), q
+
+
+def test_aliased_and_chain_forms_route(spark, eng):
+    """Plan assertion: aliased 2-table and 3-table-chain queries over
+    carried columns must READ THE PROJECTION (single fact scan), not
+    re-join the base tables."""
+    for q in [
+        "SELECT o.o_orderpriority, COUNT(*) AS n FROM orders o "
+        "JOIN lineitem l ON o.o_orderkey = l.l_orderkey "
+        "GROUP BY o.o_orderpriority",
+        "SELECT c.c_mktsegment, SUM(l.l_quantity) AS q FROM customer c "
+        "JOIN orders o ON c.c_custkey = o.o_custkey "
+        "JOIN lineitem l ON o.o_orderkey = l.l_orderkey "
+        "GROUP BY c.c_mktsegment",
+        "SELECT c_mktsegment, COUNT(*) AS n FROM lineitem "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "GROUP BY c_mktsegment",
+    ]:
+        df = eng.sql(q)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "lineitem.parquet.proj/" in plan, (q, plan)
+        assert "lineitem.parquet/" not in plan, (q, plan)
+        _check(eng, spark, q)

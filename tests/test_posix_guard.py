@@ -1,0 +1,100 @@
+"""Every sidecar writer commits via directory rename / overwrite-swap,
+which is atomic only on POSIX filesystems — each entry point must refuse
+an object-store destination up front (same posture as the ledgered
+append lock, streaming/ingest._NON_POSIX_SCHEMES) instead of publishing
+a sidecar whose commit can tear."""
+
+import pytest
+
+S3 = "s3://bucket/tbl.parquet"
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    return spark.createDataFrame(
+        [(1, "a", [0.1, 0.2])], "vec_id int, text string, embedding array<float>"
+    )
+
+
+def test_value_index_refuses_object_store(spark):
+    from columnar_spark.stats import write_value_index
+
+    with pytest.raises(ValueError, match="object store"):
+        write_value_index(spark, S3, "c")
+
+
+def test_json_field_index_refuses_object_store(spark):
+    from columnar_spark.stats import write_json_field_index
+
+    with pytest.raises(ValueError, match="object store"):
+        write_json_field_index(spark, S3, "payload", "$.a")
+
+
+def test_posting_index_refuses_object_store(spark):
+    from columnar_spark.stats import write_posting_index
+
+    with pytest.raises(ValueError, match="object store"):
+        write_posting_index(spark, S3, "c", "id")
+
+
+def test_textstats_refuses_object_store(spark):
+    from columnar_spark.textstats import write_textstats_sidecar
+
+    with pytest.raises(ValueError, match="object store"):
+        write_textstats_sidecar(spark, S3)
+
+
+def test_dedupsig_refuses_object_store(spark):
+    from columnar_spark.dedupsig import write_dedupsig_sidecar
+
+    with pytest.raises(ValueError, match="object store"):
+        write_dedupsig_sidecar(spark, S3)
+
+
+def test_text_index_refuses_object_store(spark):
+    from columnar_spark.operators.fulltext import write_text_index
+
+    with pytest.raises(ValueError, match="object store"):
+        write_text_index(spark, S3)
+
+
+def test_projection_refuses_object_store(spark):
+    from columnar_spark.projections import write_join_projection
+
+    with pytest.raises(ValueError, match="object store"):
+        write_join_projection(
+            spark, S3, S3, name="p", fact_key="a", dim_key="b", dim_cols=("b",)
+        )
+
+
+def test_knn_index_refuses_object_store(spark, tiny):
+    from columnar_spark.operators.knn_index import build_vector_index
+
+    with pytest.raises(ValueError, match="object store"):
+        build_vector_index(spark, tiny, S3)
+
+
+def test_graph_index_refuses_object_store(spark, tiny):
+    from columnar_spark.operators.hnsw_index import build_graph_index
+
+    with pytest.raises(ValueError, match="object store"):
+        build_graph_index(spark, tiny, S3)
+
+
+def test_graph_index_honors_shadow_override(spark, tiny, tmp_path):
+    """index_path overrides the commit destination — a POSIX shadow dir
+    for a read-only (or object-store) table mount must be ACCEPTED, and
+    an object-store override refused even for a POSIX table."""
+    from columnar_spark.operators.hnsw_index import build_graph_index
+
+    with pytest.raises(ValueError, match="object store"):
+        build_graph_index(
+            spark, tiny, str(tmp_path / "t.parquet"), index_path=S3
+        )
+
+
+def test_rollup_refuses_object_store(spark, tiny):
+    from columnar_spark.streaming.rollup import write_rollup_sidecar
+
+    with pytest.raises(ValueError, match="object store"):
+        write_rollup_sidecar(tiny, S3)
