@@ -4598,6 +4598,103 @@ def knn_graph_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _graph_l2_sidecar_for(spark: SparkSession, sf_dir: str) -> str:
+    """Session-cached q8 l2 HNSW sidecar for embeddings (testdata
+    mounts are read-only, so it lives in a shadow dir). Clip bounds are
+    the EXACT min/max of all embedding components — deterministic and
+    SQL-expressible, which is what lets the q8 build carry a full
+    DuckDB oracle (the trained 0.5%/99.5% clip the .knn sidecar uses is
+    percentile-approx and not cross-engine reproducible)."""
+    from columnar_spark.operators.hnsw_index import (
+        build_graph_index,
+        load_graph_index_meta,
+    )
+
+    table = f"{sf_dir}/embeddings.parquet"
+    key = table + "#l2q8"
+    cached = _GRAPH_INDEX_CACHE.get(key)
+    if cached is not None:
+        cm = load_graph_index_meta(table, index_path=cached)
+        if cm is not None and cm["quantize"] == "q8":
+            return cached
+    import tempfile
+
+    emb = spark.read.parquet(table)
+    row = emb.select(
+        F.min(F.array_min(F.col("embedding").cast("array<double>"))).alias("lo"),
+        F.max(F.array_max(F.col("embedding").cast("array<double>"))).alias("hi"),
+    ).first()
+    shadow = tempfile.mkdtemp(prefix="knn-graph-q8-") + "/emb.knn-graph"
+    build_graph_index(
+        spark, emb, table, num_parts=4, metric="l2",
+        index_path=shadow, quantize="q8",
+        q8_bounds=(float(row["lo"]), float(row["hi"])),
+    )
+    _GRAPH_INDEX_CACHE[key] = shadow
+    return shadow
+
+
+_Q8L2_SQL = """
+WITH b AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+bounds AS (
+  SELECT min(list_min(emb)) AS lo, max(list_max(emb)) AS hi FROM b
+),
+c AS (
+  SELECT vec_id, label, emb,
+         list_transform(emb, x ->
+           floor((least(greatest(x, bd.lo), bd.hi) - bd.lo)
+                 * (255.0 / (bd.hi - bd.lo)) + 0.5)) AS lvl
+  FROM b, bounds bd
+),
+q AS (SELECT emb AS qemb, lvl AS qlvl FROM c WHERE vec_id = 7),
+cand AS (
+  SELECT c.vec_id, c.label, c.emb, q.qemb,
+         list_sum(list_transform(range(1, 65), i ->
+           (c.lvl[i] - q.qlvl[i]) * (c.lvl[i] - q.qlvl[i]))) AS dq
+  FROM c, q
+  ORDER BY dq ASC, c.vec_id ASC
+  LIMIT 160
+)
+SELECT vec_id, label,
+       round(list_sum(list_transform(range(1, 65), i ->
+         (emb[i] - qemb[i]) * (emb[i] - qemb[i]))), 6) + 0.0 AS dist
+FROM cand
+ORDER BY list_sum(list_transform(range(1, 65), i ->
+  (emb[i] - qemb[i]) * (emb[i] - qemb[i]))) ASC, vec_id ASC
+LIMIT 10
+"""
+
+
+@_q("knn_graph_l2_q8", _Q8L2_SQL)
+def knn_graph_l2_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k L2 served from a persisted INT8-QUANTIZED HNSW sidecar —
+    the reference's int8 ladder for unnormalized metrics
+    (quantizer.cpp:45 trained clip, knn/knn.cpp:411-452 search over
+    quantized codes): node rows hold dim int8 codes (4x smaller at
+    rest than float32), the walk runs on exact integer level-space
+    distances (floor((clip(x)-lo)*255/(hi-lo)+0.5) with exact min/max
+    bounds — fully reproducible in SQL), each part returns its
+    exhaustive top-160 in exact mode, and the global shortlist is
+    exact-L2 re-ranked against the base table's raw floats. Closes the
+    b1-covers-only-cosine asymmetry: l2/ip users get quantized-at-rest
+    serving with a FULL hash oracle."""
+    from columnar_spark.operators.hnsw_index import knn_query_graph
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = _qvec(spark, sf_dir, _KNN_QID)
+    shadow = _graph_l2_sidecar_for(spark, sf_dir)
+    hits = knn_query_graph(
+        spark, f"{sf_dir}/embeddings.parquet", qvec, _KNN_K, exact=True,
+        index_path=shadow, rerank_factor=16, rerank_df=emb,
+    )
+    out = hits.join(emb.select("vec_id", "label"), "vec_id")
+    return out.select(
+        "vec_id", "label", (F.round(F.col("dist"), 6) + F.lit(0.0)).alias("dist")
+    )
+
+
 @_q("knn_graph_ann")  # graph ANN (approximate beam) — rows-only; recall
 def knn_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:  # gate in tests/test_hnsw_index.py
     """Approximate graph ANN on the quantized sidecar: one hamming beam

@@ -93,6 +93,36 @@ def _bytes_to_code(b: bytes) -> int:
     return int.from_bytes(bytes(b), "little")
 
 
+def _q8_levels(vec, lo: float, hi: float):
+    """Trained-clip int8 quantization LEVELS (0..255) as a float32
+    numpy array — the walk space for quantize='q8' artifacts. The
+    arithmetic is fixed to floor((clip(x)-lo)*255/(hi-lo) + 0.5) on
+    float64 so a SQL oracle (Spark or DuckDB) reproduces every level
+    bit-for-bit; levels are small integers, so float32 storage and the
+    walk's squared-L2 sums are EXACT (< 2^24) — the determinism the
+    hash oracle rides on. Reference: quantizer.cpp:45 int8 ladder,
+    searched in code space knn/knn.cpp:411-452."""
+    import numpy as np
+
+    x = np.asarray(vec, dtype=np.float64)
+    scale = 255.0 / (hi - lo)
+    return np.floor((np.clip(x, lo, hi) - lo) * scale + 0.5).astype(np.float32)
+
+
+def _q8_levels_to_bytes(lvl) -> bytes:
+    """Levels (0..255) -> int8 codes at rest (dim bytes — 4x smaller
+    than float32 node vectors)."""
+    import numpy as np
+
+    return (np.asarray(lvl, dtype=np.int16) - 128).astype(np.int8).tobytes()
+
+
+def _q8_bytes_to_levels(b: bytes):
+    import numpy as np
+
+    return np.frombuffer(bytes(b), dtype=np.int8).astype(np.float32) + 128.0
+
+
 # In-walk allow-set transport cap: the set is broadcast to every search
 # task, so it must stay driver/executor-memory bounded. Past this, a
 # filtered query should pre-filter and rank exactly (knn_topk with
@@ -111,24 +141,29 @@ def _part_seed(seed: int, part: int, n_before: int) -> int:
     return (seed * 1_000_003 + part * 8191 + n_before) & 0x7FFFFFFF
 
 
-def _graph_state_rows(index: HnswIndex, part: int, dim: int):
+def _graph_state_rows(index: HnswIndex, part: int, dim: int, quantize: str = "none"):
+    import numpy as np
     import pandas as pd
 
     n = len(index._vecs)
     hamming = index.metric == "hamming"
+    coded = hamming or quantize == "q8"
+    if hamming:
+        codes = [_code_to_bytes(index._vecs[i], dim) for i in range(n)]
+    elif quantize == "q8":
+        codes = [_q8_levels_to_bytes(index._vecs[i]) for i in range(n)]
+    else:
+        codes = [None] * n
     return pd.DataFrame(
         {
             "part": [part] * n,
             "node": list(range(n)),
             "label": [int(x) for x in index._labels],
             "vec": [
-                None if hamming else [float(x) for x in index._vecs[i]]
+                None if coded else [float(x) for x in index._vecs[i]]
                 for i in range(n)
             ],
-            "code": [
-                _code_to_bytes(index._vecs[i], dim) if hamming else None
-                for i in range(n)
-            ],
+            "code": codes,
             "links": [
                 [list(map(int, lv)) for lv in index._graph[i]] for i in range(n)
             ],
@@ -138,15 +173,25 @@ def _graph_state_rows(index: HnswIndex, part: int, dim: int):
     )
 
 
-def _index_from_state(pdf, metric, M, efc, seed_val, dim):
+def _index_from_state(pdf, metric, M, efc, seed_val, dim, quantize: str = "none"):
     """Reconstruct a searchable per-part index from state rows — float
-    vectors or packed codes, whichever the artifact stores."""
+    vectors, packed sign-bit codes (hamming walk), or int8 q8 codes
+    (level-space walk under the artifact's metric), whichever the
+    artifact stores."""
+    import numpy as np
+
     if pdf["code"].iloc[0] is not None:
-        idx = HnswIndex(dim, "hamming", M, efc, seed=seed_val)
+        q8 = quantize == "q8"
+        idx = HnswIndex(dim, metric if q8 else "hamming", M, efc, seed=seed_val)
         order = sorted(range(len(pdf)), key=lambda i: int(pdf["node"].iloc[i]))
         for i in order:
-            idx._vecs.append(_bytes_to_code(pdf["code"].iloc[i]))
-            idx._norms.append(0.0)
+            if q8:
+                lvl = _q8_bytes_to_levels(pdf["code"].iloc[i])
+                idx._vecs.append(lvl)
+                idx._norms.append(float(np.linalg.norm(lvl)) or 1e-30)
+            else:
+                idx._vecs.append(_bytes_to_code(pdf["code"].iloc[i]))
+                idx._norms.append(0.0)
             idx._labels.append(int(pdf["label"].iloc[i]))
             idx._graph.append(
                 [list(map(int, lv)) for lv in pdf["links"].iloc[i]]
@@ -186,6 +231,7 @@ def build_graph_index(
     seed: int = 42,
     index_path: str | None = None,
     quantize: str = "none",
+    q8_bounds: "tuple[float, float] | None" = None,
 ) -> str:
     """Build and persist the partitioned HNSW graph for `df[vec_col]`.
     One beam-search build per part, fully distributed (one task per
@@ -200,14 +246,38 @@ def build_graph_index(
     beam steps pay popcount bandwidth, and queries exact-re-rank their
     merged shortlist against the base table's raw floats. Sign bits are
     scale-invariant, so normalized and raw vectors produce identical
-    codes (same property knn_b1_cosine relies on)."""
+    codes (same property knn_b1_cosine relies on).
+
+    quantize='q8' (metric l2|ip — cosine's scale invariance makes b1
+    the right ladder there) stores trained-clip INT8 CODES: 4x smaller
+    at rest, the walk runs on exact integer level-space distances, and
+    queries exact-re-rank the merged shortlist against raw floats —
+    the reference's int8 ladder for unnormalized metrics
+    (quantizer.cpp:45, knn.cpp:411-452). `q8_bounds` pins the clip
+    interval (pass exact min/max for an oracle-replicable build);
+    default trains the 0.5%/99.5% clip like the .knn sidecar
+    (operators/quantize.train_quantizer)."""
     from columnar_spark.stats import require_posix_commit
 
     require_posix_commit(index_path or table_path, "HNSW graph index")
     if metric not in ("cosine", "l2", "ip"):
         raise ValueError(f"metric must be cosine|l2|ip, got {metric!r}")
-    if quantize not in ("none", "b1"):
-        raise ValueError(f"quantize must be none|b1, got {quantize!r}")
+    if quantize not in ("none", "b1", "q8"):
+        raise ValueError(f"quantize must be none|b1|q8, got {quantize!r}")
+    if quantize == "q8" and metric not in ("l2", "ip"):
+        raise ValueError(
+            "quantize='q8' serves metrics l2|ip; for cosine use "
+            "quantize='b1' (sign bits are scale-invariant there)"
+        )
+    q8_lo = q8_hi = None
+    if quantize == "q8":
+        if q8_bounds is None:
+            from columnar_spark.operators.quantize import train_quantizer
+
+            q8_bounds = train_quantizer(df, vec_col)
+        q8_lo, q8_hi = float(q8_bounds[0]), float(q8_bounds[1])
+        if q8_hi <= q8_lo:
+            q8_hi = q8_lo + 1e-9
     out = index_path or graph_index_path(table_path)
     os.makedirs(out, exist_ok=True)
     first = df.select(vec_col).first()
@@ -232,13 +302,19 @@ def build_graph_index(
             )
             for label, vec in zip(pdf["label"], pdf["vec"]):
                 index.add(_pack_code(vec, dim), int(label))
+        elif quantize == "q8":
+            index = HnswIndex(
+                dim, metric, M, ef_construction, seed=_part_seed(seed, part, 0)
+            )
+            for label, vec in zip(pdf["label"], pdf["vec"]):
+                index.add(_q8_levels(vec, q8_lo, q8_hi), int(label))
         else:
             index = HnswIndex(
                 dim, metric, M, ef_construction, seed=_part_seed(seed, part, 0)
             )
             for label, vec in zip(pdf["label"], pdf["vec"]):
                 index.add(vec, int(label))
-        return _graph_state_rows(index, part, dim)
+        return _graph_state_rows(index, part, dim, quantize)
 
     tagged = _with_part(df, id_col, vec_col, num_parts)
     state = tagged.groupBy("part").applyInPandas(_build, _STATE_SCHEMA)
@@ -250,10 +326,11 @@ def build_graph_index(
     )
 
     meta = spark.createDataFrame(
-        [(vec_col, id_col, metric, M, ef_construction, dim, num_parts, seed, quantize)],
+        [(vec_col, id_col, metric, M, ef_construction, dim, num_parts, seed,
+          quantize, q8_lo, q8_hi)],
         "vec_col: string, id_col: string, metric: string, m: int, "
         "ef_construction: int, dim: int, num_parts: int, seed: int, "
-        "quantize: string",
+        "quantize: string, q8_lo: double, q8_hi: double",
     )
     meta.coalesce(1).write.mode("overwrite").parquet(os.path.join(out, "meta.parquet"))
 
@@ -287,6 +364,8 @@ def load_graph_index_meta(
         meta.setdefault("quantize", "none")  # pre-quantization artifacts
         if meta["quantize"] is None:
             meta["quantize"] = "none"
+        meta.setdefault("q8_lo", None)  # pre-q8 artifacts
+        meta.setdefault("q8_hi", None)
         return meta
     except Exception:
         return None
@@ -312,18 +391,19 @@ def append_to_graph_index(
 
     metric, M, efc, seed = meta["metric"], meta["m"], meta["ef_construction"], meta["seed"]
     dim = meta["dim"]
-    quantized = meta["quantize"] == "b1"
+    qz = meta["quantize"]
+    q8_lo, q8_hi = meta["q8_lo"], meta["q8_hi"]
 
     def _merge(key, state_pdf, batch_pdf):
         part = int(key[0])
         if len(state_pdf):
             index = _index_from_state(
                 state_pdf, metric, M, efc,
-                _part_seed(seed, part, len(state_pdf)), dim,
+                _part_seed(seed, part, len(state_pdf)), dim, quantize=qz,
             )
         else:  # a part that had no rows at build time
             index = HnswIndex(
-                dim, "hamming" if quantized else metric, M, efc,
+                dim, "hamming" if qz == "b1" else metric, M, efc,
                 seed=_part_seed(seed, part, 0),
             )
         if len(index._vecs) + len(batch_pdf) > PY_HNSW_MAX_PARTITION_ROWS:
@@ -333,8 +413,17 @@ def append_to_graph_index(
                 "rebuild (build_graph_index)"
             )
         for label, vec in zip(batch_pdf["label"], batch_pdf["vec"]):
-            index.add(_pack_code(vec, dim) if quantized else vec, int(label))
-        return _graph_state_rows(index, part, dim)
+            if qz == "b1":
+                v = _pack_code(vec, dim)
+            elif qz == "q8":
+                # append uses the ARTIFACT's trained bounds — quantizer
+                # parameters are frozen at build like the reference's
+                # (retrain requires rebuild)
+                v = _q8_levels(vec, q8_lo, q8_hi)
+            else:
+                v = vec
+            index.add(v, int(label))
+        return _graph_state_rows(index, part, dim, qz)
 
     merged = (
         existing.groupBy("part")
@@ -486,10 +575,17 @@ def knn_query_graph(
     q = [float(x) for x in query_vec]
     metric, M, efc, seed = meta["metric"], meta["m"], meta["ef_construction"], meta["seed"]
     id_col = meta["id_col"]
-    quantized = meta["quantize"] == "b1"
+    qz = meta["quantize"]
+    quantized = qz in ("b1", "q8")
     dim = meta["dim"]
-    if quantized:
+    if qz == "b1":
         q_search = _pack_code(q, dim)
+        n_short = max(k * rerank_factor, k)
+    elif qz == "q8":
+        # asymmetric would drift by summation order; quantizing the
+        # query keeps the walk's level-space distances exact integers —
+        # the same determinism the hamming walk gets for free
+        q_search = _q8_levels(q, meta["q8_lo"], meta["q8_hi"])
         n_short = max(k * rerank_factor, k)
     else:
         q_search = q
@@ -528,7 +624,8 @@ def knn_query_graph(
                 index = _cached_graph(
                     (graph_dir, part, sig),
                     lambda pdf=pdf, part=part: _index_from_state(
-                        pdf, metric, M, efc, _part_seed(seed, part, len(pdf)), dim
+                        pdf, metric, M, efc, _part_seed(seed, part, len(pdf)),
+                        dim, quantize=qz,
                     ),
                 )
                 nn = min(n_short, len(index._vecs))
@@ -564,7 +661,8 @@ def knn_query_graph(
 
         def _rebuild():
             return _index_from_state(
-                pdf, metric, M, efc, _part_seed(seed, part, len(pdf)), dim
+                pdf, metric, M, efc, _part_seed(seed, part, len(pdf)), dim,
+                quantize=qz,
             )
 
         index = _cached_graph((graph_dir, part, sig), _rebuild)
@@ -640,8 +738,12 @@ def check_graph_index(
             errs.append(f"part {part}: {bad_levels} nodes above max_level")
         if bad_links:
             errs.append(f"part {part}: {bad_links} levels with out-of-range links")
-        if meta["quantize"] == "b1":
-            want = _code_nbytes(meta["dim"])
+        if meta["quantize"] in ("b1", "q8"):
+            want = (
+                _code_nbytes(meta["dim"])
+                if meta["quantize"] == "b1"
+                else meta["dim"]  # q8: one int8 code per dimension
+            )
             bad_dim = sum(
                 1 for c in pdf["code"] if c is None or len(bytes(c)) != want
             )

@@ -598,3 +598,149 @@ def test_graph_cache_is_size_bounded_lru():
     finally:
         H._GRAPH_CACHE.clear()
         H._GRAPH_CACHE.update(saved)
+
+
+@pytest.fixture(scope="module")
+def q8_graph_table(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("knn_graph_q8")
+    path = str(root / "emb.parquet")
+    spark.read.parquet(f"{SF}/embeddings.parquet").write.parquet(path)
+    build_graph_index(
+        spark, spark.read.parquet(path), path, num_parts=4,
+        metric="l2", quantize="q8",
+    )
+    return path
+
+
+def test_q8_sidecar_is_smaller_and_checks_clean(spark, graph_table, q8_graph_table):
+    """The q8 artifact stores dim int8 code bytes per node instead of
+    dim float32s — ~4x vector-payload cut (bounded by parquet framing
+    and the links column) — and the A13 checker accepts the layout."""
+    import os
+
+    def _dir_bytes(p):
+        return sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(p)
+            for f in fs
+        )
+
+    raw = _dir_bytes(os.path.join(graph_index_path(graph_table), "graph"))
+    q8 = _dir_bytes(os.path.join(graph_index_path(q8_graph_table), "graph"))
+    assert q8 < raw * 0.8, (raw, q8)
+    assert check_graph_index(spark, q8_graph_table) == []
+    meta = load_graph_index_meta(q8_graph_table)
+    assert meta["quantize"] == "q8" and meta["metric"] == "l2"
+    assert meta["q8_lo"] is not None and meta["q8_hi"] > meta["q8_lo"]
+
+
+def test_q8_rejects_cosine_and_bad_bounds(spark, tmp_path_factory):
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, [0.1] * 8)], "vec_id: long, embedding: array<float>"
+    )
+    path = str(tmp_path_factory.mktemp("q8bad") / "t.parquet")
+    df.write.parquet(path)
+    with _pytest.raises(ValueError, match="b1"):
+        build_graph_index(spark, df, path, metric="cosine", quantize="q8")
+
+
+def test_q8_exact_matches_level_space_rerank_construction(spark, q8_graph_table):
+    """exact=True on the q8 artifact == deterministic global
+    level-space-L2 top-(k*rerank_factor) shortlist + exact float L2
+    re-rank — computed independently here in numpy from the SAME at-rest
+    codes' defining arithmetic (floor((clip(x)-lo)*255/(hi-lo)+0.5)).
+    Integer level distances make the shortlist summation-order-free,
+    the property the SQL hash oracle rides on."""
+    emb = spark.read.parquet(q8_graph_table)
+    meta = load_graph_index_meta(q8_graph_table)
+    lo, hi = meta["q8_lo"], meta["q8_hi"]
+    rows = sorted(
+        [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+         for r in emb.collect()]
+    )
+    q = dict(rows)[7]
+    scale = 255.0 / (hi - lo)
+
+    def lvl(v):
+        x = np.asarray(v, dtype=np.float64)
+        return np.floor((np.clip(x, lo, hi) - lo) * scale + 0.5)
+
+    ql = lvl(q)
+    short = sorted(
+        ((float(np.sum((lvl(v) - ql) ** 2)), i) for i, v in rows)
+    )[: 10 * 16]
+    qd = np.asarray(q, dtype=np.float64)
+    want = sorted(
+        (round(float(np.sum((np.asarray(dict(rows)[i], dtype=np.float64) - qd) ** 2)), 6), i)
+        for _, i in short
+    )[:10]
+    got = [
+        (round(r["dist"], 6), r["vec_id"])
+        for r in knn_query_graph(
+            spark, q8_graph_table, q, 10, exact=True, rerank_factor=16
+        ).collect()
+    ]
+    assert sorted(got) == want
+
+
+def test_q8_beam_recall_filtered_and_distributed_parity(spark, q8_graph_table):
+    """Approximate beam keeps recall vs exact on the q8 artifact; the
+    in-walk allow-set works in level space; the driver probe equals the
+    distributed applyInPandas path (the 100 TB plan) bit-for-bit."""
+    emb = spark.read.parquet(q8_graph_table)
+    q = [float(v) for v in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
+    exact_ids = {
+        r["vec_id"]
+        for r in knn_query_graph(spark, q8_graph_table, q, 10, exact=True).collect()
+    }
+    beam_ids = {
+        r["vec_id"]
+        for r in knn_query_graph(spark, q8_graph_table, q, 10, ef=96).collect()
+    }
+    assert len(exact_ids & beam_ids) >= 7
+
+    allowed = [r["vec_id"] for r in emb.filter(F.col("label") == 3).collect()]
+    got = knn_query_graph(
+        spark, q8_graph_table, q, 10, exact=True, allowed=allowed
+    ).collect()
+    assert len(got) == 10 and {r["vec_id"] for r in got} <= set(allowed)
+
+    def rows(df):
+        return [tuple(r) for r in df.orderBy("dist", "vec_id").collect()]
+
+    for kwargs in (dict(exact=True), dict(exact=False, ef=48)):
+        probe = knn_query_graph(spark, q8_graph_table, q, 10, **kwargs)
+        dist = knn_query_graph(
+            spark, q8_graph_table, q, 10, driver_probe=False, **kwargs
+        )
+        assert rows(probe) == rows(dist), kwargs
+
+
+def test_q8_append_extends_codes_deterministically(spark, tmp_path_factory):
+    """E9 on the q8 artifact: appends quantize incoming floats with the
+    ARTIFACT's frozen bounds, extend the level-space sub-graphs, and
+    the appended vector is found via its code."""
+    root = tmp_path_factory.mktemp("knn_graph_q8_inc")
+    rng = np.random.RandomState(7)
+    rows = [(i, [float(x) for x in rng.randn(64)]) for i in range(200)]
+    path = str(root / "t.parquet")
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    df.write.parquet(path)
+    build_graph_index(spark, df, path, num_parts=3, metric="l2", quantize="q8")
+    bounds0 = load_graph_index_meta(path)["q8_lo"], load_graph_index_meta(path)["q8_hi"]
+
+    batch = spark.createDataFrame(
+        [(500 + i, [float(x) for x in rng.randn(64)]) for i in range(20)],
+        "vec_id: long, embedding: array<float>",
+    )
+    batch.write.mode("append").parquet(path)
+    append_to_graph_index(spark, batch, path)
+    assert check_graph_index(spark, path) == []
+    meta = load_graph_index_meta(path)
+    assert (meta["q8_lo"], meta["q8_hi"]) == bounds0  # frozen at build
+
+    q = [float(v) for v in batch.first()["embedding"]]
+    top = knn_query_graph(spark, path, q, 1, exact=True).first()
+    assert top["vec_id"] == 500
