@@ -5905,22 +5905,26 @@ _DRIVER_PRIORITY = [
     "filter_surface_counts", "mva_filter_counts", "filter_in_large_list",
     "count_filtered_conjunct", "count_distinct_stats", "stats_minmax_manifest",
     "value_index_counts", "posting_index_lookup", "json_field_counts",
-    # window functions (moving_avg_range/lead_lag post-50 since r6 to
-    # admit the round-6 flagships; still hash-verified in the local run)
-    "group_topk_window", "window_running_sum",
+    # window functions (moving_avg_range/lead_lag post-50 since r6,
+    # running_sum post-50 since r8 — all still hash-verified locally)
+    "group_topk_window",
     "window_rank_family", "global_rank_orders",
-    # aggregation variants
-    "agg_rollup_events", "cube_orders", "grouping_sets_orders",
+    # aggregation variants (grouping_sets/percentile_disc are cube/
+    # percentile twins — rotated post-50 in r8 for the new routes)
+    "agg_rollup_events", "cube_orders",
     "pivot_event_counts", "percentile_stats",
-    "percentile_disc_priority", "corr_stddev_stats",
-    # join / set-op family
+    "corr_stddev_stats",
+    # join / set-op family (+ q17: the measure-index route from r7)
     "join_semi_anti", "asof_join_events_orders", "range_join_followup_orders",
-    "fuzzy_name_pairs_parts", "set_ops_customers", "set_ops_multiset",
+    "fuzzy_name_pairs_parts", "set_ops_customers",
+    "q17_small_qty_revenue",
     # events / time / sessions
     "events_json_extract", "time_bucket_agg", "topk_latest_events",
     "sessionize_events",
-    # documents: text analysis, dedup, sampling, composed pipeline
-    "doc_text_stats", "doc_quality_filter", "stratified_sample_docs",
+    # documents: text analysis (incl. the textstats-companion-served
+    # lang fingerprint), dedup, sampling, composed pipeline
+    "doc_text_stats", "doc_lang_fingerprint", "doc_quality_filter",
+    "stratified_sample_docs",
     "dedup_exact_survivors", "training_pipeline_docs",
     # exact KNN + embed pipeline + quantized ladder (l2/ip variants and
     # q9 post-50, locally verified); flagships in driver slots:
@@ -5930,8 +5934,14 @@ _DRIVER_PRIORITY = [
     # limit, deterministic, so the slot carries a FULL hash oracle; the
     # approximate beam is knn_graph_ann post-50, recall-gated in
     # tests/test_hnsw_index.py)
+    # r8 adds knn_b1q4_cosine (at-rest asymmetric 4-bit serving) and
+    # knn_graph_l2_q8 (int8-quantized l2 graph sidecar, the new q8
+    # ladder) to the graded 50
     "knn_cosine_topk", "embed_then_knn", "knn_b1_cosine", "knn_graph_cosine",
+    "knn_b1q4_cosine", "knn_graph_l2_q8",
     # ---- slot 50+: no-oracle flagships (rows-only check), then the rest
+    "window_running_sum", "grouping_sets_orders", "percentile_disc_priority",
+    "set_ops_multiset",
     "window_moving_avg_range", "window_lead_lag", "knn_graph_filtered",
     "knn_graph_ann",
     "knn_ivf_cosine", "minhash_dedup_assign", "simhash_dedup_assign",

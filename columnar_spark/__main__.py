@@ -87,6 +87,8 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--vec", help="literal query vector: comma-separated floats")
     sp.add_argument("--k", type=int, default=10)
     sp.add_argument("--ef", type=int, default=64)
+    sp.add_argument("--vec-col", default=None,
+                    help="select among per-attribute graph indexes")
 
     sp = sub.add_parser("knn-query")
     sp.add_argument("table_path")
@@ -95,6 +97,8 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--vec", help="literal query vector: comma-separated floats")
     sp.add_argument("--k", type=int, default=10)
     sp.add_argument("--nprobe", type=int, default=4)
+    sp.add_argument("--vec-col", default=None,
+                    help="select among per-attribute vector indexes")
 
     sp = sub.add_parser("sql")
     sp.add_argument("query")
@@ -536,7 +540,7 @@ def main(argv: list[str] | None = None) -> int:
             load_graph_index_meta,
         )
 
-        meta = load_graph_index_meta(args.table_path)
+        meta = load_graph_index_meta(args.table_path, vec_col=args.vec_col)
         if meta is None:
             print(json.dumps({"error": "no fresh graph index; run graph-build first"}))
             return 1
@@ -552,7 +556,9 @@ def main(argv: list[str] | None = None) -> int:
                 print(json.dumps({"error": f"id {args.id} not found"}))
                 return 1
             q = [float(x) for x in row[0]]
-        hits = knn_query_graph(spark, args.table_path, q, args.k, ef=args.ef)
+        hits = knn_query_graph(
+            spark, args.table_path, q, args.k, ef=args.ef, vec_col=args.vec_col
+        )
         out = [
             {"id": r[meta["id_col"]], "dist": r["dist"]} for r in hits.collect()
         ]
@@ -567,7 +573,7 @@ def main(argv: list[str] | None = None) -> int:
             load_vector_index,
         )
 
-        idx = load_vector_index(args.table_path)
+        idx = load_vector_index(args.table_path, vec_col=args.vec_col)
         if idx is None:
             print(json.dumps({"error": "no index; run knn-build first"}))
             return 1

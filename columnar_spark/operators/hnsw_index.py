@@ -130,8 +130,32 @@ def _q8_bytes_to_levels(b: bytes):
 KNN_ALLOW_SET_CAP = 1_000_000
 
 
-def graph_index_path(table_path: str) -> str:
-    return table_path.rstrip("/") + ".knn-graph"
+def graph_index_path(table_path: str, vec_col: "str | None" = None) -> str:
+    """Artifact root for the table's graph sidecar. `vec_col=None` is
+    the single-index layout (artifact at `<table>.knn-graph/`); a named
+    column roots at `<table>.knn-graph/col=<vec_col>/` so one table can
+    carry graphs over SEVERAL vector attributes — the name->index map
+    of the reference's Load (knn/knn.cpp:557-640). `col=` cannot
+    collide with the artifact's inner dirs (graph/, meta.parquet)."""
+    root = table_path.rstrip("/") + ".knn-graph"
+    if vec_col is None:
+        return root
+    return os.path.join(root, f"col={vec_col}")
+
+
+def graph_index_dirs(table_path: str) -> "list[str]":
+    """Every graph artifact dir on this table (root layout + col=*
+    subdirs) — maintenance and the checker walk all of them."""
+    root = graph_index_path(table_path)
+    out = []
+    if os.path.isdir(os.path.join(root, "graph")):
+        out.append(root)
+    if os.path.isdir(root):
+        for d in sorted(os.listdir(root)):
+            p = os.path.join(root, d)
+            if d.startswith("col=") and os.path.isdir(os.path.join(p, "graph")):
+                out.append(p)
+    return out
 
 
 def _part_seed(seed: int, part: int, n_before: int) -> int:
@@ -278,7 +302,18 @@ def build_graph_index(
         q8_lo, q8_hi = float(q8_bounds[0]), float(q8_bounds[1])
         if q8_hi <= q8_lo:
             q8_hi = q8_lo + 1e-9
-    out = index_path or graph_index_path(table_path)
+    if index_path is not None:
+        out = index_path
+    else:
+        # per-attribute placement (knn/knn.cpp:557-640): first index
+        # keeps the root layout; an index over a DIFFERENT vector
+        # column roots at col=<vec_col>/ so both artifacts coexist
+        out = graph_index_path(table_path)
+        root_meta = load_graph_index_meta(
+            table_path, check_fresh=False, index_path=out
+        )
+        if root_meta is not None and root_meta["vec_col"] != vec_col:
+            out = graph_index_path(table_path, vec_col)
     os.makedirs(out, exist_ok=True)
     first = df.select(vec_col).first()
     if first is None:
@@ -341,11 +376,27 @@ def build_graph_index(
 
 
 def load_graph_index_meta(
-    table_path: str, *, check_fresh: bool = True, index_path: str | None = None
+    table_path: str, *, check_fresh: bool = True, index_path: str | None = None,
+    vec_col: "str | None" = None,
 ) -> dict | None:
     """Driver-side meta load (pyarrow, no Spark job). None when absent —
     or stale under the shared signature gate, so callers fall back to
-    exact/on-the-fly search exactly like the .vidx consumers."""
+    exact/on-the-fly search exactly like the .vidx consumers.
+
+    `vec_col` selects among per-attribute artifacts: the col=<vec_col>/
+    subdir wins when present, else the root artifact serves iff it
+    indexes that column."""
+    if index_path is None and vec_col is not None:
+        for out in (
+            graph_index_path(table_path, vec_col),
+            graph_index_path(table_path),
+        ):
+            meta = load_graph_index_meta(
+                table_path, check_fresh=check_fresh, index_path=out
+            )
+            if meta is not None and meta["vec_col"] == vec_col:
+                return meta
+        return None
     out = index_path or graph_index_path(table_path)
     if not os.path.isdir(os.path.join(out, "graph")):
         return None
@@ -373,15 +424,19 @@ def load_graph_index_meta(
 
 def append_to_graph_index(
     spark: SparkSession, df_new: DataFrame, table_path: str,
-    index_path: str | None = None,
+    index_path: str | None = None, vec_col: "str | None" = None,
 ) -> None:
     """Incremental maintenance: route the batch to its stable parts,
     reconstruct ONLY the touched sub-graphs, extend them with
     deterministic level sampling, and dynamic-partition-overwrite those
     directories. Untouched parts are not read or written."""
-    meta = load_graph_index_meta(table_path, check_fresh=False, index_path=index_path)
+    meta = load_graph_index_meta(
+        table_path, check_fresh=False, index_path=index_path, vec_col=vec_col
+    )
     if meta is None:
-        raise ValueError(f"no graph index at {index_path or graph_index_path(table_path)}")
+        raise ValueError(
+            f"no graph index at {index_path or graph_index_path(table_path, vec_col)}"
+        )
     graph_dir = os.path.join(meta["path"], "graph")
     batch = _with_part(df_new, meta["id_col"], meta["vec_col"], meta["num_parts"])
     touched = [r["part"] for r in batch.select("part").distinct().collect()]
@@ -534,6 +589,7 @@ def knn_query_graph(
     rerank_factor: int = 16,
     rerank_df: DataFrame | None = None,
     driver_probe: bool | None = None,
+    vec_col: "str | None" = None,
 ) -> DataFrame:
     """Top-k (id, dist) served from the persisted graph: one beam search
     per part (reconstruction cached executor-side), global
@@ -562,10 +618,11 @@ def knn_query_graph(
     (knn/knn.cpp:411-452). exact=True makes the per-part shortlist
     exhaustive, so the whole pipeline is deterministic and carries the
     same SQL hash oracle construction as knn_b1_cosine."""
-    meta = load_graph_index_meta(table_path, index_path=index_path)
+    meta = load_graph_index_meta(table_path, index_path=index_path, vec_col=vec_col)
     if meta is None:
         raise ValueError(
-            f"no fresh graph index at {index_path or graph_index_path(table_path)}; "
+            f"no fresh graph index at "
+            f"{index_path or graph_index_path(table_path, vec_col)}; "
             "build_graph_index first (or the table changed under it)"
         )
     from columnar_spark.stats import table_signature
@@ -706,7 +763,18 @@ def check_graph_index(
     """A13 checker for the graph sidecar: per-part structural audit
     (contiguous node range, valid entry, links in range, level shape)
     plus table<->index id lockstep — the same walk-every-companion
-    contract as check_vector_index."""
+    contract as check_vector_index. With no explicit index_path, walks
+    EVERY per-attribute artifact (root + col=* subdirs)."""
+    if index_path is None:
+        errors: list[str] = []
+        for d in graph_index_dirs(table_path):
+            tag = os.path.basename(d)
+            prefix = f"{tag}: " if tag.startswith("col=") else ""
+            errors.extend(
+                prefix + e
+                for e in check_graph_index(spark, table_path, index_path=d)
+            )
+        return errors
     meta = load_graph_index_meta(table_path, check_fresh=False, index_path=index_path)
     if meta is None:
         return []

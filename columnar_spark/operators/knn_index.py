@@ -55,8 +55,34 @@ from columnar_spark.operators.pq import (
 )
 
 
-def knn_index_path(table_path: str) -> str:
-    return table_path.rstrip("/") + ".knn"
+def knn_index_path(table_path: str, vec_col: "str | None" = None) -> str:
+    """Artifact root for the table's IVF-PQ sidecar. `vec_col=None` is
+    the single-index layout (the artifact lives at `<table>.knn/`
+    directly); a named column roots at `<table>.knn/col=<vec_col>/` so
+    one table can index SEVERAL vector attributes — the name->index map
+    of the reference's Load (knn/knn.cpp:557-640), realized as
+    directory structure. The `col=` prefix cannot collide with the
+    artifact's own inner dirs (vectors/, meta.parquet, ...)."""
+    root = table_path.rstrip("/") + ".knn"
+    if vec_col is None:
+        return root
+    return os.path.join(root, f"col={vec_col}")
+
+
+def vector_index_dirs(table_path: str) -> "list[str]":
+    """Every IVF-PQ artifact dir on this table: the root layout plus
+    per-attribute `col=*` subdirs. Maintenance (append/rebuild) and the
+    checker walk ALL of them."""
+    root = knn_index_path(table_path)
+    out = []
+    if os.path.isdir(os.path.join(root, "vectors")):
+        out.append(root)
+    if os.path.isdir(root):
+        for d in sorted(os.listdir(root)):
+            p = os.path.join(root, d)
+            if d.startswith("col=") and os.path.isdir(os.path.join(p, "vectors")):
+                out.append(p)
+    return out
 
 
 @dataclass
@@ -96,13 +122,20 @@ def build_vector_index(
     store_vectors: bool = True,
     store_b1: bool = True,
     store_q8: bool = True,
+    index_path: str | None = None,
 ) -> str:
     """Train and persist the IVF-PQ index for `df[vec_col]`. Returns the
     artifact path. Idempotent per content only in the sense of
-    overwrite — rebuild when the table is rewritten (compact/merge do)."""
+    overwrite — rebuild when the table is rewritten (compact/merge do).
+
+    Placement: the first index on a table roots at `<table>.knn/`
+    (single-index layout, unchanged); building for a SECOND vector
+    column moves to `<table>.knn/col=<vec_col>/` automatically so both
+    artifacts coexist — the per-attribute map of knn/knn.cpp:557-640.
+    `index_path` overrides placement outright (shadow builds)."""
     from columnar_spark.stats import require_posix_commit
 
-    require_posix_commit(table_path, "KNN index")
+    require_posix_commit(index_path or table_path, "KNN index")
     dim = len(df.select(vec_col).first()[0])
     base = df
     if metric == "cosine":
@@ -121,7 +154,13 @@ def build_vector_index(
 
         q8_bounds = train_quantizer(base, vec_col)
 
-    out = knn_index_path(table_path)
+    if index_path is not None:
+        out = index_path
+    else:
+        out = knn_index_path(table_path)
+        existing = _load_vector_index_dir(table_path, out, check_fresh=False)
+        if existing is not None and existing.vec_col != vec_col:
+            out = knn_index_path(table_path, vec_col)
     os.makedirs(out, exist_ok=True)
 
     meta = spark.createDataFrame(
@@ -222,6 +261,7 @@ def append_to_vector_index(
     spark: SparkSession,
     df_new: DataFrame,
     table_path: str,
+    vec_col: "str | None" = None,
 ) -> VectorIndex:
     """Incremental index maintenance (E9 for vectors): encode a NEW batch
     with the index's EXISTING centroids/codebooks and append its codes to
@@ -237,9 +277,11 @@ def append_to_vector_index(
     segment-rebuild story."""
     # check_fresh=False: append runs AFTER the batch's table append, so
     # the recorded signature is legitimately one step behind right now
-    index = load_vector_index(table_path, check_fresh=False)
+    index = load_vector_index(table_path, check_fresh=False, vec_col=vec_col)
     if index is None:
-        raise ValueError(f"no vector index at {knn_index_path(table_path)}")
+        raise ValueError(
+            f"no vector index at {knn_index_path(table_path, vec_col)}"
+        )
     base = df_new
     if index.normalized:
         base = df_new.withColumn(
@@ -259,15 +301,36 @@ def append_to_vector_index(
 
 
 def load_vector_index(
-    table_path: str, *, check_fresh: bool = True
+    table_path: str, *, check_fresh: bool = True, vec_col: "str | None" = None
 ) -> VectorIndex | None:
     """Driver-side artifact load (pyarrow — centroids/codebooks are KBs;
     no Spark job). None when the table has no index — or when STALE
     under the shared `_table_sig` gate (table rewritten outside the
     framework's paths): callers fall back to on-the-fly training, same
     contract as the stats sidecar. Maintenance paths (append, checker)
-    pass check_fresh=False."""
-    out = knn_index_path(table_path)
+    pass check_fresh=False.
+
+    `vec_col` selects among PER-ATTRIBUTE indexes (knn/knn.cpp:557-640
+    name->index map): the `col=<vec_col>/` artifact wins when present,
+    else the root artifact serves iff it indexes that column. None
+    keeps today's single-index behavior (root only)."""
+    if vec_col is None:
+        return _load_vector_index_dir(
+            table_path, knn_index_path(table_path), check_fresh
+        )
+    for out in (
+        knn_index_path(table_path, vec_col),
+        knn_index_path(table_path),
+    ):
+        idx = _load_vector_index_dir(table_path, out, check_fresh)
+        if idx is not None and idx.vec_col == vec_col:
+            return idx
+    return None
+
+
+def _load_vector_index_dir(
+    table_path: str, out: str, check_fresh: bool
+) -> VectorIndex | None:
     if not os.path.isdir(os.path.join(out, "vectors")):
         return None
     if check_fresh:
@@ -317,9 +380,23 @@ def check_vector_index(spark: SparkSession, table_path: str) -> list[str]:
     columnar/accessor/check.cpp:316-322). Returns violations (empty =
     clean): meta/codebook shape agreement, code-width per row, and
     id-set equality between the table and the code dataset (appends and
-    merges must keep them in lockstep)."""
+    merges must keep them in lockstep). Walks EVERY per-attribute
+    artifact (root layout + col=* subdirs)."""
+    errors: list[str] = []
+    for d in vector_index_dirs(table_path):
+        tag = os.path.basename(d)
+        prefix = f"{tag}: " if tag.startswith("col=") else ""
+        errors.extend(
+            prefix + e for e in _check_vector_index_dir(spark, table_path, d)
+        )
+    return errors
+
+
+def _check_vector_index_dir(
+    spark: SparkSession, table_path: str, index_dir: str
+) -> list[str]:
     # the checker validates content directly — read even a stale sidecar
-    index = load_vector_index(table_path, check_fresh=False)
+    index = _load_vector_index_dir(table_path, index_dir, check_fresh=False)
     if index is None:
         return []  # no sidecar, nothing to check
     errors: list[str] = []

@@ -296,14 +296,21 @@ def _rebuild_sidecars(ss: SparkSession, dst_path: str) -> None:
         idc = posting_index_id_col(dst_path, c)
         if idc:
             write_posting_index(ss, dst_path, c, idc)
-    vidx = load_vector_index(dst_path, check_fresh=False)  # rebuilding anyway
-    if vidx is not None and vidx.vec_col in full.columns:
-        store_vectors = "vec" in ss.read.parquet(vidx.vectors_path).columns
-        build_vector_index(
-            ss, full, dst_path,
-            vec_col=vidx.vec_col, id_col=vidx.id_col, metric=vidx.metric,
-            nlist=vidx.nlist, m=vidx.m, k=vidx.k, store_vectors=store_vectors,
-        )
+    from columnar_spark.operators.knn_index import (
+        _load_vector_index_dir,
+        vector_index_dirs,
+    )
+
+    for vdir in vector_index_dirs(dst_path):
+        vidx = _load_vector_index_dir(dst_path, vdir, check_fresh=False)
+        if vidx is not None and vidx.vec_col in full.columns:
+            store_vectors = "vec" in ss.read.parquet(vidx.vectors_path).columns
+            build_vector_index(
+                ss, full, dst_path,
+                vec_col=vidx.vec_col, id_col=vidx.id_col, metric=vidx.metric,
+                nlist=vidx.nlist, m=vidx.m, k=vidx.k,
+                store_vectors=store_vectors, index_path=vdir,
+            )
     from columnar_spark.textstats import textstats_meta, write_textstats_sidecar
 
     tsm = textstats_meta(dst_path)
@@ -334,21 +341,30 @@ def _rebuild_sidecars(ss: SparkSession, dst_path: str) -> None:
         rebuild_projection(ss, fpath, pname)
     from columnar_spark.operators.hnsw_index import (
         build_graph_index,
+        graph_index_dirs,
         load_graph_index_meta,
     )
 
-    gmeta = load_graph_index_meta(dst_path, check_fresh=False)
-    if gmeta is not None and gmeta["vec_col"] in full.columns:
-        # a crashed attempt may have extended SOME parts: rebuild the
-        # graph from the table (the cannot-double-count recovery, same
-        # as every count-derived sidecar)
-        build_graph_index(
-            ss, full, dst_path,
-            vec_col=gmeta["vec_col"], id_col=gmeta["id_col"],
-            metric=gmeta["metric"], M=gmeta["m"],
-            ef_construction=gmeta["ef_construction"],
-            num_parts=gmeta["num_parts"], seed=gmeta["seed"],
-        )
+    for gdir in graph_index_dirs(dst_path):
+        gmeta = load_graph_index_meta(dst_path, check_fresh=False, index_path=gdir)
+        if gmeta is not None and gmeta["vec_col"] in full.columns:
+            # a crashed attempt may have extended SOME parts: rebuild the
+            # graph from the table (the cannot-double-count recovery, same
+            # as every count-derived sidecar), preserving the artifact's
+            # quantization ladder and trained bounds
+            build_graph_index(
+                ss, full, dst_path,
+                vec_col=gmeta["vec_col"], id_col=gmeta["id_col"],
+                metric=gmeta["metric"], M=gmeta["m"],
+                ef_construction=gmeta["ef_construction"],
+                num_parts=gmeta["num_parts"], seed=gmeta["seed"],
+                quantize=gmeta["quantize"], index_path=gdir,
+                q8_bounds=(
+                    (gmeta["q8_lo"], gmeta["q8_hi"])
+                    if gmeta["q8_lo"] is not None
+                    else None
+                ),
+            )
 
 
 def append_batch(
@@ -452,26 +468,35 @@ def append_batch(
             # EXISTING centroids/codebooks and append its codes — rebuild
             # happens at compaction, like the reference's segment rebuilds.
             from columnar_spark.operators.knn_index import (
+                _load_vector_index_dir,
                 append_to_vector_index,
-                load_vector_index,
+                vector_index_dirs,
             )
 
             # check_fresh=False: the table append above legitimately moved the
-            # signature ahead of the sidecar's recorded one
-            vidx = load_vector_index(dst_path, check_fresh=False)
-            if vidx is not None and vidx.vec_col in appended.columns:
-                append_to_vector_index(ss, appended, dst_path)
-            # ... and the HNSW graph sidecar: touched sub-graphs extend
+            # signature ahead of the sidecar's recorded one. Every
+            # per-attribute artifact (root + col=*) absorbs the batch.
+            for vdir in vector_index_dirs(dst_path):
+                vidx = _load_vector_index_dir(dst_path, vdir, check_fresh=False)
+                if vidx is not None and vidx.vec_col in appended.columns:
+                    append_to_vector_index(
+                        ss, appended, dst_path, vec_col=vidx.vec_col
+                    )
+            # ... and the HNSW graph sidecars: touched sub-graphs extend
             # with deterministic level sampling (replay-safe); untouched
             # parts are not read or written.
             from columnar_spark.operators.hnsw_index import (
                 append_to_graph_index,
+                graph_index_dirs,
                 load_graph_index_meta,
             )
 
-            gmeta = load_graph_index_meta(dst_path, check_fresh=False)
-            if gmeta is not None and gmeta["vec_col"] in appended.columns:
-                append_to_graph_index(ss, appended, dst_path)
+            for gdir in graph_index_dirs(dst_path):
+                gmeta = load_graph_index_meta(
+                    dst_path, check_fresh=False, index_path=gdir
+                )
+                if gmeta is not None and gmeta["vec_col"] in appended.columns:
+                    append_to_graph_index(ss, appended, dst_path, index_path=gdir)
             # Persisted value-index sidecars (A11 artifact): fold the batch's
             # value counts in — O(index + batch-ndv), same merge contract.
             from columnar_spark.stats import (

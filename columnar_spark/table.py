@@ -1661,8 +1661,27 @@ class Engine:
                 rows.append(("posting_index", c, f"{base}.pidx/{c}"))
             if os.path.isdir(f"{base}.ftidx"):
                 rows.append(("text_index", "—", f"{base}.ftidx"))
-            if os.path.isdir(f"{base}.knn"):
-                rows.append(("vector_index", "—", f"{base}.knn"))
+            from columnar_spark.operators.hnsw_index import (
+                graph_index_dirs,
+                load_graph_index_meta,
+            )
+            from columnar_spark.operators.knn_index import (
+                _load_vector_index_dir,
+                vector_index_dirs,
+            )
+
+            for vdir in vector_index_dirs(base):
+                vi = _load_vector_index_dir(base, vdir, check_fresh=False)
+                rows.append(
+                    ("vector_index", vi.vec_col if vi else "—", vdir)
+                )
+            for gdir in graph_index_dirs(base):
+                gm = load_graph_index_meta(
+                    base, check_fresh=False, index_path=gdir
+                )
+                rows.append(
+                    ("vector_graph_index", gm["vec_col"] if gm else "—", gdir)
+                )
             if os.path.isdir(f"{base}.rollup"):
                 rows.append(("rollup", "—", f"{base}.rollup"))
             if os.path.isdir(f"{base}.vocab"):
@@ -1956,7 +1975,9 @@ class Engine:
         )
 
         has_graph = (
-            load_graph_index_meta(f"{self.sf_dir}/{name}.parquet") is not None
+            load_graph_index_meta(
+                f"{self.sf_dir}/{name}.parquet", vec_col=vec_col
+            ) is not None
         )
         has_ivf = (name, vec_col) in self._knn_indexes
         if not has_graph and not has_ivf:
@@ -2025,6 +2046,7 @@ class Engine:
                 query_vec,
                 k,
                 allowed=allowed,
+                vec_col=vec_col,
             )
             if out.columns[0] != id_col:
                 out = out.withColumnRenamed(out.columns[0], id_col)

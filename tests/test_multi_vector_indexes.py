@@ -1,0 +1,154 @@
+"""Per-attribute KNN sidecars (reference knn/knn.cpp:557-640 keeps a
+name->index map so one table can carry several indexed vector columns):
+a table with a text embedding AND an image embedding builds, appends,
+queries, and audits BOTH artifacts independently — `.knn`/`.knn-graph`
+root layout for the first column, `col=<vec_col>/` subdirs for the
+rest."""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from columnar_spark.operators.hnsw_index import (
+    append_to_graph_index,
+    build_graph_index,
+    check_graph_index,
+    graph_index_dirs,
+    graph_index_path,
+    knn_query_graph,
+    load_graph_index_meta,
+)
+from columnar_spark.operators.knn_index import (
+    append_to_vector_index,
+    build_vector_index,
+    check_vector_index,
+    knn_index_path,
+    knn_query_indexed,
+    load_vector_index,
+    vector_index_dirs,
+)
+
+
+def _mk_rows(n, d1, d2, seed, base=0):
+    rng = np.random.RandomState(seed)
+    return [
+        (base + i,
+         [float(x) for x in rng.randn(d1)],
+         [float(x) for x in rng.randn(d2)])
+        for i in range(n)
+    ]
+
+
+@pytest.fixture(scope="module")
+def two_vec_table(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("twovec") / "t.parquet")
+    df = spark.createDataFrame(
+        _mk_rows(300, 16, 8, seed=3),
+        "vec_id: long, text_emb: array<float>, img_emb: array<float>",
+    )
+    df.write.parquet(path)
+    return path
+
+
+def test_two_graph_indexes_coexist_and_serve(spark, two_vec_table):
+    df = spark.read.parquet(two_vec_table)
+    p1 = build_graph_index(
+        spark, df, two_vec_table, vec_col="text_emb", num_parts=2, metric="l2"
+    )
+    p2 = build_graph_index(
+        spark, df, two_vec_table, vec_col="img_emb", num_parts=2, metric="l2"
+    )
+    # first index keeps the root layout; the second roots per-attribute
+    assert p1 == graph_index_path(two_vec_table)
+    assert p2 == graph_index_path(two_vec_table, "img_emb")
+    assert os.path.basename(p2) == "col=img_emb"
+    assert set(graph_index_dirs(two_vec_table)) == {p1, p2}
+    # resolution by vec_col finds each independently
+    assert load_graph_index_meta(two_vec_table, vec_col="text_emb")["dim"] == 16
+    assert load_graph_index_meta(two_vec_table, vec_col="img_emb")["dim"] == 8
+    # queries dispatch by vec_col and disagree (different spaces)
+    row = df.filter(F.col("vec_id") == 5).first()
+    got_t = knn_query_graph(
+        spark, two_vec_table, [float(x) for x in row["text_emb"]], 3,
+        exact=True, vec_col="text_emb",
+    ).collect()
+    got_i = knn_query_graph(
+        spark, two_vec_table, [float(x) for x in row["img_emb"]], 3,
+        exact=True, vec_col="img_emb",
+    ).collect()
+    assert got_t[0]["vec_id"] == 5 and got_i[0]["vec_id"] == 5
+    assert [r["dist"] for r in got_t] != [r["dist"] for r in got_i]
+    # the checker audits both artifacts
+    assert check_graph_index(spark, two_vec_table) == []
+
+
+def test_two_graph_indexes_append_independently(spark, two_vec_table):
+    batch = spark.createDataFrame(
+        _mk_rows(20, 16, 8, seed=9, base=1000),
+        "vec_id: long, text_emb: array<float>, img_emb: array<float>",
+    )
+    batch.write.mode("append").parquet(two_vec_table)
+    for vc in ("text_emb", "img_emb"):
+        append_to_graph_index(spark, batch, two_vec_table, vec_col=vc)
+    assert check_graph_index(spark, two_vec_table) == []
+    q = [float(x) for x in batch.first()["img_emb"]]
+    top = knn_query_graph(
+        spark, two_vec_table, q, 1, exact=True, vec_col="img_emb"
+    ).first()
+    assert top["vec_id"] == 1000
+
+
+@pytest.fixture(scope="module")
+def two_vec_ivf_table(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("twovec_ivf") / "t.parquet")
+    df = spark.createDataFrame(
+        _mk_rows(300, 16, 8, seed=4),
+        "vec_id: long, text_emb: array<float>, img_emb: array<float>",
+    )
+    df.write.parquet(path)
+    return path
+
+
+def test_two_ivf_indexes_coexist_append_and_check(spark, two_vec_ivf_table):
+    df = spark.read.parquet(two_vec_ivf_table)
+    p1 = build_vector_index(
+        spark, df, two_vec_ivf_table, vec_col="text_emb", nlist=4, m=4, k=8
+    )
+    p2 = build_vector_index(
+        spark, df, two_vec_ivf_table, vec_col="img_emb", nlist=4, m=4, k=8
+    )
+    assert p1 == knn_index_path(two_vec_ivf_table)
+    assert p2 == knn_index_path(two_vec_ivf_table, "img_emb")
+    assert set(vector_index_dirs(two_vec_ivf_table)) == {p1, p2}
+    i1 = load_vector_index(two_vec_ivf_table, vec_col="text_emb")
+    i2 = load_vector_index(two_vec_ivf_table, vec_col="img_emb")
+    assert i1.dim == 16 and i2.dim == 8 and i1.path != i2.path
+    # default (no vec_col) keeps today's behavior: the root artifact
+    assert load_vector_index(two_vec_ivf_table).vec_col == "text_emb"
+
+    batch = spark.createDataFrame(
+        _mk_rows(15, 16, 8, seed=10, base=2000),
+        "vec_id: long, text_emb: array<float>, img_emb: array<float>",
+    )
+    batch.write.mode("append").parquet(two_vec_ivf_table)
+    for vc in ("text_emb", "img_emb"):
+        append_to_vector_index(spark, batch, two_vec_ivf_table, vec_col=vc)
+    assert check_vector_index(spark, two_vec_ivf_table) == []
+
+    # served query on the second attribute finds the appended vector
+    idx2 = load_vector_index(two_vec_ivf_table, vec_col="img_emb")
+    q = [float(x) for x in batch.first()["img_emb"]]
+    top = knn_query_indexed(spark, idx2, q, 1).first()
+    assert top["id"] == 2000
+
+    # a corrupted second artifact is reported with its col= tag
+    batch2 = spark.createDataFrame(
+        _mk_rows(5, 16, 8, seed=11, base=3000),
+        "vec_id: long, text_emb: array<float>, img_emb: array<float>",
+    )
+    batch2.write.mode("append").parquet(two_vec_ivf_table)
+    append_to_vector_index(spark, batch2, two_vec_ivf_table, vec_col="text_emb")
+    errs = check_vector_index(spark, two_vec_ivf_table)
+    assert any(e.startswith("col=img_emb:") for e in errs), errs
