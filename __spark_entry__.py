@@ -3589,6 +3589,15 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # zero-shuffle mapInPandas sidecar 0.80s (and WRONG under Arrow
     # batch splitting — a user's rows straddle batches). Scan alone is
     # 0.22s, so the residual gap to DuckDB is engine-constant, not plan.
+    # r8 re-attack (tools/ab_retention.py, 10x best-of-4): the sorted
+    # mapInPandas form done RIGHT (repartition(user) +
+    # sortWithinPandas(user), batch-boundary carry a la pack.py,
+    # per-partition local (cohort, offset) count fold) is CORRECT this
+    # time but 0.813s vs 0.589s here and window-lag-dedup 0.892s —
+    # Arrow transfer + python chunking costs more than collect_set
+    # saves. Scan+fold floor re-measured at 0.261s, so a <=0.15s total
+    # is unreachable on this corpus by any plan that reads the events;
+    # collect_set stands as the measured winner.
     per_user = ev.groupBy("user_id").agg(
         F.min("day").alias("day0"), F.collect_set("day").alias("days")
     )

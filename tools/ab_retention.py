@@ -101,8 +101,7 @@ def sorted_mip(ev, n_parts=32):
                 chunk = days[i:j]
                 if u == cur_user:
                     cur_days.update(chunk.tolist())
-                    if chunk[0] < cur_day0:
-                        cur_day0 = int(chunk.min())
+                    cur_day0 = min(cur_day0, int(chunk.min()))
                 else:
                     flush()
                     cur_user = u
