@@ -908,12 +908,19 @@ class Engine:
                     load_vector_index,
                 )
 
-                idx = load_vector_index(f"{self.sf_dir}/{m.group('table')}.parquet")
+                # resolve by the KNN() clause's column among per-attribute
+                # artifacts (a root index over a DIFFERENT column must not
+                # serve this query)
+                idx = load_vector_index(
+                    f"{self.sf_dir}/{m.group('table')}.parquet",
+                    vec_col=m.group("col"),
+                )
                 if idx is None:
                     raise ValueError(
-                        f"OPTION mode=index: no persisted vector index beside "
-                        f"{m.group('table')} — build one at ingest "
-                        "(knn_index.build_vector_index) or drop the option"
+                        f"OPTION mode=index: no persisted vector index for "
+                        f"{m.group('table')}.{m.group('col')} — build one at "
+                        "ingest (knn_index.build_vector_index) or drop the "
+                        "option"
                     )
                 if pre is not None:
                     raise ValueError(
@@ -958,6 +965,7 @@ class Engine:
                     vec,
                     int(m.group("k")),
                     allowed=allowed,
+                    vec_col=m.group("col"),
                 )
                 # the artifact's id column is meta-declared; align it
                 # with the table's id column for the payload join

@@ -152,3 +152,37 @@ def test_two_ivf_indexes_coexist_append_and_check(spark, two_vec_ivf_table):
     append_to_vector_index(spark, batch2, two_vec_ivf_table, vec_col="text_emb")
     errs = check_vector_index(spark, two_vec_ivf_table)
     assert any(e.startswith("col=img_emb:") for e in errs), errs
+
+
+def test_sql_knn_resolves_by_clause_column(spark, tmp_path_factory):
+    """The SQL surface's KNN(<col>, ...) clause selects the matching
+    per-attribute graph artifact; naming an unindexed column refuses
+    loudly instead of serving a different column's index."""
+    from columnar_spark.table import Engine
+
+    sf = str(tmp_path_factory.mktemp("sqlmulti"))
+    path = f"{sf}/embeddings.parquet"
+    df = spark.createDataFrame(
+        _mk_rows(300, 16, 8, seed=3),
+        "vec_id: long, text_emb: array<float>, img_emb: array<float>",
+    )
+    df.write.parquet(path)
+    for vc in ("text_emb", "img_emb"):
+        build_graph_index(spark, df, path, vec_col=vc, num_parts=2, metric="l2")
+    eng = Engine(spark, sf)
+    df = spark.read.parquet(path)
+    row = df.filter(F.col("vec_id") == 5).first()
+
+    def q(col, vals):
+        lit = ", ".join(str(float(x)) for x in vals)
+        return (
+            f"SELECT vec_id, KNN_DIST() FROM embeddings "
+            f"WHERE KNN({col}, 3, ({lit})) OPTION mode=graph"
+        )
+
+    got_t = eng.sql(q("text_emb", row["text_emb"])).collect()
+    got_i = eng.sql(q("img_emb", row["img_emb"])).collect()
+    assert got_t[0]["vec_id"] == 5 and got_i[0]["vec_id"] == 5
+    assert [r["knn_dist"] for r in got_t] != [r["knn_dist"] for r in got_i]
+    with pytest.raises(ValueError, match="no fresh graph index"):
+        eng.sql(q("vec_id", [0.0] * 16)).collect()
