@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "knn_ivfpq_cosine",
     "knn_graph_cosine",
     "knn_graph_filtered",
+    "knn_graph_l2_q8",
     "json_field_counts",
     "funnel_conversion",
     "retention_cohorts",

@@ -186,3 +186,32 @@ def test_sql_knn_resolves_by_clause_column(spark, tmp_path_factory):
     assert [r["knn_dist"] for r in got_t] != [r["knn_dist"] for r in got_i]
     with pytest.raises(ValueError, match="no fresh graph index"):
         eng.sql(q("vec_id", [0.0] * 16)).collect()
+
+
+def test_ingest_append_maintains_both_artifacts(spark, tmp_path_factory):
+    """append_batch (the E9 maintenance unit) folds one batch into EVERY
+    per-attribute artifact — both graph sidecars extend, both stay
+    audit-clean, and a fresh query on each column finds the new row."""
+    from columnar_spark.streaming.ingest import append_batch
+
+    path = str(tmp_path_factory.mktemp("ingmulti") / "t.parquet")
+    df = spark.createDataFrame(
+        _mk_rows(200, 16, 8, seed=6),
+        "vec_id: long, text_emb: array<float>, img_emb: array<float>",
+    )
+    df.write.parquet(path)
+    for vc, d in (("text_emb", 16), ("img_emb", 8)):
+        build_graph_index(spark, df, path, vec_col=vc, num_parts=2, metric="l2")
+        build_vector_index(spark, df, path, vec_col=vc, nlist=4, m=4, k=8)
+
+    batch = spark.createDataFrame(
+        _mk_rows(10, 16, 8, seed=12, base=7000),
+        "vec_id: long, text_emb: array<float>, img_emb: array<float>",
+    )
+    assert append_batch(batch, path, batch_id=1) is True
+    assert check_graph_index(spark, path) == []
+    assert check_vector_index(spark, path) == []
+    for vc in ("text_emb", "img_emb"):
+        q = [float(x) for x in batch.first()[vc]]
+        top = knn_query_graph(spark, path, q, 1, exact=True, vec_col=vc).first()
+        assert top["vec_id"] == 7000, vc
