@@ -2027,9 +2027,29 @@ class Engine:
         pre: Column | None = None
         if filters:
             pre = compile_filters(filters, df.schema)
+        forced = mode != "auto"
         if mode == "auto":
             path = self.knn_access_path(name, vec_col, filters, k)
             mode = {"fullscan": "exact"}.get(path, path)
+        if mode == "graph":
+            from columnar_spark.operators.hnsw_index import (
+                load_graph_index_meta,
+            )
+
+            # the artifact serves ITS OWN metric — a caller asking for a
+            # different one must not be silently answered in the wrong
+            # space; auto falls back to exact, an explicit force refuses
+            gm = load_graph_index_meta(
+                f"{self.sf_dir}/{name}.parquet", vec_col=vec_col
+            )
+            if gm is not None and gm["metric"] != metric:
+                if forced:
+                    raise ValueError(
+                        f"graph index on {name}.{vec_col} serves metric "
+                        f"{gm['metric']!r}, not {metric!r} — use the exact "
+                        "path or rebuild the index with the wanted metric"
+                    )
+                mode = "exact"
         if mode == "graph":
             from columnar_spark.operators.hnsw_index import knn_query_graph
 

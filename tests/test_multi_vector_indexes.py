@@ -215,3 +215,37 @@ def test_ingest_append_maintains_both_artifacts(spark, tmp_path_factory):
         q = [float(x) for x in batch.first()[vc]]
         top = knn_query_graph(spark, path, q, 1, exact=True, vec_col=vc).first()
         assert top["vec_id"] == 7000, vc
+
+
+def test_engine_knn_metric_mismatch_guard(spark, tmp_path_factory):
+    """Engine.knn must not silently answer in the artifact's space when
+    the caller asked for a different metric: auto falls back to exact
+    (correct in the REQUESTED metric), an explicit mode=graph refuses."""
+    from columnar_spark.filters import Filter  # noqa: F401 (engine import path)
+    from columnar_spark.table import Engine
+
+    sf = str(tmp_path_factory.mktemp("metricguard"))
+    path = f"{sf}/embeddings.parquet"
+    df = spark.createDataFrame(
+        _mk_rows(200, 8, 8, seed=5),
+        "vec_id: long, embedding: array<float>, img_emb: array<float>",
+    )
+    df.write.parquet(path)
+    build_graph_index(spark, df, path, vec_col="embedding", num_parts=2, metric="l2")
+    eng = Engine(spark, sf)
+    q = [float(x) for x in df.filter(F.col("vec_id") == 3).first()["embedding"]]
+
+    # auto + cosine over an l2 artifact -> exact path, cosine answer
+    got = eng.knn("embeddings", "embedding", q, k=3, metric="cosine").collect()
+    from columnar_spark.operators.knn import knn_topk
+
+    want = knn_topk(df, "embedding", q, 3, metric="cosine").collect()
+    assert [(r["vec_id"], round(r["dist"], 9)) for r in got] == [
+        (r["vec_id"], round(r["dist"], 9)) for r in want
+    ]
+    # forced graph + mismatched metric refuses loudly
+    with pytest.raises(ValueError, match="serves metric"):
+        eng.knn("embeddings", "embedding", q, k=3, metric="cosine", mode="graph")
+    # matching metric serves from the graph
+    top = eng.knn("embeddings", "embedding", q, k=1, metric="l2", mode="graph").first()
+    assert top["vec_id"] == 3
