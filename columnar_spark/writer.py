@@ -730,13 +730,17 @@ def compact_table(
     for c in persisted_posting_index_cols(path):
         _write_table_sig(path, posting_index_path(path, c))
     for side in (
-        path.rstrip("/") + ".knn",
-        path.rstrip("/") + ".knn-graph",
         path.rstrip("/") + ".textstats",
         path.rstrip("/") + ".dedupsig",
     ):
         if os.path.isdir(side):
             _write_table_sig(path, side)
+    # per-attribute KNN artifacts each carry their OWN signature file
+    from columnar_spark.operators.hnsw_index import graph_index_dirs
+    from columnar_spark.operators.knn_index import vector_index_dirs
+
+    for side in vector_index_dirs(path) + graph_index_dirs(path):
+        _write_table_sig(path, side)
     # Join projections record BOTH constituents' signatures: re-record
     # every projection this table participates in (fact or dim side) —
     # compaction preserved row content, so the stored join is still
@@ -771,26 +775,32 @@ def compact_vector_index(spark: SparkSession, path: str) -> bool:
     import os
     import shutil
 
-    from columnar_spark.operators.knn_index import load_vector_index
-
-    # compaction just changed the table's file signature — read anyway
-    index = load_vector_index(path, check_fresh=False)
-    if index is None:
-        return False
-    vp = index.vectors_path
-    n_files = len(glob.glob(os.path.join(vp, "ivf_cluster=*", "*.parquet")))
-    if n_files <= index.nlist:
-        return False
-    codes = spark.read.parquet(vp)
-    tmp = vp.rstrip("/") + ".compact.tmp"
-    (
-        codes.repartition("ivf_cluster")
-        .write.mode("overwrite")
-        .partitionBy("ivf_cluster")
-        .parquet(tmp)
+    from columnar_spark.operators.knn_index import (
+        _load_vector_index_dir,
+        vector_index_dirs,
     )
-    old = vp.rstrip("/") + ".compact.old"
-    shutil.move(vp, old)
-    shutil.move(tmp, vp)
-    shutil.rmtree(old)
-    return True
+
+    did = False
+    for d in vector_index_dirs(path):
+        # compaction just changed the table's file signature — read anyway
+        index = _load_vector_index_dir(path, d, check_fresh=False)
+        if index is None:
+            continue
+        vp = index.vectors_path
+        n_files = len(glob.glob(os.path.join(vp, "ivf_cluster=*", "*.parquet")))
+        if n_files <= index.nlist:
+            continue
+        codes = spark.read.parquet(vp)
+        tmp = vp.rstrip("/") + ".compact.tmp"
+        (
+            codes.repartition("ivf_cluster")
+            .write.mode("overwrite")
+            .partitionBy("ivf_cluster")
+            .parquet(tmp)
+        )
+        old = vp.rstrip("/") + ".compact.old"
+        shutil.move(vp, old)
+        shutil.move(tmp, vp)
+        shutil.rmtree(old)
+        did = True
+    return did

@@ -249,3 +249,28 @@ def test_engine_knn_metric_mismatch_guard(spark, tmp_path_factory):
     # matching metric serves from the graph
     top = eng.knn("embeddings", "embedding", q, k=1, metric="l2", mode="graph").first()
     assert top["vec_id"] == 3
+
+
+def test_compaction_rerecords_per_attribute_sigs(spark, tmp_path_factory):
+    """compact_table changes the table's file signature without changing
+    content: EVERY per-attribute artifact's freshness sig must be
+    re-recorded (a stale col=* sig would refuse that index forever) and
+    the per-column code datasets compact too."""
+    from columnar_spark.writer import compact_table
+
+    path = str(tmp_path_factory.mktemp("compmulti") / "t.parquet")
+    df = spark.createDataFrame(
+        _mk_rows(120, 16, 8, seed=8),
+        "vec_id: long, text_emb: array<float>, img_emb: array<float>",
+    )
+    df.repartition(6).write.parquet(path)
+    for vc in ("text_emb", "img_emb"):
+        build_graph_index(spark, df, path, vec_col=vc, num_parts=2, metric="l2")
+        build_vector_index(spark, df, path, vec_col=vc, nlist=2, m=4, k=8)
+    compact_table(spark, path, rows_per_split=1000)
+    # fresh loads succeed for BOTH columns of BOTH artifact kinds
+    for vc in ("text_emb", "img_emb"):
+        assert load_vector_index(path, vec_col=vc) is not None, vc
+        assert load_graph_index_meta(path, vec_col=vc) is not None, vc
+    assert check_vector_index(spark, path) == []
+    assert check_graph_index(spark, path) == []
