@@ -208,10 +208,11 @@ def _refresh_derived_sidecars(spark, path: str, fmt: str) -> None:
             except Exception:
                 shutil.rmtree(troot, ignore_errors=True)
 
-        kroot = base + ".knn"
-        if os.path.isdir(kroot):
+        from columnar_spark.operators.knn_index import vector_index_dirs
+
+        for kdir in vector_index_dirs(path):
             try:
-                km = spark.read.parquet(os.path.join(kroot, "meta.parquet")).first()
+                km = spark.read.parquet(os.path.join(kdir, "meta.parquet")).first()
                 from columnar_spark.operators.knn_index import build_vector_index
 
                 build_vector_index(
@@ -224,19 +225,21 @@ def _refresh_derived_sidecars(spark, path: str, fmt: str) -> None:
                     nlist=km["nlist"],
                     m=km["m"],
                     k=km["k"],
+                    index_path=kdir,
                 )
             except Exception:
-                shutil.rmtree(kroot, ignore_errors=True)
+                shutil.rmtree(kdir, ignore_errors=True)
 
-        groot = base + ".knn-graph"
-        if os.path.isdir(groot):
+        from columnar_spark.operators.hnsw_index import graph_index_dirs
+
+        for gdir in graph_index_dirs(path):
             try:
                 from columnar_spark.operators.hnsw_index import (
                     build_graph_index,
                     load_graph_index_meta,
                 )
 
-                gm = load_graph_index_meta(path, check_fresh=False)
+                gm = load_graph_index_meta(path, check_fresh=False, index_path=gdir)
                 build_graph_index(
                     spark,
                     new,
@@ -248,9 +251,16 @@ def _refresh_derived_sidecars(spark, path: str, fmt: str) -> None:
                     ef_construction=gm["ef_construction"],
                     num_parts=gm["num_parts"],
                     seed=gm["seed"],
+                    quantize=gm["quantize"],
+                    index_path=gdir,
+                    q8_bounds=(
+                        (gm["q8_lo"], gm["q8_hi"])
+                        if gm["q8_lo"] is not None
+                        else None
+                    ),
                 )
             except Exception:
-                shutil.rmtree(groot, ignore_errors=True)
+                shutil.rmtree(gdir, ignore_errors=True)
 
 
 def delete_where(spark, path: str, condition: str, fmt: str = "parquet") -> tuple[int, int]:
