@@ -274,3 +274,43 @@ def test_compaction_rerecords_per_attribute_sigs(spark, tmp_path_factory):
         assert load_graph_index_meta(path, vec_col=vc) is not None, vc
     assert check_vector_index(spark, path) == []
     assert check_graph_index(spark, path) == []
+
+
+def test_crash_rebuild_preserves_quantization_and_all_artifacts(spark, tmp_path_factory):
+    """_rebuild_sidecars (the crashed-mid-application recovery) must
+    rebuild EVERY per-attribute artifact and preserve each graph's
+    quantization ladder + frozen bounds (a raw-float rebuild of a q8
+    artifact would silently quadruple it and break the oracle's
+    code-space construction)."""
+    from columnar_spark.streaming.ingest import _rebuild_sidecars
+
+    path = str(tmp_path_factory.mktemp("crashmulti") / "t.parquet")
+    df = spark.createDataFrame(
+        _mk_rows(150, 16, 8, seed=13),
+        "vec_id: long, text_emb: array<float>, img_emb: array<float>",
+    )
+    df.write.parquet(path)
+    build_graph_index(
+        spark, df, path, vec_col="text_emb", num_parts=2, metric="l2",
+        quantize="q8",
+    )
+    build_graph_index(spark, df, path, vec_col="img_emb", num_parts=2, metric="l2")
+    m0 = load_graph_index_meta(path, vec_col="text_emb")
+    bounds0 = (m0["q8_lo"], m0["q8_hi"])
+
+    # simulate the crashed batch: rows landed in the table, sidecars may
+    # or may not have absorbed them -> recovery rebuilds from the table
+    batch = spark.createDataFrame(
+        _mk_rows(10, 16, 8, seed=14, base=9000),
+        "vec_id: long, text_emb: array<float>, img_emb: array<float>",
+    )
+    batch.write.mode("append").parquet(path)
+    _rebuild_sidecars(spark, path)
+
+    m1 = load_graph_index_meta(path, vec_col="text_emb")
+    assert m1["quantize"] == "q8" and (m1["q8_lo"], m1["q8_hi"]) == bounds0
+    assert load_graph_index_meta(path, vec_col="img_emb")["quantize"] == "none"
+    assert check_graph_index(spark, path) == []
+    q = [float(x) for x in batch.first()["text_emb"]]
+    top = knn_query_graph(spark, path, q, 1, exact=True, vec_col="text_emb").first()
+    assert top["vec_id"] == 9000
