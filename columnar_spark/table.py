@@ -1605,10 +1605,13 @@ class Engine:
                         f"TEXT INDEX ({lt[2]['text_col']}, "
                         f"{lt[2].get('id_col', 'doc_id')})"
                     )
-            if os.path.isdir(base + ".knn"):
-                from columnar_spark.operators.knn_index import load_vector_index
+            from columnar_spark.operators.knn_index import (
+                _load_vector_index_dir,
+                vector_index_dirs,
+            )
 
-                vi = load_vector_index(base)
+            for vdir in vector_index_dirs(base):
+                vi = _load_vector_index_dir(base, vdir, check_fresh=False)
                 if vi is not None:
                     clauses.append(
                         f"VECTOR INDEX ({vi.vec_col}) "
