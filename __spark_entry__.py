@@ -5957,7 +5957,7 @@ _DRIVER_PRIORITY = [
     "embedding_neardup_lsh", "q9_nation_profit", "knn_q8_cosine", "knn_pq_l2",
     "knn_ivfpq_cosine", "histogram_quantity", "knn_self_join_ivf",
     "minhash_lsh_pairs", "simhash_pairs", "knn_cosine_filtered",
-    "q13_order_distribution", "q17_small_qty_revenue", "faceted_search_docs",
+    "q13_order_distribution", "faceted_search_docs",
 ]
 
 
