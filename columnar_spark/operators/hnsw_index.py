@@ -93,20 +93,34 @@ def _bytes_to_code(b: bytes) -> int:
     return int.from_bytes(bytes(b), "little")
 
 
+def _q8_walk_dtype(dim: int):
+    """Walk-space dtype for q8 levels: float32 keeps squared-L2 / ip
+    sums EXACT only while dim * 255^2 < 2^24 (dim <= 257) — numpy
+    accumulates np.dot in the operand dtype. Past that, upcast to
+    float64 (exact to 2^53, any practical dim). For small dims the two
+    are bit-identical (float32 integer arithmetic below 2^24 is exact),
+    so the shipped 64-dim oracles are unchanged."""
+    import numpy as np
+
+    return np.float32 if dim * 255 * 255 < (1 << 24) else np.float64
+
+
 def _q8_levels(vec, lo: float, hi: float):
-    """Trained-clip int8 quantization LEVELS (0..255) as a float32
-    numpy array — the walk space for quantize='q8' artifacts. The
-    arithmetic is fixed to floor((clip(x)-lo)*255/(hi-lo) + 0.5) on
-    float64 so a SQL oracle (Spark or DuckDB) reproduces every level
-    bit-for-bit; levels are small integers, so float32 storage and the
-    walk's squared-L2 sums are EXACT (< 2^24) — the determinism the
-    hash oracle rides on. Reference: quantizer.cpp:45 int8 ladder,
-    searched in code space knn/knn.cpp:411-452."""
+    """Trained-clip int8 quantization LEVELS (0..255) as a numpy array
+    — the walk space for quantize='q8' artifacts. The arithmetic is
+    fixed to floor((clip(x)-lo)*255/(hi-lo) + 0.5) on float64 so a SQL
+    oracle (Spark or DuckDB) reproduces every level bit-for-bit; levels
+    are small integers, so the walk's squared-L2/ip sums are EXACT in
+    the dtype _q8_walk_dtype picks — the determinism the hash oracle
+    rides on. Reference: quantizer.cpp:45 int8 ladder, searched in code
+    space knn/knn.cpp:411-452."""
     import numpy as np
 
     x = np.asarray(vec, dtype=np.float64)
     scale = 255.0 / (hi - lo)
-    return np.floor((np.clip(x, lo, hi) - lo) * scale + 0.5).astype(np.float32)
+    return np.floor((np.clip(x, lo, hi) - lo) * scale + 0.5).astype(
+        _q8_walk_dtype(x.shape[-1])
+    )
 
 
 def _q8_levels_to_bytes(lvl) -> bytes:
@@ -120,7 +134,8 @@ def _q8_levels_to_bytes(lvl) -> bytes:
 def _q8_bytes_to_levels(b: bytes):
     import numpy as np
 
-    return np.frombuffer(bytes(b), dtype=np.int8).astype(np.float32) + 128.0
+    raw = np.frombuffer(bytes(b), dtype=np.int8)
+    return raw.astype(_q8_walk_dtype(raw.shape[-1])) + 128.0
 
 
 # In-walk allow-set transport cap: the set is broadcast to every search

@@ -209,6 +209,17 @@ class QuantileTermination:
         return self._bad_rounds >= self._patience
 
 
+
+def _walk_array(vec):
+    """Vector -> walk-space array. float32 by default; an explicitly
+    float64 ndarray is PRESERVED — q8 level vectors for dim > 257 are
+    handed in as float64 so squared-L2/ip sums stay exact past float32's
+    2^24 integer ceiling (see hnsw_index._q8_walk_dtype)."""
+    if getattr(vec, "dtype", None) == np.float64:
+        return vec
+    return np.asarray(vec, dtype=np.float32)
+
+
 class HnswIndex:
     """Hierarchical Navigable Small World graph over float32 vectors.
 
@@ -282,7 +293,7 @@ class HnswIndex:
             q = int(vec)  # packed code
             qn = 0.0
         else:
-            q = np.asarray(vec, dtype=np.float32)
+            q = _walk_array(vec)
             qn = float(np.linalg.norm(q)) or 1e-30
         node = len(self._vecs)
         self._vecs.append(q)
@@ -465,7 +476,7 @@ class HnswIndex:
         if self.metric == "hamming":
             q, qn = int(vec), 0.0
         else:
-            q = np.asarray(vec, dtype=np.float32)
+            q = _walk_array(vec)
             qn = float(np.linalg.norm(q)) or 1e-30
         curr = self._entry
         for lev in range(self._max_level, 0, -1):
@@ -606,7 +617,7 @@ def index_from_rows(
     dim = len(rows[0][2])
     index = HnswIndex(dim, metric, M, ef_construction, seed)
     for _node, label, vec, links in rows:
-        v = np.asarray(vec, dtype=np.float32)
+        v = _walk_array(vec)
         index._vecs.append(v)
         index._norms.append(float(np.linalg.norm(v)) or 1e-30)
         index._labels.append(int(label))

@@ -210,6 +210,28 @@ def _refresh_derived_sidecars(spark, path: str, fmt: str) -> None:
 
         from columnar_spark.operators.knn_index import vector_index_dirs
 
+        def _disable_artifact(d: str) -> None:
+            # Disable-on-failure must not take out healthy siblings: the
+            # ROOT .knn/.knn-graph layout NESTS per-attribute `col=*`
+            # artifacts, so rmtree(root) on a root-only rebuild failure
+            # would destroy every other column's index too. Delete only
+            # the dir's own payload and keep col=* subdirs.
+            if not os.path.isdir(d):
+                return
+            for entry in os.listdir(d):
+                if entry.startswith("col="):
+                    continue
+                p = os.path.join(d, entry)
+                if os.path.isdir(p):
+                    shutil.rmtree(p, ignore_errors=True)
+                else:
+                    try:
+                        os.remove(p)
+                    except OSError:
+                        pass
+            if not os.listdir(d):  # no col=* siblings -> drop the dir too
+                shutil.rmtree(d, ignore_errors=True)
+
         for kdir in vector_index_dirs(path):
             try:
                 km = spark.read.parquet(os.path.join(kdir, "meta.parquet")).first()
@@ -228,7 +250,7 @@ def _refresh_derived_sidecars(spark, path: str, fmt: str) -> None:
                     index_path=kdir,
                 )
             except Exception:
-                shutil.rmtree(kdir, ignore_errors=True)
+                _disable_artifact(kdir)
 
         from columnar_spark.operators.hnsw_index import graph_index_dirs
 
@@ -260,7 +282,7 @@ def _refresh_derived_sidecars(spark, path: str, fmt: str) -> None:
                     ),
                 )
             except Exception:
-                shutil.rmtree(gdir, ignore_errors=True)
+                _disable_artifact(gdir)
 
 
 def delete_where(spark, path: str, condition: str, fmt: str = "parquet") -> tuple[int, int]:

@@ -232,6 +232,15 @@ class Engine:
             elems.append((mj.group(1).lower(), (mj.group(2) or mj.group(1)).lower()))
             conds.append((len(elems) - 1, mj.group(3), mj.group(4)))
             pos = mj.end()
+            # an ON clause that continues past the first equality (AND/OR
+            # conjuncts) would be left OUTSIDE the rebuilt chain span and
+            # re-spliced verbatim after it — for OR that silently changes
+            # semantics (the disjunct attaches to a different join with
+            # flipped precedence). Bail on both: AND is relocatable for
+            # inner joins but conservative refusal matches the router's
+            # posture everywhere else.
+            if _re.match(r"\s*(?:AND|OR)\b", masked[pos:], _re.IGNORECASE):
+                return None
         chain_span = (mfrom.start(), pos)
         alias2elem = {}
         for i, (t, a) in enumerate(elems):

@@ -165,3 +165,38 @@ def test_aliased_and_chain_forms_route(spark, eng):
         assert "lineitem.parquet.proj/" in plan, (q, plan)
         assert "lineitem.parquet/" not in plan, (q, plan)
         _check(eng, spark, q)
+
+
+def test_multi_predicate_on_clause_bails(spark, eng):
+    """ADVICE r8 (high): an ON clause that continues past its first
+    equality (AND/OR conjuncts) must NOT be routed — the old parser
+    consumed only the first equality and re-spliced the trailing
+    disjunct verbatim after the rebuilt FROM, silently changing the
+    collapsed join's OR semantics. The router must return the exact
+    plain-SQL answer (routing is fine only if semantics survive; for
+    these shapes it bails)."""
+    qs = [
+        # trailing OR on the collapsible join
+        "SELECT l_quantity, o_orderpriority FROM lineitem l "
+        "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "OR l.l_returnflag = o.o_orderstatus",
+        # trailing AND on the collapsible join
+        "SELECT COUNT(*) AS n FROM lineitem l "
+        "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "AND o.o_orderpriority = '1-URGENT'",
+        # chain where the LAST join carries the OR (the verified replay)
+        "SELECT COUNT(*) AS n FROM lineitem l "
+        "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "JOIN customer c ON o.o_custkey = c.c_custkey "
+        "OR o.o_orderpriority = c.c_mktsegment",
+        # AND on a non-collapsible join in a chain
+        "SELECT COUNT(*) AS n FROM lineitem l "
+        "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "JOIN customer c ON o.o_custkey = c.c_custkey "
+        "AND c.c_mktsegment = 'BUILDING'",
+    ]
+    for q in qs:
+        _check(eng, spark, q)
+        # and the refusal is explicit: no projection in the plan
+        plan = eng.sql(q)._jdf.queryExecution().executedPlan().toString()
+        assert "lineitem.parquet.proj/" not in plan, q
