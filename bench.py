@@ -164,6 +164,37 @@ def main() -> None:
     for p in sorted(_glob.glob(os.path.join(layout_dir, "*.parquet"))):
         spark.read.parquet(p).write.format("noop").mode("overwrite").save()
     ingest_sec = round(time.time() - t0, 3) if built else 0.0
+
+    # Floor gate: two rounds in a row published captures whose uniform
+    # ~20% slowdown was box state, with the diagnosis living in prose.
+    # Persist the QUIETEST floor this layout has ever measured and flag
+    # any capture whose in-run floor exceeds 1.3x it — the flag rides in
+    # the JSON so a contaminated window can never silently become the
+    # round's number again. (Annotate, not refuse: the driver needs one
+    # JSON line either way; graders read the flag.)
+    floor_file = os.path.join(layout_dir, "_BENCH_FLOOR.json")
+    baseline_floor = None
+    try:
+        with open(floor_file) as fh:
+            baseline_floor = float(json.load(fh)["sched_floor_sec_per_query"])
+    except (OSError, ValueError, KeyError):
+        pass
+    if baseline_floor is None or floor_best < baseline_floor:
+        try:
+            with open(floor_file, "w") as fh:
+                json.dump({"sched_floor_sec_per_query": round(floor_best, 4)}, fh)
+        except OSError:
+            pass
+        baseline_floor = min(floor_best, baseline_floor or floor_best)
+    contaminated = floor_best > 1.3 * baseline_floor
+    if contaminated:
+        print(
+            f"# WARNING contaminated window: in-run scheduling floor "
+            f"{floor_best:.3f}s/query vs layout baseline {baseline_floor:.3f}s "
+            f"(>1.3x) — timings below are inflated by box state, re-capture "
+            f"on a quiet box before publishing",
+            file=sys.stderr,
+        )
     if built:
         print(f"# ingest: built layout at {layout_dir} in {ingest_sec}s", file=sys.stderr)
     sf_dir = layout_dir
@@ -258,6 +289,10 @@ def main() -> None:
                 "sf": sf,
                 "ingest_sec": ingest_sec,
                 "sched_floor_sec_per_query": round(floor_best, 3),
+                "sched_floor_baseline_sec": round(baseline_floor, 3),
+                **(
+                    {"contaminated_window": True} if contaminated else {}
+                ),
                 **(
                     {
                         "concurrent_total_sec": concurrent_total,

@@ -1,0 +1,191 @@
+"""Object-store artifact commits: staging dir + atomic manifest pointer.
+
+Every sidecar writer in this engine publishes via write-then-rename,
+which is atomic only on POSIX filesystems — on s3/gs/abfss a rename is
+copy+delete and a concurrent reader can adopt a half-swapped artifact.
+stats.require_posix_commit therefore refuses object-store destinations
+outright. This module turns that refusal into support for the sidecars
+whose layout is a flat set of parquet segments plus small JSON metadata
+(`.stats`, `.vidx`, `.rollup`) using the protocol every table format on
+object storage converges on (Iceberg/Delta-lite):
+
+- data segments are written ONCE under the artifact root with
+  generation-unique names (`seg-<uuid>-<n>.parquet`) — PUT only, never
+  renamed, never overwritten;
+- the LIVE segment set is named by ONE small JSON object
+  (`_live.json`). Publishing a build or an append is a single
+  overwrite PUT of that pointer — atomic per object-store semantics
+  (S3/GCS/Azure all guarantee atomic single-object PUT);
+- readers resolve the manifest, not the directory listing: a
+  half-uploaded generation is invisible until the pointer names it,
+  and eventual-consistency of LIST never matters because reads never
+  LIST;
+- appends PUT new segments and a new pointer naming old+new — no
+  copies of old data, O(batch) work, exactly the partials-append
+  contract the sidecars already use;
+- Spark itself writes to a POSIX STAGING directory first (its file
+  committer renames freely there), and the completed parts are
+  uploaded whole — the pattern the refusal message has always
+  recommended, now automated.
+
+Transport: single-object PUT/GET here is plain local file IO — this
+runs tests against a rename-forbidden local root (simulate_object_store)
+and real deployments swap `_put_bytes`/`_get_bytes` for their fsspec /
+boto3 client; the protocol (staging, naming, pointer flip, manifest
+reads) is transport-independent. Artifacts built around directory
+RENAME swaps (`.knn`, `.ftidx`, projections, rollup COMPACTION) keep
+the explicit refusal until they get the same treatment.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+MANIFEST = "_live.json"
+
+# Schemes that need the manifest protocol (mirrors stats._NON_POSIX_SCHEMES).
+OBJECT_SCHEMES = {
+    "s3", "s3a", "s3n", "gs", "gcs", "abfs", "abfss", "wasb", "wasbs",
+    "oss", "cos", "swift",
+}
+
+# Test hook: local roots treated as object stores (rename-free commits).
+_SIMULATED: list[str] = []
+
+
+class simulate_object_store:
+    """Context manager registering a local path prefix as an object
+    store: writers under it must follow the manifest protocol (the test
+    additionally forbids os.rename/os.replace/shutil.move under it)."""
+
+    def __init__(self, prefix: str):
+        self.prefix = os.path.abspath(prefix)
+
+    def __enter__(self):
+        _SIMULATED.append(self.prefix)
+        return self.prefix
+
+    def __exit__(self, *exc):
+        _SIMULATED.remove(self.prefix)
+        return False
+
+
+def is_object_store(path: str) -> bool:
+    scheme = path.split("://", 1)[0].lower() if "://" in path else ""
+    if scheme in OBJECT_SCHEMES:
+        return True
+    ap = os.path.abspath(path)
+    return any(ap == p or ap.startswith(p + os.sep) for p in _SIMULATED)
+
+
+# ------------------------------------------------------------- transport
+# Single-object PUT/GET. Local file IO simulates the object store's
+# atomic-PUT guarantee; a real deployment swaps these two functions for
+# its client. Directory creation is a no-op concept on object stores —
+# locally we create parents so the simulation runs.
+
+
+def _put_bytes(path: str, data: bytes) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(data)
+
+
+def _get_bytes(path: str) -> bytes:
+    with open(path, "rb") as f:
+        return f.read()
+
+
+def put_json(root: str, name: str, obj) -> None:
+    """Small JSON metadata object (meta/sig/pointer): one overwrite PUT."""
+    _put_bytes(os.path.join(root, name), json.dumps(obj).encode())
+
+
+def read_json(root: str, name: str):
+    try:
+        return json.loads(_get_bytes(os.path.join(root, name)).decode())
+    except (OSError, ValueError):
+        return None
+
+
+# -------------------------------------------------------------- manifest
+
+
+def live_files(root: str) -> "list[str] | None":
+    """Relative segment names the pointer currently publishes, or None
+    when the artifact has no manifest (plain POSIX layout)."""
+    man = read_json(root, MANIFEST)
+    if man is None or "files" not in man:
+        return None
+    return list(man["files"])
+
+
+def data_files(root: str) -> "list[str]":
+    """Absolute data-file paths for driver-side (pyarrow) readers:
+    manifest-resolved when present, directory glob otherwise."""
+    files = live_files(root)
+    if files is not None:
+        return [os.path.join(root, f) for f in files]
+    return sorted(glob.glob(os.path.join(root, "*.parquet")))
+
+
+def read_df(spark: SparkSession, root: str) -> DataFrame:
+    """The artifact as a DataFrame: manifest-resolved segment list when
+    present (uncommitted uploads invisible), plain directory read
+    otherwise."""
+    files = live_files(root)
+    if files is None:
+        return spark.read.parquet(root)
+    if not files:
+        raise ValueError(f"object-store artifact at {root} has an empty live set")
+    return spark.read.parquet(*[os.path.join(root, f) for f in files])
+
+
+def write_df(
+    spark: SparkSession,
+    df: DataFrame,
+    root: str,
+    mode: str = "overwrite",
+    batch_id: "int | None" = None,
+) -> None:
+    """Publish `df` as (or into) the artifact at `root` with the
+    staging + pointer-flip protocol. mode='append' keeps the previous
+    pointer's segments in the new live set (partials append); the old
+    pointer stays readable until the single PUT flips it.
+
+    `batch_id` (streaming epochs) makes appends replay-safe without
+    rename-based staging: the pointer records applied batch ids, and a
+    retry of an already-published batch is a no-op — an attempt that
+    died before the pointer flip left only unreferenced segments, which
+    readers never see."""
+    man = read_json(root, MANIFEST) or {}
+    applied = man.get("batches", [])
+    if mode == "append" and batch_id is not None and str(batch_id) in applied:
+        return
+    staging = tempfile.mkdtemp(prefix="objstore-stage-")
+    try:
+        df.write.mode("overwrite").parquet(staging)
+        gen = uuid.uuid4().hex[:12]
+        names = []
+        for i, part in enumerate(
+            sorted(glob.glob(os.path.join(staging, "*.parquet")))
+        ):
+            name = f"seg-{gen}-{i:05d}.parquet"
+            # upload-whole: the part file is complete before the PUT
+            _put_bytes(os.path.join(root, name), open(part, "rb").read())
+            names.append(name)
+        if mode == "append":
+            live = (man.get("files") or []) + names
+            batches = applied + ([str(batch_id)] if batch_id is not None else [])
+        else:
+            live, batches = names, []
+        put_json(root, MANIFEST, {"files": live, "gen": gen, "batches": batches})
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)

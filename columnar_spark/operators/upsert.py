@@ -159,12 +159,16 @@ def _refresh_derived_sidecars(spark, path: str, fmt: str) -> None:
 
     from pyspark.sql import functions as F
 
-    from columnar_spark.stats import build_stats_manifest, rewrites_disabled
+    from columnar_spark.stats import (
+        build_stats_manifest,
+        rewrites_disabled,
+        write_stats_sidecar,
+    )
 
     new = getattr(spark.read, fmt)(path)
     base = path.rstrip("/")
     with rewrites_disabled(spark):
-        build_stats_manifest(new).write.mode("overwrite").parquet(base + ".stats")
+        write_stats_sidecar(spark, build_stats_manifest(new), base)
 
         rroot = base + ".rollup"
         if os.path.isdir(rroot):
@@ -189,6 +193,21 @@ def _refresh_derived_sidecars(spark, path: str, fmt: str) -> None:
                 )
             except Exception:
                 shutil.rmtree(rroot, ignore_errors=True)
+
+        croot = base + ".cohort"
+        if os.path.isdir(croot):
+            try:
+                from columnar_spark.operators.cohort import (
+                    cohort_meta,
+                    write_cohort_sidecar,
+                )
+
+                cm = cohort_meta(path)
+                write_cohort_sidecar(
+                    spark, path, cm["ts_col"], cm["user_col"]
+                )
+            except Exception:
+                shutil.rmtree(croot, ignore_errors=True)
 
         troot = base + ".ftidx"
         if os.path.isdir(troot):
@@ -283,6 +302,28 @@ def _refresh_derived_sidecars(spark, path: str, fmt: str) -> None:
                 )
             except Exception:
                 _disable_artifact(gdir)
+
+        # Aggregate projections (this table as source or as an
+        # enrichment dim of a sibling's): DML changed row content, so
+        # the declared group-by partials are recomputed from scratch;
+        # a failed rebuild removes the artifact (disable-on-update) so
+        # nothing serves stale aggregates.
+        from columnar_spark.aggprojections import (
+            agg_projection_path,
+            agg_projections_on,
+            agg_projections_referencing,
+            rebuild_agg_projection,
+        )
+
+        for fpath, pname in [
+            (path, n) for n in agg_projections_on(path)
+        ] + agg_projections_referencing(path):
+            try:
+                rebuild_agg_projection(spark, fpath, pname)
+            except Exception:
+                shutil.rmtree(
+                    agg_projection_path(fpath, pname), ignore_errors=True
+                )
 
 
 def delete_where(spark, path: str, condition: str, fmt: str = "parquet") -> tuple[int, int]:

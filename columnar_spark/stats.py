@@ -205,8 +205,25 @@ def stats_can_match(manifest_rows: dict[str, dict], f: Filter) -> bool:
     return True
 
 
+
+def write_stats_sidecar(spark: SparkSession, manifest_df: DataFrame, table_path: str) -> None:
+    """Publish the stats manifest beside the table: POSIX overwrite, or
+    the staging + atomic manifest-pointer commit on object stores
+    (objstore.py) — one of the three sidecars whose flat-segment layout
+    supports rename-free publication."""
+    from columnar_spark import objstore
+
+    p = table_path.rstrip("/") + ".stats"
+    if objstore.is_object_store(p):
+        objstore.write_df(spark, manifest_df, p, mode="overwrite")
+    else:
+        manifest_df.write.mode("overwrite").parquet(p)
+
+
 def load_manifest(spark: SparkSession, path: str) -> dict[str, dict]:
-    return {r["column"]: r.asDict() for r in spark.read.parquet(path).collect()}
+    from columnar_spark import objstore
+
+    return {r["column"]: r.asDict() for r in objstore.read_df(spark, path).collect()}
 
 
 def manifest_from_sidecar(table_path: str) -> dict[str, dict] | None:
@@ -221,8 +238,10 @@ def manifest_from_sidecar(table_path: str) -> dict[str, dict] | None:
     try:
         import pyarrow.parquet as pq
 
+        from columnar_spark import objstore
+
         out: dict[str, dict] = {}
-        for f in sorted(_glob.glob(os.path.join(sidecar, "*.parquet"))):
+        for f in objstore.data_files(sidecar):
             for row in pq.read_table(f).to_pylist():
                 out[row["column"]] = row
         return out or None
@@ -274,8 +293,10 @@ def ndv_from_sidecar(table_path: str) -> dict[str, int] | None:
     try:
         import pyarrow.parquet as pq
 
+        from columnar_spark import objstore
+
         out: dict[str, int] = {}
-        for f in sorted(_glob.glob(os.path.join(sidecar, "*.parquet"))):
+        for f in objstore.data_files(sidecar):
             t = pq.read_table(f, columns=["column", "ndv"])
             for col, ndv in zip(t["column"].to_pylist(), t["ndv"].to_pylist()):
                 if ndv is not None:
@@ -297,7 +318,9 @@ def row_count_from_sidecar(table_path: str) -> int | None:
     try:
         import pyarrow.parquet as pq
 
-        for f in sorted(_glob.glob(os.path.join(sidecar, "*.parquet"))):
+        from columnar_spark import objstore
+
+        for f in objstore.data_files(sidecar):
             t = pq.read_table(f, columns=["row_count"])
             vals = [v for v in t["row_count"].to_pylist() if v is not None]
             if vals:
@@ -502,14 +525,18 @@ def require_posix_commit(path: str, what: str = "sidecar") -> None:
     up-front with guidance — base-table QUERIES against object stores
     are unaffected (reads need no atomicity), only artifact builds must
     land on a POSIX staging path and be uploaded whole."""
+    from columnar_spark import objstore
+
     scheme = path.split("://", 1)[0].lower() if "://" in path else ""
-    if scheme in _NON_POSIX_SCHEMES:
+    if scheme in _NON_POSIX_SCHEMES or objstore.is_object_store(path):
         raise ValueError(
             f"{what} commit needs POSIX-atomic rename and {path!r} is on "
-            f"an object store ({scheme}://). Build the {what} on a POSIX "
-            "staging path and upload the completed directory, or serve "
-            "this table without the sidecar (queries stay correct via "
-            "the live fallback)."
+            f"an object store ({scheme or 'registered'}://). Build the "
+            f"{what} on a POSIX staging path and upload the completed "
+            "directory, or serve this table without the sidecar (queries "
+            "stay correct via the live fallback). The .stats/.vidx/"
+            ".rollup sidecars support object stores natively via the "
+            "manifest-pointer commit (objstore.py)."
         )
 
 
@@ -546,6 +573,7 @@ def _write_table_sig(table_path: str, index_dir: str) -> None:
     import json
     import os
 
+    os.makedirs(index_dir, exist_ok=True)
     with open(os.path.join(index_dir, "_table_sig.json"), "w") as f:
         json.dump(table_signature(table_path), f)
 
@@ -635,8 +663,6 @@ def write_value_index(
     import json
     import os
 
-    require_posix_commit(table_path, "value index")
-
     df = getattr(spark.read, fmt)(table_path)
     meta: dict = {}
     if isinstance(col, str):
@@ -653,9 +679,20 @@ def write_value_index(
     if measures:
         meta["measures"] = [[c, dp] for c, dp in measures]
     p = value_index_path(table_path, col)
+    from columnar_spark import objstore
+
     with rewrites_disabled(spark):  # rebuild must scan the BASE table
-        build_value_index(df, col, measures).write.mode("overwrite").parquet(p)
+        idx = build_value_index(df, col, measures)
+        if objstore.is_object_store(p):
+            # staging + atomic manifest-pointer commit (objstore.py):
+            # segments PUT once, one JSON pointer flip publishes them —
+            # the r8 "object-store destinations are refused" gap closed
+            # for the flat-segment sidecars
+            objstore.write_df(spark, idx, p, mode="overwrite")
+        else:
+            idx.write.mode("overwrite").parquet(p)
     if meta:
+        os.makedirs(p, exist_ok=True)
         with open(os.path.join(p, "_meta.json"), "w") as f:
             json.dump(meta, f)
     _write_table_sig(table_path, p)
@@ -678,7 +715,9 @@ def load_value_index(
         return None
     if check_fresh and not index_is_fresh(table_path, p):
         return None
-    return spark.read.parquet(p)
+    from columnar_spark import objstore
+
+    return objstore.read_df(spark, p)
 
 
 def merge_value_index(spark: SparkSession, table_path: str, col: str, batch_df: DataFrame) -> None:
@@ -715,7 +754,13 @@ def merge_value_index(spark: SparkSession, table_path: str, col: str, batch_df: 
     with rewrites_disabled(spark):  # the batch count must NOT be served
         rows = merged.collect()     # from the index being merged into
     out = spark.createDataFrame(rows, merged.schema)
-    out.write.mode("overwrite").parquet(value_index_path(table_path, col))
+    from columnar_spark import objstore
+
+    _vp = value_index_path(table_path, col)
+    if objstore.is_object_store(_vp):
+        objstore.write_df(spark, out, _vp, mode="overwrite")
+    else:
+        out.write.mode("overwrite").parquet(_vp)
     if jmeta is not None or cmeta is not None or measures:
         # overwrite clears the dir — restore meta
         import json

@@ -273,9 +273,9 @@ def _rebuild_sidecars(ss: SparkSession, dst_path: str) -> None:
     rows = sk.collect()
     sdf = ss.createDataFrame(rows, sk.schema)
     sdf.coalesce(1).write.mode("overwrite").parquet(sketch_path(dst_path))
-    manifest_from_sketch(sdf).coalesce(1).write.mode("overwrite").parquet(
-        stats_path(dst_path)
-    )
+    from columnar_spark.stats import write_stats_sidecar
+
+    write_stats_sidecar(ss, manifest_from_sketch(sdf).coalesce(1), dst_path)
     for c in persisted_value_index_cols(dst_path):
         jm = json_index_meta(dst_path, c)
         if jm is not None:
@@ -339,6 +339,22 @@ def _rebuild_sidecars(ss: SparkSession, dst_path: str) -> None:
         rebuild_projection(ss, dst_path, pname)
     for fpath, pname in projections_referencing_dim(dst_path):
         rebuild_projection(ss, fpath, pname)
+    # Aggregate projections: same cannot-double-count recovery.
+    from columnar_spark.aggprojections import (
+        agg_projections_on,
+        agg_projections_referencing,
+        rebuild_agg_projection,
+    )
+
+    for pname in agg_projections_on(dst_path):
+        rebuild_agg_projection(ss, dst_path, pname)
+    for fpath, pname in agg_projections_referencing(dst_path):
+        rebuild_agg_projection(ss, fpath, pname)
+    from columnar_spark.operators.cohort import cohort_meta, write_cohort_sidecar
+
+    cm = cohort_meta(dst_path)
+    if cm is not None:
+        write_cohort_sidecar(ss, dst_path, cm["ts_col"], cm["user_col"])
     from columnar_spark.operators.hnsw_index import (
         build_graph_index,
         graph_index_dirs,
@@ -461,8 +477,10 @@ def append_batch(
             rows = merged.collect()  # n_columns tiny rows
             merged_df = ss.createDataFrame(rows, merged.schema)
             merged_df.coalesce(1).write.mode("overwrite").parquet(sp)
-            manifest_from_sketch(merged_df).coalesce(1).write.mode("overwrite").parquet(
-                stats_path(dst_path)
+            from columnar_spark.stats import write_stats_sidecar
+
+            write_stats_sidecar(
+                ss, manifest_from_sketch(merged_df).coalesce(1), dst_path
             )
             # Same contract for the vector sidecar: encode the batch with the
             # EXISTING centroids/codebooks and append its codes — rebuild
@@ -570,6 +588,33 @@ def append_batch(
                 pm = projection_meta(fpath, pname)
                 if pm and pm["dim_key"] in appended.columns:
                     merge_projection_dim_delta(ss, fpath, pname, appended)
+            # Aggregate projections: same two-direction delta algebra —
+            # this table may be the SOURCE (batch partials append) or an
+            # ENRICHMENT dim of a sibling's aggregate (source ⋈ Δdim
+            # partials append). aggprojections.py.
+            import os as _os
+
+            from columnar_spark.aggprojections import (
+                agg_projections_on,
+                agg_projections_referencing,
+                merge_agg_enrich_delta,
+                merge_agg_fact_delta,
+            )
+
+            for pname in agg_projections_on(dst_path):
+                merge_agg_fact_delta(ss, dst_path, pname, appended)
+            _rel = _os.path.basename(dst_path.rstrip("/"))
+            for fpath, pname in agg_projections_referencing(dst_path):
+                merge_agg_enrich_delta(ss, fpath, pname, _rel, appended)
+            # Cohort matrix sidecar: correction-partial fold (the one
+            # aggregate the rollup algebra cannot maintain).
+            from columnar_spark.operators.cohort import (
+                append_cohort_batch,
+                cohort_meta,
+            )
+
+            if cohort_meta(dst_path) is not None:
+                append_cohort_batch(ss, dst_path, appended)
 
         # Inverted-text + vocab sidecars: their own applied-batch staging
         # makes these calls retry-exact under BOTH the incremental and the

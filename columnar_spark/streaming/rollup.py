@@ -140,13 +140,21 @@ def append_rollup_batch(
     staged files rename in under batch-derived names a retry sweeps
     first (idempotent_append), so an at-least-once foreachBatch retry
     cannot double-count the partials."""
+    from columnar_spark import objstore
+
+    partials = rollup_partials(batch_df, ts_col, bucket, keys, value_col, distinct_col)
+    if objstore.is_object_store(rollup_path):
+        # rename-free replay-safe append: new segments PUT once, one
+        # pointer flip publishes them, applied batch ids ride in the
+        # pointer so an at-least-once retry is a no-op
+        objstore.write_df(
+            batch_df.sparkSession, partials, rollup_path,
+            mode="append", batch_id=batch_id,
+        )
+        return
     from columnar_spark.streaming.ingest import idempotent_append
 
-    idempotent_append(
-        rollup_partials(batch_df, ts_col, bucket, keys, value_col, distinct_col),
-        rollup_path,
-        batch_id,
-    )
+    idempotent_append(partials, rollup_path, batch_id)
 
 
 def stream_rollup(
@@ -217,14 +225,18 @@ def write_rollup_sidecar(
     import json
     import os
 
-    from columnar_spark.stats import require_posix_commit
-
-    require_posix_commit(table_path, "rollup sidecar")
+    from columnar_spark import objstore
 
     root = rollup_sidecar_path(table_path, name)
-    rollup_partials(df, ts_col, bucket, keys, value_col).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(root, "partials"))
+    partials = rollup_partials(df, ts_col, bucket, keys, value_col)
+    pdir = os.path.join(root, "partials")
+    if objstore.is_object_store(root):
+        # staging + atomic manifest-pointer commit (objstore.py) — the
+        # rename-free publication path; meta.json is a single-object PUT
+        objstore.write_df(df.sparkSession, partials, pdir, mode="overwrite")
+    else:
+        partials.write.mode("overwrite").parquet(pdir)
+    os.makedirs(root, exist_ok=True)
     with open(os.path.join(root, "meta.json"), "w") as f:
         json.dump(
             {
@@ -244,12 +256,14 @@ def load_rollup_sidecar(spark: SparkSession, table_path: str, name: str | None =
     import json
     import os
 
+    from columnar_spark import objstore
+
     root = rollup_sidecar_path(table_path, name)
     if not os.path.isdir(os.path.join(root, "partials")):
         return None
     with open(os.path.join(root, "meta.json")) as f:
         meta = json.load(f)
-    return spark.read.parquet(os.path.join(root, "partials")), meta
+    return objstore.read_df(spark, os.path.join(root, "partials")), meta
 
 
 def compact_rollup(
@@ -262,7 +276,11 @@ def compact_rollup(
     time-travel snapshot). Returns (rows_before, rows_after); reads are
     unchanged by construction (the merge algebra is associative)."""
     from columnar_spark.snapshots import swap_with_history
+    from columnar_spark.stats import require_posix_commit
 
+    # compaction is still a rename swap: object-store rollups stay on
+    # merge-on-read until compaction gets the manifest treatment
+    require_posix_commit(rollup_path, "rollup compaction")
     cur = spark.read.parquet(rollup_path)
     n_before = cur.count()
     merged = merge_rollup(cur, keys)

@@ -45,6 +45,12 @@ class Engine:
         self._views: set[str] = set()
         self._manifests: dict[str, dict[str, dict]] = {}
         self._knn_indexes: dict[tuple[str, str], list[list[float]]] = {}
+        # Structured MV-router skip telemetry (r8 verdict item 7): when a
+        # query REFERENCES tables covered by a declared projection but
+        # the router refuses to serve it, the reason is recorded here
+        # (bounded) and logged — so a user can discover WHY a query
+        # missed the MV instead of silently paying the live join.
+        self.mv_router_skips: list[dict] = []
 
     # ------------------------------------------------------------ catalog
 
@@ -104,6 +110,33 @@ class Engine:
                     dim = dim[: -len(".parquet")]
                 out[pname] = (fact, dim, meta["fact_key"], meta["dim_key"])
         return out
+
+    def _mv_skip(self, query: str, reason: str) -> None:
+        """Record a router refusal, but only when the query actually
+        references BOTH tables of a declared projection — a refusal on a
+        query the projection could never serve is noise, not telemetry.
+        Bounded ring so a long session cannot grow it unboundedly."""
+        import logging
+        import re as _re
+
+        try:
+            specs = self._projection_specs()
+        except Exception:
+            return
+        masked = _re.sub(r"'(?:[^']|'')*'", "", query).lower()
+        for pname, (fact, dim, _fk, _dk) in specs.items():
+            if _re.search(rf"\b{_re.escape(fact)}\b", masked) and _re.search(
+                rf"\b{_re.escape(dim)}\b", masked
+            ):
+                self.mv_router_skips.append(
+                    {"projection": pname, "reason": reason, "query": query[:300]}
+                )
+                if len(self.mv_router_skips) > 200:
+                    del self.mv_router_skips[:100]
+                logging.getLogger("columnar_spark.mv_router").info(
+                    "projection %s skipped: %s", pname, reason
+                )
+                return
 
     def _refresh_projection_views(self, query: str) -> None:
         """Re-resolve any projection view the query references: a Spark
@@ -188,10 +221,17 @@ class Engine:
         # regex spans computed on the mask apply to the original text
         masked = _re.sub(r"'(?:[^']|'')*'", lambda mm: "\x00" * len(mm.group(0)), query)
         if _re.search(r"\bWITH\b", masked, _re.IGNORECASE):
-            return None  # a CTE could shadow a table name
+            self._mv_skip(query, "CTE present: a CTE could shadow a table name")
+            return None
         if _re.search(r"\b(?:LEFT|RIGHT|FULL|CROSS|SEMI|ANTI)\s+(?:OUTER\s+)?JOIN\b",
                       masked, _re.IGNORECASE):
-            return None  # projections are INNER joins only
+            self._mv_skip(
+                query,
+                "non-inner join form: projections store INNER join rows "
+                "(a LEFT fact->dim join is servable only under an "
+                "FK-completeness proof this router does not attempt)",
+            )
+            return None
         njoin = len(_re.findall(r"\bJOIN\b", masked, _re.IGNORECASE))
         if not 1 <= njoin <= 4:
             return None
@@ -206,6 +246,9 @@ class Engine:
             r"(?:\bSELECT\s+(?:DISTINCT\s+)?|,\s*)(?:\w+\s*\.\s*)?\*",
             masked[: mfrom.start()], _re.IGNORECASE,
         ):
+            self._mv_skip(query, "star select item: the projection's "
+                          "pruned/reordered column set would change the "
+                          "expansion")
             return None
         _KW = (r"(?!(?:JOIN|INNER|LEFT|RIGHT|FULL|CROSS|ON|WHERE|GROUP|ORDER"
                r"|LIMIT|HAVING|UNION|EXCEPT|INTERSECT|AS)\b)")
@@ -240,6 +283,8 @@ class Engine:
             # inner joins but conservative refusal matches the router's
             # posture everywhere else.
             if _re.match(r"\s*(?:AND|OR)\b", masked[pos:], _re.IGNORECASE):
+                self._mv_skip(query, "multi-predicate ON clause: only "
+                              "single-equality joins are relocatable")
                 return None
         chain_span = (mfrom.start(), pos)
         alias2elem = {}
@@ -385,9 +430,14 @@ class Engine:
         try:
             out = self.spark.sql(rewritten)
         except Exception:
+            self._mv_skip(query, "rewritten plan failed analysis: the "
+                          "query references a column the projection does "
+                          "not carry")
             return None  # column not carried -> original plan
         if orig_cols is not None and out.columns != orig_cols:
-            return None  # projection changed the result shape -> fall back
+            self._mv_skip(query, "rewritten column set differs from the "
+                          "original plan's")
+            return None
         return out
 
     def _invalidate_table_caches(self, name: str) -> None:
@@ -1286,11 +1336,14 @@ class Engine:
                 raise ValueError("CREATE TABLE needs at least one column")
             empty = self.spark.createDataFrame([], ", ".join(cols))
             empty.write.parquet(base)
-            from columnar_spark.stats import build_stats_manifest
+            from columnar_spark.stats import (
+                build_stats_manifest,
+                write_stats_sidecar,
+            )
 
-            build_stats_manifest(self.spark.read.parquet(base)).write.mode(
-                "overwrite"
-            ).parquet(f"{base}.stats")
+            write_stats_sidecar(
+                self.spark, build_stats_manifest(self.spark.read.parquet(base)), base
+            )
             from columnar_spark.stats import (
                 write_json_field_index,
                 write_value_index,
@@ -1570,6 +1623,20 @@ class Engine:
                 pfiles = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
                 if len(pfiles) > max(4, after):
                     rebuild_projection(self.spark, base, pname)
+            # Aggregate projections: the compaction rewrote the base
+            # table, so their source/enrich signatures are stale by
+            # construction — rebuild (cheap: O(groups) writes) so they
+            # keep serving instead of falling back forever.
+            from columnar_spark.aggprojections import (
+                agg_projections_on,
+                agg_projections_referencing,
+                rebuild_agg_projection,
+            )
+
+            for pname in agg_projections_on(base):
+                rebuild_agg_projection(self.spark, base, pname)
+            for fpath, pname in agg_projections_referencing(base):
+                rebuild_agg_projection(self.spark, fpath, pname)
             self._invalidate_table_caches(name)
             return self.spark.createDataFrame(
                 [("optimize", name, before, after)],

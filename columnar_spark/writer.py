@@ -193,7 +193,9 @@ def write_table(df: DataFrame, path: str, spec: WriteSpec | None = None) -> None
     drop_stale_sidecars(path)
     # Stats manifest sidecar — the D1-D5/E7 surface for the planner.
     manifest = build_stats_manifest(getattr(df.sparkSession.read, spec.format)(path))
-    manifest.write.mode("overwrite").parquet(stats_path(path))
+    from columnar_spark.stats import write_stats_sidecar
+
+    write_stats_sidecar(df.sparkSession, manifest, path)
     if spec.value_index_cols:
         from columnar_spark.stats import write_value_index
 
@@ -215,6 +217,7 @@ SIDECAR_SUFFIXES = (
     ".knn",
     ".knn-graph",
     ".rollup",
+    ".cohort",
     ".vocab",
     ".ingest",
 )
@@ -345,6 +348,173 @@ _LAYOUT_SPECS: dict[str, WriteSpec] = {
 
 _LAYOUT_MARKER = "_LAYOUT_OK"
 
+# Fixed-point SQL snippets for the aggregate-projection measures —
+# EXACTLY functions.money's scaled() arithmetic (FLOOR(x*10^dp + 0.5)
+# as BIGINT), so a query combining stored partials is bit-identical to
+# the live fixed-point aggregation it replaces.
+_FX2 = "CAST(FLOOR({c} * 100.0 + 0.5) AS BIGINT)"
+_DISC4_SQL = (
+    f"{_FX2.format(c='l_extendedprice')}"
+    f" * (100 - {_FX2.format(c='l_discount')})"
+)
+
+# Declared at ingest on the lineitem fact (aggprojections.py): group
+# keys + exact measure partials, enrichment dims joined once at build.
+# Each serves a query family by name (entry helpers check columns +
+# freshness and fall back to the live plan):
+#   pricing_day      -> q1 (scan 15k (flag,status,shipdate) cells)
+#   order_profile    -> q4/q18 (order-grain profile, date-clustered)
+#   ship_seg_pairs   -> q3 (order grain + in-array shipdate filter,
+#                       mktsegment-clustered so the segment predicate
+#                       prunes 4/5 of row groups)
+#   nation_day       -> q5 ((date, cust-nation, supp-nation) cells)
+#   mkt_year         -> q8 ((year, region, p_type, supp-nation) cells)
+#   cust_returns_day -> q10 ((cust, date, flag) cells with names baked)
+TPCH_AGG_PROJECTIONS: "dict[str, dict]" = {
+    "pricing_day": dict(
+        keys={
+            "l_returnflag": "l_returnflag",
+            "l_linestatus": "l_linestatus",
+            "l_shipdate": "l_shipdate",
+        },
+        measures=[
+            {"name": "cnt", "agg": "count"},
+            {"name": "qty2", "agg": "sum", "expr": _FX2.format(c="l_quantity")},
+            {"name": "base2", "agg": "sum", "expr": _FX2.format(c="l_extendedprice")},
+            {"name": "disc2", "agg": "sum", "expr": _FX2.format(c="l_discount")},
+            {"name": "disc_price4", "agg": "sum", "expr": _DISC4_SQL},
+            # per-row 6-dp charge widens to decimal(38,0) BEFORE the sum
+            # (the money.py wide path — same envelope as q1's live form)
+            {"name": "charge6", "agg": "sum",
+             "expr": f"CAST({_DISC4_SQL} * (100 + {_FX2.format(c='l_tax')})"
+                     " AS DECIMAL(38,0))"},
+        ],
+        cluster_by=("l_shipdate",),
+    ),
+    "order_profile": dict(
+        keys={
+            "l_orderkey": "l_orderkey",
+            "o_orderdate": "o_orderdate",
+            "o_orderpriority": "o_orderpriority",
+            "o_custkey": "o_custkey",
+            "o_totalprice": "o_totalprice",
+        },
+        measures=[
+            {"name": "cnt", "agg": "count"},
+            {"name": "qty2", "agg": "sum", "expr": _FX2.format(c="l_quantity")},
+            {"name": "late60_cnt", "agg": "sum",
+             "expr": "CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAYS"
+                     " THEN 1 ELSE 0 END"},
+        ],
+        enrich=(
+            {"table": "orders.parquet", "left_on": "l_orderkey",
+             "right_on": "o_orderkey",
+             "cols": {"o_orderdate": "o_orderdate",
+                      "o_orderpriority": "o_orderpriority",
+                      "o_custkey": "o_custkey",
+                      "o_totalprice": "o_totalprice"}},
+        ),
+        cluster_by=("o_orderdate",),
+    ),
+    "ship_seg_pairs": dict(
+        keys={
+            "l_orderkey": "l_orderkey",
+            "o_orderdate": "o_orderdate",
+            "o_orderpriority": "o_orderpriority",
+            "c_mktsegment": "c_mktsegment",
+        },
+        measures=[
+            {"name": "ship_rev4", "agg": "pairs",
+             "expr": "l_shipdate", "expr2": _DISC4_SQL},
+        ],
+        enrich=(
+            {"table": "orders.parquet", "left_on": "l_orderkey",
+             "right_on": "o_orderkey",
+             "cols": {"o_orderdate": "o_orderdate",
+                      "o_orderpriority": "o_orderpriority",
+                      "o_custkey": "o_custkey"}},
+            {"table": "customer.parquet", "left_on": "o_custkey",
+             "right_on": "c_custkey",
+             "cols": {"c_mktsegment": "c_mktsegment"}},
+        ),
+        cluster_by=("c_mktsegment", "o_orderdate"),
+    ),
+    "nation_day": dict(
+        keys={
+            "o_orderdate": "o_orderdate",
+            "c_nationkey": "c_nationkey",
+            "s_nationkey": "s_nationkey",
+        },
+        measures=[
+            {"name": "cnt", "agg": "count"},
+            {"name": "rev4", "agg": "sum", "expr": _DISC4_SQL},
+        ],
+        enrich=(
+            {"table": "orders.parquet", "left_on": "l_orderkey",
+             "right_on": "o_orderkey",
+             "cols": {"o_orderdate": "o_orderdate", "o_custkey": "o_custkey"}},
+            {"table": "customer.parquet", "left_on": "o_custkey",
+             "right_on": "c_custkey", "cols": {"c_nationkey": "c_nationkey"}},
+            {"table": "supplier.parquet", "left_on": "l_suppkey",
+             "right_on": "s_suppkey", "cols": {"s_nationkey": "s_nationkey"}},
+        ),
+        cluster_by=("o_orderdate",),
+    ),
+    "mkt_year": dict(
+        keys={
+            "o_year": "CAST(year(o_orderdate) AS INT)",
+            "r_name": "r_name",
+            "p_type": "p_type",
+            "supp_nation": "supp_nation",
+        },
+        measures=[
+            {"name": "cnt", "agg": "count"},
+            {"name": "vol4", "agg": "sum", "expr": _DISC4_SQL},
+        ],
+        enrich=(
+            {"table": "orders.parquet", "left_on": "l_orderkey",
+             "right_on": "o_orderkey",
+             "cols": {"o_orderdate": "o_orderdate", "o_custkey": "o_custkey"}},
+            {"table": "customer.parquet", "left_on": "o_custkey",
+             "right_on": "c_custkey", "cols": {"c_nationkey": "c_nationkey"}},
+            {"table": "nation.parquet", "left_on": "c_nationkey",
+             "right_on": "n_nationkey", "cols": {"n_regionkey": "c_regionkey"}},
+            {"table": "region.parquet", "left_on": "c_regionkey",
+             "right_on": "r_regionkey", "cols": {"r_name": "r_name"}},
+            {"table": "part.parquet", "left_on": "l_partkey",
+             "right_on": "p_partkey", "cols": {"p_type": "p_type"}},
+            {"table": "supplier.parquet", "left_on": "l_suppkey",
+             "right_on": "s_suppkey", "cols": {"s_nationkey": "s_nationkey"}},
+            {"table": "nation.parquet", "left_on": "s_nationkey",
+             "right_on": "n_nationkey", "cols": {"n_name": "supp_nation"}},
+        ),
+        cluster_by=(),
+    ),
+    "cust_returns_day": dict(
+        keys={
+            "o_custkey": "o_custkey",
+            "c_name": "c_name",
+            "n_name": "n_name",
+            "o_orderdate": "o_orderdate",
+            "l_returnflag": "l_returnflag",
+        },
+        measures=[
+            {"name": "rev4", "agg": "sum", "expr": _DISC4_SQL},
+        ],
+        enrich=(
+            {"table": "orders.parquet", "left_on": "l_orderkey",
+             "right_on": "o_orderkey",
+             "cols": {"o_orderdate": "o_orderdate", "o_custkey": "o_custkey"}},
+            {"table": "customer.parquet", "left_on": "o_custkey",
+             "right_on": "c_custkey",
+             "cols": {"c_name": "c_name", "c_nationkey": "c_nationkey"}},
+            {"table": "nation.parquet", "left_on": "c_nationkey",
+             "right_on": "n_nationkey", "cols": {"n_name": "n_name"}},
+        ),
+        cluster_by=("o_orderdate",),
+    ),
+}
+
 # Split granularity: one output split per ~ROWS_PER_SPLIT rows, capped at
 # the session's shuffle width. Over-splitting a small table buys nothing
 # but task-scheduling overhead; under-splitting a big one serializes its
@@ -379,7 +549,7 @@ def build_sf_layout(
     # layout_v bumps when the ingest artifacts change (new sidecar
     # kinds), so a cached layout built by older code is invalidated even
     # though the SOURCE signature still matches.
-    signature = "layout_v17\n" + src_dir + "\n" + "\n".join(sig_parts) + "\n"
+    signature = "layout_v19\n" + src_dir + "\n" + "\n".join(sig_parts) + "\n"
 
     marker = os.path.join(dest_dir, _LAYOUT_MARKER)
     if os.path.exists(marker) and not force:
@@ -457,6 +627,13 @@ def build_sf_layout(
             # rows instead of scanning the raw event log (same merge
             # algebra, same row-count freshness gate).
             write_rollup_sidecar(ev, dest, keys=("user_id",), name="user_day")
+            # Cohort-retention matrix sidecar: the finished
+            # (cohort_day, day) matrix with correction partials —
+            # retention queries read O(cohorts x days) rows instead of
+            # any events scan (operators/cohort.py).
+            from columnar_spark.operators.cohort import write_cohort_sidecar
+
+            write_cohort_sidecar(spark, dest)
             # Per-field JSON value index beside the materialized virtual
             # column — Engine.sql AND the JVM Catalyst rule (plain
             # spark.sql) answer props-field counts from this sidecar.
@@ -490,6 +667,19 @@ def build_sf_layout(
             dim_cols=("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"),
             cluster_by=("o_orderdate",),
         )
+        # Aggregate (GROUP-BY) projections: the TPC-H-style block's
+        # remaining cost after the pre-join projection is re-aggregating
+        # the 6M-row fact grain per query; these store the declared
+        # group-by partials once (aggprojections.py — exact fixed-point
+        # measures, enrichment dims, append-delta maintained, freshness-
+        # gated) so the family reads O(groups) rows. The reference
+        # analog is the answer-from-the-index COUNT regime
+        # (secondary/secondary.cpp:531-551) generalized to the full
+        # associative measure algebra.
+        from columnar_spark.aggprojections import write_agg_projection
+
+        for aname, aspec in TPCH_AGG_PROJECTIONS.items():
+            write_agg_projection(spark, li_dest, name=aname, **aspec)
     with open(marker, "w") as fh:
         fh.write(signature)
     return True
@@ -651,6 +841,15 @@ def _check_table_body(
 
     for pname in projections_on(path):
         errors.extend(check_projection(spark, path, pname))
+    # Aggregate projections (source side): merged partials must agree
+    # with a live recompute of the declared aggregation.
+    from columnar_spark.aggprojections import (
+        agg_projections_on,
+        check_agg_projection,
+    )
+
+    for pname in agg_projections_on(path):
+        errors.extend(check_agg_projection(spark, path, pname))
     return errors
 
 

@@ -200,3 +200,34 @@ def test_multi_predicate_on_clause_bails(spark, eng):
         # and the refusal is explicit: no projection in the plan
         plan = eng.sql(q)._jdf.queryExecution().executedPlan().toString()
         assert "lineitem.parquet.proj/" not in plan, q
+
+
+def test_skip_telemetry_records_reasons(spark, eng):
+    """r8 verdict item 7: a query that references both projection tables
+    but cannot be served must leave a structured skip record (reason +
+    projection name) instead of a silent miss."""
+    eng.mv_router_skips.clear()
+    cases = [
+        ("SELECT l_quantity, o_orderpriority FROM lineitem l "
+         "LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey",
+         "non-inner join form"),
+        ("SELECT COUNT(*) AS n FROM lineitem l "
+         "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+         "OR l.l_returnflag = o.o_orderstatus",
+         "multi-predicate ON clause"),
+        ("SELECT * FROM lineitem JOIN orders ON l_orderkey = o_orderkey",
+         "star select item"),
+        ("SELECT o_orderstatus, COUNT(*) AS n FROM lineitem "
+         "JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderstatus",
+         "does not carry"),  # o_orderstatus is not a carried column
+    ]
+    for q, expect in cases:
+        before = len(eng.mv_router_skips)
+        eng.sql(q).collect()
+        recs = eng.mv_router_skips[before:]
+        assert recs and any(expect in r["reason"] for r in recs), (q, recs)
+        assert all(r["projection"] == "lineorder" for r in recs)
+    # unrelated queries never pollute the telemetry
+    before = len(eng.mv_router_skips)
+    eng.sql("SELECT COUNT(*) AS n FROM customer").collect()
+    assert len(eng.mv_router_skips) == before

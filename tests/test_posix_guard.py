@@ -1,8 +1,8 @@
-"""Every sidecar writer commits via directory rename / overwrite-swap,
-which is atomic only on POSIX filesystems — each entry point must refuse
-an object-store destination up front (same posture as the ledgered
-append lock, streaming/ingest._NON_POSIX_SCHEMES) instead of publishing
-a sidecar whose commit can tear."""
+"""Sidecar writers that commit via directory rename / overwrite-swap
+(atomic only on POSIX) must refuse object-store destinations up front —
+EXCEPT the three flat-segment sidecars (.stats/.vidx/.rollup), which
+since r9 publish through the rename-free staging + manifest-pointer
+protocol (objstore.py, tests/test_objstore_sidecars.py)."""
 
 import pytest
 
@@ -16,11 +16,19 @@ def tiny(spark):
     )
 
 
-def test_value_index_refuses_object_store(spark):
+def test_value_index_routes_manifest_commit(spark):
+    """r9: .vidx supports object stores via the manifest-pointer commit
+    (objstore.py) — the writer must NOT refuse; it proceeds into the
+    protocol (and fails here only because s3:// has no real transport
+    in this container — anything but the old up-front ValueError)."""
     from columnar_spark.stats import write_value_index
 
-    with pytest.raises(ValueError, match="object store"):
+    try:
         write_value_index(spark, S3, "c")
+    except ValueError as e:
+        assert "object store" not in str(e)
+    except Exception:
+        pass  # transport/read error from the fake bucket is expected
 
 
 def test_json_field_index_refuses_object_store(spark):
@@ -93,8 +101,19 @@ def test_graph_index_honors_shadow_override(spark, tiny, tmp_path):
         )
 
 
-def test_rollup_refuses_object_store(spark, tiny):
-    from columnar_spark.streaming.rollup import write_rollup_sidecar
+def test_rollup_routes_manifest_commit(spark, tiny):
+    """r9: .rollup supports object stores via the manifest-pointer
+    commit; only COMPACTION (a rename swap) still refuses."""
+    from columnar_spark.streaming.rollup import (
+        compact_rollup,
+        write_rollup_sidecar,
+    )
 
-    with pytest.raises(ValueError, match="object store"):
+    try:
         write_rollup_sidecar(tiny, S3)
+    except ValueError as e:
+        assert "object store" not in str(e)
+    except Exception:
+        pass  # transport error from the fake bucket is expected
+    with pytest.raises(ValueError, match="object store"):
+        compact_rollup(spark, S3 + ".rollup/partials")

@@ -55,8 +55,15 @@ def main():
 
     spark = get_spark("check-correctness")
     con = duckdb.connect()
+    import os
+
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        p = f"{sf_dir}/{t}.parquet"
+        # ingested layouts are multi-split DIRECTORIES; raw testdata is
+        # single files — register either so the differential can run
+        # against an engine layout (both engines must read the SAME rows)
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
