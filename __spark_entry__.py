@@ -2933,14 +2933,21 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     cust = _t(spark, sf_dir, "customer")
-    ap = _aggp(spark, sf_dir, "order_profile", "l_orderkey", "o_custkey",
+    ap = _aggp(spark, sf_dir, "order_qty", "l_orderkey", "o_custkey",
                "o_orderdate", "o_totalprice", "qty2")
+    if ap is None:
+        ap = _aggp(spark, sf_dir, "order_profile", "l_orderkey", "o_custkey",
+                   "o_orderdate", "o_totalprice", "qty2")
     if ap is not None:
         # aggregate-projection route: the artifact IS the
         # (order, custkey, date, totalprice, sum-qty) relation, so the
         # HAVING slice is a scan filter and the orders join disappears
-        # entirely; the provably-tiny slice broadcasts against customer
-        # only to mirror the oracle's FK-membership semantics.
+        # entirely. Preferred artifact `order_qty` is range-clustered by
+        # the MEASURE itself: sum(qty) > 15000 is an extreme-tail
+        # predicate and the tail lives in the last split, so file/
+        # row-group stats skip ~everything. The provably-tiny slice
+        # broadcasts against customer only to mirror the oracle's
+        # FK-membership semantics.
         big = F.broadcast(
             ap.filter(F.col("qty2") > 15000).select(
                 F.col("o_custkey"),

@@ -416,6 +416,31 @@ TPCH_AGG_PROJECTIONS: "dict[str, dict]" = {
         ),
         cluster_by=("o_orderdate",),
     ),
+    # q18's twin of order_profile, clustered by the MEASURE: the HAVING
+    # (sum qty > threshold) is an extreme-tail predicate, and range-
+    # clustering the compacted artifact by qty2 concentrates the tail in
+    # the last split — file/row-group stats skip everything else. (The
+    # date-clustered order_profile stays for q4, whose predicate is the
+    # date window; one artifact cannot serve both prunings.)
+    "order_qty": dict(
+        keys={
+            "l_orderkey": "l_orderkey",
+            "o_custkey": "o_custkey",
+            "o_orderdate": "o_orderdate",
+            "o_totalprice": "o_totalprice",
+        },
+        measures=[
+            {"name": "qty2", "agg": "sum", "expr": _FX2.format(c="l_quantity")},
+        ],
+        enrich=(
+            {"table": "orders.parquet", "left_on": "l_orderkey",
+             "right_on": "o_orderkey",
+             "cols": {"o_orderdate": "o_orderdate",
+                      "o_custkey": "o_custkey",
+                      "o_totalprice": "o_totalprice"}},
+        ),
+        cluster_by=("qty2",),
+    ),
     "ship_seg_pairs": dict(
         keys={
             "l_orderkey": "l_orderkey",
@@ -549,7 +574,7 @@ def build_sf_layout(
     # layout_v bumps when the ingest artifacts change (new sidecar
     # kinds), so a cached layout built by older code is invalidated even
     # though the SOURCE signature still matches.
-    signature = "layout_v19\n" + src_dir + "\n" + "\n".join(sig_parts) + "\n"
+    signature = "layout_v20\n" + src_dir + "\n" + "\n".join(sig_parts) + "\n"
 
     marker = os.path.join(dest_dir, _LAYOUT_MARKER)
     if os.path.exists(marker) and not force:
