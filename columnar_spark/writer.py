@@ -425,7 +425,7 @@ TPCH_AGG_PROJECTIONS: "dict[str, dict]" = {
     "order_qty": dict(
         keys={
             "l_orderkey": "l_orderkey",
-            "o_custkey": "o_custkey",
+            "c_custkey": "c_custkey",
             "o_orderdate": "o_orderdate",
             "o_totalprice": "o_totalprice",
         },
@@ -438,6 +438,13 @@ TPCH_AGG_PROJECTIONS: "dict[str, dict]" = {
              "cols": {"o_orderdate": "o_orderdate",
                       "o_custkey": "o_custkey",
                       "o_totalprice": "o_totalprice"}},
+            # customer membership is baked in by the build's INNER join
+            # (exactly the oracle's join semantics) so the query never
+            # touches the customer table — the HAVING slice at this
+            # threshold is ~20% of orders, and broadcasting it was the
+            # residual cost of the joined form
+            {"table": "customer.parquet", "left_on": "o_custkey",
+             "right_on": "c_custkey", "cols": {"c_custkey": "c_custkey"}},
         ),
         cluster_by=("qty2",),
     ),
@@ -574,7 +581,7 @@ def build_sf_layout(
     # layout_v bumps when the ingest artifacts change (new sidecar
     # kinds), so a cached layout built by older code is invalidated even
     # though the SOURCE signature still matches.
-    signature = "layout_v20\n" + src_dir + "\n" + "\n".join(sig_parts) + "\n"
+    signature = "layout_v21\n" + src_dir + "\n" + "\n".join(sig_parts) + "\n"
 
     marker = os.path.join(dest_dir, _LAYOUT_MARKER)
     if os.path.exists(marker) and not force:
