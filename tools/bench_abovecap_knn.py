@@ -64,19 +64,19 @@ def replicate(n_target: int, path: str) -> str:
     if os.path.isdir(path) and os.path.isfile(os.path.join(path, "_OK")):
         return path
     copies = (n_target + n_src - 1) // n_src
-    out = None
-    for i in range(copies):
-        c = emb.select(
-            (F.col("vec_id") + i * n_src).alias("vec_id"),
+    out = (
+        emb.crossJoin(spark.range(copies).withColumnRenamed("id", "__copy"))
+        .select(
+            (F.col("vec_id") + F.col("__copy") * n_src).alias("vec_id"),
             F.col("label"),
             F.transform(
                 "embedding",
                 lambda x, idx: F.when(
-                    (idx + F.lit(i)) % 7 == 3, -x
+                    (idx + F.col("__copy")) % 7 == 3, -x
                 ).otherwise(x),
             ).alias("embedding"),
         )
-        out = c if out is None else out.unionByName(c)
+    )
     out.limit(n_target).repartition(16).write.mode("overwrite").parquet(path)
     open(os.path.join(path, "_OK"), "w").write("ok")
     return path
