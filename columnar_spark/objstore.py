@@ -148,6 +148,33 @@ def read_df(spark: SparkSession, root: str) -> DataFrame:
     return spark.read.parquet(*[os.path.join(root, f) for f in files])
 
 
+def vacuum_artifact(root: str, keep: "set[str] | None" = None) -> "list[str]":
+    """Delete unreferenced segments — uploads whose publishing PUT never
+    happened (a writer died mid-commit) or segments a later overwrite
+    superseded. Readers only ever resolve the pointer, so orphans are
+    invisible garbage, never a correctness issue; this is the storage-
+    cost GC (the Iceberg expire-snapshots analog, minus history). Only
+    touches `seg-*.parquet` names, never metadata objects. Returns the
+    deleted names; no-op (and empty) without a manifest."""
+    live = live_files(root)
+    if live is None:
+        return []
+    protect = set(live) | (keep or set())
+    removed = []
+    try:
+        entries = os.listdir(root)
+    except OSError:
+        return []
+    for e in entries:
+        if e.startswith("seg-") and e.endswith(".parquet") and e not in protect:
+            try:
+                os.remove(os.path.join(root, e))
+                removed.append(e)
+            except OSError:
+                pass
+    return removed
+
+
 def write_df(
     spark: SparkSession,
     df: DataFrame,

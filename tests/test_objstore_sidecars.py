@@ -161,3 +161,30 @@ def test_other_artifacts_still_refuse(spark, store):
             spark, li, orders, name="x", fact_key="l_orderkey",
             dim_key="o_orderkey", dim_cols=("o_orderdate",),
         )
+
+
+def test_vacuum_removes_only_orphans(spark, store):
+    from columnar_spark.stats import (
+        load_value_index,
+        value_index_path,
+        write_value_index,
+    )
+
+    li = _install_table(spark, store, "lineitem")
+    write_value_index(spark, li, "l_returnflag")
+    vdir = value_index_path(li, "l_returnflag")
+    before = {(r["value"], r["cnt"]) for r in
+              load_value_index(spark, li, "l_returnflag").collect()}
+    # simulate a writer that died mid-commit: uploaded segments, no flip
+    with open(os.path.join(vdir, "seg-orphan00-00000.parquet"), "wb") as f:
+        f.write(b"half-uploaded garbage")
+    # and a superseded generation left behind by an overwrite
+    write_value_index(spark, li, "l_returnflag")  # flips to a new gen
+    removed = objstore.vacuum_artifact(vdir)
+    assert any(r.startswith("seg-orphan00") for r in removed)
+    # live set untouched: the reader still returns the exact index
+    after = {(r["value"], r["cnt"]) for r in
+             load_value_index(spark, li, "l_returnflag").collect()}
+    assert after == before
+    live = set(objstore.live_files(vdir))
+    assert live and not (live & set(removed))
