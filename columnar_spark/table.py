@@ -138,6 +138,115 @@ class Engine:
                 )
                 return
 
+    @staticmethod
+    def _parse_agg_projection_clauses(rest: str) -> dict:
+        """CREATE AGGREGATE PROJECTION clause parser: JOIN...CARRY(...)
+        enrichments, KEYS(...), MEASURES(...), CLUSTER BY(...). Commas
+        and closing parens are tracked at paren depth 0 so measure
+        expressions may nest freely (SUM(CAST(FLOOR(...)))))."""
+        import re as _re
+
+        def _take_parens(s: str, i: int) -> "tuple[str, int]":
+            # s[i] must be '('; returns (inside, index after ')')
+            assert s[i] == "("
+            depth, j = 0, i
+            while j < len(s):
+                if s[j] == "(":
+                    depth += 1
+                elif s[j] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        return s[i + 1 : j], j + 1
+                j += 1
+            raise ValueError("unbalanced parens in AGGREGATE PROJECTION DDL")
+
+        def _split_top(s: str) -> "list[str]":
+            out, depth, cur = [], 0, []
+            for ch in s:
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                if ch == "," and depth == 0:
+                    out.append("".join(cur).strip())
+                    cur = []
+                else:
+                    cur.append(ch)
+            tail = "".join(cur).strip()
+            if tail:
+                out.append(tail)
+            return out
+
+        pos = 0
+        enrich = []
+        jre = _re.compile(
+            r"\s*JOIN\s+(\w+)\s+ON\s+(\w+)\s*=\s*(\w+)\s+CARRY\s*", _re.IGNORECASE
+        )
+        while True:
+            mj = jre.match(rest, pos)
+            if mj is None:
+                break
+            inside, pos = _take_parens(rest, mj.end())
+            cols = {}
+            for item in _split_top(inside):
+                ma = _re.match(r"(\w+)(?:\s+AS\s+(\w+))?$", item, _re.IGNORECASE)
+                if ma is None:
+                    raise ValueError(f"bad CARRY item {item!r}")
+                cols[ma.group(1)] = ma.group(2) or ma.group(1)
+            enrich.append(
+                {"table": f"{mj.group(1)}.parquet", "left_on": mj.group(2),
+                 "right_on": mj.group(3), "cols": cols}
+            )
+        mk = _re.compile(r"\s*KEYS\s*", _re.IGNORECASE).match(rest, pos)
+        if mk is None or rest[mk.end()] != "(":
+            raise ValueError("AGGREGATE PROJECTION needs a KEYS (...) clause")
+        inside, pos = _take_parens(rest, mk.end())
+        keys = {}
+        for item in _split_top(inside):
+            ma = _re.match(r"(.*?)\s+AS\s+(\w+)$", item, _re.IGNORECASE | _re.DOTALL)
+            if ma:
+                keys[ma.group(2)] = ma.group(1).strip()
+            elif _re.match(r"^\w+$", item):
+                keys[item] = item
+            else:
+                raise ValueError(f"key expression {item!r} needs an AS name")
+        mm = _re.compile(r"\s*MEASURES\s*", _re.IGNORECASE).match(rest, pos)
+        if mm is None or rest[mm.end()] != "(":
+            raise ValueError("AGGREGATE PROJECTION needs a MEASURES (...) clause")
+        inside, pos = _take_parens(rest, mm.end())
+        measures = []
+        for item in _split_top(inside):
+            ma = _re.match(
+                r"(COUNT|SUM|MIN|MAX|PAIRS)\s*\((.*)\)\s+AS\s+(\w+)$",
+                item, _re.IGNORECASE | _re.DOTALL,
+            )
+            if ma is None:
+                raise ValueError(f"bad measure {item!r}")
+            kind, args, name = ma.group(1).lower(), ma.group(2).strip(), ma.group(3)
+            if kind == "count":
+                if args != "*":
+                    raise ValueError("only COUNT(*) is a declared measure")
+                measures.append({"name": name, "agg": "count"})
+            elif kind == "pairs":
+                parts = _split_top(args)
+                if len(parts) != 2:
+                    raise ValueError("PAIRS takes exactly (key_expr, value_expr)")
+                measures.append({"name": name, "agg": "pairs",
+                                 "expr": parts[0], "expr2": parts[1]})
+            else:
+                measures.append({"name": name, "agg": kind, "expr": args})
+        cluster: "tuple[str, ...]" = ()
+        mc = _re.compile(r"\s*CLUSTER\s+BY\s*", _re.IGNORECASE).match(rest, pos)
+        if mc is not None and mc.end() < len(rest) and rest[mc.end()] == "(":
+            inside, pos = _take_parens(rest, mc.end())
+            cluster = tuple(c.strip() for c in inside.split(",") if c.strip())
+        if rest[pos:].strip():
+            raise ValueError(
+                f"unparsed AGGREGATE PROJECTION tail: {rest[pos:].strip()!r}"
+            )
+        return dict(keys=keys, measures=measures, enrich=tuple(enrich),
+                    cluster_by=cluster)
+
     def _refresh_projection_views(self, query: str) -> None:
         """Re-resolve any projection view the query references: a Spark
         temp view binds its file listing at registration, so both
@@ -1248,6 +1357,49 @@ class Engine:
                 [("join_projection", pname, p if existed else "absent")],
                 "kind: string, column: string, path: string",
             )
+        # CREATE AGGREGATE PROJECTION p ON fact
+        #   [JOIN dim ON lkey = rkey CARRY (col [AS alias], ...)]...
+        #   KEYS (expr [AS name], ...)
+        #   MEASURES (COUNT(*) AS n | SUM(expr) AS s | MIN(expr) AS m |
+        #             MAX(expr) AS m | PAIRS(kexpr, vexpr) AS p, ...)
+        #   [CLUSTER BY (col, ...)]
+        # — the GROUP-BY-MV DDL twin of CREATE PROJECTION: materializes
+        # the declared aggregate partials (aggprojections.py) with the
+        # enrichment dims baked in; queries read O(groups) rows.
+        m = _re.match(
+            r"^\s*CREATE\s+AGGREGATE\s+PROJECTION\s+(\w+)\s+ON\s+(\w+)\s+(.*?)\s*;?\s*$",
+            query,
+            _re.IGNORECASE | _re.DOTALL,
+        )
+        if m:
+            pname, fact, rest = m.group(1), m.group(2), m.group(3)
+            spec = self._parse_agg_projection_clauses(rest)
+            from columnar_spark.aggprojections import write_agg_projection
+
+            fact_base = f"{self.sf_dir}/{fact}.parquet"
+            write_agg_projection(self.spark, fact_base, name=pname, **spec)
+            return self.spark.createDataFrame(
+                [("aggregate_projection", pname, f"{fact_base}.aggproj/{pname}")],
+                "kind: string, column: string, path: string",
+            )
+        m = _re.match(
+            r"^\s*DROP\s+AGGREGATE\s+PROJECTION\s+(\w+)\s+ON\s+(\w+)\s*;?\s*$",
+            query,
+            _re.IGNORECASE,
+        )
+        if m:
+            import os
+            import shutil
+
+            pname, fact = m.group(1), m.group(2)
+            p = f"{self.sf_dir}/{fact}.parquet.aggproj/{pname}"
+            existed = os.path.isdir(p)
+            if existed:
+                shutil.rmtree(p)
+            return self.spark.createDataFrame(
+                [("aggregate_projection", pname, p if existed else "absent")],
+                "kind: string, column: string, path: string",
+            )
         m = _re.match(
             r"^\s*DROP\s+INDEX\s+(\w+)\s+ON\s+(\w+)\s*;?\s*$", query, _re.IGNORECASE
         )
@@ -1781,6 +1933,12 @@ class Engine:
 
             for pn in projections_on(base):
                 rows.append(("join_projection", pn, f"{base}.proj/{pn}"))
+            from columnar_spark.aggprojections import agg_projections_on
+
+            for pn in agg_projections_on(base):
+                rows.append(("aggregate_projection", pn, f"{base}.aggproj/{pn}"))
+            if os.path.isdir(f"{base}.cohort"):
+                rows.append(("cohort_matrix", "—", f"{base}.cohort"))
             if os.path.isdir(f"{base}.stats"):
                 rows.append(("stats_manifest", "—", f"{base}.stats"))
             vdir = f"{base}.versions"

@@ -169,3 +169,56 @@ def test_posix_guard(spark, layout, monkeypatch):
             spark, "s3a://bucket/lineitem.parquet", name="x", keys=KEYS,
             measures=MEASURES,
         )
+
+
+def test_ddl_create_show_drop(spark, layout):
+    """The DDL twin: CREATE AGGREGATE PROJECTION materializes the
+    artifact (nested measure exprs parse; enrichment CARRY joins bake
+    in), SHOW INDEXES lists it, a query over the merged frame matches a
+    live groupBy, DROP removes it."""
+    li, orders, *_ = layout
+    import os
+
+    from columnar_spark.table import Engine
+
+    eng = Engine(spark, os.path.dirname(li))
+    out = eng.sql(
+        "CREATE AGGREGATE PROJECTION ddlp ON lineitem "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "CARRY (o_orderdate, o_orderpriority AS prio) "
+        "KEYS (o_orderdate, prio) "
+        "MEASURES (COUNT(*) AS cnt, "
+        "SUM(CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT)) AS qty2, "
+        "MIN(l_shipdate) AS first_ship, "
+        "PAIRS(l_shipdate, l_orderkey) AS ship_keys) "
+        "CLUSTER BY (o_orderdate)"
+    ).collect()
+    assert out[0]["kind"] == "aggregate_projection"
+    shown = {(r["kind"], r["column"]) for r in eng.sql("SHOW INDEXES FROM lineitem").collect()}
+    assert ("aggregate_projection", "ddlp") in shown
+
+    got = load_agg_projection(spark, li, "ddlp")
+    assert got is not None
+    live = (
+        spark.read.parquet(li)
+        .join(
+            spark.read.parquet(orders).select(
+                F.col("o_orderkey"), F.col("o_orderdate"),
+                F.col("o_orderpriority").alias("prio"),
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderdate", "prio")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.expr("CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT)")).alias("qty2"),
+            F.min("l_shipdate").alias("first_ship"),
+        )
+    )
+    a = sorted(tuple(r) for r in got.select("o_orderdate", "prio", "cnt", "qty2", "first_ship").collect())
+    b = sorted(tuple(r) for r in live.collect())
+    assert a == b
+
+    dropped = eng.sql("DROP AGGREGATE PROJECTION ddlp ON lineitem").collect()
+    assert dropped[0]["column"] == "ddlp"
+    assert load_agg_projection(spark, li, "ddlp") is None
