@@ -6170,15 +6170,18 @@ _DRIVER_PRIORITY = [
     # aggregation variants (grouping_sets/percentile_disc are cube/
     # percentile twins — rotated post-50 in r8 for the new routes)
     "agg_rollup_events", "cube_orders",
-    "pivot_event_counts", "percentile_stats",
+    "percentile_stats",
     "corr_stddev_stats",
+    # r9 rotation: pivot_event_counts (a cube twin, still hash-verified
+    # locally) makes room for retention_cohorts — the .cohort-matrix
+    # flagship whose fallback plan carries the same full oracle
+    "retention_cohorts",
     # join / set-op family (+ q17: the measure-index route from r7)
     "join_semi_anti", "asof_join_events_orders", "range_join_followup_orders",
     "fuzzy_name_pairs_parts", "set_ops_customers",
     "q17_small_qty_revenue",
     # events / time / sessions
     "events_json_extract", "time_bucket_agg", "topk_latest_events",
-    "sessionize_events",
     # documents: text analysis (incl. the textstats-companion-served
     # lang fingerprint), dedup, sampling, composed pipeline
     "doc_text_stats", "doc_lang_fingerprint", "doc_quality_filter",
@@ -6194,16 +6197,20 @@ _DRIVER_PRIORITY = [
     # tests/test_hnsw_index.py)
     # r8 adds knn_b1q4_cosine (at-rest asymmetric 4-bit serving) and
     # knn_graph_l2_q8 (int8-quantized l2 graph sidecar, the new q8
-    # ladder) to the graded 50
+    # ladder); r9 adds knn_q8_cosine, freshly oracle-bearing via the
+    # exact-min/max clip bounds (replacing the trained percentile clip),
+    # displacing sessionize_events (post-50, still hash-verified)
     "knn_cosine_topk", "embed_then_knn", "knn_b1_cosine", "knn_graph_cosine",
-    "knn_b1q4_cosine", "knn_graph_l2_q8",
-    # ---- slot 50+: no-oracle flagships (rows-only check), then the rest
+    "knn_b1q4_cosine", "knn_graph_l2_q8", "knn_q8_cosine",
+    # ---- slot 50+: r9 rotations (still hash-verified locally), then
+    # no-oracle flagships (rows-only check), then the rest
+    "pivot_event_counts", "sessionize_events",
     "window_running_sum", "grouping_sets_orders", "percentile_disc_priority",
     "set_ops_multiset",
     "window_moving_avg_range", "window_lead_lag", "knn_graph_filtered",
     "knn_graph_ann",
     "knn_ivf_cosine", "minhash_dedup_assign", "simhash_dedup_assign",
-    "embedding_neardup_lsh", "q9_nation_profit", "knn_q8_cosine", "knn_pq_l2",
+    "embedding_neardup_lsh", "q9_nation_profit", "knn_pq_l2",
     "knn_ivfpq_cosine", "histogram_quantity", "knn_self_join_ivf",
     "minhash_lsh_pairs", "simhash_pairs", "knn_cosine_filtered",
     "q13_order_distribution", "faceted_search_docs",
