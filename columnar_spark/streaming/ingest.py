@@ -601,8 +601,23 @@ def append_batch(
                 merge_agg_fact_delta,
             )
 
+            from columnar_spark.aggprojections import (
+                agg_projection_path,
+                compact_agg_projection,
+            )
+
             for pname in agg_projections_on(dst_path):
                 merge_agg_fact_delta(ss, dst_path, pname, appended)
+                # bounded fragmentation: many micro-batches accumulate a
+                # partial file per append and reads pay a merge groupBy —
+                # fold back to one row per group once the file count says
+                # the merge is no longer cheap (same self-maintenance the
+                # text index's delta folding does at OPTIMIZE, but inline
+                # because agg partials are tiny)
+                pdir = agg_projection_path(dst_path, pname)
+                if len([f for f in _os.listdir(pdir)
+                        if f.endswith(".parquet")]) > 64:
+                    compact_agg_projection(ss, dst_path, pname)
             _rel = _os.path.basename(dst_path.rstrip("/"))
             for fpath, pname in agg_projections_referencing(dst_path):
                 merge_agg_enrich_delta(ss, fpath, pname, _rel, appended)
