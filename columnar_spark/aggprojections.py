@@ -141,6 +141,17 @@ def _enriched(
         df = df.join(
             dim.select(*sel), F.col(en["left_on"]) == F.col("__agg_rk")
         ).drop("__agg_rk")
+    # Baked filter (filtered/partial projection): applied to the
+    # ENRICHED frame on every path — full build, both delta merges, the
+    # live fallback, and the checker's recount — so the artifact's
+    # defining aggregation is always sigma(where)(S join E*) grouped.
+    # sigma commutes with the per-batch delta joins, so the partial
+    # algebra is unchanged. Consumers must only serve queries whose own
+    # predicate IMPLIES the baked one (the hand-wired routes match it
+    # exactly; the plain-SQL router refuses `where`-bearing artifacts).
+    w = meta.get("where")
+    if w:
+        df = df.filter(F.expr(w))
     return df
 
 
@@ -247,13 +258,16 @@ def write_agg_projection(
     measures: "list[dict]",
     enrich: "tuple[dict, ...]" = (),
     cluster_by: "tuple[str, ...]" = (),
+    where: "str | None" = None,
     num_partitions: int | None = None,
 ) -> None:
     """Full (re)build: one source scan, the enrichment joins (dims are
     small by declaration — Catalyst/AQE broadcasts them), one grouped
     write. ``keys`` maps output name -> SQL expr; ``enrich`` entries are
     {table (layout-relative), left_on, right_on, cols: {src: alias}};
-    ``measures`` entries are {name, agg, expr[, expr2]}."""
+    ``measures`` entries are {name, agg, expr[, expr2]} plus optional
+    SQL-router annotations (user/dp/nonnull, stored verbatim); ``where``
+    is an optional baked filter (partial projection)."""
     from columnar_spark.stats import require_posix_commit
 
     require_posix_commit(fact_path, "aggregate projection")
@@ -262,6 +276,7 @@ def write_agg_projection(
         "measures": list(measures),
         "enrich": [dict(e) for e in enrich],
         "cluster_by": list(cluster_by),
+        "where": where,
         "compacted": True,
     }
     out = _partials(_enriched(spark, fact_path, meta), meta)
@@ -308,15 +323,64 @@ def load_agg_projection(
     return _merge(df, meta)
 
 
+def _stale_before_append(
+    fact_path: str,
+    meta: dict,
+    proj_dir: str,
+    changed_rel: str,
+    pre_sig: "dict | None",
+) -> bool:
+    """True when the artifact did NOT match the table state just before
+    the current append (`pre_sig` = the changed table's signature
+    captured by the ingest path pre-append; `changed_rel` is
+    "__source__" or the enrichment table's layout-relative name). A
+    delta append onto a stale artifact would MASK an out-of-band base
+    rewrite — the sig re-stamp after the fold records the current state
+    and the artifact then serves wrong aggregates as fresh. None
+    `pre_sig` (direct callers outside the ingest fold) skips the check:
+    those callers own the staleness question themselves."""
+    if pre_sig is None:
+        return False
+    sp = os.path.join(proj_dir, "_table_sig.json")
+    try:
+        with open(sp) as f:
+            rec = json.load(f)
+    except (OSError, ValueError):
+        return True
+    expected = _sig_payload(fact_path, meta)
+    if changed_rel == "__source__":
+        expected["source"] = pre_sig
+    elif changed_rel in expected["enrich"]:
+        expected["enrich"][changed_rel] = pre_sig
+    got_src = rec.get("source") or {}
+    if any(got_src.get(k) != expected["source"].get(k) for k in _SIG_KEYS):
+        return True
+    for tbl, sig in expected["enrich"].items():
+        got = (rec.get("enrich") or {}).get(tbl) or {}
+        if any(got.get(k) != (sig or {}).get(k) for k in _SIG_KEYS):
+            return True
+    return False
+
+
 def merge_agg_fact_delta(
-    spark: SparkSession, fact_path: str, name: str, delta: DataFrame
+    spark: SparkSession,
+    fact_path: str,
+    name: str,
+    delta: DataFrame,
+    pre_sig: "dict | None" = None,
 ) -> None:
     """Fold one appended SOURCE batch in: agg(ΔS ⋈ E*) appends as
-    partial rows — O(batch) work, nothing rewritten."""
+    partial rows — O(batch) work, nothing rewritten. When the ingest
+    fold passes the source's pre-append signature and the artifact was
+    ALREADY stale (out-of-band rewrite between ingest events), the fold
+    rebuilds instead of appending — appending would mask the rewrite."""
     meta = agg_projection_meta(fact_path, name)
     if meta is None:
         return
     p = agg_projection_path(fact_path, name)
+    if _stale_before_append(fact_path, meta, p, "__source__", pre_sig):
+        rebuild_agg_projection(spark, fact_path, name)
+        return
     _partials(_enriched(spark, fact_path, meta, source_df=delta), meta).write.mode(
         "append"
     ).parquet(p)
@@ -326,17 +390,29 @@ def merge_agg_fact_delta(
 
 
 def merge_agg_enrich_delta(
-    spark: SparkSession, fact_path: str, name: str, table_rel: str, delta: DataFrame
+    spark: SparkSession,
+    fact_path: str,
+    name: str,
+    table_rel: str,
+    delta: DataFrame,
+    pre_sig: "dict | None" = None,
 ) -> None:
     """Fold one appended ENRICHMENT batch in: agg(S ⋈ ... ΔEi ...)
     appends — inner-join increments only ever ADD rows for append-only
     tables, so the partial algebra stays exact (the projections.py dim
-    delta generalized). Source-side O(|S|), dim appends are rare."""
+    delta generalized). Source-side O(|S|), dim appends are rare.
+    `pre_sig` = the enrichment table's pre-append signature from the
+    ingest fold; a pre-existing staleness rebuilds instead of masking."""
     meta = agg_projection_meta(fact_path, name)
     if meta is None:
         return
     slots = [i for i, en in enumerate(meta.get("enrich", ())) if en["table"] == table_rel]
     if not slots:
+        return
+    if _stale_before_append(
+        fact_path, meta, agg_projection_path(fact_path, name), table_rel, pre_sig
+    ):
+        rebuild_agg_projection(spark, fact_path, name)
         return
     if len(slots) > 1:
         # a table enriched at several slots (e.g. nation as both the
@@ -397,6 +473,7 @@ def rebuild_agg_projection(spark: SparkSession, fact_path: str, name: str) -> No
         measures=meta["measures"],
         enrich=tuple(meta.get("enrich", ())),
         cluster_by=tuple(meta.get("cluster_by") or ()),
+        where=meta.get("where"),
     )
 
 

@@ -666,3 +666,332 @@ def rollup_route_df(partials: DataFrame, meta: dict, rw: RollupRewrite) -> DataF
         elif fn == "AVG":
             cols.append((unscale_sum_v(merged) / F.col("cnt")).alias(alias))
     return merged.select(*cols)
+
+
+# ----------------------------------- aggregate-projection GROUP BYs
+# Plain-SQL routing onto the .aggproj sidecars (aggprojections.py): a
+# filter + GROUP BY + associative-measure query whose keys, predicate
+# columns, and measure expressions are all covered by a DECLARED
+# aggregate projection is served from the O(groups) artifact — the
+# user's own `Engine.sql("SELECT ... GROUP BY ...")` stops paying the
+# fact scan, exactly as the reference answers covered aggregates from
+# the index host-side with no opt-in (secondary/secondary.cpp:531-551).
+# Matching is declaration-driven: each projection measure may carry a
+# `user` annotation (the USER-LEVEL SQL text of the expression whose
+# fixed-point partial it stores, plus `dp` unscale digits), and keys
+# match by output name or declared expr. Anything not provably covered
+# falls through untouched.
+
+_AGGP_FORBID_RE = re.compile(
+    r"\b(HAVING|UNION|EXCEPT|INTERSECT|DISTINCT|OVER|WITH|"
+    r"LEFT|RIGHT|FULL|OUTER|CROSS|SEMI|ANTI)\b|\(\s*SELECT",
+    re.IGNORECASE,
+)
+
+_AGGQ_RE = re.compile(
+    r"^\s*SELECT\s+(?P<items>.+?)\s+"
+    r"FROM\s+(?P<table>\w+)"
+    r"(?P<joins>(?:\s+(?:INNER\s+)?JOIN\s+\w+\s+ON\s+\w+\s*=\s*\w+)*)"
+    r"(?:\s+WHERE\s+(?P<pred>.+?))?"
+    r"\s+GROUP\s+BY\s+(?P<grp>.+?)"
+    r"(?:\s+ORDER\s+BY\s+(?P<ord>.+?))?"
+    r"(?:\s+LIMIT\s+(?P<limit>\d+))?"
+    r"\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_JOIN_RE = re.compile(
+    r"\s+(?:INNER\s+)?JOIN\s+(?P<t>\w+)\s+ON\s+(?P<a>\w+)\s*=\s*(?P<b>\w+)",
+    re.IGNORECASE,
+)
+_AGG_ITEM_RE = re.compile(
+    r"^(?P<fn>COUNT|SUM|MIN|MAX|AVG)\s*\(\s*(?P<arg>.+?)\s*\)"
+    r"\s*(?:AS\s+(?P<alias>\w+))?$",
+    re.IGNORECASE | re.DOTALL,
+)
+_KEY_ITEM_RE = re.compile(
+    r"^(?P<expr>.+?)(?:\s+AS\s+(?P<alias>\w+))?$", re.IGNORECASE | re.DOTALL
+)
+_ORD_ITEM_RE = re.compile(
+    r"^(?P<tok>\w+)(?:\s+(?P<dir>ASC|DESC))?$", re.IGNORECASE
+)
+
+# identifiers a key-only predicate may use besides the key columns
+# themselves: boolean/predicate syntax, literal syntax, casts, and the
+# deterministic date/extract helpers — anything else (unknown function,
+# non-key column, aggregate) refuses the route
+_PRED_ALLOWED = {
+    "and", "or", "not", "in", "between", "like", "rlike", "ilike", "is",
+    "null", "true", "false", "date", "timestamp", "interval", "cast", "as",
+    "int", "integer", "bigint", "smallint", "double", "float", "string",
+    "decimal", "boolean", "year", "years", "month", "months", "day", "days",
+    "week", "weeks", "hour", "hours", "quarter", "date_trunc", "date_add",
+    "date_sub", "add_months", "last_day", "dayofweek", "dayofmonth", "trim",
+    "upper", "lower", "substr", "substring", "abs", "coalesce", "case",
+    "when", "then", "else", "end",
+}
+
+
+def _norm_expr(s: str) -> str:
+    return re.sub(r"\s+", "", s).lower()
+
+
+def _split_top_commas(s: str) -> "list[str]":
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur).strip())
+    return [p for p in parts if p]
+
+
+@dataclass
+class AggProjQuery:
+    table: str
+    joins: "list[tuple[str, str, str]]"  # (table, on_a, on_b)
+    keys: "list[tuple[str, str]]"        # (expr text, output name)
+    aggs: "list[tuple]"                  # ("count", alias) | (fn, expr, alias)
+    select_names: "list[str]"            # output columns in SELECT order
+    pred: "str | None"
+    order: "list[tuple[str, bool]] | None"
+    limit: "int | None"
+
+
+def parse_agg_proj_query(sql: str) -> "AggProjQuery | None":
+    """Parse the routable grammar: single table (optionally an inner
+    equi-join chain, one table per join), select list of bare/aliased
+    key expressions plus COUNT(*)/SUM/MIN/MAX/AVG aggregates, optional
+    WHERE, GROUP BY exactly the selected keys, optional ORDER BY over
+    output columns, optional LIMIT. Returns None (-> fall through to
+    spark.sql) on anything outside the grammar."""
+    if _AGGP_FORBID_RE.search(sql):
+        return None
+    m = _AGGQ_RE.match(sql)
+    if not m:
+        return None
+    joins = [
+        (j.group("t"), j.group("a"), j.group("b"))
+        for j in _JOIN_RE.finditer(m.group("joins") or "")
+    ]
+    keys: "list[tuple[str, str]]" = []
+    aggs: "list[tuple]" = []
+    select_names: "list[str]" = []
+    for raw in _split_top_commas(m.group("items")):
+        am = _AGG_ITEM_RE.match(raw)
+        if am:
+            fn = am.group("fn").lower()
+            arg = am.group("arg").strip()
+            alias = am.group("alias")
+            if fn == "count":
+                if arg not in ("*", "1"):
+                    return None
+                name = alias or "count(1)"
+                aggs.append(("count", name))
+            else:
+                name = alias or f"{fn}({arg})"
+                aggs.append((fn, arg, name))
+            select_names.append(name)
+            continue
+        km = _KEY_ITEM_RE.match(raw)
+        if not km:
+            return None
+        expr = km.group("expr").strip()
+        alias = km.group("alias")
+        if alias is None:
+            if not re.fullmatch(r"\w+", expr):
+                return None  # computed key needs an explicit alias
+            alias = expr
+        keys.append((expr, alias))
+        select_names.append(alias)
+    if not keys or not aggs or len(set(select_names)) != len(select_names):
+        return None
+    # GROUP BY must be a permutation of the selected keys (by position,
+    # output name, or expression text)
+    grp = _split_top_commas(m.group("grp"))
+    if len(grp) != len(keys):
+        return None
+    seen = set()
+    for g in grp:
+        gn = _norm_expr(g)
+        hit = None
+        for i, (expr, alias) in enumerate(keys):
+            if gn in (str(i + 1), _norm_expr(expr), _norm_expr(alias)):
+                hit = i
+                break
+        if hit is None or hit in seen:
+            return None
+        seen.add(hit)
+    order = None
+    if m.group("ord"):
+        order = []
+        for raw in _split_top_commas(m.group("ord")):
+            om = _ORD_ITEM_RE.match(raw.strip())
+            if not om:
+                return None
+            tok = om.group("tok")
+            if tok.isdigit():
+                i = int(tok)
+                if not 1 <= i <= len(select_names):
+                    return None
+                tok = select_names[i - 1]
+            elif tok not in select_names:
+                return None
+            order.append((tok, (om.group("dir") or "ASC").upper() == "ASC"))
+    return AggProjQuery(
+        table=m.group("table"),
+        joins=joins,
+        keys=keys,
+        aggs=aggs,
+        select_names=select_names,
+        pred=m.group("pred"),
+        order=order,
+        limit=int(m.group("limit")) if m.group("limit") else None,
+    )
+
+
+def _pred_identifiers(pred: str) -> "set[str]":
+    stripped = re.sub(r"'[^']*'", "''", pred)
+    return {t.lower() for t in re.findall(r"[A-Za-z_]\w*", stripped)}
+
+
+def _rename_outside_literals(pred: str, renames: "dict[str, str]") -> str:
+    """Apply identifier renames to the predicate text, never touching
+    string literals."""
+    if not renames:
+        return pred
+    pat = re.compile(r"\b(" + "|".join(map(re.escape, renames)) + r")\b")
+    out = []
+    for i, seg in enumerate(re.split(r"('[^']*')", pred)):
+        out.append(seg if i % 2 else pat.sub(lambda m: renames[m.group(1)], seg))
+    return "".join(out)
+
+
+def match_agg_projection(q: AggProjQuery, meta: dict) -> "dict | None":
+    """Coverage proof of `q` against one projection's meta, or None.
+    Returns {keys: [(artifact_col, out_name)], aggs: [...], pred: str}
+    ready for agg_proj_route_df. The query's join chain must equal the
+    projection's enrich set EXACTLY (same tables, same on-keys — baked
+    inner joins drop the same rows) and is refused when the projection
+    enriches the same table twice (SQL would need table aliases to
+    disambiguate). `where`-bearing (filtered/partial) projections are
+    refused outright: serving them needs an implication proof between
+    the query predicate and the baked filter this router does not
+    attempt."""
+    if meta.get("where"):
+        return None
+    enrich = list(meta.get("enrich", ()))
+    etables = [en["table"].removesuffix(".parquet") for en in enrich]
+    if len(set(etables)) != len(etables):
+        return None
+    if len(q.joins) != len(enrich):
+        return None
+    renames: "dict[str, str]" = {}  # dim src col -> artifact alias
+    unmatched = dict(zip(etables, enrich))
+    for t, a, b in q.joins:
+        en = unmatched.pop(t, None)
+        if en is None or {a, b} != {en["left_on"], en["right_on"]}:
+            return None
+        for src, alias in en["cols"].items():
+            if src != alias:
+                renames[src] = alias
+    key_by_name = {k.lower(): k for k in meta["keys"]}
+    key_by_expr = {_norm_expr(e): k for k, e in meta["keys"].items()}
+    out_keys = []
+    for expr, out_name in q.keys:
+        n = _norm_expr(renames.get(expr, expr))
+        k = key_by_name.get(n) or key_by_expr.get(n)
+        if k is None:
+            return None
+        out_keys.append((k, out_name))
+    count_measure = None
+    by_user: "dict[tuple[str, str], dict]" = {}
+    for mm in meta["measures"]:
+        if mm["agg"] == "count" and count_measure is None:
+            count_measure = mm["name"]
+        u = mm.get("user")
+        if u is not None:
+            by_user.setdefault((mm["agg"], _norm_expr(u)), mm)
+    out_aggs: "list[tuple]" = []
+    for item in q.aggs:
+        if item[0] == "count":
+            if count_measure is None:
+                return None
+            out_aggs.append(("count", count_measure, item[1]))
+            continue
+        fn, expr, alias = item
+        if fn == "avg":
+            mm = by_user.get(("sum", _norm_expr(expr)))
+            # AVG divides by COUNT(expr): servable only when the
+            # declaration asserts the measure expression is non-null
+            # over the source (then COUNT(expr) == cnt)
+            if mm is None or count_measure is None or not mm.get("nonnull"):
+                return None
+            out_aggs.append(("avg", mm, count_measure, alias))
+        else:
+            mm = by_user.get((fn, _norm_expr(expr)))
+            if mm is None:
+                return None
+            out_aggs.append((fn, mm, alias))
+    pred = q.pred
+    if pred is not None:
+        ids = _pred_identifiers(pred)
+        key_cols = {k.lower() for k in meta["keys"]}
+        ok = key_cols | _PRED_ALLOWED | {
+            s.lower() for s, a in renames.items() if a.lower() in key_cols
+        }
+        if not ids <= ok:
+            return None
+        pred = _rename_outside_literals(pred, renames)
+    return {"keys": out_keys, "aggs": out_aggs, "pred": pred}
+
+
+def agg_proj_route_df(partials: DataFrame, plan: dict, q: AggProjQuery) -> DataFrame:
+    """Serve the query from projection partial rows (the fresh artifact
+    OR the live defining aggregation — same schema, so route and
+    fallback are bit-identical by construction). Key-only predicates
+    filter partial rows exactly (the predicate depends only on group
+    keys, so filter-then-merge == the original filter-then-group);
+    measures combine with their associative merge and unscale from the
+    exact fixed-point partials."""
+    from columnar_spark.functions.money import unscale
+
+    df = partials
+    if plan["pred"]:
+        df = df.filter(F.expr(plan["pred"]))
+    gb = [F.col(k).alias(out) for k, out in plan["keys"]]
+    aggs = []
+    for it in plan["aggs"]:
+        if it[0] == "count":
+            aggs.append(F.sum(it[1]).cast("long").alias(it[2]))
+        elif it[0] == "avg":
+            _, mm, cnt_name, alias = it
+            s = F.sum(mm["name"])
+            dp = mm.get("dp")
+            num = unscale(s, dp) if dp is not None else s.cast("double")
+            aggs.append((num / F.sum(cnt_name)).alias(alias))
+        elif it[0] == "sum":
+            _, mm, alias = it
+            s = F.sum(mm["name"])
+            dp = mm.get("dp")
+            aggs.append(
+                (unscale(s, dp) if dp is not None else s.cast("long")).alias(alias)
+            )
+        else:
+            fn, mm, alias = it
+            agg = F.min(mm["name"]) if fn == "min" else F.max(mm["name"])
+            dp = mm.get("dp")
+            aggs.append((unscale(agg, dp) if dp is not None else agg).alias(alias))
+    out = df.groupBy(*gb).agg(*aggs).select(*q.select_names)
+    if q.order:
+        out = out.orderBy(
+            *[F.col(c).asc() if asc else F.col(c).desc() for c, asc in q.order]
+        )
+    if q.limit is not None:
+        out = out.limit(q.limit)
+    return out

@@ -219,23 +219,65 @@ def projections_referencing_dim(dim_path: str) -> "list[tuple[str, str]]":
     return out
 
 
+def _stale_before_append(
+    fact_path: str,
+    dim_path: str,
+    proj_dir: str,
+    changed: str,
+    pre_sig: "dict | None",
+) -> bool:
+    """True when the artifact did not match the table state just before
+    the current append (`pre_sig` = the changed side's signature
+    captured pre-append by the ingest fold; `changed` is "fact" or
+    "dim") — folding a delta onto an already-stale artifact would mask
+    an out-of-band rewrite, because _write_sigs re-stamps from the
+    post-append state. None pre_sig (direct callers) skips the check."""
+    if pre_sig is None:
+        return False
+    sp = os.path.join(proj_dir, "_table_sig.json")
+    try:
+        with open(sp) as f:
+            rec = json.load(f)
+    except (OSError, ValueError):
+        return True
+    for key, path in (("fact", fact_path), ("dim", dim_path)):
+        expected = pre_sig if key == changed else table_signature(path)
+        got = rec.get(key) or {}
+        if any(got.get(k) != expected.get(k) for k in ("files", "bytes", "max_mtime_ms")):
+            return True
+    return False
+
+
 def merge_projection_fact_delta(
-    spark: SparkSession, fact_path: str, name: str, delta: DataFrame
+    spark: SparkSession,
+    fact_path: str,
+    name: str,
+    delta: DataFrame,
+    pre_sig: "dict | None" = None,
 ) -> None:
     """Fold one appended fact batch in: ΔF ⋈ D_current appends — O(batch)
-    fact-side work, the dim side is read but never rewritten."""
+    fact-side work, the dim side is read but never rewritten. A
+    pre-existing staleness (vs the fact's pre-append signature from the
+    ingest fold) rebuilds instead of masking."""
     meta = projection_meta(fact_path, name)
     if meta is None:
         return
     dim_path = _dim_abspath(fact_path, meta)
-    dim_df = spark.read.parquet(dim_path)
     p = projection_path(fact_path, name)
+    if _stale_before_append(fact_path, dim_path, p, "fact", pre_sig):
+        rebuild_projection(spark, fact_path, name)
+        return
+    dim_df = spark.read.parquet(dim_path)
     _project(delta, dim_df, meta).write.mode("append").parquet(p)
     _write_sigs(fact_path, dim_path, p)
 
 
 def merge_projection_dim_delta(
-    spark: SparkSession, fact_path: str, name: str, delta: DataFrame
+    spark: SparkSession,
+    fact_path: str,
+    name: str,
+    delta: DataFrame,
+    pre_sig: "dict | None" = None,
 ) -> None:
     """Fold one appended dim batch in: F_current ⋈ ΔD appends. With the
     fact-delta rule and serial application (the per-table writer lock),
@@ -243,9 +285,12 @@ def merge_projection_dim_delta(
     meta = projection_meta(fact_path, name)
     if meta is None:
         return
-    fact_df = spark.read.parquet(fact_path)
     dim_path = _dim_abspath(fact_path, meta)
     p = projection_path(fact_path, name)
+    if _stale_before_append(fact_path, dim_path, p, "dim", pre_sig):
+        rebuild_projection(spark, fact_path, name)
+        return
+    fact_df = spark.read.parquet(fact_path)
     _project(fact_df, delta, meta).write.mode("append").parquet(p)
     _write_sigs(fact_path, dim_path, p)
 

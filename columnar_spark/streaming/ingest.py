@@ -438,6 +438,18 @@ def append_batch(
             if set(existing) <= set(out.columns):
                 out = out.select(*existing, *[c for c in out.columns if c not in existing])
 
+        # The destination's signature as of JUST BEFORE this append —
+        # the projection/cohort delta folds compare it against each
+        # artifact's recorded signature so an out-of-band rewrite
+        # between ingest events triggers a rebuild instead of being
+        # masked by the fold's post-append re-stamp.
+        from columnar_spark.stats import table_signature as _tsig
+
+        try:
+            pre_sig = _tsig(dst_path) if os.path.exists(dst_path) else None
+        except Exception:
+            pre_sig = None
+
         if batch_id is None:
             out.write.mode("append").option("compression", spec.compression).parquet(
                 dst_path
@@ -583,11 +595,13 @@ def append_batch(
             for pname in projections_on(dst_path):
                 pm = projection_meta(dst_path, pname)
                 if pm and pm["fact_key"] in appended.columns:
-                    merge_projection_fact_delta(ss, dst_path, pname, appended)
+                    merge_projection_fact_delta(ss, dst_path, pname, appended,
+                                                pre_sig=pre_sig)
             for fpath, pname in projections_referencing_dim(dst_path):
                 pm = projection_meta(fpath, pname)
                 if pm and pm["dim_key"] in appended.columns:
-                    merge_projection_dim_delta(ss, fpath, pname, appended)
+                    merge_projection_dim_delta(ss, fpath, pname, appended,
+                                               pre_sig=pre_sig)
             # Aggregate projections: same two-direction delta algebra —
             # this table may be the SOURCE (batch partials append) or an
             # ENRICHMENT dim of a sibling's aggregate (source ⋈ Δdim
@@ -607,7 +621,8 @@ def append_batch(
             )
 
             for pname in agg_projections_on(dst_path):
-                merge_agg_fact_delta(ss, dst_path, pname, appended)
+                merge_agg_fact_delta(ss, dst_path, pname, appended,
+                                     pre_sig=pre_sig)
                 # bounded fragmentation: many micro-batches accumulate a
                 # partial file per append and reads pay a merge groupBy —
                 # fold back to one row per group once the file count says
@@ -620,7 +635,8 @@ def append_batch(
                     compact_agg_projection(ss, dst_path, pname)
             _rel = _os.path.basename(dst_path.rstrip("/"))
             for fpath, pname in agg_projections_referencing(dst_path):
-                merge_agg_enrich_delta(ss, fpath, pname, _rel, appended)
+                merge_agg_enrich_delta(ss, fpath, pname, _rel, appended,
+                                       pre_sig=pre_sig)
             # Cohort matrix sidecar: correction-partial fold (the one
             # aggregate the rollup algebra cannot maintain).
             from columnar_spark.operators.cohort import (

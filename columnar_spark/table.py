@@ -303,6 +303,56 @@ class Engine:
         shutil.rmtree(old)
         return True
 
+    def _try_agg_projection_route(self, query: str) -> "DataFrame | None":
+        """Serve a covered filter+GROUP-BY+associative-measure query from
+        a declared .aggproj sidecar (aggprojections.py). Matching is
+        declaration-driven (plans/count_rewrite.parse_agg_proj_query /
+        match_agg_projection); among several covering projections the
+        coarsest grain (fewest keys) wins — it reads the fewest partial
+        rows. A stale artifact serves the live defining aggregation
+        instead, which uses the same fixed-point measure algebra and is
+        therefore bit-identical to the routed result (the sidecar
+        contract every artifact here carries)."""
+        import os as _os
+
+        from columnar_spark.plans.count_rewrite import (
+            agg_proj_route_df,
+            match_agg_projection,
+            parse_agg_proj_query,
+        )
+
+        q = parse_agg_proj_query(query)
+        if q is None:
+            return None
+        fact_path = f"{self.sf_dir}/{q.table}.parquet"
+        if not _os.path.exists(fact_path):
+            return None
+        from columnar_spark.aggprojections import (
+            agg_projection_meta,
+            agg_projections_on,
+            live_agg_frame,
+            load_agg_projection,
+        )
+
+        candidates = []
+        for name in agg_projections_on(fact_path):
+            meta = agg_projection_meta(fact_path, name)
+            if meta is None:
+                continue
+            plan = match_agg_projection(q, meta)
+            if plan is not None:
+                candidates.append((len(meta["keys"]), name, plan))
+        if not candidates:
+            return None
+        candidates.sort()
+        _, name, plan = candidates[0]
+        partials = load_agg_projection(self.spark, fact_path, name)
+        if partials is None:
+            partials = live_agg_frame(self.spark, fact_path, name)
+            if partials is None:
+                return None
+        return agg_proj_route_df(partials, plan, q)
+
     def _try_join_mv_route(self, query: str) -> "DataFrame | None":
         """Rewrite an inner-equi-join chain (`FROM t0 [a0] JOIN t1 [a1]
         ON k=k ...`, aliases and qualified keys allowed, up to 4 joins)
@@ -1964,6 +2014,26 @@ class Engine:
                 rows, "column: string, min: string, max: string, ndv: long, null_count: long, row_count: long"
             )
 
+        # Honor the engine-wide rewrite kill-switch for the PYTHON
+        # rewrite chain too (stats.rewrites_disabled documents that a
+        # sidecar rebuild / audit must never be answered from the very
+        # sidecar under maintenance — previously only the JVM Catalyst
+        # rule obeyed it).
+        from columnar_spark.stats import REWRITE_ENABLED_KEY
+
+        try:
+            _rw_on = self.spark.conf.get(REWRITE_ENABLED_KEY) != "false"
+        except Exception:
+            _rw_on = True
+        if not _rw_on:
+            try:
+                return self.spark.sql(query)
+            except Exception as e:
+                if "TABLE_OR_VIEW_NOT_FOUND" in str(e):
+                    self.register_views()
+                    return self.spark.sql(query)
+                raise
+
         # JSON per-field predicates (`get_json_object(col, '$.path')`)
         # normalize into the virtual-column convention the per-field
         # .vidx sidecars are keyed by — every rewrite below then covers
@@ -2098,6 +2168,24 @@ class Engine:
                             return out
                 except Exception:
                     pass  # stale/incompatible sidecar -> plain plan
+
+        # Aggregate-projection routing: a filter + GROUP BY +
+        # associative-measure query (optionally with the projection's
+        # exact inner-join chain spelled out) whose keys, predicate
+        # columns, and measure expressions are all covered by a declared
+        # .aggproj sidecar reads the O(groups) artifact instead of the
+        # fact — the reference's answer-from-the-index regime
+        # (secondary/secondary.cpp:531-551) for the user's OWN SQL, no
+        # opt-in. Freshness-gated; a stale artifact serves the live
+        # defining aggregation (same fixed-point algebra — bit-identical
+        # to the route), and anything not provably covered falls
+        # through untouched.
+        try:
+            out = self._try_agg_projection_route(query)
+            if out is not None:
+                return out
+        except Exception:
+            pass  # conservative: any doubt -> the plain plan
 
         # Whole-table MIN/MAX/COUNT(*) from the stats manifest (D1: the
         # min/max tree root IS the answer) — a LocalTableScan plan, zero

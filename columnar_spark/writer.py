@@ -369,7 +369,8 @@ _DISC4_SQL = (
 #                       prunes 4/5 of row groups)
 #   nation_day       -> q5 ((date, cust-nation, supp-nation) cells)
 #   mkt_year         -> q8 ((year, region, p_type, supp-nation) cells)
-#   cust_returns_day -> q10 ((cust, date, flag) cells with names baked)
+#   cust_returns_r   -> q10 ((cust, date) cells, R-rows-only baked WHERE)
+#   promo_day        -> q14 ((ship-day, promo-flag) cells)
 TPCH_AGG_PROJECTIONS: "dict[str, dict]" = {
     "pricing_day": dict(
         keys={
@@ -378,16 +379,29 @@ TPCH_AGG_PROJECTIONS: "dict[str, dict]" = {
             "l_shipdate": "l_shipdate",
         },
         measures=[
+            # `user`/`dp`/`nonnull` drive the PLAIN-SQL router
+            # (plans/count_rewrite.match_agg_projection): `user` is the
+            # user-level SQL text whose fixed-point partial this measure
+            # stores, `dp` the unscale digits, `nonnull` asserts the
+            # expression never evaluates NULL over the source (gates the
+            # AVG route, where COUNT(expr) must equal cnt).
             {"name": "cnt", "agg": "count"},
-            {"name": "qty2", "agg": "sum", "expr": _FX2.format(c="l_quantity")},
-            {"name": "base2", "agg": "sum", "expr": _FX2.format(c="l_extendedprice")},
-            {"name": "disc2", "agg": "sum", "expr": _FX2.format(c="l_discount")},
-            {"name": "disc_price4", "agg": "sum", "expr": _DISC4_SQL},
+            {"name": "qty2", "agg": "sum", "expr": _FX2.format(c="l_quantity"),
+             "user": "l_quantity", "dp": 2, "nonnull": True},
+            {"name": "base2", "agg": "sum", "expr": _FX2.format(c="l_extendedprice"),
+             "user": "l_extendedprice", "dp": 2, "nonnull": True},
+            {"name": "disc2", "agg": "sum", "expr": _FX2.format(c="l_discount"),
+             "user": "l_discount", "dp": 2, "nonnull": True},
+            {"name": "disc_price4", "agg": "sum", "expr": _DISC4_SQL,
+             "user": "l_extendedprice * (1 - l_discount)", "dp": 4,
+             "nonnull": True},
             # per-row 6-dp charge widens to decimal(38,0) BEFORE the sum
             # (the money.py wide path — same envelope as q1's live form)
             {"name": "charge6", "agg": "sum",
              "expr": f"CAST({_DISC4_SQL} * (100 + {_FX2.format(c='l_tax')})"
-                     " AS DECIMAL(38,0))"},
+                     " AS DECIMAL(38,0))",
+             "user": "l_extendedprice * (1 - l_discount) * (1 + l_tax)",
+             "dp": 6, "nonnull": True},
         ],
         cluster_by=("l_shipdate",),
     ),
@@ -401,7 +415,8 @@ TPCH_AGG_PROJECTIONS: "dict[str, dict]" = {
         },
         measures=[
             {"name": "cnt", "agg": "count"},
-            {"name": "qty2", "agg": "sum", "expr": _FX2.format(c="l_quantity")},
+            {"name": "qty2", "agg": "sum", "expr": _FX2.format(c="l_quantity"),
+             "user": "l_quantity", "dp": 2, "nonnull": True},
             {"name": "late60_cnt", "agg": "sum",
              "expr": "CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAYS"
                      " THEN 1 ELSE 0 END"},
@@ -430,7 +445,8 @@ TPCH_AGG_PROJECTIONS: "dict[str, dict]" = {
             "o_totalprice": "o_totalprice",
         },
         measures=[
-            {"name": "qty2", "agg": "sum", "expr": _FX2.format(c="l_quantity")},
+            {"name": "qty2", "agg": "sum", "expr": _FX2.format(c="l_quantity"),
+             "user": "l_quantity", "dp": 2, "nonnull": True},
         ],
         enrich=(
             {"table": "orders.parquet", "left_on": "l_orderkey",
@@ -479,7 +495,9 @@ TPCH_AGG_PROJECTIONS: "dict[str, dict]" = {
         },
         measures=[
             {"name": "cnt", "agg": "count"},
-            {"name": "rev4", "agg": "sum", "expr": _DISC4_SQL},
+            {"name": "rev4", "agg": "sum", "expr": _DISC4_SQL,
+             "user": "l_extendedprice * (1 - l_discount)", "dp": 4,
+             "nonnull": True},
         ],
         enrich=(
             {"table": "orders.parquet", "left_on": "l_orderkey",
@@ -501,7 +519,9 @@ TPCH_AGG_PROJECTIONS: "dict[str, dict]" = {
         },
         measures=[
             {"name": "cnt", "agg": "count"},
-            {"name": "vol4", "agg": "sum", "expr": _DISC4_SQL},
+            {"name": "vol4", "agg": "sum", "expr": _DISC4_SQL,
+             "user": "l_extendedprice * (1 - l_discount)", "dp": 4,
+             "nonnull": True},
         ],
         enrich=(
             {"table": "orders.parquet", "left_on": "l_orderkey",
@@ -522,13 +542,20 @@ TPCH_AGG_PROJECTIONS: "dict[str, dict]" = {
         ),
         cluster_by=(),
     ),
-    "cust_returns_day": dict(
+    # q10's artifact, r10: the R-returnflag predicate is BAKED into the
+    # build (`where` — a filtered/partial projection, the partial-index
+    # regime): q10 only ever reads returned lines, and the r9
+    # custkey×date×flag grain was only 1.8x under fact grain — slicing
+    # to R rows at build time cuts the artifact ~4x further, which is
+    # the grain bound the r9 verdict flagged. The route's filter must
+    # IMPLY the baked predicate (the hand-wired q10 route matches it
+    # exactly); the plain-SQL router refuses `where`-bearing artifacts.
+    "cust_returns_r": dict(
         keys={
             "o_custkey": "o_custkey",
             "c_name": "c_name",
             "n_name": "n_name",
             "o_orderdate": "o_orderdate",
-            "l_returnflag": "l_returnflag",
         },
         measures=[
             {"name": "rev4", "agg": "sum", "expr": _DISC4_SQL},
@@ -543,7 +570,30 @@ TPCH_AGG_PROJECTIONS: "dict[str, dict]" = {
             {"table": "nation.parquet", "left_on": "c_nationkey",
              "right_on": "n_nationkey", "cols": {"n_name": "n_name"}},
         ),
+        where="l_returnflag = 'R'",
         cluster_by=("o_orderdate",),
+    ),
+    # q14's artifact, r10 (the last >2x query whose gap was a missing
+    # projection): (ship-day x promo-flag) cells with the exact
+    # fixed-point revenue partials — the one-month predicate prunes the
+    # day-clustered artifact to ~30 of ~2.5k rows and the part join
+    # disappears (promo membership decided once at build).
+    "promo_day": dict(
+        keys={
+            "l_shipdate": "l_shipdate",
+            "promo": "CAST((p_type = 'PROMO') AS INT)",
+        },
+        measures=[
+            {"name": "cnt", "agg": "count"},
+            {"name": "disc_price4", "agg": "sum", "expr": _DISC4_SQL,
+             "user": "l_extendedprice * (1 - l_discount)", "dp": 4,
+             "nonnull": True},
+        ],
+        enrich=(
+            {"table": "part.parquet", "left_on": "l_partkey",
+             "right_on": "p_partkey", "cols": {"p_type": "p_type"}},
+        ),
+        cluster_by=("l_shipdate",),
     ),
 }
 
@@ -581,7 +631,7 @@ def build_sf_layout(
     # layout_v bumps when the ingest artifacts change (new sidecar
     # kinds), so a cached layout built by older code is invalidated even
     # though the SOURCE signature still matches.
-    signature = "layout_v21\n" + src_dir + "\n" + "\n".join(sig_parts) + "\n"
+    signature = "layout_v22\n" + src_dir + "\n" + "\n".join(sig_parts) + "\n"
 
     marker = os.path.join(dest_dir, _LAYOUT_MARKER)
     if os.path.exists(marker) and not force:

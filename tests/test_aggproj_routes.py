@@ -26,7 +26,8 @@ ROUTED = [
     ("q4_order_priority", "order_profile"),
     ("q5_region_revenue", "nation_day"),
     ("q8_market_share", "mkt_year"),
-    ("q10_returned_items", "cust_returns_day"),
+    ("q10_returned_items", "cust_returns_r"),
+    ("q14_promo_revenue", "promo_day"),
     ("q18_large_orders", "order_profile"),
 ]
 
