@@ -67,24 +67,21 @@ def agg_projection_path(fact_path: str, name: str) -> str:
 
 
 def agg_projection_meta(fact_path: str, name: str) -> dict | None:
-    mp = os.path.join(agg_projection_path(fact_path, name), "_meta.json")
-    if not os.path.isfile(mp):
-        return None
-    try:
-        with open(mp) as f:
-            return json.load(f)
-    except (OSError, ValueError):
-        return None
+    from columnar_spark import objstore
+
+    return objstore.read_json(agg_projection_path(fact_path, name), "_meta.json")
 
 
 def agg_projections_on(fact_path: str) -> "list[str]":
     """Names of aggregate projections whose SOURCE is this table."""
+    from columnar_spark import objstore
+
     root = agg_projection_root(fact_path)
-    if not os.path.isdir(root):
+    if "://" not in root and not os.path.isdir(root):
         return []
     return sorted(
-        d for d in os.listdir(root)
-        if os.path.isfile(os.path.join(root, d, "_meta.json"))
+        d for d in objstore.list_names(root)
+        if objstore.read_json(os.path.join(root, d), "_meta.json") is not None
     )
 
 
@@ -127,6 +124,9 @@ def _enriched(
     delta merges, and the checker's recount. ``delta_enrich=(i, ΔEi)``
     substitutes a delta frame for the i-th enrichment table (the
     dim-append increment S ⋈ ... ΔEi ...)."""
+    from columnar_spark import objstore
+
+    objstore.require_transport(fact_path)
     df = source_df if source_df is not None else spark.read.parquet(fact_path)
     layout = _layout_dir(fact_path)
     for i, en in enumerate(meta.get("enrich", ())):
@@ -217,21 +217,19 @@ def _sig_payload(fact_path: str, meta: dict) -> dict:
 
 
 def _write_sigs(fact_path: str, meta: dict, proj_dir: str) -> None:
-    with open(os.path.join(proj_dir, "_table_sig.json"), "w") as f:
-        json.dump(_sig_payload(fact_path, meta), f)
+    from columnar_spark import objstore
+
+    objstore.put_json(proj_dir, "_table_sig.json", _sig_payload(fact_path, meta))
 
 
 _SIG_KEYS = ("files", "bytes", "max_mtime_ms")
 
 
 def _sigs_fresh(fact_path: str, meta: dict, proj_dir: str) -> bool:
-    sp = os.path.join(proj_dir, "_table_sig.json")
-    if not os.path.isfile(sp):
-        return False
-    try:
-        with open(sp) as f:
-            rec = json.load(f)
-    except (OSError, ValueError):
+    from columnar_spark import objstore
+
+    rec = objstore.read_json(proj_dir, "_table_sig.json")
+    if rec is None:
         return False
     live = _sig_payload(fact_path, meta)
     got_src = rec.get("source") or {}
@@ -245,8 +243,9 @@ def _sigs_fresh(fact_path: str, meta: dict, proj_dir: str) -> bool:
 
 
 def _write_meta(proj_dir: str, meta: dict) -> None:
-    with open(os.path.join(proj_dir, "_meta.json"), "w") as f:
-        json.dump(meta, f)
+    from columnar_spark import objstore
+
+    objstore.put_json(proj_dir, "_meta.json", meta)
 
 
 def write_agg_projection(
@@ -268,9 +267,6 @@ def write_agg_projection(
     ``measures`` entries are {name, agg, expr[, expr2]} plus optional
     SQL-router annotations (user/dp/nonnull, stored verbatim); ``where``
     is an optional baked filter (partial projection)."""
-    from columnar_spark.stats import require_posix_commit
-
-    require_posix_commit(fact_path, "aggregate projection")
     meta = {
         "keys": dict(keys),
         "measures": list(measures),
@@ -279,26 +275,33 @@ def write_agg_projection(
         "where": where,
         "compacted": True,
     }
+    from columnar_spark import objstore
+
     out = _partials(_enriched(spark, fact_path, meta), meta)
     p = agg_projection_path(fact_path, name)
-    tmp = p + ".__build__"
-    shutil.rmtree(tmp, ignore_errors=True)
     if cluster_by:
         width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
         nparts = num_partitions or max(1, min(width, 8))
         out = out.repartitionByRange(
             nparts, *[F.col(c) for c in cluster_by]
         ).sortWithinPartitions(*cluster_by)
-    out.write.mode("overwrite").option("compression", "zstd").parquet(tmp)
-    if os.path.isdir(p):
-        old = p + ".__old__"
-        shutil.rmtree(old, ignore_errors=True)
-        os.rename(p, old)
-        os.rename(tmp, p)
-        shutil.rmtree(old, ignore_errors=True)
+    if objstore.is_object_store(fact_path):
+        # staging + atomic manifest-pointer commit: segments PUT once,
+        # one JSON pointer flip publishes the generation (objstore.py)
+        objstore.write_df(spark, out, p, mode="overwrite")
     else:
-        os.makedirs(os.path.dirname(p), exist_ok=True)
-        os.rename(tmp, p)
+        tmp = p + ".__build__"
+        shutil.rmtree(tmp, ignore_errors=True)
+        out.write.mode("overwrite").option("compression", "zstd").parquet(tmp)
+        if os.path.isdir(p):
+            old = p + ".__old__"
+            shutil.rmtree(old, ignore_errors=True)
+            os.rename(p, old)
+            os.rename(tmp, p)
+            shutil.rmtree(old, ignore_errors=True)
+        else:
+            os.makedirs(os.path.dirname(p), exist_ok=True)
+            os.rename(tmp, p)
     _write_meta(p, meta)
     _write_sigs(fact_path, meta, p)
 
@@ -311,13 +314,15 @@ def load_agg_projection(
     rewritten outside the framework) — callers fall back to the live
     aggregation, which is always correct. A compacted artifact is served
     as a plain scan (no merge groupBy in the plan)."""
+    from columnar_spark import objstore
+
     p = agg_projection_path(fact_path, name)
     meta = agg_projection_meta(fact_path, name)
-    if meta is None or not os.path.isdir(p):
+    if meta is None or ("://" not in p and not os.path.isdir(p)):
         return None
     if check_fresh and not _sigs_fresh(fact_path, meta, p):
         return None
-    df = spark.read.parquet(p)
+    df = objstore.read_df(spark, p)
     if meta.get("compacted"):
         return df
     return _merge(df, meta)
@@ -341,11 +346,10 @@ def _stale_before_append(
     those callers own the staleness question themselves."""
     if pre_sig is None:
         return False
-    sp = os.path.join(proj_dir, "_table_sig.json")
-    try:
-        with open(sp) as f:
-            rec = json.load(f)
-    except (OSError, ValueError):
+    from columnar_spark import objstore
+
+    rec = objstore.read_json(proj_dir, "_table_sig.json")
+    if rec is None:
         return True
     expected = _sig_payload(fact_path, meta)
     if changed_rel == "__source__":
@@ -381,9 +385,13 @@ def merge_agg_fact_delta(
     if _stale_before_append(fact_path, meta, p, "__source__", pre_sig):
         rebuild_agg_projection(spark, fact_path, name)
         return
-    _partials(_enriched(spark, fact_path, meta, source_df=delta), meta).write.mode(
-        "append"
-    ).parquet(p)
+    from columnar_spark import objstore
+
+    batch = _partials(_enriched(spark, fact_path, meta, source_df=delta), meta)
+    if objstore.is_object_store(fact_path):
+        objstore.write_df(spark, batch, p, mode="append")
+    else:
+        batch.write.mode("append").parquet(p)
     meta["compacted"] = False
     _write_meta(p, meta)
     _write_sigs(fact_path, meta, p)
@@ -423,10 +431,16 @@ def merge_agg_enrich_delta(
         # Rebuild instead (dims are small by declaration).
         rebuild_agg_projection(spark, fact_path, name)
         return
+    from columnar_spark import objstore
+
     p = agg_projection_path(fact_path, name)
-    _partials(
+    batch = _partials(
         _enriched(spark, fact_path, meta, delta_enrich=(slots[0], delta)), meta
-    ).write.mode("append").parquet(p)
+    )
+    if objstore.is_object_store(fact_path):
+        objstore.write_df(spark, batch, p, mode="append")
+    else:
+        batch.write.mode("append").parquet(p)
     meta["compacted"] = False
     _write_meta(p, meta)
     _write_sigs(fact_path, meta, p)
@@ -439,21 +453,31 @@ def compact_agg_projection(spark: SparkSession, fact_path: str, name: str) -> No
     meta = agg_projection_meta(fact_path, name)
     if meta is None:
         return
+    from columnar_spark import objstore
+
     p = agg_projection_path(fact_path, name)
-    merged = _merge(spark.read.parquet(p), meta)
+    merged = _merge(objstore.read_df(spark, p), meta)
     if meta.get("cluster_by"):
         merged = merged.repartitionByRange(
             max(1, min(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 8)),
             *[F.col(c) for c in meta["cluster_by"]],
         ).sortWithinPartitions(*meta["cluster_by"])
-    tmp = p + ".__build__"
-    shutil.rmtree(tmp, ignore_errors=True)
-    merged.write.mode("overwrite").option("compression", "zstd").parquet(tmp)
-    old = p + ".__old__"
-    shutil.rmtree(old, ignore_errors=True)
-    os.rename(p, old)
-    os.rename(tmp, p)
-    shutil.rmtree(old, ignore_errors=True)
+    if objstore.is_object_store(fact_path):
+        # the merged generation's segments PUT, then ONE pointer flip —
+        # readers see old partials or the compacted set, never a mix.
+        # No self-overwrite hazard: write_df stages to a temp dir (the
+        # plan executes against the OLD segments, which the protocol
+        # never deletes) before any pointer change.
+        objstore.write_df(spark, merged, p, mode="overwrite")
+    else:
+        tmp = p + ".__build__"
+        shutil.rmtree(tmp, ignore_errors=True)
+        merged.write.mode("overwrite").option("compression", "zstd").parquet(tmp)
+        old = p + ".__old__"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(p, old)
+        os.rename(tmp, p)
+        shutil.rmtree(old, ignore_errors=True)
     meta["compacted"] = True
     _write_meta(p, meta)
     _write_sigs(fact_path, meta, p)
@@ -509,8 +533,10 @@ def check_agg_projection(
     meta = agg_projection_meta(fact_path, name)
     if meta is None:
         return [f"agg projection {name}: missing _meta.json"]
+    from columnar_spark import objstore
+
     stored = _merge(
-        spark.read.parquet(agg_projection_path(fact_path, name)), meta
+        objstore.read_df(spark, agg_projection_path(fact_path, name)), meta
     )
     live = live_agg_frame(spark, fact_path, name)
     a = _canon(stored, meta).select(*sorted(stored.columns))

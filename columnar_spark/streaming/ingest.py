@@ -645,7 +645,7 @@ def append_batch(
             )
 
             if cohort_meta(dst_path) is not None:
-                append_cohort_batch(ss, dst_path, appended)
+                append_cohort_batch(ss, dst_path, appended, pre_sig=pre_sig)
 
         # Inverted-text + vocab sidecars: their own applied-batch staging
         # makes these calls retry-exact under BOTH the incremental and the

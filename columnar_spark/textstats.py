@@ -96,14 +96,9 @@ def text_features(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 
 def textstats_meta(table_path: str) -> dict | None:
-    mp = os.path.join(textstats_path(table_path), "_meta.json")
-    if not os.path.isfile(mp):
-        return None
-    try:
-        with open(mp) as f:
-            return json.load(f)
-    except (OSError, ValueError):
-        return None
+    from columnar_spark import objstore
+
+    return objstore.read_json(textstats_path(table_path), "_meta.json")
 
 
 def write_textstats_sidecar(
@@ -115,16 +110,19 @@ def write_textstats_sidecar(
     """Full (re)build: scan the base table once, write the feature rows.
     Used by first-time ingest and by crash recovery (_rebuild_sidecars) —
     incremental appends go through merge_textstats."""
+    from columnar_spark import objstore
     from columnar_spark.functions.layout import ensure_parallelism
-    from columnar_spark.stats import require_posix_commit
 
-    require_posix_commit(table_path, "textstats sidecar")
-
+    objstore.require_transport(table_path)
     df = ensure_parallelism(spark.read.parquet(table_path))
     p = textstats_path(table_path)
-    text_features(df, id_col, text_col).write.mode("overwrite").parquet(p)
-    with open(os.path.join(p, "_meta.json"), "w") as f:
-        json.dump({"id_col": id_col, "text_col": text_col}, f)
+    feats = text_features(df, id_col, text_col)
+    if objstore.is_object_store(table_path):
+        # staging + atomic manifest-pointer commit (objstore.py)
+        objstore.write_df(spark, feats, p, mode="overwrite")
+    else:
+        feats.write.mode("overwrite").parquet(p)
+    objstore.put_json(p, "_meta.json", {"id_col": id_col, "text_col": text_col})
     _write_table_sig(table_path, p)
 
 
@@ -135,12 +133,14 @@ def load_textstats(
     table rewritten outside the framework's append/DML paths) — callers
     fall back to the live text_features projection, which is always
     correct."""
+    from columnar_spark import objstore
+
     p = textstats_path(table_path)
-    if not os.path.isdir(p) or textstats_meta(table_path) is None:
+    if ("://" not in p and not os.path.isdir(p)) or textstats_meta(table_path) is None:
         return None
     if check_fresh and not index_is_fresh(table_path, p):
         return None
-    return spark.read.parquet(p)
+    return objstore.read_df(spark, p)
 
 
 def merge_textstats(spark: SparkSession, table_path: str, appended: DataFrame) -> None:
@@ -150,8 +150,12 @@ def merge_textstats(spark: SparkSession, table_path: str, appended: DataFrame) -
     meta = textstats_meta(table_path)
     if meta is None:
         return
+    from columnar_spark import objstore
+
     p = textstats_path(table_path)
-    text_features(appended, meta["id_col"], meta["text_col"]).write.mode(
-        "append"
-    ).parquet(p)
+    batch = text_features(appended, meta["id_col"], meta["text_col"])
+    if objstore.is_object_store(table_path):
+        objstore.write_df(spark, batch, p, mode="append")
+    else:
+        batch.write.mode("append").parquet(p)
     _write_table_sig(table_path, p)
