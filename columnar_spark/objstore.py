@@ -328,3 +328,119 @@ def write_df(
         put_json(root, MANIFEST, {"files": live, "gen": gen, "batches": batches})
     finally:
         shutil.rmtree(staging, ignore_errors=True)
+
+
+# ------------------------------------------------- generation-dir commit
+# The flat-segment manifest above fits sidecars that are ONE parquet
+# dataset. The index families (.knn, .knn-graph, .ftidx) are directory
+# TREES — several components, hive-partitioned code/posting datasets,
+# parquet metadata files — whose internal layout the readers rely on.
+# For those, the commit unit is the whole tree: build into a POSIX
+# staging directory (Spark's committer renames freely there), upload
+# the COMPLETED tree file-by-file under `gen-<uuid>/`, then publish
+# with a single `_live.json` PUT naming the generation. Readers resolve
+# the pointer first and then read the generation directory like any
+# normal layout; a half-uploaded generation is invisible, and retired
+# generations remain readable until vacuumed. Appends PUT whole
+# part-files INTO the live generation under fresh names — single-object
+# PUT is atomic, so a reader's directory scan sees each file entirely
+# or not at all (the same guarantee a POSIX append gives today).
+
+
+def publish_tree(local_dir: str, root: str) -> str:
+    """Upload the completed `local_dir` tree as a new generation of the
+    artifact at `root` and flip the pointer. Returns the generation's
+    path under root."""
+    gen = f"gen-{uuid.uuid4().hex[:12]}"
+    for dirpath, _dirs, names in os.walk(local_dir):
+        rel = os.path.relpath(dirpath, local_dir)
+        for n in names:
+            if n.startswith(".") or n.endswith(".crc"):
+                continue
+            dst = os.path.join(root, gen, rel, n) if rel != "." else os.path.join(
+                root, gen, n
+            )
+            with open(os.path.join(dirpath, n), "rb") as f:
+                _put_bytes(dst, f.read())
+    put_json(root, MANIFEST, {"gen": gen})
+    return os.path.join(root, gen)
+
+
+def resolve_tree(root: str) -> str:
+    """The live generation directory of a tree artifact, or `root`
+    itself for plain POSIX layouts (no pointer)."""
+    man = read_json(root, MANIFEST)
+    if man is None or "gen" not in man:
+        return root
+    return os.path.join(root, man["gen"])
+
+
+def append_parquet_tree(
+    spark: SparkSession, df: DataFrame, target_dir: str, partition_by=None
+) -> None:
+    """Append `df` into a (possibly hive-partitioned) dataset directory
+    inside a live generation WITHOUT renames: stage to a POSIX temp dir,
+    then PUT each completed part under a fresh unique name preserving
+    the partition subpaths. Plain mode-append write on POSIX layouts."""
+    if not is_object_store(target_dir):
+        w = df.write.mode("append")
+        if partition_by:
+            w = w.partitionBy(partition_by)
+        w.parquet(target_dir)
+        return
+    staging = tempfile.mkdtemp(prefix="objstore-tree-stage-")
+    try:
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(partition_by)
+        w.parquet(staging)
+        gen = uuid.uuid4().hex[:12]
+        i = 0
+        for dirpath, _dirs, names in os.walk(staging):
+            rel = os.path.relpath(dirpath, staging)
+            for n in sorted(names):
+                if not n.endswith(".parquet"):
+                    continue
+                name = f"part-append-{gen}-{i:05d}.parquet"
+                i += 1
+                dst = (
+                    os.path.join(target_dir, rel, name)
+                    if rel != "."
+                    else os.path.join(target_dir, name)
+                )
+                with open(os.path.join(dirpath, n), "rb") as f:
+                    _put_bytes(dst, f.read())
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+
+def vacuum_tree(root: str, grace_s: float = 3600.0) -> "list[str]":
+    """Delete retired/unpublished generations of a tree artifact (local
+    and simulated layouts; transport-backed stores need a recursive
+    delete the four-call client doesn't model). Same grace window as
+    vacuum_artifact."""
+    import time
+
+    man = read_json(root, MANIFEST)
+    if man is None or "gen" not in man:
+        return []
+    live = man["gen"]
+    removed = []
+    if _transport(root) is not None:
+        return []
+    now = time.time()
+    try:
+        entries = os.listdir(root)
+    except OSError:
+        return []
+    for e in entries:
+        p = os.path.join(root, e)
+        if e.startswith("gen-") and e != live and os.path.isdir(p):
+            try:
+                if now - os.path.getmtime(p) < grace_s:
+                    continue
+                shutil.rmtree(p)
+                removed.append(e)
+            except OSError:
+                pass
+    return removed

@@ -324,11 +324,22 @@ def write_text_index(
     `<table>.ftidx/postings/` hive-partitioned by tb=xxhash64(term)%64 —
     a query's term list prunes to |terms| partitions before any IO —
     plus `lengths/` and a `meta.json` with (n_docs, avgdl)."""
-    from columnar_spark.stats import require_posix_commit
+    from columnar_spark import objstore
 
-    require_posix_commit(table_path, "full-text index")
+    objstore.require_transport(table_path)
     df = getattr(spark.read, fmt)(table_path)
-    root = text_index_path(table_path)
+    real_root = text_index_path(table_path)
+    on_store = objstore.is_object_store(table_path)
+    if on_store:
+        # generation-dir commit (objstore.py): build the whole tree —
+        # base postings/lengths + meta.json — in POSIX staging, upload
+        # complete, publish with one pointer PUT. The delta-append
+        # protocol below then operates INSIDE the live generation.
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix="ftidx-build-")
+    else:
+        root = real_root
     # positional postings (hitlists): tf-only consumers (BM25, boolean,
     # suggest) just don't read the positions column — parquet column
     # pruning makes that free — while phrase/NEAR get index service too
@@ -358,6 +369,11 @@ def write_text_index(
             "analyzer": analyzer,
         },
     )
+    if on_store:
+        import shutil as _sh
+
+        objstore.publish_tree(root, real_root)
+        _sh.rmtree(root, ignore_errors=True)
 
 
 def text_index_meta(table_path: str) -> dict | None:
@@ -365,11 +381,10 @@ def text_index_meta(table_path: str) -> dict | None:
     — one json.load, no DataFrame construction. Use this when only the
     metadata is needed (snippet column resolution, SHOW CREATE TABLE);
     load_text_index builds postings/lengths frames per delta segment."""
-    mp = f"{text_index_path(table_path)}/meta.json"
-    if not os.path.exists(mp):
-        return None
-    with open(mp) as f:
-        return json.load(f)
+    from columnar_spark import objstore
+
+    live = objstore.resolve_tree(text_index_path(table_path))
+    return objstore.read_json(live, "meta.json")
 
 
 def load_text_index(spark: SparkSession, table_path: str):
@@ -381,11 +396,14 @@ def load_text_index(spark: SparkSession, table_path: str):
     invisible (meta.json is the commit point; see append_to_text_index)."""
     import glob as _glob
 
-    root = text_index_path(table_path)
+    from columnar_spark import objstore
+
+    root = objstore.resolve_tree(text_index_path(table_path))
     if not os.path.isdir(f"{root}/postings"):
         return None
-    with open(f"{root}/meta.json") as f:
-        meta = json.load(f)
+    meta = objstore.read_json(root, "meta.json")
+    if meta is None:
+        return None
     if _glob.glob(f"{root}/postings/**/*.parquet", recursive=True):
         postings = spark.read.parquet(f"{root}/postings")
         lengths = spark.read.parquet(f"{root}/lengths")
@@ -408,9 +426,16 @@ def load_text_index(spark: SparkSession, table_path: str):
 
 
 def _commit_text_meta(root: str, meta: dict) -> None:
-    """Atomic meta commit — the rename is the transaction point. A crash
-    before this call leaves the sidecar exactly as it was (staged delta
-    dirs are unreferenced and invisible to load_text_index)."""
+    """Atomic meta commit — the transaction point. POSIX layouts rename
+    a temp file into place; object-store generations use the atomic
+    single-object PUT (objstore.put_json). A crash before this call
+    leaves the sidecar exactly as it was (staged delta dirs are
+    unreferenced and invisible to load_text_index)."""
+    from columnar_spark import objstore
+
+    if objstore.is_object_store(root):
+        objstore.put_json(root, "meta.json", meta)
+        return
     tmp = f"{root}/meta.json.tmp"
     with open(tmp, "w") as f:
         json.dump(meta, f)
@@ -443,9 +468,12 @@ def append_to_text_index(
     pytest-pinned."""
     import uuid
 
-    root = text_index_path(table_path)
-    with open(f"{root}/meta.json") as f:
-        meta = json.load(f)
+    from columnar_spark import objstore
+
+    root = objstore.resolve_tree(text_index_path(table_path))
+    meta = objstore.read_json(root, "meta.json")
+    if meta is None:
+        raise FileNotFoundError(f"no text index meta under {root}")
     if batch_id is not None and str(batch_id) in meta.get("applied_batches", {}):
         return False
     id_col, text_col = meta.get("id_col", "doc_id"), meta["text_col"]
@@ -455,11 +483,22 @@ def append_to_text_index(
     postings = build_positional_postings(batch_df, id_col, text_col, analyzer).withColumn(
         "tb", F.pmod(F.xxhash64("term"), F.lit(N_TERM_BUCKETS)).cast("int")
     )
-    postings.write.mode("overwrite").partitionBy("tb").parquet(
-        f"{root}/postings_delta/{attempt}"
-    )
-    lengths = doc_lengths(batch_df, id_col, text_col, analyzer)
-    lengths.write.mode("overwrite").parquet(f"{root}/lengths_delta/{attempt}")
+    if objstore.is_object_store(root):
+        # rename-free delta-dir upload (fresh dirs, PUT-only)
+        objstore.append_parquet_tree(
+            spark, postings, f"{root}/postings_delta/{attempt}",
+            partition_by="tb",
+        )
+        objstore.append_parquet_tree(
+            spark, doc_lengths(batch_df, id_col, text_col, analyzer),
+            f"{root}/lengths_delta/{attempt}",
+        )
+    else:
+        postings.write.mode("overwrite").partitionBy("tb").parquet(
+            f"{root}/postings_delta/{attempt}"
+        )
+        lengths = doc_lengths(batch_df, id_col, text_col, analyzer)
+        lengths.write.mode("overwrite").parquet(f"{root}/lengths_delta/{attempt}")
 
     # Count from the WRITTEN delta so the committed counters can never
     # disagree with the committed rows (batch_df could be re-evaluated
@@ -493,9 +532,12 @@ def compact_text_index(spark: SparkSession, table_path: str, fmt: str = "parquet
     can be lost when the rebuilt meta replaces theirs."""
     import shutil
 
-    root = text_index_path(table_path)
-    with open(f"{root}/meta.json") as f:
-        meta = json.load(f)
+    from columnar_spark import objstore
+
+    root = objstore.resolve_tree(text_index_path(table_path))
+    meta = objstore.read_json(root, "meta.json")
+    if meta is None:
+        return 0
     write_text_index(
         spark,
         table_path,
@@ -510,11 +552,16 @@ def compact_text_index(spark: SparkSession, table_path: str, fmt: str = "parquet
     # failed) would re-index documents the rebuilt base already contains,
     # silently skewing tf/df/avgdl. The attempt names the map pointed to
     # are gone with the deltas — only the batch-id keys gate replays.
+    # the rebuild may have published a NEW generation — resolve again
+    new_root = objstore.resolve_tree(text_index_path(table_path))
     if meta.get("applied_batches"):
-        with open(f"{root}/meta.json") as f:
-            fresh = json.load(f)
+        fresh = objstore.read_json(new_root, "meta.json")
         fresh["applied_batches"] = meta["applied_batches"]
-        _commit_text_meta(root, fresh)
+        _commit_text_meta(new_root, fresh)
+    if new_root != root:
+        # object store: the old generation (deltas and all) is retired
+        # wholesale by the pointer flip; GC happens via vacuum_tree
+        return len(meta.get("deltas", []))
     removed = 0
     for sub in ("postings_delta", "lengths_delta"):
         d = f"{root}/{sub}"

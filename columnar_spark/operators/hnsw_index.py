@@ -161,14 +161,18 @@ def graph_index_path(table_path: str, vec_col: "str | None" = None) -> str:
 def graph_index_dirs(table_path: str) -> "list[str]":
     """Every graph artifact dir on this table (root layout + col=*
     subdirs) — maintenance and the checker walk all of them."""
+    from columnar_spark import objstore
+
     root = graph_index_path(table_path)
     out = []
-    if os.path.isdir(os.path.join(root, "graph")):
+    if os.path.isdir(os.path.join(objstore.resolve_tree(root), "graph")):
         out.append(root)
     if os.path.isdir(root):
         for d in sorted(os.listdir(root)):
             p = os.path.join(root, d)
-            if d.startswith("col=") and os.path.isdir(os.path.join(p, "graph")):
+            if d.startswith("col=") and os.path.isdir(
+                os.path.join(objstore.resolve_tree(p), "graph")
+            ):
                 out.append(p)
     return out
 
@@ -296,9 +300,9 @@ def build_graph_index(
     interval (pass exact min/max for an oracle-replicable build);
     default trains the 0.5%/99.5% clip like the .knn sidecar
     (operators/quantize.train_quantizer)."""
-    from columnar_spark.stats import require_posix_commit
+    from columnar_spark import objstore
 
-    require_posix_commit(index_path or table_path, "HNSW graph index")
+    objstore.require_transport(index_path or table_path)
     if metric not in ("cosine", "l2", "ip"):
         raise ValueError(f"metric must be cosine|l2|ip, got {metric!r}")
     if quantize not in ("none", "b1", "q8"):
@@ -329,6 +333,14 @@ def build_graph_index(
         )
         if root_meta is not None and root_meta["vec_col"] != vec_col:
             out = graph_index_path(table_path, vec_col)
+    target = out
+    on_store = objstore.is_object_store(index_path or table_path)
+    if on_store:
+        # generation-dir commit (objstore.py): build the whole tree in
+        # POSIX staging, upload complete, publish with one pointer PUT
+        import tempfile
+
+        out = tempfile.mkdtemp(prefix="knn-graph-build-")
     os.makedirs(out, exist_ok=True)
     first = df.select(vec_col).first()
     if first is None:
@@ -384,10 +396,15 @@ def build_graph_index(
     )
     meta.coalesce(1).write.mode("overwrite").parquet(os.path.join(out, "meta.parquet"))
 
+    if on_store:
+        import shutil as _sh
+
+        objstore.publish_tree(out, target)
+        _sh.rmtree(out, ignore_errors=True)
     from columnar_spark.stats import _write_table_sig
 
-    _write_table_sig(table_path, out)
-    return out
+    _write_table_sig(table_path, target)
+    return target
 
 
 def load_graph_index_meta(
@@ -412,12 +429,15 @@ def load_graph_index_meta(
             if meta is not None and meta["vec_col"] == vec_col:
                 return meta
         return None
-    out = index_path or graph_index_path(table_path)
+    from columnar_spark import objstore
+
+    root = index_path or graph_index_path(table_path)
+    out = objstore.resolve_tree(root)  # live generation on object stores
     if not os.path.isdir(os.path.join(out, "graph")):
         return None
     from columnar_spark.stats import index_is_fresh
 
-    if check_fresh and not index_is_fresh(table_path, out):
+    if check_fresh and not index_is_fresh(table_path, root):
         return None
     try:
         import glob
@@ -427,6 +447,7 @@ def load_graph_index_meta(
         fs = sorted(glob.glob(os.path.join(out, "meta.parquet", "*.parquet")))
         meta = pq.read_table(fs[0]).to_pylist()[0]
         meta["path"] = out
+        meta["root"] = root
         meta.setdefault("quantize", "none")  # pre-quantization artifacts
         if meta["quantize"] is None:
             meta["quantize"] = "none"
@@ -500,18 +521,59 @@ def append_to_graph_index(
         .cogroup(batch.groupBy("part"))
         .applyInPandas(_merge, _STATE_SCHEMA)
     )
-    (
-        merged.repartition("part")
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("part")
-        .parquet(graph_dir)
-    )
+    from columnar_spark import objstore
+
+    root = meta.get("root") or meta["path"]
+    if objstore.is_object_store(root):
+        # generation-dir commit: dynamic partition overwrite is a rename
+        # swap, so on a store the append publishes a NEW generation —
+        # merged touched parts written fresh (the plan reads the live
+        # generation, which the protocol never mutates), untouched part
+        # dirs and the meta copied byte-for-byte. O(graph) bytes per
+        # append is the documented object-store trade; parts are capped
+        # (PY_HNSW_MAX_PARTITION_ROWS) so the copy is bounded.
+        import shutil as _sh
+        import tempfile as _tf
+
+        live = meta["path"]
+        touched_set = {int(t) for t in touched}
+        stage = _tf.mkdtemp(prefix="knn-graph-append-")
+        try:
+            gstage = os.path.join(stage, "graph")
+            (
+                merged.repartition("part")
+                .write.mode("overwrite")
+                .partitionBy("part")
+                .parquet(gstage)
+            )
+            for d in os.listdir(os.path.join(live, "graph")):
+                if (
+                    d.startswith("part=")
+                    and int(d.split("=", 1)[1]) not in touched_set
+                ):
+                    _sh.copytree(
+                        os.path.join(live, "graph", d), os.path.join(gstage, d)
+                    )
+            _sh.copytree(
+                os.path.join(live, "meta.parquet"),
+                os.path.join(stage, "meta.parquet"),
+            )
+            objstore.publish_tree(stage, root)
+        finally:
+            _sh.rmtree(stage, ignore_errors=True)
+    else:
+        (
+            merged.repartition("part")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("part")
+            .parquet(graph_dir)
+        )
     from columnar_spark.stats import _write_table_sig
 
     # append runs AFTER the batch's table append — signature taken now
     # matches the table state the extended graph describes
-    _write_table_sig(table_path, meta["path"])
+    _write_table_sig(table_path, root)
 
 
 # Executor-side reconstructed-graph cache: python workers are reused

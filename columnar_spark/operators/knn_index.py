@@ -73,14 +73,18 @@ def vector_index_dirs(table_path: str) -> "list[str]":
     """Every IVF-PQ artifact dir on this table: the root layout plus
     per-attribute `col=*` subdirs. Maintenance (append/rebuild) and the
     checker walk ALL of them."""
+    from columnar_spark import objstore
+
     root = knn_index_path(table_path)
     out = []
-    if os.path.isdir(os.path.join(root, "vectors")):
+    if os.path.isdir(os.path.join(objstore.resolve_tree(root), "vectors")):
         out.append(root)
     if os.path.isdir(root):
         for d in sorted(os.listdir(root)):
             p = os.path.join(root, d)
-            if d.startswith("col=") and os.path.isdir(os.path.join(p, "vectors")):
+            if d.startswith("col=") and os.path.isdir(
+                os.path.join(objstore.resolve_tree(p), "vectors")
+            ):
                 out.append(p)
     return out
 
@@ -101,6 +105,10 @@ class VectorIndex:
     # at-rest quantizer ladder (None on pre-ladder artifacts)
     q8_bounds: "tuple[float, float] | None" = None
     has_b1: bool = False
+    # artifact ROOT (= path on plain layouts; on object stores `path` is
+    # the live generation dir under this root — signatures and pointer
+    # metadata live at the root)
+    root: str = ""
 
     @property
     def vectors_path(self) -> str:
@@ -133,9 +141,9 @@ def build_vector_index(
     column moves to `<table>.knn/col=<vec_col>/` automatically so both
     artifacts coexist — the per-attribute map of knn/knn.cpp:557-640.
     `index_path` overrides placement outright (shadow builds)."""
-    from columnar_spark.stats import require_posix_commit
+    from columnar_spark import objstore
 
-    require_posix_commit(index_path or table_path, "KNN index")
+    objstore.require_transport(index_path or table_path)
     dim = len(df.select(vec_col).first()[0])
     base = df
     if metric == "cosine":
@@ -161,6 +169,14 @@ def build_vector_index(
         existing = _load_vector_index_dir(table_path, out, check_fresh=False)
         if existing is not None and existing.vec_col != vec_col:
             out = knn_index_path(table_path, vec_col)
+    target = out
+    on_store = objstore.is_object_store(index_path or table_path)
+    if on_store:
+        # generation-dir commit: build the whole tree in POSIX staging,
+        # upload it once complete, publish with one pointer PUT
+        import tempfile
+
+        out = tempfile.mkdtemp(prefix="knn-build-")
     os.makedirs(out, exist_ok=True)
 
     meta = spark.createDataFrame(
@@ -205,10 +221,15 @@ def build_vector_index(
         os.path.join(out, "vectors"), mode="overwrite", dim=dim,
         store_b1=store_b1, q8_bounds=q8_bounds,
     )
+    if on_store:
+        import shutil as _sh
+
+        objstore.publish_tree(out, target)
+        _sh.rmtree(out, ignore_errors=True)
     from columnar_spark.stats import _write_table_sig
 
-    _write_table_sig(table_path, out)
-    return out
+    _write_table_sig(table_path, target)
+    return target
 
 
 def _write_codes(
@@ -248,13 +269,17 @@ def _write_codes(
         )
     if store_vectors:
         cols.append(F.col(vec_col).alias("vec"))
-    (
-        tagged.select(*cols)
-        .repartition("ivf_cluster")
-        .write.mode(mode)
-        .partitionBy("ivf_cluster")
-        .parquet(vectors_path)
-    )
+    out_df = tagged.select(*cols).repartition("ivf_cluster")
+    from columnar_spark import objstore
+
+    if mode == "append" and objstore.is_object_store(vectors_path):
+        # rename-free append into the live generation (objstore.py)
+        objstore.append_parquet_tree(
+            out_df.sparkSession, out_df, vectors_path,
+            partition_by="ivf_cluster",
+        )
+    else:
+        out_df.write.mode(mode).partitionBy("ivf_cluster").parquet(vectors_path)
 
 
 def append_to_vector_index(
@@ -296,7 +321,7 @@ def append_to_vector_index(
     )
     from columnar_spark.stats import _write_table_sig
 
-    _write_table_sig(table_path, index.path)
+    _write_table_sig(table_path, index.root or index.path)
     return index
 
 
@@ -331,12 +356,16 @@ def load_vector_index(
 def _load_vector_index_dir(
     table_path: str, out: str, check_fresh: bool
 ) -> VectorIndex | None:
+    from columnar_spark import objstore
+
+    root = out
+    out = objstore.resolve_tree(out)  # live generation on object stores
     if not os.path.isdir(os.path.join(out, "vectors")):
         return None
     if check_fresh:
         from columnar_spark.stats import index_is_fresh
 
-        if not index_is_fresh(table_path, out):
+        if not index_is_fresh(table_path, root):
             return None
     try:
         import pyarrow.parquet as pq
@@ -368,6 +397,7 @@ def _load_vector_index_dir(
             normalized=meta["normalized"],
             centroids=[[float(x) for x in r["centroid"]] for r in cents],
             codebooks=books, path=out, q8_bounds=q8_bounds, has_b1=has_b1,
+            root=root,
         )
     except Exception:
         return None

@@ -810,20 +810,21 @@ def write_json_field_index(
     the virtual column name the index is keyed by. E6/E7 rewrites then
     cover predicates on `get_json_object(parent, path)` exactly like
     plain-column predicates."""
-    import json
-    import os
+    from columnar_spark import objstore
 
-    require_posix_commit(table_path, "JSON-field index")
-
+    objstore.require_transport(table_path)
     vname = json_virtual_name(parent, json_path)
     df = getattr(spark.read, fmt)(table_path).withColumn(
         vname, json_field_expr(parent, json_path)
     )
     p = value_index_path(table_path, vname)
     with rewrites_disabled(spark):  # rebuild must scan the BASE table
-        build_value_index(df, vname).write.mode("overwrite").parquet(p)
-    with open(os.path.join(p, "_meta.json"), "w") as f:
-        json.dump({"parent": parent, "json_path": json_path}, f)
+        idx = build_value_index(df, vname)
+        if objstore.is_object_store(table_path):
+            objstore.write_df(spark, idx, p, mode="overwrite")
+        else:
+            idx.write.mode("overwrite").parquet(p)
+    objstore.put_json(p, "_meta.json", {"parent": parent, "json_path": json_path})
     _write_table_sig(table_path, p)
     return vname
 
@@ -831,29 +832,19 @@ def write_json_field_index(
 def value_index_measures(table_path: str, col: str) -> list | None:
     """The (measure_col, fx_scale) spec recorded in the sidecar's
     _meta.json, or None for a plain count-only index."""
-    import json
-    import os
+    from columnar_spark import objstore
 
-    mp = os.path.join(value_index_path(table_path, col), "_meta.json")
-    if not os.path.exists(mp):
-        return None
-    with open(mp) as f:
-        meta = json.load(f)
-    return meta.get("measures")
+    meta = objstore.read_json(value_index_path(table_path, col), "_meta.json")
+    return meta.get("measures") if meta else None
 
 
 def json_index_meta(table_path: str, col: str) -> dict | None:
     """Parent linkage of a persisted value index, or None for a plain
     column index."""
-    import json
-    import os
+    from columnar_spark import objstore
 
-    mp = os.path.join(value_index_path(table_path, col), "_meta.json")
-    if not os.path.exists(mp):
-        return None
-    with open(mp) as f:
-        meta = json.load(f)
-    return meta if "parent" in meta else None
+    meta = objstore.read_json(value_index_path(table_path, col), "_meta.json")
+    return meta if meta and "parent" in meta else None
 
 
 def invalidate_json_field_indexes(table_path: str, parent: str | None = None) -> list[str]:
@@ -896,16 +887,17 @@ def write_posting_index(
     """Persist the value -> sorted-postings sidecar (the full A11
     artifact beside the .vidx count sidecar; the reference persists both
     shapes in its SI files)."""
-    import json
-    import os
+    from columnar_spark import objstore
 
-    require_posix_commit(table_path, "posting index")
-
+    objstore.require_transport(table_path)
     df = getattr(spark.read, fmt)(table_path)
     p = posting_index_path(table_path, col)
-    build_posting_index(df, col, id_col).write.mode("overwrite").parquet(p)
-    with open(os.path.join(p, "_meta.json"), "w") as f:
-        json.dump({"id_col": id_col}, f)
+    idx = build_posting_index(df, col, id_col)
+    if objstore.is_object_store(table_path):
+        objstore.write_df(spark, idx, p, mode="overwrite")
+    else:
+        idx.write.mode("overwrite").parquet(p)
+    objstore.put_json(p, "_meta.json", {"id_col": id_col})
     _write_table_sig(table_path, p)
 
 
@@ -917,23 +909,21 @@ def load_posting_index(
     so the base scan serves the query."""
     import os
 
+    from columnar_spark import objstore
+
     p = posting_index_path(table_path, col)
-    if not os.path.isdir(p):
+    if "://" not in p and not os.path.isdir(p):
         return None
     if check_fresh and not index_is_fresh(table_path, p):
         return None
-    return spark.read.parquet(p)
+    return objstore.read_df(spark, p)
 
 
 def posting_index_id_col(table_path: str, col: str) -> str | None:
-    import json
-    import os
+    from columnar_spark import objstore
 
-    mp = os.path.join(posting_index_path(table_path, col), "_meta.json")
-    if not os.path.exists(mp):
-        return None
-    with open(mp) as f:
-        return json.load(f)["id_col"]
+    meta = objstore.read_json(posting_index_path(table_path, col), "_meta.json")
+    return meta["id_col"] if meta else None
 
 
 def merge_posting_index(
@@ -956,15 +946,16 @@ def merge_posting_index(
             F.sum("cnt").cast("long").alias("cnt"),
         )
     )
-    import json
-    import os
+    from columnar_spark import objstore
 
     rows = merged.collect()  # same small-by-contract bound as the value index
     out = spark.createDataFrame(rows, merged.schema)
     p = posting_index_path(table_path, col)
-    out.write.mode("overwrite").parquet(p)
-    with open(os.path.join(p, "_meta.json"), "w") as f:
-        json.dump({"id_col": id_col}, f)
+    if objstore.is_object_store(table_path):
+        objstore.write_df(spark, out, p, mode="overwrite")
+    else:
+        out.write.mode("overwrite").parquet(p)
+    objstore.put_json(p, "_meta.json", {"id_col": id_col})
     # merge runs AFTER the batch's table append, so the signature taken
     # now matches the table state the merged postings describe
     _write_table_sig(table_path, p)

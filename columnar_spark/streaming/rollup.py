@@ -236,18 +236,17 @@ def write_rollup_sidecar(
         objstore.write_df(df.sparkSession, partials, pdir, mode="overwrite")
     else:
         partials.write.mode("overwrite").parquet(pdir)
-    os.makedirs(root, exist_ok=True)
-    with open(os.path.join(root, "meta.json"), "w") as f:
-        json.dump(
-            {
-                "ts_col": ts_col,
-                "bucket": bucket,
-                "keys": list(keys),
-                "value_col": value_col,
-                "sum_encoding": f"int64_scaled_1e{SUM_SCALE}",
-            },
-            f,
-        )
+    objstore.put_json(
+        root,
+        "meta.json",
+        {
+            "ts_col": ts_col,
+            "bucket": bucket,
+            "keys": list(keys),
+            "value_col": value_col,
+            "sum_encoding": f"int64_scaled_1e{SUM_SCALE}",
+        },
+    )
     return root
 
 
@@ -259,11 +258,13 @@ def load_rollup_sidecar(spark: SparkSession, table_path: str, name: str | None =
     from columnar_spark import objstore
 
     root = rollup_sidecar_path(table_path, name)
-    if not os.path.isdir(os.path.join(root, "partials")):
+    pdir = os.path.join(root, "partials")
+    if "://" not in pdir and not os.path.isdir(pdir):
         return None
-    with open(os.path.join(root, "meta.json")) as f:
-        meta = json.load(f)
-    return objstore.read_df(spark, os.path.join(root, "partials")), meta
+    meta = objstore.read_json(root, "meta.json")
+    if meta is None:
+        return None
+    return objstore.read_df(spark, pdir), meta
 
 
 def compact_rollup(
@@ -275,12 +276,21 @@ def compact_rollup(
     (rewrite-then-swap; the pre-compact rollup is retired as a
     time-travel snapshot). Returns (rows_before, rows_after); reads are
     unchanged by construction (the merge algebra is associative)."""
+    from columnar_spark import objstore
     from columnar_spark.snapshots import swap_with_history
-    from columnar_spark.stats import require_posix_commit
 
-    # compaction is still a rename swap: object-store rollups stay on
-    # merge-on-read until compaction gets the manifest treatment
-    require_posix_commit(rollup_path, "rollup compaction")
+    if objstore.is_object_store(rollup_path):
+        # manifest treatment: the merged generation's segments PUT, one
+        # pointer flip publishes them. The retired generation's segments
+        # stay on the store until vacuum_artifact — the object-store
+        # analog of the POSIX path's time-travel snapshot (no rename,
+        # no tear; write_df stages first, so the merge plan executes
+        # against the OLD segment set).
+        cur = objstore.read_df(spark, rollup_path)
+        n_before = cur.count()
+        merged = merge_rollup(cur, keys)
+        objstore.write_df(spark, merged, rollup_path, mode="overwrite")
+        return n_before, objstore.read_df(spark, rollup_path).count()
     cur = spark.read.parquet(rollup_path)
     n_before = cur.count()
     merged = merge_rollup(cur, keys)

@@ -263,12 +263,14 @@ def test_textstats_and_dedupsig_round_trip(spark, store):
     assert sig is not None and 0 < sig.count() <= n
 
 
-def test_unmigrated_artifacts_still_refuse(spark, store):
+def test_real_scheme_refuses_at_writer_entry(spark):
+    # every family's writer probes the transport BEFORE touching Spark:
+    # a real scheme with no registered client is a loud refusal, not a
+    # local directory named "s3:/..."
     from columnar_spark.operators.fulltext import write_text_index
 
-    docs = _install_table(spark, store, "documents")
     with pytest.raises(ValueError, match="object store"):
-        write_text_index(spark, docs)
+        write_text_index(spark, "s3a://bucket/docs.parquet")
 
 
 def test_real_scheme_without_transport_refuses():
@@ -306,3 +308,87 @@ def test_vacuum_removes_only_orphans(spark, store):
     assert after == before
     live = set(objstore.live_files(vdir))
     assert live and not (live & set(removed))
+
+
+def test_text_index_round_trip(spark, store):
+    from columnar_spark.operators.fulltext import (
+        append_to_text_index,
+        bm25_search_indexed,
+        load_text_index,
+        text_index_path,
+        write_text_index,
+    )
+
+    docs = _install_table(spark, store, "documents")
+    write_text_index(spark, docs)
+    root = text_index_path(docs)
+    man = objstore.read_json(root, "_live.json")
+    assert man and "gen" in man, "generation pointer missing"
+    loaded = load_text_index(spark, docs)
+    assert loaded is not None
+    postings, lengths, meta = loaded
+    n = spark.read.parquet(docs).count()
+    assert meta["n_docs"] == n and lengths.count() == n
+    hits = bm25_search_indexed(spark, docs, "the data", k=5)
+    assert hits.count() > 0
+    # delta append inside the live generation (PUT-only), replay-safe
+    batch = spark.read.parquet(docs).limit(20)
+    assert append_to_text_index(spark, docs, batch, batch_id=7) is True
+    assert append_to_text_index(spark, docs, batch, batch_id=7) is False
+    _p2, l2, meta2 = load_text_index(spark, docs)
+    assert meta2["n_docs"] == n + 20 and l2.count() == n + 20
+
+
+def test_vector_index_round_trip(spark, store):
+    from columnar_spark.operators.knn_index import (
+        append_to_vector_index,
+        build_vector_index,
+        knn_index_path,
+        load_vector_index,
+    )
+
+    emb = _install_table(spark, store, "embeddings")
+    df = spark.read.parquet(emb)
+    build_vector_index(spark, df, emb, nlist=4, m=4, k=8)
+    root = knn_index_path(emb)
+    man = objstore.read_json(root, "_live.json")
+    assert man and "gen" in man, "generation pointer missing"
+    idx = load_vector_index(emb)
+    assert idx is not None and idx.root == root
+    codes = spark.read.parquet(idx.vectors_path)
+    n = df.count()
+    assert codes.count() == n
+    # append encodes with frozen centroids, PUT-only into the live gen
+    append_to_vector_index(spark, df.limit(10), emb)
+    idx2 = load_vector_index(emb, check_fresh=False)
+    assert spark.read.parquet(idx2.vectors_path).count() == n + 10
+
+
+def test_graph_index_round_trip(spark, store):
+    from columnar_spark.operators.hnsw_index import (
+        append_to_graph_index,
+        build_graph_index,
+        graph_index_path,
+        knn_query_graph,
+        load_graph_index_meta,
+    )
+
+    emb = _install_table(spark, store, "embeddings")
+    df = spark.read.parquet(emb)
+    build_graph_index(spark, df, emb, num_parts=2, M=8, ef_construction=32)
+    root = graph_index_path(emb)
+    man = objstore.read_json(root, "_live.json")
+    assert man and "gen" in man, "generation pointer missing"
+    meta = load_graph_index_meta(emb)
+    assert meta is not None and meta["root"] == root
+    q = [float(x) for x in df.first()["embedding"]]
+    hits = knn_query_graph(spark, emb, q, k=3)
+    assert hits.count() == 3
+    # append publishes a NEW generation (merged touched parts + copied
+    # untouched parts) — old one stays readable until vacuumed
+    gen0 = man["gen"]
+    append_to_graph_index(spark, df.limit(5), emb)
+    man2 = objstore.read_json(root, "_live.json")
+    assert man2["gen"] != gen0
+    meta2 = load_graph_index_meta(emb, check_fresh=False)
+    assert meta2 is not None
