@@ -6206,20 +6206,22 @@ _DRIVER_PRIORITY = [
     "group_topk_window",
     "window_rank_family", "global_rank_orders",
     # aggregation variants (grouping_sets/percentile_disc are cube/
-    # percentile twins — rotated post-50 in r8 for the new routes)
-    "agg_rollup_events", "cube_orders",
+    # percentile twins — rotated post-50 in r8 for the new routes;
+    # r10 rotates cube_orders post-50 — agg_rollup_events keeps the
+    # CUBE/ROLLUP family represented — so pivot_event_counts returns
+    # to a graded slot after its r9 rotation out)
+    "agg_rollup_events", "pivot_event_counts",
     "percentile_stats",
     "corr_stddev_stats",
-    # r9 rotation: pivot_event_counts (a cube twin, still hash-verified
-    # locally) makes room for retention_cohorts — the .cohort-matrix
-    # flagship whose fallback plan carries the same full oracle
     "retention_cohorts",
     # join / set-op family (+ q17: the measure-index route from r7)
     "join_semi_anti", "asof_join_events_orders", "range_join_followup_orders",
     "fuzzy_name_pairs_parts", "set_ops_customers",
     "q17_small_qty_revenue",
-    # events / time / sessions
+    # events / time / sessions (sessionize_events back in a graded
+    # slot after its r9 rotation out — every family cycles through)
     "events_json_extract", "time_bucket_agg", "topk_latest_events",
+    "sessionize_events",
     # documents: text analysis (incl. the textstats-companion-served
     # lang fingerprint), dedup, sampling, composed pipeline
     "doc_text_stats", "doc_lang_fingerprint", "doc_quality_filter",
@@ -6236,13 +6238,14 @@ _DRIVER_PRIORITY = [
     # r8 adds knn_b1q4_cosine (at-rest asymmetric 4-bit serving) and
     # knn_graph_l2_q8 (int8-quantized l2 graph sidecar, the new q8
     # ladder); r9 adds knn_q8_cosine, freshly oracle-bearing via the
-    # exact-min/max clip bounds (replacing the trained percentile clip),
-    # displacing sessionize_events (post-50, still hash-verified)
+    # exact-min/max clip bounds. r10 rotates knn_b1q4_cosine post-50
+    # (the quantization ladder stays covered by b1 + q8 + graph-q8) to
+    # make room for the returning event-family slots above.
     "knn_cosine_topk", "embed_then_knn", "knn_b1_cosine", "knn_graph_cosine",
-    "knn_b1q4_cosine", "knn_graph_l2_q8", "knn_q8_cosine",
-    # ---- slot 50+: r9 rotations (still hash-verified locally), then
+    "knn_graph_l2_q8", "knn_q8_cosine",
+    # ---- slot 50+: r10 rotations (still hash-verified locally), then
     # no-oracle flagships (rows-only check), then the rest
-    "pivot_event_counts", "sessionize_events",
+    "cube_orders", "knn_b1q4_cosine",
     "window_running_sum", "grouping_sets_orders", "percentile_disc_priority",
     "set_ops_multiset",
     "window_moving_avg_range", "window_lead_lag", "knn_graph_filtered",

@@ -186,15 +186,6 @@ def main() -> None:
         except OSError:
             pass
         baseline_floor = min(floor_best, baseline_floor or floor_best)
-    contaminated = floor_best > 1.3 * baseline_floor
-    if contaminated:
-        print(
-            f"# WARNING contaminated window: in-run scheduling floor "
-            f"{floor_best:.3f}s/query vs layout baseline {baseline_floor:.3f}s "
-            f"(>1.3x) — timings below are inflated by box state, re-capture "
-            f"on a quiet box before publishing",
-            file=sys.stderr,
-        )
     if built:
         print(f"# ingest: built layout at {layout_dir} in {ingest_sec}s", file=sys.stderr)
     sf_dir = layout_dir
@@ -216,42 +207,108 @@ def main() -> None:
         except Exception:
             pass  # the timed loop below records the error
 
+    def _timed_pass():
+        pass_timings = {}
+        pass_errors = {}
+        for name in BENCH_QUERIES:
+            fn = queries[name]
+            # Build the DataFrame once, untimed: plan construction is
+            # statement preparation (driver-side py4j calls,
+            # 0.03-0.13s), which a long-running server — the baseline's
+            # condition — does once, not per execution. First action is
+            # an untimed warmup + row-count sanity. Timed runs use a
+            # noop-sink write, which materializes EVERY output column —
+            # df.count() lets Catalyst prune unreferenced projections,
+            # so projection-heavy queries would time the row count, not
+            # the work.
+            # Fault-isolated per query: one broken query must degrade
+            # the bench to n-1 results, never kill the whole run (a
+            # schema-drift failure in a single query once zeroed an
+            # entire round's bench).
+            try:
+                df = fn(spark, sf_dir)
+                n = df.count()
+                best = None
+                # best of 3 timed runs: steady-state, matching the warm
+                # long-running-server conditions of the baseline
+                # numbers; this box shows +-50% per-query noise under
+                # background load, and best-of-3 cuts most of it
+                for _ in range(3):
+                    t0 = time.time()
+                    df.write.format("noop").mode("overwrite").save()
+                    dt = time.time() - t0
+                    best = dt if best is None else min(best, dt)
+            except Exception as e:  # noqa: BLE001 — record and continue
+                pass_errors[name] = f"{type(e).__name__}: {e}"[:500]
+                print(f"# {name}: ERROR {pass_errors[name][:120]}", file=sys.stderr)
+                continue
+            pass_timings[name] = round(best, 3)
+            print(f"# {name}: {best:.2f}s ({n} rows)", file=sys.stderr)
+        return pass_timings, pass_errors
+
+    def _measure_floor():
+        best = None
+        for _ in range(5):
+            t0 = time.time()
+            floor_df.write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        return best
+
+    # Floor-gated retry (the capture_runs.py discipline, now the DEFAULT
+    # path — r9 left the clean capture in a side file while the driver
+    # artifact carried a contaminated-window number): when the in-run
+    # scheduling floor exceeds 1.3x the layout's quietest-ever floor,
+    # the timing pass re-runs (bounded attempts, min-merged per query)
+    # after a pause and a floor re-measure, so the published JSON is a
+    # clean-window number whenever the box offers one. If every attempt
+    # is noisy the contaminated_window flag still rides in the JSON —
+    # annotate, not refuse: the driver needs one line either way.
+    max_attempts = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "2"))
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    total = 0.0
-    for name in BENCH_QUERIES:
-        fn = queries[name]
-        # Build the DataFrame once, untimed: plan construction is
-        # statement preparation (driver-side py4j calls, 0.03-0.13s),
-        # which a long-running server — the baseline's condition — does
-        # once, not per execution. First action is an untimed warmup +
-        # row-count sanity. Timed runs use a noop-sink write, which
-        # materializes EVERY output column — df.count() lets Catalyst
-        # prune unreferenced projections, so projection-heavy queries
-        # would time the row count, not the work.
-        # Fault-isolated per query: one broken query must degrade the
-        # bench to n-1 results, never kill the whole run (a schema-drift
-        # failure in a single query once zeroed an entire round's bench).
-        try:
-            df = fn(spark, sf_dir)
-            n = df.count()
-            best = None
-            # best of 3 timed runs: steady-state, matching the warm
-            # long-running-server conditions of the baseline numbers; this
-            # box shows +-50% per-query noise under background load, and
-            # best-of-3 cuts most of it
-            for _ in range(3):
-                t0 = time.time()
-                df.write.format("noop").mode("overwrite").save()
-                dt = time.time() - t0
-                best = dt if best is None else min(best, dt)
-        except Exception as e:  # noqa: BLE001 — record and continue
-            errors[name] = f"{type(e).__name__}: {e}"[:500]
-            print(f"# {name}: ERROR {errors[name][:120]}", file=sys.stderr)
-            continue
-        timings[name] = round(best, 3)
-        total += best
-        print(f"# {name}: {best:.2f}s ({n} rows)", file=sys.stderr)
+    floor_final = floor_best
+    for attempt in range(max_attempts):
+        floor_now = floor_best if attempt == 0 else _measure_floor()
+        floor_final = min(floor_final, floor_now)
+        if floor_now < baseline_floor:
+            baseline_floor = floor_now
+            try:
+                with open(floor_file, "w") as fh:
+                    json.dump(
+                        {"sched_floor_sec_per_query": round(floor_now, 4)}, fh
+                    )
+            except OSError:
+                pass
+        pass_timings, pass_errors = _timed_pass()
+        for k, v in pass_timings.items():
+            timings[k] = min(timings.get(k, v), v)
+        # a query counts as errored only if NO attempt produced a timing
+        errors = {
+            k: v for k, v in {**errors, **pass_errors}.items()
+            if k not in timings
+        }
+        if floor_now <= 1.3 * baseline_floor:
+            break
+        if attempt + 1 < max_attempts:
+            print(
+                f"# WARNING contaminated window (floor {floor_now:.3f}s vs "
+                f"baseline {baseline_floor:.3f}s) — re-running the timing "
+                "pass after a short pause",
+                file=sys.stderr,
+            )
+            time.sleep(5)
+    contaminated = floor_final > 1.3 * baseline_floor
+    if contaminated:
+        print(
+            f"# WARNING contaminated window: best in-run scheduling floor "
+            f"{floor_final:.3f}s/query vs layout baseline "
+            f"{baseline_floor:.3f}s (>1.3x after {max_attempts} attempts) — "
+            "timings are inflated by box state, re-capture on a quiet box "
+            "before publishing",
+            file=sys.stderr,
+        )
+    total = sum(timings.values())
 
     # Concurrent-throughput mode (extra metric, never the headline): all
     # headline queries submitted at once across N client threads against
@@ -288,7 +345,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "ingest_sec": ingest_sec,
-                "sched_floor_sec_per_query": round(floor_best, 3),
+                "sched_floor_sec_per_query": round(floor_final, 3),
                 "sched_floor_baseline_sec": round(baseline_floor, 3),
                 **(
                     {"contaminated_window": True} if contaminated else {}

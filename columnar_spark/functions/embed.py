@@ -35,6 +35,7 @@ import hashlib
 import json
 import math
 import os
+import urllib.error
 import urllib.request
 from dataclasses import dataclass
 from typing import Iterator, Sequence
@@ -271,10 +272,15 @@ def embed_batch(
     spec: EmbedModel,
     api_key: str | None = None,
     transport=None,
+    api_url: "str | None" = None,
+    timeout: "float | None" = None,
 ) -> list[list[float]]:
     """One batch through the dispatched backend — the TextModel::predict
     match (mod.rs:71-80). Separated from the Spark plumbing so the mocked
-    unit tests exercise exactly what workers run."""
+    unit tests exercise exactly what workers run. `api_url`/`timeout`
+    override the registry endpoint and the per-request deadline per call
+    (ModelOptions::api_url / api_timeout, mod.rs:27-69 — self-hosted
+    OpenAI-compatible gateways and slow batch endpoints)."""
     if spec.provider == "stub":
         return [_stub_embed(t or "", spec.dim) for t in texts]
     if spec.provider == "api":
@@ -284,7 +290,11 @@ def embed_batch(
                 f"model {spec.name!r} needs an API key (pass api_key= or set "
                 f"{spec.key_env}); no network credentials in this environment"
             )
-        client = ApiEmbedClient(spec.api_url, key or "mocked", spec.model_id, transport=transport)
+        client = ApiEmbedClient(
+            api_url or spec.api_url, key or "mocked", spec.model_id,
+            timeout=10.0 if timeout is None else timeout,
+            transport=transport,
+        )
         return client.embed(texts)
     if spec.provider == "local":
         return _local_embed(texts, spec.model_id)
@@ -293,18 +303,74 @@ def embed_batch(
     raise ValueError(f"unknown provider {spec.provider!r}")
 
 
+def validate_api_key(
+    spec_or_model,
+    api_key: str | None = None,
+    *,
+    api_url: "str | None" = None,
+    timeout: "float | None" = None,
+    transport=None,
+) -> bool:
+    """Driver-side credential probe (ModelOptions::validate_api_key,
+    embeddings/src/model/mod.rs:27-69): one single-text request through
+    the real client BEFORE any distributed work, so a bad or expired key
+    fails the statement in milliseconds instead of failing every task of
+    a 100 TB mapInPandas job. 401/403 surfaces as ValueError naming the
+    provider; transient/network errors propagate unchanged (the caller
+    decides whether to retry). Returns True on success."""
+    spec = (
+        MODEL_REGISTRY[spec_or_model]
+        if isinstance(spec_or_model, str)
+        else spec_or_model
+    )
+    if spec.provider != "api":
+        return True  # nothing to validate for stub/local backends
+    key = resolve_api_key(spec, api_key)
+    if key is None and transport is None:
+        raise RuntimeError(
+            f"model {spec.name!r} needs an API key (pass api_key= or set "
+            f"{spec.key_env}); no network credentials in this environment"
+        )
+    client = ApiEmbedClient(
+        api_url or spec.api_url, key or "mocked", spec.model_id,
+        timeout=10.0 if timeout is None else timeout,
+        transport=transport,
+    )
+    try:
+        vecs = client.embed(["ping"])
+    except urllib.error.HTTPError as e:
+        if e.code in (401, 403):
+            raise ValueError(
+                f"API key for {spec.name!r} rejected by the provider "
+                f"(HTTP {e.code})"
+            ) from e
+        raise
+    if not vecs or not vecs[0]:
+        raise ValueError(
+            f"provider for {spec.name!r} returned no embedding for the "
+            "validation probe"
+        )
+    return True
+
+
 def embed_text(
     df: DataFrame,
     text_col: str,
     model: str = "stub-64",
     out_col: str = "embedding",
     api_key: str | None = None,
+    api_url: "str | None" = None,
+    timeout: "float | None" = None,
+    validate_key: bool = False,
 ) -> DataFrame:
     """Append an embedding column via Arrow-batched mapInPandas.
 
     Batch size follows spark.sql.execution.arrow.maxRecordsPerBatch; the
     per-batch `embed_batch` call is where the provider client or local
-    model runs (Convert(texts[], threads) ↔ one partition per worker)."""
+    model runs (Convert(texts[], threads) ↔ one partition per worker).
+    `api_url`/`timeout` override the registry endpoint and per-request
+    deadline; `validate_key=True` runs the driver-side credential probe
+    first (ModelOptions parity, mod.rs:27-69)."""
     if model not in MODEL_REGISTRY:
         raise KeyError(f"unknown model {model!r}; see MODEL_REGISTRY")
     spec = MODEL_REGISTRY[model]
@@ -314,6 +380,8 @@ def embed_text(
             f"model {spec.name!r} needs an API key (pass api_key= or set "
             f"{spec.key_env}); no network credentials in this environment"
         )
+    if validate_key:
+        validate_api_key(spec, api_key, api_url=api_url, timeout=timeout)
 
     out_fields = [*df.schema.fields, T.StructField(out_col, T.ArrayType(T.FloatType()))]
     out_schema = T.StructType(out_fields)
@@ -321,7 +389,10 @@ def embed_text(
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             pdf = pdf.copy()
-            pdf[out_col] = embed_batch(list(pdf[text_col]), spec, api_key)
+            pdf[out_col] = embed_batch(
+                list(pdf[text_col]), spec, api_key,
+                api_url=api_url, timeout=timeout,
+            )
             yield pdf
 
     return df.mapInPandas(batches, out_schema)
