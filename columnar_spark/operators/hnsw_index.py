@@ -223,27 +223,44 @@ def _index_from_state(pdf, metric, M, efc, seed_val, dim, quantize: str = "none"
     artifact stores."""
     import numpy as np
 
+    # Column-at-once extraction: per-element pandas `.iloc` was the
+    # measured cold-start cost (r9 verdict: 5.0s first distributed
+    # query at 320k nodes — profiled ~60% in pandas indexing machinery,
+    # 160k .iloc calls per 40k-row part). Raw numpy object arrays index
+    # in nanoseconds; the reconstruction semantics (and therefore every
+    # search result) are unchanged.
     if pdf["code"].iloc[0] is not None:
         q8 = quantize == "q8"
         idx = HnswIndex(dim, metric if q8 else "hamming", M, efc, seed=seed_val)
-        order = sorted(range(len(pdf)), key=lambda i: int(pdf["node"].iloc[i]))
-        for i in order:
-            if q8:
-                lvl = _q8_bytes_to_levels(pdf["code"].iloc[i])
-                idx._vecs.append(lvl)
-                idx._norms.append(float(np.linalg.norm(lvl)) or 1e-30)
-            else:
-                idx._vecs.append(_bytes_to_code(pdf["code"].iloc[i]))
-                idx._norms.append(0.0)
-            idx._labels.append(int(pdf["label"].iloc[i]))
-            idx._graph.append(
-                [list(map(int, lv)) for lv in pdf["links"].iloc[i]]
-            )
+        order = np.argsort(pdf["node"].to_numpy())
+        codes = pdf["code"].to_numpy()[order]
+        labels = pdf["label"].to_numpy()[order]
+        links_col = pdf["links"].to_numpy()[order]
+        if q8:
+            idx._vecs = [_q8_bytes_to_levels(c) for c in codes]
+            idx._norms = [
+                float(np.linalg.norm(v)) or 1e-30 for v in idx._vecs
+            ]
+        else:
+            idx._vecs = [_bytes_to_code(c) for c in codes]
+            idx._norms = [0.0] * len(codes)
+        idx._labels = [int(x) for x in labels]
+        idx._graph = [
+            [list(map(int, lv)) for lv in links] for links in links_col
+        ]
         idx._entry = int(pdf["entry"].iloc[0])
         idx._max_level = int(pdf["max_level"].iloc[0])
         return idx
+    order = np.argsort(pdf["node"].to_numpy())
     return index_from_rows(
-        list(zip(pdf["node"], pdf["label"], pdf["vec"], pdf["links"])),
+        list(
+            zip(
+                (int(x) for x in pdf["node"].to_numpy()[order]),
+                pdf["label"].to_numpy()[order],
+                pdf["vec"].to_numpy()[order],
+                pdf["links"].to_numpy()[order],
+            )
+        ),
         metric,
         M,
         efc,
