@@ -1780,9 +1780,45 @@ GROUP BY 1, 2, 3
 @_q("streaming_window_day", _STREAM_WIN_SQL)
 def streaming_window_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The streaming windowed-agg operator run on a static frame — the
-    transform is identical under readStream (see streaming/ingest.py)."""
-    from columnar_spark.streaming.ingest import windowed_counts
+    transform is identical under readStream (see streaming/ingest.py).
 
+    r10: ingested layouts answer from the `.rollup` sidecar (the SAME
+    day x event_type continuous aggregate continuous_rollup_events
+    serves) — merge of associative integer partials, bit-identical to
+    the one-shot window aggregate, raw log untouched. Freshness-gated
+    on sum(cnt) == manifest row count; fallback recomputes."""
+    from columnar_spark.stats import row_count_from_sidecar
+    from columnar_spark.streaming.ingest import windowed_counts
+    from columnar_spark.streaming.rollup import load_rollup_sidecar
+
+    loaded = load_rollup_sidecar(spark, f"{sf_dir}/events.parquet")
+    if loaded is not None:
+        partials, meta = loaded
+        rows = row_count_from_sidecar(f"{sf_dir}/events.parquet")
+        if (
+            meta.get("bucket") == "1 day"
+            and meta.get("keys") == ["event_type"]
+            and meta.get("value_col") == "value"
+            and rows is not None
+            and (partials.agg(F.sum("cnt")).first()[0] or 0) == rows
+        ):
+            ws = F.col("bucket_start").cast("timestamp")
+            return (
+                partials.groupBy(ws.alias("window_start"), F.col("event_type"))
+                .agg(
+                    F.sum("cnt").cast("long").alias("n"),
+                    _money.unscale(F.sum("sum_v"), 2).alias("total_value"),
+                )
+                .select(
+                    "window_start",
+                    (F.col("window_start") + F.expr("INTERVAL 1 DAY")).alias(
+                        "window_end"
+                    ),
+                    "event_type",
+                    "n",
+                    "total_value",
+                )
+            )
     ev = _events(spark, sf_dir).withColumn("ts", F.timestamp_micros(F.col("ts_us")))
     return windowed_counts(ev, ts_col="ts", window="1 day", watermark="2 days")
 
@@ -2493,21 +2529,62 @@ FROM grid g LEFT JOIN daily d ON g.day = d.day
 def daily_counts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series gap filling: dense daily grid (sequence + explode)
     left-joined with daily aggregates, zero-filled — the resample
-    primitive for event tables."""
-    ev = _events(spark, sf_dir).withColumn(
-        "day", F.to_date(F.timestamp_micros(F.col("ts_us")))
-    )
-    bounds = ev.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    primitive for event tables.
+
+    r10: ingested layouts serve BOTH the bounds and the purchase daily
+    aggregate from the `.rollup` sidecar (day x event_type partials) —
+    the raw event log is never scanned. Bit-identical: the day bucket is
+    the same UTC window start, cnt/sum_v are associative integer
+    partials (sum of partial sums == one-shot sum), and a day that has
+    events but no purchases still enters the grid via the bounds and
+    zero-fills through the same left join. Freshness-gated on
+    sum(cnt) == manifest row count, full fallback below."""
+    from columnar_spark.stats import row_count_from_sidecar
+    from columnar_spark.streaming.rollup import load_rollup_sidecar
+
+    day_src = None
+    loaded = load_rollup_sidecar(spark, f"{sf_dir}/events.parquet")
+    if loaded is not None:
+        partials, meta = loaded
+        rows = row_count_from_sidecar(f"{sf_dir}/events.parquet")
+        if (
+            meta.get("bucket") == "1 day"
+            and meta.get("keys") == ["event_type"]
+            and meta.get("value_col") == "value"
+            and rows is not None
+            and (partials.agg(F.sum("cnt")).first()[0] or 0) == rows
+        ):
+            day_src = partials.select(
+                F.to_date(F.col("bucket_start").cast("timestamp")).alias("day"),
+                "event_type",
+                "cnt",
+                "sum_v",
+            )
+    if day_src is not None:
+        bounds = day_src.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        daily = (
+            day_src.filter(F.col("event_type") == "purchase")
+            .groupBy("day")
+            .agg(
+                F.sum("cnt").cast("long").alias("n_events"),
+                _money.unscale(F.sum("sum_v"), 2).alias("total_value"),
+            )
+        )
+    else:
+        ev = _events(spark, sf_dir).withColumn(
+            "day", F.to_date(F.timestamp_micros(F.col("ts_us")))
+        )
+        bounds = ev.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        daily = (
+            ev.filter(F.col("event_type") == "purchase")
+            .groupBy("day")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                _fxsum(_fx("value"), 2).alias("total_value"),
+            )
+        )
     grid = bounds.select(
         F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
-    )
-    daily = (
-        ev.filter(F.col("event_type") == "purchase")
-        .groupBy("day")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            _fxsum(_fx("value"), 2).alias("total_value"),
-        )
     )
     return grid.join(daily, "day", "left").select(
         "day",
@@ -5247,7 +5324,7 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     vtop = (
         emb.select(
             F.col("vec_id").alias("doc_id"),
-            (F.round(cosine_dist(F.col("embedding").cast("array<double>"), vec_lit(qvec)), 6) + F.lit(0.0)).alias("dist"),
+            (F.round(cosine_dist(F.col("embedding").cast("array<double>"), vec_lit(qvec), dim=len(qvec)), 6) + F.lit(0.0)).alias("dist"),
         )
         .orderBy(F.col("dist").asc(), F.col("doc_id").asc())
         .limit(50)
@@ -5332,7 +5409,7 @@ def mmr_diverse_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select(
             "vec_id",
             F.col("embedding").cast("array<double>").alias("vec"),
-            (F.lit(1.0) - F.round(cosine_dist(F.col("embedding").cast("array<double>"), vec_lit(qvec)), 6)).alias("rel"),
+            (F.lit(1.0) - F.round(cosine_dist(F.col("embedding").cast("array<double>"), vec_lit(qvec), dim=len(qvec)), 6)).alias("rel"),
         )
         .orderBy(F.col("rel").desc(), F.col("vec_id").asc())
         .limit(50)

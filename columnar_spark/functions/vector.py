@@ -26,8 +26,25 @@ def vec_lit(vec: Sequence[float]) -> Column:
     return F.array(*[F.lit(float(v)) for v in vec])
 
 
-def dot(a: Column, b: Column) -> Column:
-    """Sequential-fold dot product in double precision."""
+def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Sequential-fold dot product in double precision.
+
+    With `dim` known (the engine's embeddings are fixed-width), unrolls
+    to the left-associated chain ``0.0 + a[0]*b[0] + a[1]*b[1] + ...`` —
+    the IDENTICAL IEEE op sequence the fold executes (same start value,
+    same order, same casts), so results are bit-equal. The difference is
+    execution: `aggregate`/`zip_with` are CodegenFallback (interpreted
+    per element, per row), while the unrolled chain compiles into
+    whole-stage codegen next to the scan. Out-of-bounds reads via
+    `F.get` return NULL, matching the fold's NULL propagation when one
+    side is shorter."""
+    if dim is not None:
+        acc: Column = F.lit(0.0)
+        for i in range(dim):
+            acc = acc + F.get(a, F.lit(i)).cast("double") * F.get(
+                b, F.lit(i)
+            ).cast("double")
+        return acc
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -35,8 +52,8 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def norm(a: Column) -> Column:
-    return F.sqrt(dot(a, a))
+def norm(a: Column, dim: int | None = None) -> Column:
+    return F.sqrt(dot(a, a, dim=dim))
 
 
 def unit_vector(a: Column) -> Column:
@@ -50,8 +67,17 @@ def unit_vector(a: Column) -> Column:
     )
 
 
-def l2_sq(a: Column, b: Column) -> Column:
-    """Squared L2 distance (hnswlib L2 space convention, knn/space.cpp)."""
+def l2_sq(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Squared L2 distance (hnswlib L2 space convention, knn/space.cpp).
+    `dim` unrolls to codegen exactly as in `dot` (bit-equal fold order)."""
+    if dim is not None:
+        acc: Column = F.lit(0.0)
+        for i in range(dim):
+            d = F.get(a, F.lit(i)).cast("double") - F.get(b, F.lit(i)).cast(
+                "double"
+            )
+            acc = acc + d * d
+        return acc
     return F.aggregate(
         F.zip_with(
             a, b, lambda x, y: (x.cast("double") - y.cast("double"))
@@ -62,23 +88,33 @@ def l2_sq(a: Column, b: Column) -> Column:
     )
 
 
-def ip_dist(a: Column, b: Column) -> Column:
+def ip_dist(a: Column, b: Column, dim: int | None = None) -> Column:
     """Inner-product distance = 1 - dot (hnswlib IP space)."""
-    return F.lit(1.0) - dot(a, b)
+    return F.lit(1.0) - dot(a, b, dim=dim)
 
 
-def cosine_sim(a: Column, b: Column, b_norm: float | Column | None = None) -> Column:
+def cosine_sim(
+    a: Column,
+    b: Column,
+    b_norm: float | Column | None = None,
+    dim: int | None = None,
+) -> Column:
     """Cosine similarity; pass b_norm (python float) when b is a constant
     query vector to keep the plan free of redundant per-row work."""
-    bn = F.lit(float(b_norm)) if isinstance(b_norm, (int, float)) else (b_norm or norm(b))
-    return dot(a, b) / (norm(a) * bn)
+    bn = F.lit(float(b_norm)) if isinstance(b_norm, (int, float)) else (b_norm or norm(b, dim=dim))
+    return dot(a, b, dim=dim) / (norm(a, dim=dim) * bn)
 
 
-def cosine_dist(a: Column, b: Column, b_norm: float | Column | None = None) -> Column:
+def cosine_dist(
+    a: Column,
+    b: Column,
+    b_norm: float | Column | None = None,
+    dim: int | None = None,
+) -> Column:
     """1 - cosine similarity (hnswlib COSINE convention; the reference
     normalizes at build time, knn/knn.cpp:128-143 — we divide by norms
     instead, same result for non-degenerate vectors)."""
-    return F.lit(1.0) - cosine_sim(a, b, b_norm)
+    return F.lit(1.0) - cosine_sim(a, b, b_norm, dim=dim)
 
 
 def py_norm(vec: Sequence[float]) -> float:

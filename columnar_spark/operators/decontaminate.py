@@ -115,8 +115,6 @@ def semantic_contamination_report(
     vectors broadcast, distances in codegen, per-id aggregation is the
     only shuffle (bounded by flagged rows). Returns
     (id_col, n_hits, max_sim)."""
-    from columnar_spark.functions.vector import dot, norm
-
     # "b tiny by contract" gets a hard guard, not a docstring (house
     # pattern: dedup._guard_quadratic, knn.BATCH_QUERY_MAX_ROWS): a
     # corpus-sized eval set would broadcast-OOM the executors and the
@@ -131,28 +129,153 @@ def semantic_contamination_report(
             "(embedding_neardup_lsh) for set-vs-set at corpus scale."
         )
 
-    # Norms precomputed ONCE per row on each side (a projection below
-    # the join evaluates per stream row / per broadcast row, not per
-    # pair) — computing cosine_sim(a, b) per pair would re-fold both
-    # norms
-    # |bench| times per corpus row. Values are bit-identical: the same
-    # norm expression, just cached.
-    bench = F.broadcast(
-        bench_emb.select(
-            F.col(vec_col).cast("array<double>").alias("__bv")
-        ).withColumn("__bn", norm(F.col("__bv")))
+    # The n x b pair loop is the entire cost of this operator. The
+    # former plan exploded n x b rows through a broadcast cross join and
+    # folded the dot per pair with Catalyst HOFs (aggregate/zip_with are
+    # CodegenFallback — interpreted per element; a 64-term codegen unroll
+    # measured WORSE inside the BNLJ loop, HotSpot refuses to JIT the
+    # huge generated method). Guide §4.2 shape instead: hand whole Arrow
+    # batches to numpy and keep the per-pair math OUT of the row plan.
+    #
+    # Bit-identity with the old fold (and so with the declared oracle):
+    # the kernel accumulates `acc += v[i]*b[i]` SEQUENTIALLY over dims
+    # (vectorized across the pair axis, scalar over i) — the identical
+    # left-to-right IEEE-754 double op sequence the fold executed; no
+    # FMA, no pairwise regrouping, same 0.0 start, same float->double
+    # exact widening, sqrt/divide placement unchanged. Rounding stays in
+    # JVM F.round (HALF_UP) — the kernel emits raw doubles.
+    #
+    # Scale: per-partition map, NO shuffle at all now (per-row n_hits/
+    # max_sim collapse inside the kernel; a final tiny groupBy preserves
+    # duplicate-id merge semantics on the flagged subset only). The eval
+    # matrix rides the task closure (<= 50k x 64 f64 = 26 MB, guarded).
+    bench_rows = (
+        bench_emb.select(F.col(vec_col).cast("array<double>").alias("v"))
+        .collect()
     )
+    bench_vecs = [list(r["v"]) if r["v"] is not None else None for r in bench_rows]
+    id_field = corpus_emb.select(id_col).schema.fields[0]
+    id_type = id_field.dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, n_hits long, __maxsim double"
+    thr = float(threshold)
+
     corpus = corpus_emb.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__cv")
-    ).withColumn("__cn", norm(F.col("__cv")))
-    sim = dot(F.col("__cv"), F.col("__bv")) / (F.col("__cn") * F.col("__bn"))
-    return (
-        corpus.crossJoin(bench)
-        .select(F.col(id_col), sim.alias("__sim"))
-        .filter(F.col("__sim") >= threshold)
-        .groupBy(id_col)
-        .agg(
-            F.count("*").cast("long").alias("n_hits"),
-            F.round(F.max("__sim"), 6).alias("max_sim"),
-        )
+    )
+
+    def _kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        dense = [v for v in bench_vecs if v is not None]
+        dims = {len(v) for v in dense}
+        uniform_b = len(dims) == 1
+        d = dims.pop() if uniform_b else None
+        B = np.array(dense, dtype=np.float64) if uniform_b and dense else None
+        if B is not None:
+            bn = np.zeros(B.shape[0], dtype=np.float64)
+            for i in range(d):
+                bn += B[:, i] * B[:, i]
+            bn = np.sqrt(bn)
+
+        def _rows_fallback(ids, vec_list):
+            # exact fold per pair for ragged/null rows — same op order
+            out_i, out_h, out_m = [], [], []
+            for rid, v in zip(ids, vec_list):
+                if v is None:
+                    continue
+                hits, mx = 0, None
+                vn_acc = 0.0
+                for x in v:
+                    vn_acc += x * x
+                vn = vn_acc ** 0.5
+                for b in bench_vecs:
+                    if b is None or len(b) != len(v):
+                        continue  # fold over unequal lengths yields NULL
+                    acc = 0.0
+                    bnorm_acc = 0.0
+                    for x, y in zip(v, b):
+                        acc += x * y
+                    for y in b:
+                        bnorm_acc += y * y
+                    s = acc / (vn * bnorm_acc ** 0.5)
+                    if s >= thr:
+                        hits += 1
+                        mx = s if mx is None or s > mx else mx
+                if hits:
+                    out_i.append(rid)
+                    out_h.append(hits)
+                    out_m.append(mx)
+            return out_i, out_h, out_m
+
+        for batch in batches:
+            if B is None or batch.num_rows == 0:
+                yield pa.RecordBatch.from_arrays(
+                    [batch.column(0).slice(0, 0),
+                     pa.array([], type=pa.int64()),
+                     pa.array([], type=pa.float64())],
+                    names=[batch.schema.field(0).name, "n_hits", "__maxsim"],
+                )
+                continue
+            ids_arr = batch.column(0)
+            vecs = batch.column(1)
+            lens = (
+                np.diff(vecs.offsets.to_numpy(zero_copy_only=False))
+                if hasattr(vecs, "offsets") else None
+            )
+            uniform = (
+                vecs.null_count == 0
+                and lens is not None
+                and len(lens) > 0
+                and bool((lens == d).all())
+            )
+            if not uniform:
+                oi, oh, om = _rows_fallback(
+                    ids_arr.to_pylist(), vecs.to_pylist()
+                )
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(oi, type=ids_arr.type),
+                     pa.array(oh, type=pa.int64()),
+                     pa.array(om, type=pa.float64())],
+                    names=[batch.schema.field(0).name, "n_hits", "__maxsim"],
+                )
+                continue
+            V = vecs.flatten().to_numpy(zero_copy_only=False).reshape(-1, d)
+            n = V.shape[0]
+            cn = np.zeros(n, dtype=np.float64)
+            sims = np.zeros((n, B.shape[0]), dtype=np.float64)
+            for i in range(d):
+                col = V[:, i]
+                cn += col * col
+                sims += col[:, None] * B[None, :, i]
+            cn = np.sqrt(cn)
+            sims /= cn[:, None] * bn[None, :]
+            mask = sims >= thr
+            hits = mask.sum(axis=1)
+            flagged = hits > 0
+            if not flagged.any():
+                yield pa.RecordBatch.from_arrays(
+                    [ids_arr.slice(0, 0),
+                     pa.array([], type=pa.int64()),
+                     pa.array([], type=pa.float64())],
+                    names=[batch.schema.field(0).name, "n_hits", "__maxsim"],
+                )
+                continue
+            masked = np.where(mask[flagged], sims[flagged], -np.inf)
+            maxs = masked.max(axis=1)
+            idx = np.flatnonzero(flagged)
+            yield pa.RecordBatch.from_arrays(
+                [ids_arr.take(pa.array(idx)),
+                 pa.array(hits[flagged].astype("int64")),
+                 pa.array(maxs)],
+                names=[batch.schema.field(0).name, "n_hits", "__maxsim"],
+            )
+
+    per_row = corpus.mapInArrow(_kernel, out_schema)
+    # Merge duplicate ids exactly as the old groupBy did (flagged subset
+    # only — tiny); SUM of per-row counts == COUNT(*) over pairs, MAX of
+    # per-row maxes == MAX over pairs, and the HALF_UP round stays JVM.
+    return per_row.groupBy(id_col).agg(
+        F.sum("n_hits").cast("long").alias("n_hits"),
+        F.round(F.max("__maxsim"), 6).alias("max_sim"),
     )

@@ -571,6 +571,8 @@ def embedding_neardup_pairs(
         planes = [lcg(dim, seed + p) for p in range(n_planes)]
         from columnar_spark.functions.vector import dot, vec_lit
 
+        # folds, not dim-unrolls: n_planes chains in one projection blow
+        # past the JIT method limit and run interpreted (measured hazard)
         sig = F.concat(
             *[
                 F.when(dot(F.col("__v"), vec_lit(pl)) >= 0, F.lit("1")).otherwise(F.lit("0"))

@@ -48,13 +48,16 @@ BATCH_QUERY_MAX_ROWS = 10_000
 
 
 def distance_expr(vec_col: Column, query_vec: Sequence[float], metric: str) -> Column:
+    # The query vector's length pins the dim, so every distance unrolls
+    # into whole-stage codegen (functions.vector dim= path; bit-equal).
     q = vec_lit(query_vec)
+    d = len(query_vec)
     if metric == "l2":
-        return l2_sq(vec_col, q)
+        return l2_sq(vec_col, q, dim=d)
     if metric == "ip":
-        return ip_dist(vec_col, q)
+        return ip_dist(vec_col, q, dim=d)
     if metric == "cosine":
-        return cosine_dist(vec_col, q, b_norm=py_norm(query_vec))
+        return cosine_dist(vec_col, q, b_norm=py_norm(query_vec), dim=d)
     raise ValueError(f"metric must be one of {METRICS}, got {metric!r}")
 
 
@@ -142,6 +145,8 @@ def assign_clusters(
 ) -> DataFrame:
     """Tag each row with its nearest centroid id — the IVF write-time step.
     Pure expression: argmin over a small literal centroid array."""
+    # folds, not dim-unrolls: k centroid chains in one projection blow
+    # past the JIT method limit and run interpreted (measured hazard)
     dists = F.array(*[l2_sq(F.col(vec_col), vec_lit(c)) for c in centroids])
     assigned = F.array_position(dists, F.array_min(dists)) - 1
     return df.withColumn(cluster_col, assigned.cast("int"))
@@ -276,6 +281,8 @@ def similarity_self_join(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__rvec"), "__bucket"
     )
     cand = left.join(right, "__bucket").filter(F.col("__lid") != F.col("neighbor_id"))
+    # pair cosine stays on the fold: the dim-unrolled chain runs
+    # interpreted (huge-method JIT bail) inside post-join projections
     scored = cand.select(
         "__lid",
         "neighbor_id",
@@ -377,6 +384,11 @@ def knn_batch_topk(
         from columnar_spark.functions.vector import dot as _dot
         from columnar_spark.functions.vector import norm as _norm
 
+        # NOTE: the dim-unrolled codegen dot (functions.vector dim=) was
+        # measured 2.4x SLOWER than the interpreted fold inside this
+        # BroadcastNestedLoopJoin's inner loop (the generated method
+        # exceeds HotSpot's JIT bytecode limit and runs interpreted), so
+        # the pair dot deliberately stays on the fold here.
         df = df.withColumn("__vn", _norm(F.col(vec_col).cast("array<double>")))
         queries = queries.withColumn(
             "__qn", _norm(F.col(q_vec_col).cast("array<double>"))

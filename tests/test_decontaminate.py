@@ -114,3 +114,74 @@ def test_semantic_eval_set_guard_fires(spark):
     )
     with pytest.raises(ValueError, match="refuses eval sets"):
         semantic_contamination_report(corpus, big_eval)
+
+
+def test_semantic_kernel_matches_fold_reference(spark):
+    """The Arrow/numpy semantic kernel must be BIT-identical to the
+    Catalyst fold it replaced — same left-to-right accumulation order —
+    including the edge paths: ragged dims (fold over unequal lengths is
+    NULL -> pair excluded), NULL vectors, duplicate corpus ids (merged
+    by the final groupBy), and zero-hit corpora."""
+    from columnar_spark.functions.vector import dot, norm
+    from columnar_spark.operators.decontaminate import (
+        semantic_contamination_report,
+    )
+
+    def mk(rows, schema="vec_id: long, embedding: array<double>"):
+        return spark.createDataFrame(rows, schema)
+
+    import random
+
+    rng = random.Random(7)
+    d = 16
+    corpus_rows = [(i, [rng.uniform(-1, 1) for _ in range(d)]) for i in range(40)]
+    # adversarial rows: ragged dim, null vector, duplicate id
+    corpus_rows += [
+        (100, [1.0] * (d - 3)),          # ragged: never matches (NULL sim)
+        (101, None),                      # null vector: excluded
+        (0, list(corpus_rows[0][1])),     # duplicate id: n_hits merges
+    ]
+    bench_rows = [(i, corpus_rows[i][1]) for i in range(0, 6)]
+    corpus, bench = mk(corpus_rows), mk(bench_rows)
+
+    got = {
+        tuple(r)
+        for r in semantic_contamination_report(
+            corpus, bench, threshold=0.3
+        ).collect()
+    }
+
+    # fold-based reference (the pre-optimization definition, verbatim)
+    b_ref = F.broadcast(
+        bench.select(F.col("embedding").cast("array<double>").alias("__bv"))
+        .withColumn("__bn", norm(F.col("__bv")))
+    )
+    c_ref = corpus.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("__cv")
+    ).withColumn("__cn", norm(F.col("__cv")))
+    sim = dot(F.col("__cv"), F.col("__bv")) / (F.col("__cn") * F.col("__bn"))
+    want = {
+        tuple(r)
+        for r in c_ref.crossJoin(b_ref)
+        .select("vec_id", sim.alias("__sim"))
+        .filter(F.col("__sim") >= 0.3)
+        .groupBy("vec_id")
+        .agg(
+            F.count("*").cast("long").alias("n_hits"),
+            F.round(F.max("__sim"), 6).alias("max_sim"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_semantic_kernel_empty_eval_set(spark):
+    from columnar_spark.operators.decontaminate import (
+        semantic_contamination_report,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id: long, embedding: array<double>"
+    )
+    empty = corpus.filter("vec_id < 0").select("embedding")
+    assert semantic_contamination_report(corpus, empty).count() == 0
