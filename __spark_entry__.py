@@ -167,6 +167,19 @@ _FX = _money.scaled_sql  # oracle-side mirror snippet
 _FXSUM = _money.money_sum_sql  # oracle-side mirror of a whole money SUM
 
 
+
+def _prefix2_tokens(text):
+    """First-2-token prefix WITHOUT tokenizing the whole document:
+    btrim + limit-3 split stops scanning after the second token —
+    identical to concat_ws(" ", slice(tokens(text), 1, 2)) for all
+    inputs (tokens() is btrim+full split; the first two elements are
+    the same), but O(prefix) instead of O(doc) per row."""
+    trimmed = F.btrim(text, F.lit(" \t\n\x0b\f\r"))
+    first2 = F.slice(F.split(trimmed, r"\s+", 3), 1, 2)
+    return F.when(F.length(trimmed) == 0, F.lit("")).otherwise(
+        F.concat_ws(" ", first2)
+    )
+
 def _fx_disc_price():
     """l_extendedprice * (1 - l_discount), exact 4-dp-scaled int64."""
     return _fx("l_extendedprice") * (F.lit(100).cast("long") - _fx("l_discount"))
@@ -1192,7 +1205,7 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # member_ids is joined to a ','-string: the driver's pandas canonicalizer
     # cannot hash array cells (round-1 `unhashable type: 'list'` error).
     docs = _t(spark, sf_dir, "documents")
-    df = docs.withColumn("prefix2", F.concat_ws(" ", F.slice(CT.tokens(F.col("text")), 1, 2)))
+    df = docs.withColumn("prefix2", _prefix2_tokens(F.col("text")))
     return DD.duplicate_groups(df, ["prefix2"], "doc_id").withColumn(
         "member_ids", F.array_join(F.col("member_ids"), ",")
     )
@@ -1208,7 +1221,7 @@ FROM (SELECT list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
 @_q("dedup_exact_survivors", _SURVIVORS_SQL)
 def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    df = docs.withColumn("prefix2", F.concat_ws(" ", F.slice(CT.tokens(F.col("text")), 1, 2)))
+    df = docs.withColumn("prefix2", _prefix2_tokens(F.col("text")))
     return DD.exact_dedup(df, ["prefix2"], "doc_id").agg(
         F.count(F.lit(1)).alias("n_survivors")
     )
@@ -1658,6 +1671,28 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = nation.select(
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
     )
+    ap = _aggp(
+        spark, sf_dir, "nation_day", "o_orderdate", "c_nationkey",
+        "s_nationkey", "rev4",
+    )
+    if ap is not None:
+        # r10 aggregate-projection route: the q5 artifact's (orderdate,
+        # cust-nation, supp-nation) cells serve q7's (cust-nation,
+        # supp-nation, year) grain by re-aggregation — the customer/
+        # supplier/orders joins and the fact scan are pre-paid; what
+        # remains is two broadcast nation-name probes and an O(cells)
+        # merge. The name inequality stays applied to the JOINED names
+        # (not the keys), so semantics match the oracle join exactly.
+        joined = (
+            ap.join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+            .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+            .filter(F.col("cust_nation") != F.col("supp_nation"))
+        )
+        return joined.groupBy(
+            "cust_nation",
+            "supp_nation",
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        ).agg(_money.unscale(F.sum("rev4"), 4).alias("revenue"))
     cust = _t(spark, sf_dir, "customer")
     supp = _t(spark, sf_dir, "supplier")
     disc_price = _fx_disc_price()
@@ -3577,7 +3612,7 @@ def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     grp = F.min("doc_id").over(
-        _W.partitionBy(F.concat_ws(" ", F.slice(CT.tokens(F.col("text")), 1, 2)))
+        _W.partitionBy(_prefix2_tokens(F.col("text")))
     )
     base = docs.select("doc_id", grp.cast("long").alias("grp"))
     out = assign_splits(

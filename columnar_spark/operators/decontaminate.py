@@ -68,13 +68,65 @@ def contamination_report(
             benchmark.select(F.explode(_gram_col(F.col(text_col), n)).alias("gram"))
             .distinct()
         )
-    corpus_grams = corpus.select(
-        F.col(id_col), F.explode(_gram_col(F.col(text_col), n)).alias("gram")
+
+    # r10 scale path (guide §4.2): the corpus side's gram explosion —
+    # an interpreted per-gram HOF (transform + array_join) followed by
+    # explode + broadcast hash join — moves into a mapInArrow kernel
+    # that counts per-document hits against the torrent-broadcast eval
+    # gram set and never materializes corpus gram ROWS at all; the only
+    # shuffle left is the tiny flagged-id merge. Bit-identity: lower()
+    # stays in the JVM (Unicode case mapping is engine-specific), the
+    # kernel reproduces Spark's split(text, " ") exactly — limit=-1,
+    # i.e. Java Pattern.split keeping leading/interior/TRAILING empty
+    # strings, which is precisely Python str.split(" ") — grams are the
+    # same space-joined byte strings, and DISTINCT-gram counting is set
+    # semantics on identical strings.
+    bench_set = frozenset(
+        r["gram"] for r in bench_grams.collect() if r["gram"] is not None
     )
-    return (
-        corpus_grams.join(F.broadcast(bench_grams), "gram")
-        .groupBy(id_col)
-        .agg(F.count("*").cast("long").alias("n_hits"))
+    sc = corpus.sparkSession.sparkContext
+    bench_b = sc.broadcast(bench_set)
+    nn = int(n)
+
+    id_type = corpus.select(id_col).schema.fields[0].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, n_hits long"
+    lowered = corpus.select(F.col(id_col), F.lower(F.col(text_col)).alias("__lt"))
+
+    def _kernel(batches):
+        import pyarrow as pa
+
+        grams_of = bench_b.value
+
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            out_i, out_h = [], []
+            for rid, t in zip(ids, texts):
+                if t is None:
+                    continue
+                parts = t.split(" ")
+                m = len(parts) - nn + 1
+                if m <= 0:
+                    continue
+                matched = set()
+                for i in range(m):
+                    g = " ".join(parts[i : i + nn])
+                    if g in grams_of:
+                        matched.add(g)
+                if matched:
+                    out_i.append(rid)
+                    out_h.append(len(matched))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_i, type=batch.column(0).type),
+                    pa.array(out_h, type=pa.int64()),
+                ],
+                names=[id_col, "n_hits"],
+            )
+
+    per_row = lowered.mapInArrow(_kernel, out_schema)
+    return per_row.groupBy(id_col).agg(
+        F.sum("n_hits").cast("long").alias("n_hits")
     )
 
 

@@ -327,6 +327,223 @@ def knn_topk_ivf(
     return knn_topk(pruned, vec_col, query_vec, k, metric, id_col, None, dist_col)
 
 
+def _batch_topk_cosine_arrow(
+    df: DataFrame,
+    vec_col: str,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    q_id_col: str,
+    q_vec_col: str,
+    dist_col: str,
+    round_digits: int | None,
+) -> DataFrame | None:
+    """mapInArrow batch-cosine top-k: per task, numpy computes the
+    n x q distance block (accumulating SEQUENTIALLY over dims — the
+    identical IEEE-754 op sequence of the old per-pair fold, no FMA/
+    regrouping) and emits only candidates that can reach the global
+    top-k; the JVM re-derives the rounded rank key and merges.
+
+    Candidate rule when ranking on round(d, rd): monotone HALF_UP
+    rounding moves a value by <= 0.5 x 10^-rd, so any row with raw
+    d > kth_raw + 2 x 10^-rd rounds STRICTLY above the rounded kth and
+    can never displace the k raw-smallest rows; candidates within the
+    margin are then ordered by their EXACT Spark-equal rounding
+    (Decimal(repr(x)) quantize HALF_UP == BigDecimal.valueOf(x)
+    setScale HALF_UP — both shortest-roundtrip decimal) with id
+    tie-break, and the exact local top-k is emitted with RAW distances
+    (the JVM applies the same F.round for the output column and the
+    global merge key, so values match the expression plan bit-for-bit).
+    """
+    q_rows = queries.select(q_id_col, q_vec_col).collect()
+    if not q_rows:
+        return None
+    q_ids = [r[0] for r in q_rows]
+    q_vecs = [list(map(float, r[1])) if r[1] is not None else None for r in q_rows]
+    dims = {len(v) for v in q_vecs if v is not None}
+    if len(dims) != 1 or any(v is None for v in q_vecs):
+        return None  # degenerate query set: keep the expression path
+    d = dims.pop()
+
+    qid_type = queries.select(q_id_col).schema.fields[0].dataType.simpleString()
+    id_type = df.select(id_col).schema.fields[0].dataType.simpleString()
+    out_schema = f"{q_id_col} {qid_type}, {id_col} {id_type}, __rawdist double"
+    kk = int(k)
+    rd = round_digits
+
+    base = df.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
+
+    def _kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+        from decimal import ROUND_HALF_UP, Decimal
+
+        Q = np.array(q_vecs, dtype=np.float64)  # q x d
+        nq_ = Q.shape[0]
+        qn = np.zeros(nq_, dtype=np.float64)
+        for i in range(d):
+            qn += Q[:, i] * Q[:, i]
+        qn = np.sqrt(qn)
+        quant = Decimal(1).scaleb(-rd) if rd is not None else None
+        margin = 2.0 * (10.0 ** -rd) if rd is not None else 0.0
+
+        def _round_exact(x):
+            # Spark Round(double, rd): BigDecimal.valueOf (shortest
+            # round-trip decimal) setScale HALF_UP back to double;
+            # NaN/Inf pass through unrounded, exactly like Spark.
+            if x != x or x in (float("inf"), float("-inf")):
+                return x
+            return float(Decimal(repr(x)).quantize(quant, rounding=ROUND_HALF_UP))
+
+        def _fold_dist(v):
+            # exact fold for ragged/null rows: fold over max-length
+            # zip (null-padded) is NULL whenever lengths differ
+            if v is None or len(v) != d:
+                return None  # NULL for every query
+            acc_n = 0.0
+            for x in v:
+                acc_n += x * x
+            vn = acc_n ** 0.5
+            out = []
+            for j in range(nq_):
+                acc = 0.0
+                qv = q_vecs[j]
+                for x, y in zip(v, qv):
+                    acc += x * y
+                out.append(1.0 - acc / (vn * qn[j]))
+            return out
+
+        qid_pa_type = pa.array(q_ids).type
+
+        def _emit(ids_list, qid_list, dist_list, id_pa_type):
+            return pa.RecordBatch.from_arrays(
+                [
+                    pa.array(qid_list, type=qid_pa_type),
+                    pa.array(ids_list, type=id_pa_type),
+                    pa.array(dist_list, type=pa.float64()),
+                ],
+                names=[q_id_col, id_col, "__rawdist"],
+            )
+
+        for batch in batches:
+            ids_arr = batch.column(0)
+            vecs = batch.column(1)
+            id_pa_type = ids_arr.type
+            if batch.num_rows == 0:
+                yield _emit([], [], [], id_pa_type)
+                continue
+            lens = (
+                np.diff(vecs.offsets.to_numpy(zero_copy_only=False))
+                if hasattr(vecs, "offsets")
+                else None
+            )
+            uniform = (
+                vecs.null_count == 0
+                and lens is not None
+                and len(lens) > 0
+                and bool((lens == d).all())
+            )
+            out_qid, out_id, out_dist = [], [], []
+            ids_py = ids_arr.to_pylist()
+            if not uniform:
+                # mixed batch: exact per-row fold for every row (rare
+                # path — correctness over speed)
+                rows = vecs.to_pylist()
+                per_q = [[] for _ in range(nq_)]
+                for rid, v in zip(ids_py, rows):
+                    dv = _fold_dist(v)
+                    if dv is None:
+                        for j in range(nq_):
+                            per_q[j].append((None, rid))
+                    else:
+                        for j in range(nq_):
+                            per_q[j].append((dv[j], rid))
+                for j, cand in enumerate(per_q):
+                    # NULL dist sorts FIRST, NaN LAST (Spark asc order)
+                    def key(t):
+                        dd, rid = t
+                        if dd is None:
+                            return (0, 0.0, rid)
+                        kd = _round_exact(dd) if rd is not None else dd
+                        if kd != kd:
+                            return (2, 0.0, rid)
+                        return (1, kd, rid)
+
+                    for dd, rid in sorted(cand, key=key)[:kk]:
+                        out_qid.append(q_ids[j])
+                        out_id.append(rid)
+                        out_dist.append(dd)
+                yield _emit(out_id, out_qid, out_dist, id_pa_type)
+                continue
+            V = vecs.flatten().to_numpy(zero_copy_only=False).reshape(-1, d)
+            n = V.shape[0]
+            vn = np.zeros(n, dtype=np.float64)
+            for i in range(d):
+                col = V[:, i]
+                vn += col * col
+            vn = np.sqrt(vn)
+            ids_np = np.asarray(ids_py)
+            # query-axis chunks bound the n x q block at ~64 MB — the
+            # 10k-query guard times a 10k-row batch would otherwise
+            # allocate an 800 MB matrix per task
+            q_chunk = max(1, int(8_000_000 // max(n, 1)))
+            for j0 in range(0, nq_, q_chunk):
+                j1 = min(nq_, j0 + q_chunk)
+                dots = np.zeros((n, j1 - j0), dtype=np.float64)
+                for i in range(d):
+                    dots += V[:, i][:, None] * Q[None, j0:j1, i]
+                dists = 1.0 - dots / (vn[:, None] * qn[None, j0:j1])
+                for j in range(j0, j1):
+                    dj = dists[:, j - j0]
+                    not_nan = ~np.isnan(dj)
+                    if int(not_nan.sum()) > kk:
+                        finite_vals = dj[not_nan]
+                        kth = np.partition(finite_vals, kk - 1)[kk - 1]
+                        cand_idx = np.flatnonzero(not_nan & (dj <= kth + margin))
+                    else:
+                        # too few non-NaN rows: everything is a
+                        # candidate (NaN ranks LAST, Spark asc order)
+                        cand_idx = np.arange(n)
+
+                    def _key(t):
+                        kd = t[0]
+                        return (1, 0.0, t[1]) if kd != kd else (0, kd, t[1])
+
+                    if rd is not None:
+                        cand = sorted(
+                            ((_round_exact(float(dj[i_])), ids_np[i_], float(dj[i_])) for i_ in cand_idx),
+                            key=_key,
+                        )[:kk]
+                    else:
+                        cand = sorted(
+                            ((float(dj[i_]), ids_np[i_], float(dj[i_])) for i_ in cand_idx),
+                            key=_key,
+                        )[:kk]
+                    for _, rid, raw in cand:
+                        out_qid.append(q_ids[j])
+                        out_id.append(rid.item() if hasattr(rid, "item") else rid)
+                        out_dist.append(raw)
+            yield _emit(out_id, out_qid, out_dist, id_pa_type)
+
+    from pyspark.sql import Window
+
+    cands = base.mapInArrow(_kernel, out_schema)
+    dist_expr = F.col("__rawdist")
+    if rd is not None:
+        dist_expr = F.round(dist_expr, rd) + F.lit(0.0)
+    scored = cands.select(
+        F.col(q_id_col), F.col(id_col), dist_expr.alias(dist_col)
+    )
+    w_global = Window.partitionBy(q_id_col).orderBy(
+        F.col(dist_col).asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w_global))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def knn_batch_topk(
     df: DataFrame,
     vec_col: str,
@@ -376,19 +593,27 @@ def knn_batch_topk(
     }[metric]
 
     if metric == "cosine":
-        # Hoist the norms out of the n x q pair loop: each data row's
-        # norm folds once (before the broadcast join) and each query's
-        # once, so the per-pair work is ONE dot fold instead of three.
-        # Arithmetic is unchanged (dot/(|a|*|b|), same fold order), so
-        # batch==single parity and oracle hashes are unaffected.
+        # r10 scale path: the n x q pair loop moves into an Arrow/numpy
+        # kernel (guide §4.2) — the BroadcastNestedLoopJoin explosion,
+        # the interpreted per-pair dot fold, and the (query, partition)
+        # local window all disappear; each task emits only its exact
+        # local top-k candidates and the one remaining shuffle is
+        # O(k x q x tasks). Bit-identical to the fold (sequential
+        # accumulation over dims) with margin-safe exact HALF_UP
+        # rounding for candidate selection; NULL/ragged rows keep fold
+        # semantics (NULL distance, which ranks FIRST under Spark's
+        # nulls-first ascending order) via a per-row fallback.
+        out = _batch_topk_cosine_arrow(
+            df, vec_col, queries, k, id_col, q_id_col, q_vec_col,
+            dist_col, round_digits,
+        )
+        if out is not None:
+            return out
+        # (kernel declines only when the query set is empty/degenerate —
+        # fall through to the expression path)
         from columnar_spark.functions.vector import dot as _dot
         from columnar_spark.functions.vector import norm as _norm
 
-        # NOTE: the dim-unrolled codegen dot (functions.vector dim=) was
-        # measured 2.4x SLOWER than the interpreted fold inside this
-        # BroadcastNestedLoopJoin's inner loop (the generated method
-        # exceeds HotSpot's JIT bytecode limit and runs interpreted), so
-        # the pair dot deliberately stays on the fold here.
         df = df.withColumn("__vn", _norm(F.col(vec_col).cast("array<double>")))
         queries = queries.withColumn(
             "__qn", _norm(F.col(q_vec_col).cast("array<double>"))

@@ -25,6 +25,7 @@ ROUTED = [
     ("q3_shipping_priority", "ship_seg_pairs"),
     ("q4_order_priority", "order_profile"),
     ("q5_region_revenue", "nation_day"),
+    ("q7_nation_volume", "nation_day"),
     ("q8_market_share", "mkt_year"),
     ("q10_returned_items", "cust_returns_r"),
     ("q14_promo_revenue", "promo_day"),

@@ -46,11 +46,14 @@ def test_decontaminate_drops_flagged(spark):
     assert kept == {3, 4}
 
 
-def test_join_is_broadcast(spark):
+def test_corpus_grams_never_shuffle(spark):
+    """r10: the corpus side runs through the Arrow kernel — no gram
+    rows, no join at all; the only shuffle is the flagged-id merge."""
     corpus, bench = _dfs(spark)
     plan = contamination_report(corpus, bench)._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan
+    assert "MapInArrow" in plan or "ArrowEvalPython" in plan
     assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 from hypothesis import given, settings

@@ -148,3 +148,35 @@ def test_connected_components_on_minhash_pairs(spark):
     lookup = {r["id"]: r["comp"] for r in comp.collect()}
     for r in pairs.collect():
         assert lookup[r["id_a"]] == lookup[r["id_b"]]
+
+
+def test_prefix2_limited_split_equals_full_tokenize(spark):
+    """_prefix2_tokens (btrim + limit-3 split) must equal the full
+    tokenize-then-slice form for every input shape: leading/trailing
+    whitespace runs, tabs/newlines, one-token docs, empty and
+    all-whitespace docs, unicode NBSP (NOT split — both forms keep it
+    inside a token)."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as E
+    from columnar_spark.functions.text import tokens
+
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "  leading spaces here"),
+        (3, "\t tab\nnewline mix \r"),
+        (4, "one"),
+        (5, ""),
+        (6, "   \t  "),
+        (7, "nbsp stays one-token second"),
+        (8, "a  b   c"),
+    ]
+    df = spark.createDataFrame(rows, "id: long, text: string")
+    got = df.select(
+        "id", E._prefix2_tokens(F.col("text")).alias("p")
+    ).collect()
+    want = df.select(
+        "id",
+        F.concat_ws(" ", F.slice(tokens(F.col("text")), 1, 2)).alias("p"),
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))

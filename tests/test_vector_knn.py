@@ -227,3 +227,71 @@ def test_batch_query_guard_refuses_oversized_query_set(spark):
         knn_batch_topk(emb, "embedding", big, k=2)
     with _pytest.raises(ValueError, match="refuses query sets"):
         knn_batch_topk_ivf(emb, "embedding", big, 2, [[0.0, 0.0], [1.0, 1.0]])
+
+
+def test_batch_cosine_arrow_kernel_matches_expression_path(spark):
+    """The r10 Arrow batch-cosine kernel must be BIT-identical to the
+    expression plan it replaced (fold dot + rounded two-phase window),
+    including: NULL vectors and ragged dims (NULL distance, which ranks
+    FIRST under asc nulls-first), rounding ties at the 6th decimal, and
+    id tie-breaks."""
+    import random
+
+    from pyspark.sql import Window
+
+    from columnar_spark.functions.vector import dot as _dot
+    from columnar_spark.functions.vector import norm as _norm
+    from columnar_spark.operators.knn import knn_batch_topk
+
+    rng = random.Random(11)
+    d = 8
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(d)]) for i in range(300)]
+    # near-duplicate vectors to force rounding ties with id tie-breaks
+    for i in range(300, 330):
+        base = rows[i % 20][1]
+        rows.append((i, [x + rng.choice([0.0, 1e-9]) for x in base]))
+    rows.append((400, None))              # NULL vector -> NULL dist
+    rows.append((401, [1.0] * (d - 2)))   # ragged -> NULL dist
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    qs = spark.createDataFrame(
+        [(i, rows[i][1]) for i in range(4)], "qid: long, qvec: array<double>"
+    )
+
+    got = knn_batch_topk(
+        emb, "embedding", qs, k=6, metric="cosine", id_col="vec_id",
+        round_digits=6,
+    ).select("qid", "vec_id", "dist")
+
+    # the pre-r10 expression plan, verbatim
+    df0 = emb.withColumn("__vn", _norm(F.col("embedding").cast("array<double>")))
+    q0 = qs.withColumn("__qn", _norm(F.col("qvec")))
+    de = (
+        F.round(
+            F.lit(1.0)
+            - _dot(F.col("embedding").cast("array<double>"), F.col("qvec"))
+            / (F.col("__vn") * F.col("__qn")),
+            6,
+        )
+        + F.lit(0.0)
+    )
+    joined = df0.crossJoin(F.broadcast(q0)).select(
+        "qid", "vec_id", de.alias("dist"), F.spark_partition_id().alias("__pid")
+    )
+    wl = Window.partitionBy("qid", "__pid").orderBy(
+        F.col("dist").asc(), F.col("vec_id").asc()
+    )
+    loc = (
+        joined.withColumn("__rn", F.row_number().over(wl))
+        .filter("__rn <= 6")
+        .drop("__rn", "__pid")
+    )
+    wg = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("vec_id").asc())
+    want = (
+        loc.withColumn("__rn", F.row_number().over(wg))
+        .filter("__rn <= 6")
+        .drop("__rn")
+    )
+
+    a = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, want.collect()))
+    assert a == b and len(a) == 24
