@@ -247,15 +247,39 @@ def rrf_fuse(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Reciprocal-rank fusion of two ranked lists (each carrying a dense
-    1-based `rank` column): rrf = 1/(c+rank_a) + 1/(c+rank_b), absent
-    list contributes 0. Fixed a-then-b addition order keeps the double
-    deterministic. Inputs are top-N lists (small) — the join broadcasts."""
-    a = ranked_a.select(F.col(id_col), F.col("rank").alias("rank_a"))
-    b = ranked_b.select(F.col(id_col), F.col("rank").alias("rank_b"))
-    fused = a.join(b, id_col, "full_outer").withColumn(
-        "rrf",
-        F.coalesce(F.lit(1.0) / (F.lit(float(c)) + F.col("rank_a").cast("double")), F.lit(0.0))
-        + F.coalesce(F.lit(1.0) / (F.lit(float(c)) + F.col("rank_b").cast("double")), F.lit(0.0)),
+    1-based `rank` column, unique non-null ids — top-N lists by
+    construction): rrf = 1/(c+rank_a) + 1/(c+rank_b), absent list
+    contributes 0. Fixed a-then-b addition order keeps the double
+    deterministic.
+
+    Shape: union + one groupBy instead of a FULL OUTER join — Spark
+    cannot broadcast a full outer join, so the join form forces a
+    SortMergeJoin with two exchanges and sorts on what are <= N-row
+    sides; the aggregate form is one tiny exchange. Row-identical for
+    unique-id inputs (the operator's contract), same rrf expression on
+    the same values."""
+    a = ranked_a.select(
+        F.col(id_col),
+        F.col("rank").alias("__rnk"),
+        F.lit(True).alias("__is_a"),
+    )
+    b = ranked_b.select(
+        F.col(id_col),
+        F.col("rank").alias("__rnk"),
+        F.lit(False).alias("__is_a"),
+    )
+    fused = (
+        a.unionByName(b)
+        .groupBy(id_col)
+        .agg(
+            F.max(F.when(F.col("__is_a"), F.col("__rnk"))).alias("rank_a"),
+            F.max(F.when(~F.col("__is_a"), F.col("__rnk"))).alias("rank_b"),
+        )
+        .withColumn(
+            "rrf",
+            F.coalesce(F.lit(1.0) / (F.lit(float(c)) + F.col("rank_a").cast("double")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(float(c)) + F.col("rank_b").cast("double")), F.lit(0.0)),
+        )
     )
     return (
         fused.select(

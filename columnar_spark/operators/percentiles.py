@@ -339,80 +339,158 @@ def percentiles_auto(
     medium = [c for c in spec if small_ndv < ndv[c] <= ndv_threshold]
     large = [c for c in spec if ndv[c] > ndv_threshold]
 
+    # r10: the small tier's disc probes and EVERY medium column's
+    # bracket aggregate fuse into ONE main scan (the broadcast 1-row
+    # stats crossJoin preserves row multiplicity, and every bracket
+    # condition is already NULL-safe: `when(v < lo, 1)` is 0 on NULL,
+    # collect_list/min/max ignore NULLs), and all medium columns share
+    # ONE sketch-stats scan. percentile_stats drops from 3 lineitem
+    # scans to 2 with bit-identical per-column algebra — the same
+    # expressions over the same rows, just co-planned.
+    import math
+
     out = None
+    sel_small: list = []
+    aggs_small: list = []
     if small:
         # Exact order statistics via builtin percentile_disc probes, then
         # the engine's ONE interpolation recipe (1-f)*v_lo + f*v_hi
-        # applied outside. Spark's builtin interpolating `percentile`
-        # computes lo + f*(hi-lo) instead, which differs by one ULP on
-        # rounding edges (hypothesis-found: two equal bracketing values
-        # can interpolate to a DIFFERENT double than either) — so every
-        # tier now shares the symmetric recipe the oracles pin.
-        #
-        # Rank pinning: the value at 0-based sorted position r is
-        # percentile_disc at q=(r+0.5)/n — the midpoint keeps q*n a full
-        # half-unit away from the rank boundaries, so double rounding can
-        # never slip a rank. Two shared scans: one count pass (codegen),
-        # one probe pass with ALL small columns' disc probes in a single
-        # aggregate.
-        import math
-
+        # applied outside (Spark's builtin lo + f*(hi-lo) differs by one
+        # ULP on rounding edges). Rank pinning: the value at 0-based
+        # sorted position r is percentile_disc at q=(r+0.5)/n — the
+        # midpoint keeps q*n a full half-unit away from rank boundaries.
         cnt_row = df.agg(
             *[F.count(F.col(c).cast("double")).alias(f"__n_{i}") for i, c in enumerate(small)]
         ).first()
-        aggs, sel = [], []
         k = 0
         for i, col in enumerate(small):
             n = int(cnt_row[f"__n_{i}"])
             for q, name in spec[col]:
                 if n == 0:
-                    sel.append(F.lit(None).cast("double").alias(name))
+                    sel_small.append(F.lit(None).cast("double").alias(name))
                     continue
                 pos = float(q) * (n - 1)  # the same IEEE product every tier uses
                 r0 = math.floor(pos)
                 frac = pos - r0
                 q0 = (r0 + 0.5) / n
                 lo_name = f"__lo_{k}"
-                aggs.append(
+                aggs_small.append(
                     F.expr(
                         f"percentile_disc({q0!r}) WITHIN GROUP "
                         f"(ORDER BY CAST({col} AS DOUBLE))"
                     ).alias(lo_name)
                 )
                 if frac == 0.0:
-                    sel.append(F.col(lo_name).alias(name))
+                    sel_small.append(F.col(lo_name).alias(name))
                 else:
                     q1 = (math.ceil(pos) + 0.5) / n
                     hi_name = f"__hi_{k}"
-                    aggs.append(
+                    aggs_small.append(
                         F.expr(
                             f"percentile_disc({q1!r}) WITHIN GROUP "
                             f"(ORDER BY CAST({col} AS DOUBLE))"
                         ).alias(hi_name)
                     )
-                    sel.append(
+                    sel_small.append(
                         (
                             F.lit(1.0 - frac) * F.col(lo_name)
                             + F.lit(frac) * F.col(hi_name)
                         ).alias(name)
                     )
                 k += 1
-        if aggs:
-            out = df.agg(*aggs).select(*sel)
-        else:  # every small column empty: literal NULL row
-            out = df.sparkSession.range(1).select(*sel)
-    for col in medium:
-        # sketch-bracketed exact path: two scans, no sort, no
-        # value-counts shuffle (measured 0.7s -> ~0.3s on the 583k-ndv
-        # price column at sf0.1 vs the value-counts cumsum form, which
-        # survives only as the tests' differential oracle).
-        part = percentile_cont_bracket(
-            df, col, [q for q, _ in spec[col]], [n for _, n in spec[col]]
-        )
-        out = part if out is None else out.crossJoin(part)
+
+    if medium:
+        fused = _bracket_fused(df, {c: spec[c] for c in medium}, aggs_small, sel_small)
+        out = fused
+    elif aggs_small:
+        out = df.agg(*aggs_small).select(*sel_small)
+    elif small:  # every small column empty: literal NULL row
+        out = df.sparkSession.range(1).select(*sel_small)
     for col in large:
         part = percentile_cont(
             df, col, [q for q, _ in spec[col]], [n for _, n in spec[col]]
         )
         out = part if out is None else out.crossJoin(part)
     return out
+
+
+def _bracket_fused(
+    df: DataFrame,
+    spec: dict[str, list[tuple[float, str]]],
+    extra_aggs: list,
+    extra_sel: list,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """All medium columns' GK-bracket aggregates + any small-tier disc
+    probes in ONE stats scan + ONE main scan. Per-column algebra is
+    verbatim percentile_cont_bracket (same probe quantiles, same ±1-rank
+    guard, same interpolation); the NULL filter moves from the scan into
+    the already-NULL-safe conditional aggregates, and the constant-key
+    groupBy("__n") becomes a global aggregate carrying each column's
+    count with min() (constant per scan)."""
+    slack = 2.0 / accuracy
+    cols = list(spec)
+
+    stat_aggs = []
+    for ci, col in enumerate(cols):
+        v = F.col(col).cast("double")
+        probe_qs = []
+        for q, _ in spec[col]:
+            probe_qs += [max(0.0, q - slack), min(1.0, q + slack)]
+        arr = ", ".join(repr(float(x)) for x in probe_qs)
+        stat_aggs.append(
+            F.expr(
+                f"approx_percentile(CAST({col} AS DOUBLE), array({arr}), {accuracy})"
+            ).alias(f"__b_{ci}")
+        )
+        stat_aggs.append(F.count(v).alias(f"__cnt_{ci}"))
+    stats = df.agg(*stat_aggs)
+
+    joined = df.crossJoin(F.broadcast(stats))
+    aggs = list(extra_aggs)
+    for ci, col in enumerate(cols):
+        v = F.col(col).cast("double")
+        for i, (q, _) in enumerate(spec[col]):
+            lo, hi = F.col(f"__b_{ci}")[2 * i], F.col(f"__b_{ci}")[2 * i + 1]
+            aggs.append(
+                F.sum(F.when(v < lo, 1).otherwise(0)).cast("long").alias(f"__below_{ci}_{i}")
+            )
+            aggs.append(
+                F.array_sort(
+                    F.collect_list(F.when((v >= lo) & (v <= hi), v))
+                ).alias(f"__vals_{ci}_{i}")
+            )
+            aggs.append(F.max(F.when(v < lo, v)).alias(f"__prev_{ci}_{i}"))
+            aggs.append(F.min(F.when(v > hi, v)).alias(f"__next_{ci}_{i}"))
+        aggs.append(F.min(F.col(f"__cnt_{ci}")).alias(f"__n_{ci}"))
+    got = joined.agg(*aggs)
+
+    outs = list(extra_sel)
+    for ci, col in enumerate(cols):
+        n = F.col(f"__n_{ci}").cast("double")
+        for i, (q, name) in enumerate(spec[col]):
+            pos = F.lit(float(q)) * (n - F.lit(1.0))
+            f_ = pos - F.floor(pos)
+            prev, nxt = F.col(f"__prev_{ci}_{i}"), F.col(f"__next_{ci}_{i}")
+            vals = F.concat(
+                F.when(prev.isNotNull(), F.array(prev)).otherwise(
+                    F.array().cast("array<double>")
+                ),
+                F.col(f"__vals_{ci}_{i}"),
+                F.when(nxt.isNotNull(), F.array(nxt)).otherwise(
+                    F.array().cast("array<double>")
+                ),
+            )
+            base = F.col(f"__below_{ci}_{i}") - F.when(prev.isNotNull(), 1).otherwise(0)
+            idx_lo = (F.floor(pos).cast("long") - base + 1).cast("int")
+            idx_hi = (F.ceil(pos).cast("long") - base + 1).cast("int")
+            in_bounds_lo = (idx_lo >= 1) & (idx_lo <= F.size(vals))
+            in_bounds_hi = (idx_hi >= 1) & (idx_hi <= F.size(vals))
+            v_lo = F.when(in_bounds_lo, F.element_at(vals, idx_lo))
+            v_hi = F.when(in_bounds_hi, F.element_at(vals, idx_hi))
+            outs.append(
+                F.when(f_ == 0.0, v_lo)
+                .otherwise((F.lit(1.0) - f_) * v_lo + f_ * v_hi)
+                .alias(name)
+            )
+    return got.select(*outs)

@@ -175,3 +175,47 @@ def test_bracket_tier_nulls_excluded(spark):
     a = percentile_cont(df, "v", [0.5]).first()[0]
     b = percentile_cont_bracket(df, "v", [0.5]).first()[0]
     assert a == b
+
+
+def test_fused_multi_medium_matches_per_column_bracket(spark):
+    """r10 scan fusion: two medium columns + one small column resolved
+    in one stats scan + one main scan must equal the per-column
+    percentile_cont_bracket results and the small tier's own answers —
+    including a NULL-bearing medium column (the NULL filter moved into
+    the conditional aggregates)."""
+    import random
+
+    from columnar_spark.operators.percentiles import (
+        percentile_cont_bracket,
+        percentiles_auto,
+    )
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(5000):
+        rows.append(
+            (
+                float(rng.randint(1, 40)),                      # small ndv
+                rng.uniform(0, 1e6),                            # medium a
+                None if i % 7 == 0 else rng.uniform(-50, 50),   # medium b + NULLs
+            )
+        )
+    df = spark.createDataFrame(rows, "s: double, ma: double, mb: double")
+    spec = {
+        "s": [(0.5, "s_p50")],
+        "ma": [(0.25, "ma_p25"), (0.9, "ma_p90")],
+        "mb": [(0.5, "mb_p50")],
+    }
+    got = percentiles_auto(
+        df, spec, ndv={"s": 40, "ma": 1_000_000, "mb": 1_000_000},
+        ndv_threshold=2_000_000, small_ndv=1000,
+    ).collect()[0]
+
+    ref_a = percentile_cont_bracket(df, "ma", [0.25, 0.9], ["ma_p25", "ma_p90"]).collect()[0]
+    ref_b = percentile_cont_bracket(df, "mb", [0.5], ["mb_p50"]).collect()[0]
+    assert got["ma_p25"] == ref_a["ma_p25"]
+    assert got["ma_p90"] == ref_a["ma_p90"]
+    assert got["mb_p50"] == ref_b["mb_p50"]
+    # small tier vs Spark's exact percentile machinery (disc brackets)
+    ref_s = percentiles_auto(df, {"s": [(0.5, "s_p50")]}, ndv={"s": 40}).collect()[0]
+    assert got["s_p50"] == ref_s["s_p50"]
