@@ -868,6 +868,20 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rollup_sig_fresh(sf_dir: str) -> bool:
+    """Signature gate for the `.rollup` sidecar routes — the same
+    _table_sig.json check the aggregate projections use (recorded by
+    write_rollup_sidecar / re-recorded on maintenance appends). Catches
+    COUNT-PRESERVING out-of-band rewrites of events.parquet the
+    sum(cnt)==rows gate cannot see; sidecars without a recorded
+    signature (older vintages) are served as before."""
+    from columnar_spark.stats import index_is_fresh
+    from columnar_spark.streaming.rollup import rollup_sidecar_path
+
+    table = f"{sf_dir}/events.parquet"
+    return index_is_fresh(table, rollup_sidecar_path(table))
+
+
 _BUCKET_SQL = f"""
 SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
        CAST(COUNT(*) AS BIGINT) AS n,
@@ -897,6 +911,7 @@ def time_bucket_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             and meta.get("value_col") == "value"
             and rows is not None
             and (partials.agg(F.sum("cnt")).first()[0] or 0) == rows
+            and _rollup_sig_fresh(sf_dir)
         ):
             from columnar_spark.streaming.rollup import unscale_sum_v
 
@@ -1834,8 +1849,13 @@ def streaming_window_day(spark: SparkSession, sf_dir: str) -> DataFrame:
             meta.get("bucket") == "1 day"
             and meta.get("keys") == ["event_type"]
             and meta.get("value_col") == "value"
+            # legacy sidecars store sum_v as decimal; this route's
+            # _money.unscale assumes the int64 fixed-point encoding
+            # (rollup.unscale_sum_v's dispatch) — fall back otherwise
+            and dict(partials.dtypes).get("sum_v") in ("bigint", "int")
             and rows is not None
             and (partials.agg(F.sum("cnt")).first()[0] or 0) == rows
+            and _rollup_sig_fresh(sf_dir)
         ):
             ws = F.col("bucket_start").cast("timestamp")
             return (
@@ -2586,8 +2606,11 @@ def daily_counts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             meta.get("bucket") == "1 day"
             and meta.get("keys") == ["event_type"]
             and meta.get("value_col") == "value"
+            # same legacy-decimal guard as streaming_window_day's route
+            and dict(partials.dtypes).get("sum_v") in ("bigint", "int")
             and rows is not None
             and (partials.agg(F.sum("cnt")).first()[0] or 0) == rows
+            and _rollup_sig_fresh(sf_dir)
         ):
             day_src = partials.select(
                 F.to_date(F.col("bucket_start").cast("timestamp")).alias("day"),
@@ -5359,7 +5382,7 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     vtop = (
         emb.select(
             F.col("vec_id").alias("doc_id"),
-            (F.round(cosine_dist(F.col("embedding").cast("array<double>"), vec_lit(qvec), dim=len(qvec)), 6) + F.lit(0.0)).alias("dist"),
+            (F.round(cosine_dist(F.col("embedding").cast("array<double>"), vec_lit(qvec), dim=KNN._unroll_dim(emb, qvec)), 6) + F.lit(0.0)).alias("dist"),
         )
         .orderBy(F.col("dist").asc(), F.col("doc_id").asc())
         .limit(50)
@@ -5444,7 +5467,7 @@ def mmr_diverse_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select(
             "vec_id",
             F.col("embedding").cast("array<double>").alias("vec"),
-            (F.lit(1.0) - F.round(cosine_dist(F.col("embedding").cast("array<double>"), vec_lit(qvec), dim=len(qvec)), 6)).alias("rel"),
+            (F.lit(1.0) - F.round(cosine_dist(F.col("embedding").cast("array<double>"), vec_lit(qvec), dim=KNN._unroll_dim(emb, qvec)), 6)).alias("rel"),
         )
         .orderBy(F.col("rel").desc(), F.col("vec_id").asc())
         .limit(50)

@@ -37,14 +37,17 @@ def dot(a: Column, b: Column, dim: int | None = None) -> Column:
     per element, per row), while the unrolled chain compiles into
     whole-stage codegen next to the scan. Out-of-bounds reads via
     `F.get` return NULL, matching the fold's NULL propagation when one
-    side is shorter."""
+    side is shorter; the size(a)==dim guard returns NULL when `a` is
+    LONGER than dim too (the fold null-pads the shorter query side, so
+    its result is NULL — without the guard the unroll would read only
+    the first dim elements and emit a finite truncated value)."""
     if dim is not None:
         acc: Column = F.lit(0.0)
         for i in range(dim):
             acc = acc + F.get(a, F.lit(i)).cast("double") * F.get(
                 b, F.lit(i)
             ).cast("double")
-        return acc
+        return F.when(F.size(a) == dim, acc)
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -69,7 +72,8 @@ def unit_vector(a: Column) -> Column:
 
 def l2_sq(a: Column, b: Column, dim: int | None = None) -> Column:
     """Squared L2 distance (hnswlib L2 space convention, knn/space.cpp).
-    `dim` unrolls to codegen exactly as in `dot` (bit-equal fold order)."""
+    `dim` unrolls to codegen exactly as in `dot` (bit-equal fold order,
+    including the size(a)==dim NULL guard for over-length rows)."""
     if dim is not None:
         acc: Column = F.lit(0.0)
         for i in range(dim):
@@ -77,7 +81,7 @@ def l2_sq(a: Column, b: Column, dim: int | None = None) -> Column:
                 "double"
             )
             acc = acc + d * d
-        return acc
+        return F.when(F.size(a) == dim, acc)
     return F.aggregate(
         F.zip_with(
             a, b, lambda x, y: (x.cast("double") - y.cast("double"))

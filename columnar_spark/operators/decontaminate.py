@@ -150,6 +150,73 @@ def decontaminate(
     return corpus.join(flagged, id_col, "left_anti")
 
 
+# Arrow-kernel gate for the semantic report: the mapInArrow kernel pays
+# a fixed per-execution Python-boundary cost (worker round-trip + Arrow
+# transpose, measured ~+0.11s at sf0.1 where the whole query is 0.3s)
+# and wins in proportion to corpus volume (4.4x at the 10x corpus,
+# where the BNLJ+fold it replaces dominates). The crossover sits near
+# ~1 MiB of corpus bytes at 64 dims; below it the (bit-identical)
+# broadcast-crossJoin expression plan is faster. Conf-tunable; 0 forces
+# the kernel everywhere.
+KERNEL_BYTES_CONF = "spark.columnar.decontaminate.kernelBytesThreshold"
+KERNEL_BYTES_DEFAULT = 1024 * 1024
+
+
+def _semantic_report_expr(
+    corpus_emb: DataFrame,
+    bench_emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Small-corpus plan: broadcast crossJoin + Catalyst HOF fold —
+    bit-identical to the kernel (same left-to-right IEEE op sequence;
+    pinned by tests/test_decontaminate kernel-vs-fold equality)."""
+    from columnar_spark.functions.vector import dot, norm
+
+    # Norms precomputed ONCE per row on each side (a projection below
+    # the join evaluates per stream row / per broadcast row, not per
+    # pair) — computing cosine_sim(a, b) per pair would re-fold both
+    # norms |bench| times per corpus row.
+    bench = F.broadcast(
+        bench_emb.select(
+            F.col(vec_col).cast("array<double>").alias("__bv")
+        ).withColumn("__bn", norm(F.col("__bv")))
+    )
+    corpus = corpus_emb.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__cv")
+    ).withColumn("__cn", norm(F.col("__cv")))
+    sim = dot(F.col("__cv"), F.col("__bv")) / (F.col("__cn") * F.col("__bn"))
+    return (
+        corpus.crossJoin(bench)
+        .select(F.col(id_col), sim.alias("__sim"))
+        .filter(F.col("__sim") >= threshold)
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_hits"),
+            F.round(F.max("__sim"), 6).alias("max_sim"),
+        )
+    )
+
+
+def _use_kernel(corpus: DataFrame) -> bool:
+    try:
+        thr = int(
+            corpus.sparkSession.conf.get(KERNEL_BYTES_CONF, str(KERNEL_BYTES_DEFAULT))
+        )
+    except Exception:
+        thr = KERNEL_BYTES_DEFAULT
+    if thr <= 0:
+        return True
+    try:
+        size = int(
+            corpus._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return True
+    return size >= thr
+
+
 def semantic_contamination_report(
     corpus_emb: DataFrame,
     bench_emb: DataFrame,
@@ -180,6 +247,12 @@ def semantic_contamination_report(
             "union the reports, or use the LSH near-dup path "
             "(embedding_neardup_lsh) for set-vs-set at corpus scale."
         )
+
+    # Size gate (guide §1: the optimization that helps one scale must
+    # not hurt the measured one): small corpora take the expression
+    # plan, large ones the Arrow kernel. Both proven bit-identical.
+    if not _use_kernel(corpus_emb):
+        return _semantic_report_expr(corpus_emb, bench_emb, id_col, vec_col, threshold)
 
     # The n x b pair loop is the entire cost of this operator. The
     # former plan exploded n x b rows through a broadcast cross join and
@@ -261,11 +334,28 @@ def semantic_contamination_report(
             return out_i, out_h, out_m
 
         for batch in batches:
-            if B is None or batch.num_rows == 0:
+            if not dense or batch.num_rows == 0:
+                # empty/all-NULL bench set: the cross join scored no
+                # pairs, so zero hits is exact
                 yield pa.RecordBatch.from_arrays(
                     [batch.column(0).slice(0, 0),
                      pa.array([], type=pa.int64()),
                      pa.array([], type=pa.float64())],
+                    names=[batch.schema.field(0).name, "n_hits", "__maxsim"],
+                )
+                continue
+            if B is None:
+                # mixed-dimension bench set: no dense matrix, but the
+                # cross join still scored every equal-length pair — the
+                # exact per-pair fold handles it (never emit empty here:
+                # that would silently report zero hits)
+                oi, oh, om = _rows_fallback(
+                    batch.column(0).to_pylist(), batch.column(1).to_pylist()
+                )
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(oi, type=batch.column(0).type),
+                     pa.array(oh, type=pa.int64()),
+                     pa.array(om, type=pa.float64())],
                     names=[batch.schema.field(0).name, "n_hits", "__maxsim"],
                 )
                 continue

@@ -801,7 +801,7 @@ def knn_query_graph(
                 F.col(meta["id_col"]).cast("long").alias(id_col),
                 F.col(meta["vec_col"]).alias("__vec"),
             ).filter(F.col(id_col).isin([int(i) for i, _ in top]))
-            return knn_topk(cand, "__vec", q, k, metric=metric, id_col=id_col).select(
+            return knn_topk(cand, "__vec", q, k, metric=metric, id_col=id_col, unroll=False).select(
                 id_col, "dist"
             )
 
@@ -846,7 +846,7 @@ def knn_query_graph(
         F.col(meta["id_col"]).cast("long").alias(id_col),
         F.col(meta["vec_col"]).alias("__vec"),
     ).join(F.broadcast(merged.select(id_col)), id_col)
-    return knn_topk(cand, "__vec", q, k, metric=metric, id_col=id_col).select(
+    return knn_topk(cand, "__vec", q, k, metric=metric, id_col=id_col, unroll=False).select(
         id_col, "dist"
     )
 

@@ -46,18 +46,56 @@ METRICS = ("l2", "ip", "cosine")
 # (the broadcast and the n x q distance fan-out both scale with q).
 BATCH_QUERY_MAX_ROWS = 10_000
 
+# Codegen-unroll gate for the single-query distance chain. The 64-term
+# dim-unrolled expression wins only when the scan amortizes its plan
+# cost (+12% throughput measured at 400k x 64-dim rows, r10) — but it
+# inflates per-EXECUTION analysis/codegen time by ~0.08-0.10s, which a
+# sub-0.2s query eats whole (measured, tools/ab_unroll.py: topk
+# 0.104s fold vs 0.185s unrolled; rerank shape 0.079s vs 0.176s at
+# sf0.1). Auto mode unrolls only when the input's Catalyst size
+# estimate clears the threshold; 0 forces the unroll, a huge value
+# forces the fold. Scale-adaptive, not local-tuned: the default
+# threshold is the measured win point (~128 MB ~ 400k rows x 64-dim
+# doubles), so a 100 TB scan unrolls and a k-row rerank never does.
+UNROLL_BYTES_CONF = "spark.columnar.knn.unrollBytesThreshold"
+UNROLL_BYTES_DEFAULT = 128 * 1024 * 1024
 
-def distance_expr(vec_col: Column, query_vec: Sequence[float], metric: str) -> Column:
-    # The query vector's length pins the dim, so every distance unrolls
-    # into whole-stage codegen (functions.vector dim= path; bit-equal).
+
+def _unroll_dim(df: DataFrame, query_vec: Sequence[float]) -> "int | None":
+    """len(query_vec) when the scan is big enough for the dim-unrolled
+    chain to pay for its plan-size cost, else None (fold)."""
+    try:
+        thr = int(
+            df.sparkSession.conf.get(UNROLL_BYTES_CONF, str(UNROLL_BYTES_DEFAULT))
+        )
+    except Exception:
+        thr = UNROLL_BYTES_DEFAULT
+    if thr <= 0:
+        return len(query_vec)
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return None
+    return len(query_vec) if size >= thr else None
+
+
+def distance_expr(
+    vec_col: Column,
+    query_vec: Sequence[float],
+    metric: str,
+    dim: "int | None" = None,
+) -> Column:
+    # `dim` unrolls the chain into whole-stage codegen (functions.vector
+    # dim= path; bit-equal to the fold). Callers with a DataFrame in
+    # hand gate it through _unroll_dim; the default is the fold, whose
+    # per-execution plan cost is flat (see UNROLL_BYTES_CONF above).
     q = vec_lit(query_vec)
-    d = len(query_vec)
     if metric == "l2":
-        return l2_sq(vec_col, q, dim=d)
+        return l2_sq(vec_col, q, dim=dim)
     if metric == "ip":
-        return ip_dist(vec_col, q, dim=d)
+        return ip_dist(vec_col, q, dim=dim)
     if metric == "cosine":
-        return cosine_dist(vec_col, q, b_norm=py_norm(query_vec), dim=d)
+        return cosine_dist(vec_col, q, b_norm=py_norm(query_vec), dim=dim)
     raise ValueError(f"metric must be one of {METRICS}, got {metric!r}")
 
 
@@ -71,6 +109,7 @@ def knn_topk(
     pre_filter: Column | None = None,
     dist_col: str = "dist",
     observation=None,
+    unroll: "bool | None" = None,
 ) -> DataFrame:
     """Exact top-k nearest rows. Filter-then-rank, the natural Spark plan
     for the reference's filtered-KNN (knn/knn.h:87-94): the predicate is
@@ -79,11 +118,23 @@ def knn_topk(
     `observation` (a pyspark Observation) collects search stats on the
     ranked set — rows_ranked (= distance computations, the reference's
     pDistanceComputations counter, knn/knn.h:117) and the min/max
-    distance seen — available via observation.get after an action."""
+    distance seen — available via observation.get after an action.
+
+    `unroll`: None auto-gates the codegen-unrolled distance chain on the
+    input's size estimate (see UNROLL_BYTES_CONF); False forces the fold
+    (rerank callers pass this — their candidate sets are k-row shortlists
+    whose Catalyst estimate still reflects the full table); True forces
+    the unroll."""
     out = df
     if pre_filter is not None:
         out = out.filter(pre_filter)
-    out = out.withColumn(dist_col, distance_expr(F.col(vec_col), query_vec, metric))
+    if unroll is None:
+        dim = _unroll_dim(df, query_vec)
+    else:
+        dim = len(query_vec) if unroll else None
+    out = out.withColumn(
+        dist_col, distance_expr(F.col(vec_col), query_vec, metric, dim=dim)
+    )
     if observation is not None:
         out = out.observe(
             observation,
@@ -105,18 +156,24 @@ def knn_radius(
     pre_filter: Column | None = None,
     dist_col: str = "dist",
     limit: int | None = None,
+    unroll: "bool | None" = None,
 ) -> DataFrame:
     """Range (radius) search: every row with distance <= radius — the
     fixed-threshold sibling of top-k (near-duplicate gates, recall
     filters, geo-style cutoffs). Pure filter over the distance
     expression: embarrassingly parallel, no global ordering unless a
     `limit` safety cap is requested (then TakeOrdered applies the same
-    deterministic (dist, id) order as knn_topk)."""
+    deterministic (dist, id) order as knn_topk). `unroll` as in
+    knn_topk (None = size-gated auto)."""
     out = df
     if pre_filter is not None:
         out = out.filter(pre_filter)
+    if unroll is None:
+        dim = _unroll_dim(df, query_vec)
+    else:
+        dim = len(query_vec) if unroll else None
     out = out.withColumn(
-        dist_col, distance_expr(F.col(vec_col), query_vec, metric)
+        dist_col, distance_expr(F.col(vec_col), query_vec, metric, dim=dim)
     ).filter(F.col(dist_col) <= radius)
     if limit is not None:
         out = out.orderBy(F.col(dist_col).asc(), F.col(id_col).asc()).limit(limit)
@@ -365,9 +422,16 @@ def _batch_topk_cosine_arrow(
         return None  # degenerate query set: keep the expression path
     d = dims.pop()
 
-    qid_type = queries.select(q_id_col).schema.fields[0].dataType.simpleString()
+    qid_field = queries.select(q_id_col).schema.fields[0]
+    qid_type = qid_field.dataType.simpleString()
     id_type = df.select(id_col).schema.fields[0].dataType.simpleString()
     out_schema = f"{q_id_col} {qid_type}, {id_col} {id_type}, __rawdist double"
+    # the qid column is BUILT inside the kernel (python values), so its
+    # Arrow type must come from the DECLARED schema — value inference
+    # (pa.array(q_ids).type) mismatches for e.g. int32 qid columns
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    qid_arrow_type = to_arrow_type(qid_field.dataType)
     kk = int(k)
     rd = round_digits
 
@@ -413,7 +477,7 @@ def _batch_topk_cosine_arrow(
                 out.append(1.0 - acc / (vn * qn[j]))
             return out
 
-        qid_pa_type = pa.array(q_ids).type
+        qid_pa_type = qid_arrow_type
 
         def _emit(ids_list, qid_list, dist_list, id_pa_type):
             return pa.RecordBatch.from_arrays(

@@ -633,7 +633,7 @@ def knn_query_indexed_b1(
             from columnar_spark.operators.knn import knn_topk
 
             rq = [float(x) for x in query_vec] if rerank_df is not None else q
-            return knn_topk(cand, "vec", rq, topk, metric=index.metric, id_col="id")
+            return knn_topk(cand, "vec", rq, topk, metric=index.metric, id_col="id", unroll=False)
 
     vectors = spark.read.parquet(index.vectors_path)
     if nprobe is not None:
@@ -670,7 +670,7 @@ def knn_query_indexed_b1(
     # q is on the unit sphere for cosine indexes; pass the ORIGINAL query
     # against the rerank pool's raw/normalized vectors consistently
     rq = [float(x) for x in query_vec] if rerank_df is not None else q
-    return knn_topk(cand, "vec", rq, topk, metric=index.metric, id_col="id")
+    return knn_topk(cand, "vec", rq, topk, metric=index.metric, id_col="id", unroll=False)
 
 
 def knn_query_indexed(

@@ -228,7 +228,7 @@ def knn_topk_pq(
     if vec_col is None:
         return cands.select(id_col, "pq_dist")
     exact_metric = "ip" if metric == "ip" else "l2"
-    return knn_topk(cands, vec_col, query_vec, k, metric=exact_metric, id_col=id_col)
+    return knn_topk(cands, vec_col, query_vec, k, metric=exact_metric, id_col=id_col, unroll=False)
 
 
 # ----------------------------------------------------------------- IVF-PQ
@@ -362,4 +362,4 @@ def knn_topk_ivfpq(
     )
     if vec_col is None:
         return cands.select(id_col, "pq_dist")
-    return knn_topk(cands, vec_col, query_vec, k, metric=metric, id_col=id_col)
+    return knn_topk(cands, vec_col, query_vec, k, metric=metric, id_col=id_col, unroll=False)

@@ -195,7 +195,7 @@ def knn_topk_b1(
             .withColumnRenamed("__ham", "dist")
         )
     cand = cand.orderBy(F.col("__ham").asc(), F.col(id_col).asc()).limit(k * rerank_factor)
-    return knn_topk(cand, vec_col, query_vec, k, metric=metric, id_col=id_col).drop("__ham")
+    return knn_topk(cand, vec_col, query_vec, k, metric=metric, id_col=id_col, unroll=False).drop("__ham")
 
 
 # ------------------------------------------- asymmetric BIT1 x 4-bit query
@@ -305,7 +305,7 @@ def knn_topk_b1q4(
     cand = scored.orderBy(F.col("__asym").desc(), F.col(id_col).asc()).limit(
         k * rerank_factor
     )
-    return knn_topk(cand, vec_col, query_vec, k, metric=metric, id_col=id_col).drop(
+    return knn_topk(cand, vec_col, query_vec, k, metric=metric, id_col=id_col, unroll=False).drop(
         "__asym"
     )
 
@@ -324,4 +324,4 @@ def knn_topk_q8(
     distance expression (storage 4x smaller; same plan shape)."""
     deq = dequantize_expr(F.col(qvec_col), lo, hi)
     tmp = df.withColumn("__deq", deq)
-    return knn_topk(tmp, "__deq", query_vec, k, metric=metric, id_col=id_col).drop("__deq")
+    return knn_topk(tmp, "__deq", query_vec, k, metric=metric, id_col=id_col, unroll=False).drop("__deq")

@@ -151,10 +151,37 @@ def append_rollup_batch(
             batch_df.sparkSession, partials, rollup_path,
             mode="append", batch_id=batch_id,
         )
-        return
-    from columnar_spark.streaming.ingest import idempotent_append
+    else:
+        from columnar_spark.streaming.ingest import idempotent_append
 
-    idempotent_append(partials, rollup_path, batch_id)
+        idempotent_append(partials, rollup_path, batch_id)
+    _rerecord_sidecar_sig(rollup_path)
+
+
+def _rerecord_sidecar_sig(rollup_path: str) -> None:
+    """When `rollup_path` follows the <table>.rollup[-name][/partials]
+    sidecar convention and the base table exists, re-record the table
+    signature so the signature freshness gate tracks legitimate
+    maintenance appends (the rollup append runs AFTER the table append
+    in the ingest flow). Non-sidecar rollup paths are untouched."""
+    import os
+    import re
+
+    p = rollup_path.rstrip("/")
+    if p.endswith("/partials"):
+        p = p[: -len("/partials")]
+    m = re.match(r"^(.*)\.rollup(-[A-Za-z0-9_\-]+)?$", p)
+    if m is None:
+        return
+    table = m.group(1)
+    if "://" not in table and not os.path.isdir(table):
+        return
+    from columnar_spark.stats import _write_table_sig
+
+    try:
+        _write_table_sig(table, p)
+    except OSError:
+        pass
 
 
 def stream_rollup(
@@ -247,6 +274,14 @@ def write_rollup_sidecar(
             "sum_encoding": f"int64_scaled_1e{SUM_SCALE}",
         },
     )
+    # Record the base table's content signature (the _aggp-style gate):
+    # the count-based freshness check catches count-changing rewrites
+    # but not value-preserving ones; routes additionally compare this
+    # signature when present. Appends into the sidecar re-record it
+    # (append_rollup_batch), so streaming maintenance stays served.
+    from columnar_spark.stats import _write_table_sig
+
+    _write_table_sig(table_path, root)
     return root
 
 
