@@ -1273,12 +1273,19 @@ FROM isl GROUP BY doc_id, grp
 def repeated_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-granular (ExactSubstr) dedup detector — Lee et al. 2021:
     merged token spans covered by 8-grams occurring more than once
-    corpus-wide. The declared form keys the count shuffle on the gram
-    STRING so the DuckDB oracle is hash-exact; production strips use
-    hash_grams=True (8-byte xxhash64 shuffle keys) via
+    corpus-wide.
+
+    r11: gram keys come from the Arrow rolling-hash kernel
+    (dedup.repeated_span_gram_keys_arrow, guide §4.2) — gram strings
+    never materialize as JVM rows and the count shuffle carries 16-byte
+    keys. Result rows are token positions only, so key choice is
+    invisible to the oracle; key equality == gram-string equality absent
+    128-bit collisions (the family's established hash_grams posture;
+    kernel==text-key row equality pinned in tests/test_repeated_spans).
+    Production strips use the same machinery via
     DD.strip_repeated_spans."""
     docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
-    return DD.repeated_spans(docs, "text", "doc_id", n=8)
+    return DD.repeated_spans(docs, "text", "doc_id", n=8, hash_grams="kernel")
 
 
 # --------------------------------------------------------------------------
@@ -2334,11 +2341,14 @@ def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-exactly on both paths (pytest + oracle). Scalar columns only:
     the driver canonicalizer cannot hash arrays."""
     from columnar_spark.operators.percentiles import percentiles_auto
-    from columnar_spark.stats import ndv_from_sidecar
+    from columnar_spark.stats import ndv_from_sidecar, row_count_from_sidecar
 
     li = _t(spark, sf_dir, "lineitem")
     # Ingested layouts carry a stats sidecar: the tier decision reads
     # ndv from it driver-side (no probe job). Raw dirs probe once.
+    # r11: the row count (same sidecar) sizes the GK sketch accuracy
+    # scale-adaptively (percentiles.auto_sketch_accuracy) — the exact
+    # values are accuracy-invariant by the bracket guard.
     ndv = ndv_from_sidecar(f"{sf_dir}/lineitem.parquet")
     return percentiles_auto(
         li,
@@ -2353,6 +2363,7 @@ def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_discount": [(0.99, "p99_discount")],
         },
         ndv=ndv,
+        n_rows=row_count_from_sidecar(f"{sf_dir}/lineitem.parquet"),
     )
 
 

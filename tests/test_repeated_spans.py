@@ -97,6 +97,43 @@ def test_hash_grams_same_answer(spark):
     assert a == b
 
 
+# whitespace edges: leading/trailing/interior space runs (empty tokens
+# kept — the literal single-space-split contract), all-space, empty,
+# NULL, shorter-than-n, self-repetition inside one doc
+EDGE_DOCS = [
+    (1, "a b c d e  f g h i j"),
+    (2, " a b c d e  f g h i j "),
+    (3, "a b c d e  f g h i j"),
+    (4, "     "),
+    (5, ""),
+    (6, "q r"),
+    (7, None),
+    (8, "m m m m m m m m m m m m"),
+]
+
+
+def test_kernel_keys_same_answer(spark):
+    """The Arrow rolling-hash key path (the bench query's plan) is
+    row-identical to the oracle-exact gram-text keys, including every
+    whitespace edge and keep_first."""
+    for docs in (DOCS, EDGE_DOCS):
+        df = _df(spark, docs)
+        for keep_first in (False, True):
+            a = sorted(
+                tuple(r)
+                for r in repeated_spans(
+                    df, n=5, keep_first=keep_first, hash_grams=False
+                ).collect()
+            )
+            b = sorted(
+                tuple(r)
+                for r in repeated_spans(
+                    df, n=5, keep_first=keep_first, hash_grams="kernel"
+                ).collect()
+            )
+            assert a == b, (docs is EDGE_DOCS, keep_first)
+
+
 def test_strip_keeps_exactly_one_copy(spark):
     df = _df(spark, DOCS)
     got = sorted(
