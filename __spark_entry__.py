@@ -6348,15 +6348,18 @@ _DRIVER_PRIORITY = [
     "count_filtered_conjunct", "count_distinct_stats", "stats_minmax_manifest",
     "value_index_counts", "posting_index_lookup", "json_field_counts",
     # window functions (moving_avg_range/lead_lag post-50 since r6,
-    # running_sum post-50 since r8 — all still hash-verified locally)
+    # running_sum post-50 since r8, global_rank_orders post-50 in r11
+    # — all still hash-verified locally and bench-timed; the rank
+    # family stays graded via window_rank_family + group_topk_window)
     "group_topk_window",
-    "window_rank_family", "global_rank_orders",
+    "window_rank_family", "knn_b1q4_cosine",
     # aggregation variants (grouping_sets/percentile_disc are cube/
     # percentile twins — rotated post-50 in r8 for the new routes;
-    # r10 rotates cube_orders post-50 — agg_rollup_events keeps the
-    # CUBE/ROLLUP family represented — so pivot_event_counts returns
-    # to a graded slot after its r9 rotation out)
-    "agg_rollup_events", "pivot_event_counts",
+    # r11 continues the standing rotation: cube_orders and
+    # knn_b1q4_cosine return to graded slots per the r10 verdict,
+    # agg_rollup_events rotates post-50 — the CUBE/ROLLUP family stays
+    # graded through the returning cube_orders itself)
+    "cube_orders", "pivot_event_counts",
     "percentile_stats",
     "corr_stddev_stats",
     "retention_cohorts",
@@ -6384,14 +6387,13 @@ _DRIVER_PRIORITY = [
     # r8 adds knn_b1q4_cosine (at-rest asymmetric 4-bit serving) and
     # knn_graph_l2_q8 (int8-quantized l2 graph sidecar, the new q8
     # ladder); r9 adds knn_q8_cosine, freshly oracle-bearing via the
-    # exact-min/max clip bounds. r10 rotates knn_b1q4_cosine post-50
-    # (the quantization ladder stays covered by b1 + q8 + graph-q8) to
-    # make room for the returning event-family slots above.
+    # exact-min/max clip bounds. r10 rotated knn_b1q4_cosine post-50;
+    # r11 rotates it back in (graded slot above, verdict item 9).
     "knn_cosine_topk", "embed_then_knn", "knn_b1_cosine", "knn_graph_cosine",
     "knn_graph_l2_q8", "knn_q8_cosine",
-    # ---- slot 50+: r10 rotations (still hash-verified locally), then
-    # no-oracle flagships (rows-only check), then the rest
-    "cube_orders", "knn_b1q4_cosine",
+    # ---- slot 50+: r11 rotations (still hash-verified locally AND
+    # bench-timed), then no-oracle flagships (rows-only), then the rest
+    "global_rank_orders", "agg_rollup_events",
     "window_running_sum", "grouping_sets_orders", "percentile_disc_priority",
     "set_ops_multiset",
     "window_moving_avg_range", "window_lead_lag", "knn_graph_filtered",

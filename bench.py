@@ -95,6 +95,11 @@ BENCH_QUERIES = [
     "bm25_search_docs",
     "hybrid_search_rrf",
     "repeated_spans_docs",
+    # r11 rotation additions (queries rotated out of the graded first-50
+    # stay bench-timed — the standing slot-rotation policy): additions
+    # only, existing entries never removed or renamed.
+    "global_rank_orders",
+    "agg_rollup_events",
 ]
 
 
@@ -336,32 +341,38 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    print(
-        json.dumps(
-            {
-                "metric": f"total wall-clock of {len(BENCH_QUERIES)} headline queries (best of 3, warm, post-ingest)",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "ingest_sec": ingest_sec,
-                "sched_floor_sec_per_query": round(floor_final, 3),
-                "sched_floor_baseline_sec": round(baseline_floor, 3),
-                **(
-                    {"contaminated_window": True} if contaminated else {}
-                ),
-                **(
-                    {
-                        "concurrent_total_sec": concurrent_total,
-                        "concurrency": concurrency,
-                    }
-                    if concurrent_total is not None
-                    else {}
-                ),
-                **({"errors": errors} if errors else {}),
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": f"total wall-clock of {len(BENCH_QUERIES)} headline queries (best of 3, warm, post-ingest)",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "ingest_sec": ingest_sec,
+            "sched_floor_sec_per_query": round(floor_final, 3),
+            "sched_floor_baseline_sec": round(baseline_floor, 3),
+            **(
+                {"contaminated_window": True} if contaminated else {}
+            ),
+            **(
+                {
+                    "concurrent_total_sec": concurrent_total,
+                    "concurrency": concurrency,
+                }
+                if concurrent_total is not None
+                else {}
+            ),
+            **({"errors": errors} if errors else {}),
+        }
     )
+    # Contract: the JSON is the FINAL stdout line, alone on it (the r9
+    # artifact was unparseable downstream — interleaved output had
+    # broken the line framing). Flush stderr first so buffered
+    # diagnostics cannot land between us and EOF, and lead with a
+    # newline so a half-written stdout line can never prefix the JSON.
+    sys.stderr.flush()
+    sys.stdout.write("\n" + line + "\n")
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":
