@@ -675,6 +675,36 @@ def repeated_span_grams(
     return g
 
 
+# Kernel gate for the rolling-hash gram keys: the mapInArrow kernel pays
+# the fixed Python-worker round-trip every execution (measured +0.18s at
+# sf0.1 where the whole query is ~0.45s) and wins in proportion to gram
+# volume (10x corpus: 2.13s text-keys vs 1.52s kernel). The crossover
+# sits between the two measured corpora (~0.36 MB and ~3.4 MB of
+# documents); 2 MiB splits it. Same pattern and rationale as
+# decontaminate.KERNEL_BYTES_CONF (guide §1.3: an optimization that
+# helps one scale must not hurt the measured one). 0 forces the kernel.
+SPANS_KERNEL_BYTES_CONF = "spark.columnar.spans.kernelBytesThreshold"
+SPANS_KERNEL_BYTES_DEFAULT = 2 * 1024 * 1024
+
+
+def _spans_kernel_worthwhile(df: DataFrame) -> bool:
+    try:
+        thr = int(
+            df.sparkSession.conf.get(
+                SPANS_KERNEL_BYTES_CONF, str(SPANS_KERNEL_BYTES_DEFAULT)
+            )
+        )
+    except Exception:
+        thr = SPANS_KERNEL_BYTES_DEFAULT
+    if thr <= 0:
+        return True
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return True
+    return size >= thr
+
+
 def repeated_span_gram_keys_arrow(
     df: DataFrame, text_col: str, id_col: str, n: int
 ) -> DataFrame:
@@ -810,7 +840,12 @@ def _repeated_occurrences(
     caller needs it (with_first). `hash_grams`: False = gram text keys,
     True = xxhash64-struct keys, "kernel" = the Arrow rolling-hash keys
     (repeated_span_gram_keys_arrow — gram strings never materialize;
-    same results absent 128-bit collisions)."""
+    same results absent 128-bit collisions). "kernel" is size-gated:
+    below SPANS_KERNEL_BYTES_CONF the fixed Python-boundary cost exceeds
+    the gram-volume win, so small inputs take the text-key plan (the
+    oracle-exact declared form — identical rows either way)."""
+    if hash_grams == "kernel" and not _spans_kernel_worthwhile(df):
+        hash_grams = False
     if hash_grams == "kernel":
         g = repeated_span_gram_keys_arrow(df, text_col, id_col, n)
         wk = Window.partitionBy("__k1", "__k2")
