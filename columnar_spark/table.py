@@ -36,6 +36,24 @@ from columnar_spark.stats import (
 )
 
 
+def _local_relation(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Driver-local copy of a small DataFrame as a JVM LocalTableScan.
+
+    `createDataFrame(df.collect())` builds a Python-pickled ExistingRDD
+    that re-crosses the JVM->Python boundary on EVERY execution of every
+    plan that embeds it (~0.3s/exec fixed cost, measured at sf0.1); the
+    Arrow round-trip (DataFrame.toArrow -> createDataFrame(pa.Table))
+    yields a LocalRelation evaluated entirely JVM-side, type-exact for
+    every Spark SQL type Arrow can carry (bigint/NULLs/decimal/date
+    round-trip pinned in tests). Falls back to the row path when Arrow
+    cannot represent the schema."""
+    try:
+        out = spark.createDataFrame(df.toArrow(), schema=df.schema)
+    except Exception:
+        out = spark.createDataFrame(df.collect(), df.schema)
+    return out
+
+
 class Engine:
     def __init__(self, spark: SparkSession, sf_dir: str):
         self.spark = tune(spark)
@@ -645,7 +663,7 @@ class Engine:
         scan)."""
         idx = build_value_index(self.table(name), col)
         if idx.count() <= max_local_rows:
-            idx = self.spark.createDataFrame(idx.collect(), idx.schema)
+            idx = _local_relation(self.spark, idx)
         else:
             idx = idx.cache()
         self._value_indexes[(name, col)] = idx
@@ -666,7 +684,7 @@ class Engine:
         df = self.table(name).withColumn(vname, json_field_expr(parent, json_path))
         idx = build_value_index(df, vname)
         if idx.count() <= max_local_rows:
-            idx = self.spark.createDataFrame(idx.collect(), idx.schema)
+            idx = _local_relation(self.spark, idx)
         else:
             idx = idx.cache()
         self._value_indexes[(name, vname)] = idx

@@ -197,3 +197,42 @@ def test_stream_ingest_maintains_json_field_index(spark, tmp_path):
         for r in load_value_index(spark, dst, vname).collect()
     }
     assert got == {("5", 3), ("777", 1)}
+
+
+def test_local_relation_is_jvm_local_and_type_exact(spark):
+    """_local_relation must produce a JVM LocalTableScan (no per-execution
+    Python boundary — the pickled-ExistingRDD form costs ~0.3s/exec) and
+    round-trip values exactly, including NULLs, bigints beyond 2^53,
+    decimals and dates."""
+    import datetime
+    import decimal
+
+    from pyspark.sql import Row
+
+    from columnar_spark.table import _local_relation
+
+    rows = [
+        Row(v=(1 << 60) + 7, s="a", d=datetime.date(1995, 3, 15),
+            m=decimal.Decimal("12345.67"), cnt=3),
+        Row(v=None, s=None, d=None, m=None, cnt=1),
+        Row(v=-5, s="k", d=datetime.date(2020, 1, 1),
+            m=decimal.Decimal("-0.01"), cnt=2 ** 55),
+    ]
+    src = spark.createDataFrame(rows, "v bigint, s string, d date, m decimal(10,2), cnt bigint")
+    out = _local_relation(spark, src)
+    assert out.schema == src.schema
+    assert sorted(map(str, out.collect())) == sorted(map(str, src.collect()))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" in plan and "ExistingRDD" not in plan
+
+
+def test_engine_value_index_local_relation_plan(spark):
+    """Engine.build_json_field_index registers its in-session index as a
+    LocalTableScan, so index-served SQL never re-crosses the Python
+    boundary at execution."""
+    eng = Engine(spark, SF)
+    eng.register_views(["events"])
+    vname = eng.build_json_field_index("events", "props", "$.k")
+    idx = eng._value_indexes[("events", vname)]
+    plan = idx._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" in plan and "ExistingRDD" not in plan
